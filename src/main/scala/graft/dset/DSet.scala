@@ -1,0 +1,453 @@
+package graft.dset
+
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.reflect.ClassTag
+
+import org.apache.spark.Partitioner
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.storage.StorageLevel
+
+/** Partitioner that routes a pre-computed bin number (an `Int` key) to the
+  * partition with that index — honours the reference's user-supplied
+  * `partFunc : 'U -> int` semantics exactly (reference
+  * `src/CoreLib/DKV.fs:54-70` `repartitionPByKey`,
+  * `src/CoreLib/DSetGenerics.fs:1364-1388` `repartitionP`).
+  */
+final class BinPartitioner(n: Int) extends Partitioner {
+  require(n > 0, s"numPartitions must be positive, got $n")
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = {
+    val b = key match {
+      case i: Int        => i
+      case (i: Int, _)   => i
+      case other         => other.hashCode()
+    }
+    val m = b % n
+    if (m < 0) m + n else m
+  }
+}
+
+/** `DSet[U]` — typed facade over `Dataset[U]` reproducing the operator
+  * algebra of the reference's `DSet<'U>` (reference
+  * `src/CoreLib/DSetGenerics.fs:56`, paper §4.1): an immutable, lazily
+  * evaluated, partitioned distributed collection. Unlike the reference,
+  * every transformation declares a Catalyst logical plan, so predicate
+  * pushdown / column pruning / whole-stage codegen come for free; RDDs are
+  * used only where exact user-partitioner or zip semantics demand them.
+  *
+  * Key-value (`DKV`) operators live in [[DSet.KVOps]]; import
+  * `graft.dset.DSet._` to enable them on any `DSet[(K, V)]`.
+  */
+final class DSet[U](val ds: Dataset[U]) {
+  def spark: SparkSession = ds.sparkSession
+
+  // ---- per-element narrow transformations (reference §2.2) ----
+
+  /** No-op pass-through (reference `DSetGenerics.fs:996-1004`). */
+  def identityOp: DSet[U] = this
+
+  /** reference `DSetGenerics.fs:1006-1012` (`filter`). */
+  def filter(f: U => Boolean): DSet[U] = new DSet(ds.filter(f))
+
+  /** reference `DSetGenerics.fs:1029-1039` (`map`). */
+  def map[U1: Encoder](f: U => U1): DSet[U1] = new DSet(ds.map(f))
+
+  /** Filter + map in one pass (reference `DSetGenerics.fs:1015-1027`,
+    * `choose`).
+    */
+  def choose[U1: Encoder](f: U => Option[U1]): DSet[U1] =
+    new DSet(ds.flatMap(u => f(u)))
+
+  /** flatMap — the reference names it `collect` after F# `Seq.collect`
+    * (reference `DSetGenerics.fs:1248-1256`).
+    */
+  def collectSeq[U1: Encoder](f: U => IterableOnce[U1]): DSet[U1] =
+    new DSet(ds.flatMap(f))
+
+  /** Position-aware map: `f(partitionIndex, serialWithinPartition, elem)`
+    * (reference `DSetGenerics.fs:1041-1053`, `mapi`).
+    */
+  def mapi[U1: Encoder: ClassTag](f: (Int, Long, U) => U1): DSet[U1] = {
+    val rdd2 = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      it.zipWithIndex.map { case (u, i) => f(pi, i.toLong, u) }
+    }
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** Batch-at-a-time map over whole partitions — closest Spark analog of
+    * the reference's per-collection batches (reference
+    * `DSetGenerics.fs:1127-1137`, `mapByCollection`; batches are ≤
+    * `SerializationLimit` arrays, paper §4.2).
+    */
+  def mapByCollection[U1: Encoder](f: Array[U] => Array[U1])(implicit ct: ClassTag[U]): DSet[U1] =
+    new DSet(ds.mapPartitions(it => if (it.isEmpty) Iterator.empty else f(it.toArray).iterator))
+
+  /** Concurrent map with bounded intra-partition parallelism, preserving
+    * element order — reproduces `asyncMap`/`parallelMap`
+    * (reference `DSetGenerics.fs:1055-1125`, `function.fs:1626-1785`;
+    * intra-partition parallelism is the reference's
+    * `NumParallelExecution`, paper §4.9). Useful for IO-bound row work
+    * (e.g. dialing an external service per element).
+    */
+  def parallelMap[U1: Encoder](parallelism: Int = 8)(f: U => U1): DSet[U1] = {
+    val func = ds.mapPartitions { it =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val window = math.max(parallelism, 1)
+      val queue = mutable.Queue.empty[Future[U1]]
+      new Iterator[U1] {
+        private def fill(): Unit =
+          while (queue.size < window && it.hasNext) { val u = it.next(); queue.enqueue(Future(f(u))) }
+        override def hasNext: Boolean = { fill(); queue.nonEmpty }
+        override def next(): U1 = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
+      }
+    }
+    new DSet(func)
+  }
+
+  /** Alias of [[parallelMap]] — the reference's async-workflow variant
+    * (reference `DSetGenerics.fs:1055-1087`).
+    */
+  def asyncMap[U1: Encoder](parallelism: Int = 8)(f: U => U1): DSet[U1] =
+    parallelMap(parallelism)(f)
+
+  // ---- DAG plumbing (reference §2.5) ----
+
+  /** Union by partition concatenation (reference `DSetGenerics.fs:1535-1556`,
+    * `merge`; Spark `union` is also a partition concat — no shuffle).
+    */
+  def merge(others: DSet[U]*): DSet[U] =
+    new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)))
+
+  /** Zip two same-shape DSets into tuple rows (reference
+    * `DSetGenerics.fs:1594-1643`, `mix`; requires identical partition
+    * structure, as the reference's `MixFunctionWrapper` does).
+    */
+  def mix[U1](other: DSet[U1])(implicit e: Encoder[(U, U1)], ct: ClassTag[U], ct1: ClassTag[U1]): DSet[(U, U1)] =
+    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd))
+
+  /** mix + elementwise apply (reference `DSetGenerics.fs:1558-1592`, `map2`). */
+  def map2[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => U2)(implicit ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2]): DSet[U2] =
+    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd).map { case (a, b) => f(a, b) })
+
+  /** Fork into n sibling branches sharing one upstream evaluation
+    * (reference `DSetGenerics.fs:1728-1766`, `bypass`/`bypassN`; the Spark
+    * analog is a cached parent reused across the DAG).
+    */
+  def bypass(n: Int = 2): Seq[DSet[U]] = {
+    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    Seq.fill(n)(cached)
+  }
+
+  /** Project one DSet into two column-subset branches over a shared cached
+    * parent (reference `DSetGenerics.fs:1772-1835`, `split2`).
+    */
+  def split2[A: Encoder, B: Encoder](fa: U => A, fb: U => B): (DSet[A], DSet[B]) = {
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    (new DSet(cached.map(fa)), new DSet(cached.map(fb)))
+  }
+
+  /** Replicate the whole DSet to every executor (reference
+    * `DSetGenerics.fs:1315-1345`, `multicast` — `MulticastAcrossNetwork`;
+    * Spark-first this is a broadcast variable).
+    */
+  def multicast()(implicit ct: ClassTag[U]): Broadcast[Array[U]] =
+    spark.sparkContext.broadcast(ds.collect())
+
+  /** Full shuffle by user partition function (reference
+    * `DSetGenerics.fs:1364-1388`, `repartitionP`; exact `'U -> int`
+    * semantics via [[BinPartitioner]]).
+    */
+  def repartitionP(numPartitions: Int)(partFunc: U => Int)(implicit e: Encoder[U], ct: ClassTag[U]): DSet[U] = {
+    val rdd2 = ds.rdd.map(u => (partFunc(u), u))
+      .partitionBy(new BinPartitioner(numPartitions)).values
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** Hash repartition to n partitions (reference `DSetGenerics.fs:1364`,
+    * `repartitionN`) — declarative, AQE-aware.
+    */
+  def repartitionN(numPartitions: Int): DSet[U] = new DSet(ds.repartition(numPartitions))
+
+  /** Distributed bin sort: route each element to bin `partFunc(u)`, sort
+    * within each bin partition — total order = bin order × in-bin order
+    * (reference `DSetGenerics.fs:1467-1528`, `binSortP`). Spill-aware:
+    * uses Spark's shuffle sorter (`repartitionAndSortWithinPartitions`)
+    * rather than the reference's in-RAM `PartitionCacheSortedSet`
+    * (`storage.fs:65`, no spill).
+    */
+  def binSortP(numPartitions: Int)(partFunc: U => Int)(implicit ord: Ordering[U], e: Encoder[U], ct: ClassTag[U]): DSet[U] = {
+    implicit val kOrd: Ordering[(Int, U)] = Ordering.Tuple2(Ordering.Int, ord)
+    val rdd2 = ds.rdd.map(u => ((partFunc(u), u), null: Null))
+      .repartitionAndSortWithinPartitions(new BinPartitioner(numPartitions))
+      .map(_._1._2)
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** Attach an in-memory cache (reference `DSetGenerics.fs:1185-1234`,
+    * `cacheInMemory`; `PartitionCacheEnumerable`, `cache.fs:294-477`).
+    */
+  def cacheInMemory(): DSet[U] = new DSet(ds.persist(StorageLevel.MEMORY_ONLY))
+
+  // ---- aggregations & actions (reference §2.6) ----
+
+  /** Per-partition fold + cross-partition aggregation (reference
+    * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). The
+    * reference's `foldWithCommonStatePerNode` (node-shared state) has no
+    * Spark analog — state here is per-partition, documented divergence
+    * (SURVEY §2.6).
+    */
+  def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S =
+    ds.rdd.treeAggregate(state)(folder, aggr)
+
+  /** reference `DSetGenerics.fs:438-455` (`reduce`). */
+  def reduce(f: (U, U) => U): U = ds.reduce(f)
+
+  /** reference `DSetGenerics.fs:473-480` (`count` — a fold of `+1L`). */
+  def count(): Long = ds.count()
+
+  /** foreach (reference `DSetGenerics.fs:458-468`, `iter`). */
+  def iter(f: U => Unit): Unit = ds.foreach(f)
+
+  /** Lazy pull of the whole DSet to the client (reference
+    * `DSetGenerics.fs:385-390`, `toSeq` via `DSetEnumerator`).
+    */
+  def toSeq: Iterator[U] = {
+    import scala.jdk.CollectionConverters._
+    ds.toLocalIterator().asScala
+  }
+
+  /** Client-side materialize (used by tests; reference `localIter`,
+    * `DSetGenerics.fs:485-507`).
+    */
+  def toArray(implicit ct: ClassTag[U]): Array[U] = ds.collect()
+
+  /** Composite map → shuffle-by-key → per-key reduce (reference
+    * `DSetGenerics.fs:1396-1465`, `mapReduce`). Spark-first: declared as
+    * flatMap + `groupByKey.mapGroups`, so Catalyst inserts partial
+    * aggregation where possible.
+    */
+  def mapReduce[K1, V1, U2](mapFunc: U => IterableOnce[(K1, V1)])(reduceFunc: (K1, Iterator[V1]) => U2)(implicit
+      e1: Encoder[(K1, V1)], ek: Encoder[K1], e2: Encoder[U2]): DSet[U2] =
+    new DSet(
+      ds.flatMap(mapFunc)
+        .groupByKey(_._1)
+        .mapGroups((k, vs) => reduceFunc(k, vs.map(_._2))))
+
+  /** Run a side-effecting closure once per partition slot (reference
+    * `DSetGenerics.fs:951-995`, `execute` — ops tooling, not data-bound).
+    */
+  def executeOnPartitions(f: Int => Unit): Unit =
+    ds.rdd.mapPartitionsWithIndex { (pi, _) => f(pi); Iterator.empty }.count(): Unit
+
+  // ---- persistence (reference §2.6 save/load) ----
+
+  /** Eager parquet save (reference `DSetGenerics.fs:509-546`,
+    * `saveToHDDByName`; write path `DSet.fs:1094-1451`). Replication is
+    * delegated to the file system, as SURVEY §4 prescribes.
+    */
+  def saveToName(path: String): Unit =
+    ds.write.mode("overwrite").parquet(path)
+}
+
+object DSet {
+
+  def fromDataset[U](ds: Dataset[U]): DSet[U] = new DSet(ds)
+
+  def fromRDD[U: Encoder](spark: SparkSession, rdd: RDD[U]): DSet[U] =
+    new DSet(spark.createDataset(rdd))
+
+  /** Client seq scattered across the cluster (reference
+    * `DSetGenerics.fs:881-950`, `distribute`/`distributeN`).
+    */
+  def distribute[U: Encoder](spark: SparkSession, seq: Seq[U], numPartitions: Int = 0): DSet[U] = {
+    val base = spark.createDataset(seq)
+    new DSet(if (numPartitions > 0) base.repartition(numPartitions) else base)
+  }
+
+  /** Generate: per-partition `(partitionIdx, serial) -> 'U` with a size
+    * function (reference `DSetGenerics.fs:623-705`, `init`/`initS`/`initN`).
+    */
+  def init[U: Encoder: ClassTag](spark: SparkSession, numPartitions: Int, sizeFunc: Int => Int)(
+      f: (Int, Long) => U): DSet[U] = {
+    val rdd = spark.sparkContext
+      .parallelize(0 until numPartitions, numPartitions)
+      .mapPartitionsWithIndex { (pi, _) =>
+        Iterator.range(0, sizeFunc(pi)).map(i => f(pi, i.toLong))
+      }
+    fromRDD(spark, rdd)
+  }
+
+  /** init with uniform partition size (reference `DSetGenerics.fs:651-672`). */
+  def initS[U: Encoder: ClassTag](spark: SparkSession, numPartitions: Int, partitionSize: Int)(
+      f: (Int, Long) => U): DSet[U] =
+    init(spark, numPartitions, _ => partitionSize)(f)
+
+  /** Partition i ← delegate(i), fixed total (reference
+    * `DSetGenerics.fs:761-787`, `sourceI`).
+    */
+  def sourceI[U: Encoder: ClassTag](spark: SparkSession, numPartitions: Int)(f: Int => IterableOnce[U]): DSet[U] = {
+    val rdd = spark.sparkContext
+      .parallelize(0 until numPartitions, numPartitions)
+      .mapPartitionsWithIndex { (pi, _) => f(pi).iterator }
+    fromRDD(spark, rdd)
+  }
+
+  /** Bind to previously saved data by name (reference
+    * `DSetGenerics.fs:367-378`, `loadSource`; parquet schema replaces the
+    * reference's name+version metadata files).
+    */
+  def loadParquet[U: Encoder](spark: SparkSession, path: String): DSet[U] =
+    new DSet(spark.read.parquet(path).as[U])
+
+  /** Untyped load for the relational path. */
+  def loadParquetDF(spark: SparkSession, path: String): DSet[org.apache.spark.sql.Row] = {
+    val df = spark.read.parquet(path)
+    new DSet(df)
+  }
+
+  // ---- key-value operators (reference §2.3/2.4, `DKV.fs`) ----
+
+  /** `DKV<'K,'V>` is just `DSet<'K*'V>` with key-aware operators
+    * (reference `src/CoreLib/DKV.fs:49-262`); same stance here via an
+    * implicit extension over `DSet[(K, V)]`.
+    */
+  implicit final class KVOps[K, V](private val dset: DSet[(K, V)]) {
+    private def ds: Dataset[(K, V)] = dset.ds
+    private def spark: SparkSession = dset.spark
+
+    /** reference `DKV.fs:172-176` (`filterByKey`). */
+    def filterByKey(f: K => Boolean): DSet[(K, V)] = new DSet(ds.filter(kv => f(kv._1)))
+
+    /** reference `DKV.fs:179-182` (`mapByValue`). */
+    def mapByValue[V1](f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
+      new DSet(ds.map(kv => (kv._1, f(kv._2))))
+
+    /** 3-stage group-by-key — in Spark a declarative `groupByKey` whose
+      * partial aggregation Catalyst handles (reference `DKV.fs:99-126`;
+      * the reference shuffles full value lists, we get map-side combine
+      * where the downstream agg permits).
+      */
+    def groupByKey(implicit ek: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
+      new DSet(ds.groupByKey(_._1).mapGroups((k, vs) => (k, vs.map(_._2).toSeq)))
+
+    /** reference `DKV.fs:128-138` (`reduceByKey` via mapReduce); Spark's
+      * `reduceGroups` does partial (map-side) aggregation — strictly
+      * better than the reference, which groups full lists first
+      * (SURVEY §2.3).
+      */
+    def reduceByKey(f: (V, V) => V)(implicit ek: Encoder[K], ev: Encoder[V], ekv: Encoder[(K, V)]): DSet[(K, V)] =
+      new DSet(
+        ds.groupByKey(_._1).mapValues(_._2).reduceGroups(f)
+          .map(identity[(K, V)] _)) // re-encode ReduceAggregator output as a plain pair
+
+    /** Exact user-partition-function shuffle (reference `DKV.fs:54-70`,
+      * `repartitionPByKey`).
+      */
+    def repartitionPByKey(numPartitions: Int)(partFunc: K => Int)(implicit e: Encoder[(K, V)], ct: ClassTag[(K, V)]): DSet[(K, V)] = {
+      val rdd2 = ds.rdd.map(kv => (partFunc(kv._1), kv))
+        .partitionBy(new BinPartitioner(numPartitions)).values
+      DSet.fromRDD(spark, rdd2)
+    }
+
+    /** Bin-partition + in-partition key sort (reference `DKV.fs:140-169`,
+      * `binSortPByKey`) via Spark's spill-aware shuffle sorter.
+      */
+    def binSortPByKey(numPartitions: Int)(partFunc: K => Int)(implicit ord: Ordering[K], e: Encoder[(K, V)],
+        ctk: ClassTag[K], ctv: ClassTag[V]): DSet[(K, V)] = {
+      implicit val kOrd: Ordering[(Int, K)] = Ordering.Tuple2(Ordering.Int, ord)
+      val rdd2 = ds.rdd.map(kv => ((partFunc(kv._1), kv._1), kv._2))
+        .repartitionAndSortWithinPartitions(new BinPartitioner(numPartitions))
+        .map { case ((_, k), v) => (k, v) }
+      DSet.fromRDD(spark, rdd2)
+    }
+
+    /** Sort-merge inner equi-join (reference `DKV.fs:200-209`,
+      * `innerJoinByMergeAfterBinSortByKey`). Spark-first: declared as a
+      * `joinWith` so Catalyst picks SMJ (or BHJ when one side is small) —
+      * the reference makes the *user* pre-binSort both sides with aligned
+      * partitions; Catalyst aligns them itself.
+      */
+    def innerJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (V, V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
+      val l = ds; val r = other.ds
+      new DSet(
+        l.joinWith(r, l("_1") === r("_1"), "inner")
+          .map { case (a, b) => (a._1, f(a._2, b._2)) })
+    }
+
+    /** reference `DKV.fs:211-220` (`leftOuterJoinByMergeAfterBinSortByKey`). */
+    def leftOuterJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (V, Option[V1]) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
+      val l = ds; val r = other.ds
+      new DSet(
+        l.joinWith(r, l("_1") === r("_1"), "left_outer")
+          .map { case (a, b) => (a._1, f(a._2, Option(b).map(_._2))) })
+    }
+
+    /** reference `DKV.fs:227-231` (`rightOuterJoinByMergeAfterBinSortByKey`). */
+    def rightOuterJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (Option[V], V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
+      val l = ds; val r = other.ds
+      new DSet(
+        l.joinWith(r, l("_1") === r("_1"), "right_outer")
+          .map { case (a, b) => (b._1, f(Option(a).map(_._2), b._2)) })
+    }
+
+    /** Broadcast-hash inner join — ships what the reference declared but
+      * never implemented (`DKV.fs:236-258` raises
+      * `NotImplementedException`; engine scaffolding at
+      * `DSet.fs:2463-2519`). Catalyst's BHJ replaces the reference's
+      * `ConcurrentDictionary` build side.
+      */
+    def innerJoinByHash[V1, V2](other: DSet[(K, V1)])(f: (V, V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
+      val l = ds; val r = org.apache.spark.sql.functions.broadcast(other.ds)
+      new DSet(
+        l.joinWith(r, l("_1") === r("_1"), "inner")
+          .map { case (a, b) => (a._1, f(a._2, b._2)) })
+    }
+  }
+
+  // ---- cross joins (reference §2.4, non-KV) ----
+
+  implicit final class CrossOps[U](private val dset: DSet[U]) {
+
+    /** Cartesian product + map (reference `DSetGenerics.fs:1646-1668`,
+      * `crossJoin`).
+      */
+    def crossJoin[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => U2)(implicit e: Encoder[(U, U1)]): DSet[U2] =
+      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").map { case (a, b) => f(a, b) })
+
+    /** Cross join + option filter — theta join via arbitrary predicate
+      * (reference `DSetGenerics.fs:1670-1693`, `crossJoinChoose`).
+      */
+    def crossJoinChoose[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => Option[U2])(implicit e: Encoder[(U, U1)]): DSet[U2] =
+      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").flatMap { case (a, b) => f(a, b) })
+
+    /** Cross join + per-partition fold of the products — computes e.g.
+      * k-NN against a broadcast set without materializing the product
+      * (reference `DSetGenerics.fs:1695-1726`, `crossJoinFold`). The right
+      * side is broadcast (the reference's `CrossJoinFrom` iterates parent1
+      * against each parent0 collection).
+      */
+    def crossJoinFold[U1, S: Encoder](other: DSet[U1])(init: S)(folder: (S, U, U1) => S)(implicit ct1: ClassTag[U1]): DSet[S] = {
+      val bc = dset.spark.sparkContext.broadcast(other.ds.collect())
+      new DSet(dset.ds.mapPartitions { it =>
+        val right = bc.value
+        if (it.isEmpty) Iterator.empty
+        else Iterator.single(it.foldLeft(init)((s, u) => right.foldLeft(s)((s2, u1) => folder(s2, u, u1))))
+      })
+    }
+
+    /** Per-left-element fold over the other side — the k-NN shape
+      * (reference `crossJoinFold` applied elementwise).
+      */
+    def crossJoinFoldByElem[U1, S: Encoder](other: DSet[U1])(init: S)(folder: (S, U, U1) => S)(implicit ct1: ClassTag[U1]): DSet[S] = {
+      val bc = dset.spark.sparkContext.broadcast(other.ds.collect())
+      new DSet(dset.ds.map { u =>
+        bc.value.foldLeft(init)((s, u1) => folder(s, u, u1))
+      })
+    }
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import graft.dset.DSet
+
+/** Local-oracle differential tests for the DSet facade — the reference's
+  * test pattern: compute expected locally with Scala collections, assert
+  * the distributed result matches (reference `tests/CoreLib/DSet.fs:489-533`
+  * MapTest et al.).
+  */
+class DSetSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def nums(n: Int = 1000, parts: Int = 4): DSet[Int] =
+    DSet.distribute(spark, 0 until n, parts)
+
+  test("init generates (partition, serial) elements with size func") {
+    val d = DSet.init[(Int, Long)](spark, 4, pi => pi + 1) { (pi, serial) => (pi, serial) }
+    val got = d.toArray.toSet
+    val exp = (0 until 4).flatMap(pi => (0 until (pi + 1)).map(i => (pi, i.toLong))).toSet
+    assert(got == exp)
+    assert(d.ds.rdd.getNumPartitions == 4)
+  }
+
+  test("initS uniform partition size") {
+    val d = DSet.initS[Long](spark, 3, 5) { (pi, serial) => pi * 100L + serial }
+    assert(d.count() == 15)
+  }
+
+  test("sourceI: partition i from delegate(i)") {
+    val d = DSet.sourceI[Int](spark, 3)(pi => Seq(pi * 10, pi * 10 + 1))
+    assert(d.toArray.toSet == Set(0, 1, 10, 11, 20, 21))
+  }
+
+  test("map/filter/choose/collectSeq match local oracle") {
+    val d = nums()
+    assert(d.map(_ * 2).toArray.sorted.toSeq == (0 until 1000).map(_ * 2))
+    assert(d.filter(_ % 3 == 0).count() == (0 until 1000).count(_ % 3 == 0))
+    val chosen = d.choose(i => if (i % 7 == 0) Some(i / 7) else None).toArray.sorted
+    assert(chosen.toSeq == (0 until 1000).filter(_ % 7 == 0).map(_ / 7))
+    val flat = d.collectSeq(i => Seq(i, -i)).toArray
+    assert(flat.length == 2000 && flat.sum == 0)
+  }
+
+  test("mapi carries (partition, serial) positions") {
+    val d = DSet.initS[Int](spark, 4, 10)((pi, s) => pi * 10 + s.toInt)
+    val got = d.mapi((pi, serial, u) => (pi, serial, u)).toArray
+    got.foreach { case (pi, serial, u) => assert(u == pi * 10 + serial.toInt) }
+    assert(got.length == 40)
+  }
+
+  test("mapByCollection sees whole-partition batches") {
+    val d = nums(100, 4)
+    val got = d.mapByCollection(arr => Array(arr.length)).toArray
+    assert(got.sum == 100 && got.length == 4)
+  }
+
+  test("parallelMap preserves order within partitions") {
+    val d = DSet.initS[Int](spark, 2, 50)((pi, s) => pi * 50 + s.toInt)
+    val got = d.parallelMap(8)(i => i * 3).toArray.sorted
+    assert(got.toSeq == (0 until 100).map(_ * 3))
+  }
+
+  test("merge unions element multisets (partition concat)") {
+    val a = nums(10, 2); val b = nums(10, 2)
+    val m = a.merge(b)
+    assert(m.count() == 20)
+    assert(m.toArray.sorted.toSeq == (0 until 10).flatMap(i => Seq(i, i)).sorted)
+  }
+
+  test("mix zips same-shape dsets; map2 applies elementwise") {
+    val a = DSet.initS[Int](spark, 3, 10)((pi, s) => pi * 10 + s.toInt)
+    val b = DSet.initS[Int](spark, 3, 10)((pi, s) => (pi * 10 + s.toInt) * 2)
+    val mixed = a.mix(b).toArray
+    mixed.foreach { case (x, y) => assert(y == 2 * x) }
+    val sum2 = a.map2(b)(_ + _).toArray
+    assert(sum2.sorted.toSeq == (0 until 30).map(_ * 3))
+  }
+
+  test("bypass branches share one evaluation; split2 projects columns") {
+    val d = nums(100, 4)
+    val Seq(b1, b2) = d.bypass(2)
+    assert(b1.count() == 100 && b2.map(_ * 2).count() == 100)
+    val (evens, strs) = d.split2(_ * 2, _.toString)
+    assert(evens.toArray.sum == (0 until 100).map(_ * 2).sum)
+    assert(strs.count() == 100)
+  }
+
+  test("multicast broadcasts full content") {
+    val bc = nums(50, 4).multicast()
+    assert(bc.value.sorted.toSeq == (0 until 50))
+    bc.destroy()
+  }
+
+  test("repartitionP honors exact user partition function") {
+    val d = nums(100, 4).repartitionP(5)(u => u % 5)
+    val parts = d.ds.rdd.glom().collect()
+    assert(parts.length == 5)
+    parts.zipWithIndex.foreach { case (arr, pi) =>
+      arr.foreach(u => assert(u % 5 == pi, s"elem $u in wrong partition $pi"))
+    }
+    assert(parts.map(_.length).sum == 100)
+  }
+
+  test("binSortP: bin routing + in-bin sort = total order") {
+    val d = DSet.distribute(spark, scala.util.Random.shuffle((0 until 500).toList), 4)
+    val sorted = d.binSortP(5)(u => u / 100)
+    val parts = sorted.ds.rdd.glom().collect()
+    assert(parts.length == 5)
+    parts.zipWithIndex.foreach { case (arr, pi) =>
+      assert(arr.toSeq == arr.sorted.toSeq, s"partition $pi not sorted")
+      arr.foreach(u => assert(u / 100 == pi))
+    }
+    assert(parts.flatten.toSeq == (0 until 500)) // global order across bins
+  }
+
+  test("fold/reduce/count actions match local oracle") {
+    val d = nums(1000, 8)
+    assert(d.fold(0L)((s, u) => s + u, _ + _) == (0 until 1000).map(_.toLong).sum)
+    assert(d.reduce(math.max) == 999)
+    assert(d.count() == 1000)
+  }
+
+  test("toSeq streams all elements to the client") {
+    assert(nums(100, 4).toSeq.toSeq.sorted == (0 until 100))
+  }
+
+  test("mapReduce: wordcount matches local oracle") {
+    val lines = DSet.distribute(spark, Seq("a b a", "b c", "a"), 2)
+    val got = lines
+      .mapReduce(l => l.split(" ").iterator.map(w => (w, 1)))((k, vs) => (k, vs.sum))
+      .toArray.toMap
+    assert(got == Map("a" -> 3, "b" -> 2, "c" -> 1))
+  }
+
+  test("save/load parquet roundtrip (saveToHDDByName analog)") {
+    val path = java.nio.file.Files.createTempDirectory("dset").toString + "/roundtrip"
+    nums(100, 4).map(i => (i, i.toString)).saveToName(path)
+    val back = DSet.loadParquet[(Int, String)](spark, path)
+    assert(back.count() == 100)
+    assert(back.toArray.toMap == (0 until 100).map(i => (i, i.toString)).toMap)
+  }
+
+  test("crossJoinFoldByElem computes per-element aggregate against other side") {
+    import graft.dset.DSet._
+    val left = DSet.distribute(spark, Seq(1, 2, 3), 2)
+    val right = DSet.distribute(spark, Seq(10, 20), 1)
+    val got = left.crossJoinFoldByElem(right)(0)((s, u, u1) => s + u * u1).toArray.sorted
+    assert(got.toSeq == Seq(30, 60, 90))
+  }
+
+  test("crossJoin / crossJoinChoose") {
+    import graft.dset.DSet._
+    val a = DSet.distribute(spark, Seq(1, 2), 1)
+    val b = DSet.distribute(spark, Seq(10, 20), 1)
+    assert(a.crossJoin(b)((x, y) => x + y).toArray.sorted.toSeq == Seq(11, 21, 12, 22).sorted)
+    val chosen = a.crossJoinChoose(b)((x, y) => if (x * y > 15) Some(x * y) else None).toArray.sorted
+    assert(chosen.toSeq == Seq(20, 20, 40))
+  }
+}

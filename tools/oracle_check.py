@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs
+the matching oracle SQL from oracle_sql.json in DuckDB over the testdata
+parquet tables, and compares: schema (column names), row count, and values
+(rows sorted, columns sorted by name). Exact match is reported separately
+from approx (1e-9 rel tol on floats) so float-hash risk is visible.
+
+Dev tool only — NOT part of the Scala library (duckdb/pandas are
+driver-side utilities per the build brief).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def rows_key(row):
+    return tuple((str(type(v)), str(v)) for v in row)
+
+
+def compare(name, got, exp):
+    if got is None:
+        return f"FAIL {name}: spark result missing"
+    gcols, grows = got
+    ecols, erows = exp
+    if sorted(gcols) != sorted(ecols):
+        return f"FAIL {name}: columns differ spark={sorted(gcols)} duckdb={sorted(ecols)}"
+    # reorder columns by sorted name
+    gidx = [gcols.index(c) for c in sorted(gcols)]
+    eidx = [ecols.index(c) for c in sorted(ecols)]
+    g = sorted([tuple(r[i] for i in gidx) for r in grows], key=rows_key)
+    e = sorted([tuple(r[i] for i in eidx) for r in erows], key=rows_key)
+    if len(g) != len(e):
+        return f"FAIL {name}: rowcount spark={len(g)} duckdb={len(e)}"
+    exact = True
+    approx = True
+    for gr, er in zip(g, e):
+        for gv, ev in zip(gr, er):
+            if gv == ev:
+                continue
+            if gv is None or ev is None:
+                exact = approx = False
+                break
+            if isinstance(gv, float) and isinstance(ev, float):
+                exact = False
+                if math.isclose(gv, ev, rel_tol=1e-9, abs_tol=1e-9):
+                    continue
+                approx = False
+                break
+            exact = approx = False
+            break
+        if not approx:
+            return (f"FAIL {name}: value mismatch\n  spark={gr}\n  duck ={er}")
+    if exact:
+        return f"PASS {name}: exact ({len(g)} rows)"
+    return f"PASS {name}: approx-only (float hash RISK) ({len(g)} rows)"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            cur = con.execute(sql)
+            ecols = [d[0] for d in cur.description]
+            erows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL error: {ex}")
+            n_fail += 1
+            continue
+        spark_path = Path(out_dir, name)
+        if not spark_path.exists():
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            cur = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            gcols = [d[0] for d in cur.description]
+            grows = cur.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: cannot read spark output: {ex}")
+            n_fail += 1
+            continue
+        msg = compare(name, (gcols, grows), (ecols, erows))
+        print(msg)
+        if msg.startswith("FAIL"):
+            n_fail += 1
+    # queries with no oracle get rows-only smoke
+    declared = set(oracle)
+    for p in sorted(Path(out_dir).iterdir()):
+        if p.is_dir() and p.name not in declared:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet('{p}/*.parquet')").fetchone()[0]
+                print(f"ROWS {p.name}: {n} rows (no oracle)")
+            except Exception as ex:
+                print(f"FAIL {p.name}: unreadable rows-only output: {ex}")
+                n_fail += 1
+    print(f"== {n_fail} failures ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
