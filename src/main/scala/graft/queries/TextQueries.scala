@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** LLM-training-data pipeline queries: dedup (exact / MinHash-LSH /
+  * char-ngram / SimHash) and text analysis (token stats, quality, langid,
+  * fingerprint) over the `documents` table.
+  *
+  * Oracles: everything except SimHash is replayed exactly in DuckDB —
+  * including the MinHash near-dup pairs, whose oracle is the full O(n²)
+  * exact-Jaccard join (feasible at sf0.01; the Spark side never builds the
+  * product). SimHash depends on an engine-side 64-bit hash and gets a
+  * rows-only check plus ScalaTest coverage.
+  */
+object TextQueries {
+
+  private val enStop = "('the','a','of','and','to','in','is','it','that','for')"
+  private val deStop = "('der','die','das','und','ist','nicht','mit','ein','zu','den')"
+  private val esStop = "('el','los','las','y','una','es','para','como','pero','sus')"
+  private val frStop = "('le','les','et','est','pour','dans','que','qui','pas','vous')"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on document text (all-distinct at test SFs — the
+    // degenerate case — but the operator is the single-shuffle groupBy).
+    "d1_exact_dedup_docs" -> { (s, dir) =>
+      Dedup.exactDedup(Tables.load(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_copies"))
+    },
+
+    // Exact dedup with real duplicate groups: lineitems per (part, supp).
+    "d2_exact_dedup_lineitem" -> { (s, dir) =>
+      Dedup.exactDedup(Tables.load(s, dir, "lineitem"), "l_orderkey", Seq("l_partkey", "l_suppkey"))
+    },
+
+    // MinHash-LSH near-dup pairs, verified with exact Jaccard — the oracle
+    // is the full pairwise join, so this checks end-to-end recall too.
+    "d3_minhash_neardup" -> { (s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Character-5-gram MinHash variant.
+    "d4_ngram_neardup" -> { (s, dir) =>
+      Dedup.ngramJaccardNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // SimHash near-dup pairs (rows-only check; ScalaTest asserts the
+    // planted near-dups are recovered).
+    "d5_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+
+    // Token statistics per document.
+    "t1_token_stats" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct"),
+        round(avgTokenLen(col("text")), 4).as("avg_len"))
+    },
+
+    // Quality scoring (stopword ratio + composite score).
+    "t2_quality" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        round(stopwordRatio(col("text"), langProfiles.head._2), 4).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"))
+    },
+
+    // Language ID: per-profile scores + argmax with fixed tie-break.
+    "t3_langid" -> { (s, dir) =>
+      val scored = langScores(col("text"))
+      Tables.load(s, dir, "documents").select(
+        (col("doc_id") +: scored.map { case (l, c) => c.as(s"s_$l") }) :+
+          langId(col("text")).as("lang_pred"): _*)
+    },
+
+    // Deterministic document fingerprint (polynomial rolling hash).
+    "t4_fingerprint" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), rollingHash(col("text")).as("fp"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup_docs" ->
+      "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+    "d2_exact_dedup_lineitem" ->
+      """SELECT l_partkey, l_suppkey, min(l_orderkey) AS l_orderkey, count(*) AS n_copies
+         FROM lineitem GROUP BY l_partkey, l_suppkey""",
+    "d3_minhash_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    "d4_ngram_neardup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(text) - 3),
+             i -> substring(text, i, 5))) AS s
+           FROM documents WHERE len(text) >= 5)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    "t1_token_stats" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+                     FROM documents)
+         SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+           round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 4) AS avg_len
+         FROM tk""",
+    "t2_quality" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+                      FROM documents)
+         SELECT doc_id,
+           round(len(list_filter(ts, t -> t IN $enStop))::DOUBLE / len(ts), 4) AS stop_ratio,
+           round(least(len(ts),100)::DOUBLE/100*0.7
+                 + len(list_filter(ts, t -> t IN $enStop))::DOUBLE/len(ts)*0.3, 4) AS quality
+         FROM tk""",
+    "t3_langid" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+                      FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(ts, t -> t IN $enStop)) AS s_en,
+           len(list_filter(ts, t -> t IN $deStop)) AS s_de,
+           len(list_filter(ts, t -> t IN $esStop)) AS s_es,
+           len(list_filter(ts, t -> t IN $frStop)) AS s_fr
+           FROM tk)
+         SELECT doc_id, s_en, s_de, s_es, s_fr,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred
+         FROM sc""",
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM documents"""
+  )
+}

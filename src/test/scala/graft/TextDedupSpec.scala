@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Specs for the LLM-pipeline text analysis and dedup operators. */
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents").cache()
+
+  test("tokenCount / distinctTokenCount / avgTokenLen match Scala oracle") {
+    val rows = docs.select(col("text"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("d"),
+      TextFunctions.avgTokenLen(col("text")).as("avg")).collect()
+    rows.foreach { r =>
+      val toks = r.getString(0).split(" ").filter(_.nonEmpty)
+      assert(r.getInt(1) == toks.length)
+      assert(r.getInt(2) == toks.distinct.length)
+      assert(math.abs(r.getDouble(3) - toks.map(_.length).sum.toDouble / toks.length) < 1e-12)
+    }
+  }
+
+  test("rollingHash matches Scala reference implementation") {
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val rows = docs.limit(20).select(col("text"), TextFunctions.rollingHash(col("text")).as("fp")).collect()
+    rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
+  }
+
+  test("wordShingles produce n-grams; short docs yield empty array") {
+    val df = Seq("a b c d", "x y", "").toDF("text")
+      .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set.empty)
+    assert(got(2) == Set.empty)
+  }
+
+  test("langId is deterministic and respects priority tie-break") {
+    val df = Seq(
+      "the cat is on the mat",     // en hits
+      "der hund ist nicht da",     // de hits
+      "xyzzy qwerty").toDF("text") // no hits -> und
+      .select(TextFunctions.langId(col("text")).as("lang"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "und"))
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "k")
+    val got = Dedup.exactDedup(df, "id", Seq("k")).select("k", "id", "n_copies")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("x", 1L, 2L), ("y", 3L, 1L)))
+  }
+
+  test("minhashNearDupPairs recovers planted near-dups with exact jaccard >= 0.8") {
+    // Ground truth: brute-force exact jaccard over word 3-shingles.
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val truth = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+
+    val got = Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == truth, s"minhash pairs ${got.size} vs truth ${truth.size}")
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash is deterministic; near-dup pairs cover the exact duplicates") {
+    assert(Dedup.simhash64("a b c") == Dedup.simhash64("a b c"))
+    // identical docs must collide at hamming 0
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val vals = docs.select(TextFunctions.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
