@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is a clearly-marked STUB (this container ships no
+  * image/audio codecs — see `decodeImages`): it parses the deterministic
+  * synthetic header/payload produced by [[synthesizeImages]]. Everything
+  * around the stub is the real Spark plumbing a production pipeline
+  * needs — binary schema, batched `mapPartitions` processing (the Scala
+  * analog of Python's `mapInPandas` batch UDFs), metadata structs, and
+  * narrow (shuffle-free) execution end-to-end.
+  *
+  * Scale notes: decode is a narrow per-partition pass — at 100 TB the
+  * parallelism is the file-split count; no shuffle, no driver data. The
+  * binary column is never materialized wider than one partition batch.
+  */
+object Multimodal {
+
+  /** Parsed image record (what a real decoder would emit). */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, n_bytes: Int, checksum: Long)
+
+  val MAGIC: Int = 0x47465431 // "GFT1"
+
+  /** Deterministic synthetic "image": 12-byte header (magic, width,
+    * height) + seeded payload. Stands in for reading real image bytes;
+    * every byte is a pure function of the id so the DuckDB oracle can
+    * replay the full binary roundtrip arithmetically.
+    */
+  def fakeImageBytes(id: Long): Array[Byte] = {
+    val width = (16 + (id * 7919) % 240).toInt
+    val height = (16 + (id * 104729) % 240).toInt
+    val payloadLen = (64 + id % 64).toInt
+    val buf = ByteBuffer.allocate(12 + payloadLen)
+    buf.putInt(MAGIC).putInt(width).putInt(height)
+    var i = 0
+    while (i < payloadLen) { buf.put(((id * 31 + i) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Attach a binary image column to any table with a long id column. */
+  def synthesizeImages(df: DataFrame, idCol: String): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(id => (id, fakeImageBytes(id)))
+  }
+
+  /** STUB decode — parses the synthetic header + payload checksum in
+    * partition batches. A real deployment swaps the body for an actual
+    * codec (e.g. TwelveMonkeys/javacv) with the same signature; the
+    * batching, schema, and narrow-execution shape stay identical.
+    */
+  def decodeImages(images: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val buf = ByteBuffer.wrap(bytes)
+        val magic = buf.getInt()
+        require(magic == MAGIC, s"bad magic: $magic")
+        val width = buf.getInt()
+        val height = buf.getInt()
+        var checksum = 0L
+        var i = 12
+        while (i < bytes.length) { checksum += (bytes(i) & 0xFF); i += 1 }
+        DecodedImage(id, width, height, bytes.length, checksum % 997)
+      }
+    }
+  }
+
+  /** "Resize" metadata transform (halved thumbnail dims) — demonstrates a
+    * typed narrow transform over decoded records.
+    */
+  def thumbnailMeta(decoded: Dataset[DecodedImage]): DataFrame =
+    decoded.toDF().select(
+      col("doc_id"),
+      greatest(col("width") / 2, lit(1)).cast("int").as("thumb_w"),
+      greatest(col("height") / 2, lit(1)).cast("int").as("thumb_h"))
+
+  /** "Video" frame sampling: treat the payload as fixed-size frames, keep
+    * every `stride`-th — the mapPartitions batch shape for frame-level
+    * feature extraction.
+    */
+  def sampleFrames(images: Dataset[(Long, Array[Byte])], frameSize: Int, stride: Int): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val payload = bytes.drop(12)
+        payload.grouped(frameSize).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (frame, idx) => (id, idx, frame.length, frame.map(_ & 0xFF).sum.toLong) }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.Telemetry
+
+/** Multimodal-pipeline and streaming-analog queries.
+  *
+  * The multimodal oracles replay the synthetic byte arithmetic in SQL —
+  * so a hash match proves the binary payloads survived the full
+  * synthesize → binary column → batched decode roundtrip bit-exactly.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary image metadata through the synthesize → decode-stub pipeline.
+    "m1_image_meta" -> { (s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF().select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+    },
+
+    // Payload checksum — validates every payload byte made the roundtrip.
+    "m2_image_checksum" -> { (s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF().select(col("doc_id"), col("checksum"))
+    },
+
+    // Frame sampling over the binary payload ("video" shape).
+    "m3_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id"),
+        frameSize = 16, stride = 2)
+    },
+
+    // Thumbnail metadata transform.
+    "m4_thumbnails" -> { (s, dir) =>
+      Multimodal.thumbnailMeta(
+        Multimodal.decodeImages(
+          Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id")))
+    },
+
+    // Sliding-window telemetry stats (batch mode of the streaming
+    // pipeline — the reference's per-cycle re-execution model).
+    "st1_sliding_stats" -> { (s, dir) =>
+      Telemetry.slidingStats(Tables.load(s, dir, "events"), "6 hours", "3 hours")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_image_meta" ->
+      """SELECT doc_id,
+           (16 + (doc_id * 7919) % 240)::INT AS width,
+           (16 + (doc_id * 104729) % 240)::INT AS height,
+           (12 + 64 + doc_id % 64)::INT AS n_bytes
+         FROM documents""",
+    "m2_image_checksum" ->
+      """SELECT doc_id,
+           list_sum(list_transform(range(0, (64 + doc_id % 64)::INT),
+                                   i -> (doc_id * 31 + i) % 256)) % 997 AS checksum
+         FROM documents""",
+    "m3_frame_sample" ->
+      """WITH p AS (SELECT doc_id, (64 + doc_id % 64)::INT AS len FROM documents)
+         SELECT doc_id, j::INT AS frame_idx,
+           least(16, len - 16 * j)::INT AS frame_bytes,
+           list_sum(list_transform(range(16 * j, least(16 * j + 16, len)),
+                                   i -> (doc_id * 31 + i) % 256)) AS frame_sum
+         FROM p, unnest(range(0, (len + 15) // 16)) AS t(j)
+         WHERE j % 2 = 0""",
+    "m4_thumbnails" ->
+      """SELECT doc_id,
+           ((16 + (doc_id * 7919) % 240) // 2)::INT AS thumb_w,
+           ((16 + (doc_id * 104729) % 240) // 2)::INT AS thumb_h
+         FROM documents""",
+    // Sliding 6h/3h windows = union of two 6h tumbling grids offset by 3h.
+    "st1_sliding_stats" ->
+      """WITH both_grids AS (
+           SELECT time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '2024-01-01 00:00:00') AS win_start,
+                  event_type, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '2024-01-01 03:00:00') AS win_start,
+                  event_type, value FROM events)
+         SELECT win_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value
+         FROM both_grids GROUP BY win_start, event_type"""
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.multimodal.Multimodal
+import graft.streaming.Telemetry
+
+class StreamingMultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal roundtrip: decode recovers synthesized dimensions") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val decoded = Multimodal.decodeImages(Multimodal.synthesizeImages(docs, "doc_id")).collect()
+    assert(decoded.length == 500)
+    decoded.foreach { d =>
+      assert(d.width == (16 + (d.doc_id * 7919) % 240).toInt)
+      assert(d.height == (16 + (d.doc_id * 104729) % 240).toInt)
+      assert(d.n_bytes == (12 + 64 + d.doc_id % 64).toInt)
+    }
+  }
+
+  test("decodeImages rejects corrupt binary (bad magic)") {
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))).toDS()
+    val ex = intercept[Exception] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    assert(ex.getMessage.contains("bad magic") || ex.getCause != null)
+  }
+
+  test("frame sampling covers payload with stride") {
+    val imgs = Multimodal.synthesizeImages(Tables.load(spark, sf0001, "documents").limit(10), "doc_id")
+    val frames = Multimodal.sampleFrames(imgs, 16, 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach(r => assert(r.getAs[Int]("frame_idx") % 2 == 0))
+  }
+
+  test("streaming sliding stats ⊆ batch result; emitted windows match exactly") {
+    val batchDf = Tables.load(spark, sf0001, "events")
+    val batch = Telemetry.slidingStats(batchDf, "6 hours", "3 hours")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+    // File-source streaming over the same parquet (staged into a dir —
+    // the file source requires a directory), through the watermarked
+    // streaming pipeline into a memory sink.
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // stream with the RAW parquet schema (ts is INT64 nanos on disk);
+    // apply the same ns→µs conversion Tables.load does
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Telemetry.slidingStatsStream(stream, "6 hours", "3 hours", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("tele")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("tele").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+
+    // Append mode withholds windows still above the final watermark, so
+    // streamed ⊆ batch; every emitted window must match batch exactly.
+    assert(streamed.nonEmpty, "streaming emitted no windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch.contains(k), s"window $k not in batch result")
+      assert(batch(k) == v, s"window $k: stream=$v batch=${batch(k)}")
+    }
+    assert(streamed.size >= batch.size / 2, s"too few windows emitted: ${streamed.size}/${batch.size}")
+  }
+}
