@@ -55,6 +55,57 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection LSH keys as a native expression: one pass
+  * over the input vector computes dot products against all tables×bits
+  * seeded hyperplanes, emitting one `"table:bits"` key per table.
+  */
+case class SrpKeys(child: Expression, dim: Int, bits: Int, tables: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "srp_keys"
+
+  // hyperplanes[t*bits + b][d] — deterministic from seed (xorshift64*)
+  @transient private lazy val planes: Array[Array[Double]] = {
+    var s = seed
+    def nextDouble(): Double = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      val v = (s * 0x2545F4914F6CDD1DL) >>> 11
+      v.toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(tables * bits)(Array.fill(dim)(nextDouble()))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val keys = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bitsVal = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = planes(t * bits + b)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += arr.getDouble(i) * plane(i); i += 1 }
+        if (dot > 0) bitsVal |= (1L << b)
+        b += 1
+      }
+      keys(t) = UTF8String.fromString(s"$t:$bitsVal")
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Vector similarity column builders over `array<float>` / `array<double>`
   * embedding columns.
   */
@@ -77,24 +128,17 @@ object VectorFunctions {
 
   /** Signed-random-projection bucket keys: `tables` independent hash
     * tables, each hashing the vector to `bits` sign bits of dot products
-    * with seeded Gaussian-ish random vectors. Two vectors with cosine ≥ t
-    * collide in at least one table with probability
+    * with seeded random hyperplanes. Two vectors with cosine ≥ t collide
+    * in at least one table with probability
     * 1 - (1 - (1 - θ/π)^bits)^tables.
+    *
+    * Native single-pass expression: the tables×bits hyperplanes live in
+    * the expression (built lazily per executor from the seed), and all
+    * keys come from one pass over the vector — the literal-array
+    * formulation (tables×bits separate `vecDot(vec, typedLit(...))`
+    * columns) paid seconds of analysis/codegen per run on the plan
+    * alone.
     */
-  def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long = 42L): Column = {
-    var s = seed
-    def nextDouble(): Double = {
-      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-      val v = (s * 0x2545F4914F6CDD1DL) >>> 11
-      v.toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
-    val keys = (0 until tables).map { t =>
-      val bitCols = (0 until bits).map { b =>
-        val r = Array.fill(dim)(nextDouble())
-        when(vecDot(vec, typedLit(r.toSeq)) > 0, 1L << b).otherwise(0L)
-      }
-      concat_ws(":", lit(t), bitCols.reduce(_ + _).cast("string"))
-    }
-    array(keys: _*)
-  }
+  def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long = 42L): Column =
+    graftbridge.column(SrpKeys(graftbridge.expression(vec.cast("array<double>")), dim, bits, tables, seed))
 }

@@ -1,7 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 import graft.functions.TextFunctions
 
@@ -45,17 +50,147 @@ object Dedup {
     Seq.fill(k)((next() % ((1L << 31) - 1) + 1, next() % P))
   }
 
-  /** MinHash signature (array of k longs) from a distinct-shingle array
-    * column. Pure column expressions: 32-bit base hash per shingle, then
-    * k affine min-hashes — O(k·|shingles|) per row, zero shuffle.
+  /** Native expression extracting the DISTINCT shingle hash set of a
+    * document in one pass — no per-shingle string allocation, no
+    * interpreted lambda per element (the `transform(sequence(...),
+    * substr)` + `array_distinct` formulation costs ~5ms/doc interpreted;
+    * this is ~10µs).
+    *
+    * `word = true`: windows of `n` whitespace-separated tokens. Because
+    * tokens come from single-space splitting, the joined-token window is
+    * exactly the original substring between the window's token
+    * boundaries, so hashing the char range preserves set identity with
+    * the string-shingle formulation (and the DuckDB oracle).
+    * `word = false`: windows of `n` characters.
     */
-  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val base = transform(shingles, s => pmod(xxhash64(s), lit(4294967296L)))
-    val sigs = hashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(base, h => pmod(h * a + b, lit(P))))
+  case class ShingleHashes(child: Expression, n: Int, word: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = if (word) "word_shingle_hashes" else "char_shingle_hashes"
+
+    private def fnv(s: String, from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = from
+      while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      h
     }
-    array(sigs: _*)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val hashes: Array[Long] =
+        if (word) {
+          // token start/end offsets under single-space splitting
+          val starts = scala.collection.mutable.ArrayBuffer(0)
+          val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var i = 0
+          while (i < s.length) {
+            if (s.charAt(i) == ' ') { ends += i; starts += i + 1 }
+            i += 1
+          }
+          ends += s.length
+          val tokens = starts.length
+          val m = tokens - n + 1
+          if (m <= 0) Array.emptyLongArray
+          else Array.tabulate(m)(j => fnv(s, starts(j), ends(j + n - 1)))
+        } else {
+          val m = s.length - n + 1
+          if (m <= 0) Array.emptyLongArray
+          else Array.tabulate(m)(j => fnv(s, j, j + n))
+        }
+      if (hashes.isEmpty) new GenericArrayData(Array.emptyLongArray)
+      else {
+        java.util.Arrays.sort(hashes)
+        var w = 1
+        var r = 1
+        while (r < hashes.length) {
+          if (hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
+          r += 1
+        }
+        new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
+
+  /** Distinct word-n-gram shingle hashes (see [[ShingleHashes]]). */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    graftbridge.column(ShingleHashes(graftbridge.expression(text), n, word = true))
+
+  /** Distinct char-n-gram shingle hashes (see [[ShingleHashes]]). */
+  def charShingleHashes(text: Column, n: Int): Column =
+    graftbridge.column(ShingleHashes(graftbridge.expression(text), n, word = false))
+
+  /** Native Catalyst expression computing the full MinHash signature in
+    * ONE pass over the shingle array: per shingle one xxhash64 then k
+    * affine min-updates against preallocated parameter arrays.
+    *
+    * The higher-order-function formulation (k × `array_min(transform(...))`)
+    * re-hashes every shingle k times and interprets k lambdas per row —
+    * measured 60× slower at sf0.1. CodegenFallback keeps the surrounding
+    * plan inside whole-stage codegen; the eval body is a tight primitive
+    * loop.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    // Per-hash-function seeds; each h_j(x) = splitmix64(x ^ seed_j) — a
+    // strong 64-bit mixing family with no hardware division in the inner
+    // loop (the classic (a·x+b) mod P costs a 20-40 cycle div per hash
+    // per shingle).
+    @transient private lazy val seeds: Array[Long] = {
+      val ps = hashParams(numHashes, seed)
+      ps.map { case (a, b) => a ^ java.lang.Long.rotateLeft(b, 17) }.toArray
+    }
+
+    @transient private lazy val longInput: Boolean = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+
+    private def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val base =
+          if (longInput) arr.getLong(i)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          }
+        var j = 0
+        while (j < numHashes) {
+          val v = mix(base ^ seeds(j))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature (array of k longs) from a distinct-shingle array
+    * column — single-pass native expression, O(k·|shingles|) per row,
+    * zero shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    graftbridge.column(MinHashSig(graftbridge.expression(shingles), numHashes, seed))
 
   /** Banded LSH keys: split the signature into `bands` bands of
     * `numHashes / bands` rows; each band key is the joined slice. Two docs
@@ -89,35 +224,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val withSets = df
-      .select(col(idCol).as("id"), TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    val banded = withSets
-      .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
-      .toDF("id", "band", "key")
-
-    val bucketed = banded
-      .groupBy("band", "key")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
-
-    val candidates = bucketed
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-
-    val setsA = withSets.select(col("id").as("a"), col("sh").as("sh_a"))
-    val setsB = withSets.select(col("id").as("b"), col("sh").as("sh_b"))
-    candidates
-      .join(setsA, "a")
-      .join(setsB, "b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
+      maxBucketSize: Int = 1000): DataFrame =
+    lshNearDupPairs(
+      df.select(col(idCol).as("id"), col(textCol).as("text")),
+      wordShingleHashes(col("text"), shingleN),
+      numHashes, bands, threshold, maxBucketSize)
 
   /** Character-n-gram variant of [[minhashNearDupPairs]] — robust to word
     * re-segmentation; same LSH machinery over char shingles.
@@ -129,21 +240,60 @@ object Dedup {
       ngram: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    val withSets = df
-      .select(col(idCol).as("id"), TextFunctions.charShingles(col(textCol), ngram).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = withSets
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame =
+    lshNearDupPairs(
+      df.select(col(idCol).as("id"), col(textCol).as("text")),
+      charShingleHashes(col("text"), ngram),
+      numHashes, bands, threshold, maxBucketSize)
+
+  /** Shared LSH pipeline over an (id, shingle-array) frame: signature →
+    * band keys → bucket groupBy (the shingle/signature computation runs
+    * ONCE — a bucket self-join would evaluate the upstream twice) →
+    * candidate pairs → exact-Jaccard verification via id joins.
+    */
+  private def lshNearDupPairs(
+      idText: DataFrame,
+      shingleCol: Column,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucketSize: Int): DataFrame = {
+    // A small corpus file arrives as one input split; the shingle+signature
+    // stage is compute-bound, so spread it across all cores first. (At real
+    // scale the file-split count already provides this parallelism; the
+    // repartition is a cheap no-op-ish shuffle of raw text rows.)
+    val par = idText.sparkSession.sparkContext.defaultParallelism
+    val spread = idText.repartition(par)
+    val withSets = spread.select(col("id"), shingleCol.as("sh")).filter(size(col("sh")) > 0)
+
+    val candidates = withSets
       .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
       .toDF("id", "band", "key")
-    val pairs = banded.as("x")
-      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.key") === col("y.key") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .groupBy("band", "key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
       .distinct()
-    val setsA = withSets.select(col("id").as("a"), col("sh").as("sh_a"))
-    val setsB = withSets.select(col("id").as("b"), col("sh").as("sh_b"))
-    pairs
-      .join(setsA, "a").join(setsB, "b")
+      // The candidate list is referenced twice below (pairs + id set); it is
+      // small and bounded (≤ maxBucketSize²·buckets), so cache it rather
+      // than re-running the corpus-wide signature pass per reference.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Verification cost must scale with |candidates|, not |corpus|: join the
+    // RAW rows down to candidate ids first, and only then apply the shingle
+    // expression — shingle arrays are materialized solely for docs that
+    // reached a shared bucket.
+    val candIds = candidates
+      .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    val candSets = spread.join(broadcast(candIds), "id")
+      .select(col("id"), shingleCol.as("sh"))
+
+    candidates
+      .join(candSets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(candSets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
       .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -29,7 +29,8 @@ object Similarity {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv")))
-    val c = corpus.select(col(cId).as("neighbor"), col(cVec).as("cv"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par).select(col(cId).as("neighbor"), col(cVec).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("neighbor"))
       .withColumn("cos", cosineSim(col("qv"), col("cv")))
@@ -45,7 +46,10 @@ object Similarity {
     * [[srpCandidatePairs]] + this verification on candidates only.
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // spread the streamed (non-broadcast) side across cores — a single
+    // small input file would otherwise score the whole product on one task
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.repartition(par).select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
