@@ -17,12 +17,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries ++ graft.queries.MultimodalQueries.queries
+      graft.queries.VectorQueries.queries ++ graft.queries.MultimodalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles ++ graft.queries.MultimodalQueries.oracles
+      graft.queries.VectorQueries.oracles ++ graft.queries.MultimodalQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -115,6 +115,40 @@ final class DSet[U](val ds: Dataset[U]) {
   def asyncMap[U1: Encoder](parallelism: Int = 8)(f: U => U1): DSet[U1] =
     parallelMap(parallelism)(f)
 
+  /** Position-aware concurrent map (reference `DSetGenerics.fs:1069-1087`,
+    * `asyncMapi`/`parallelMapi`): `f(partition, serial, elem)` with bounded
+    * intra-partition parallelism, order preserved.
+    */
+  def parallelMapi[U1: Encoder: ClassTag](parallelism: Int = 8)(f: (Int, Long, U) => U1): DSet[U1] = {
+    val window = math.max(parallelism, 1)
+    val rdd2 = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val queue = mutable.Queue.empty[Future[U1]]
+      val indexed = it.zipWithIndex
+      new Iterator[U1] {
+        private def fill(): Unit =
+          while (queue.size < window && indexed.hasNext) {
+            val (u, i) = indexed.next(); queue.enqueue(Future(f(pi, i.toLong, u)))
+          }
+        override def hasNext: Boolean = { fill(); queue.nonEmpty }
+        override def next(): U1 = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
+      }
+    }
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** Re-batch collections to n rows — a no-op on Spark, whose batching is
+    * internal to whole-stage codegen (reference `DSetGenerics.fs:1161-1182`,
+    * `rowsReorg`/`rowsSplit`/`rowsMergeAll`; SURVEY §2.5 "no-op in Spark").
+    */
+  def rowsReorg(n: Int): DSet[U] = this
+
+  /** Set intra-partition parallel degree — superseded by executor-core
+    * scheduling in Spark (reference `DSetGenerics.fs:1139-1158`,
+    * `reorgWDegree`); kept for API parity, identity semantics.
+    */
+  def reorgWDegree(n: Int): DSet[U] = this
+
   // ---- DAG plumbing (reference §2.5) ----
 
   /** Union by partition concatenation (reference `DSetGenerics.fs:1535-1556`,
@@ -134,6 +168,15 @@ final class DSet[U](val ds: Dataset[U]) {
   def map2[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => U2)(implicit ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2]): DSet[U2] =
     DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd).map { case (a, b) => f(a, b) })
 
+  /** 3-way zip (reference `DSetGenerics.fs:1594-1643`, `mix3`). */
+  def mix3[U1, U2](o1: DSet[U1], o2: DSet[U2])(implicit e: Encoder[(U, U1, U2)], ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2]): DSet[(U, U1, U2)] =
+    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => (a, b, c) })
+
+  /** 3-way zip + apply (reference `DSetGenerics.fs:1558-1592`, `map3`). */
+  def map3[U1, U2, U3: Encoder](o1: DSet[U1], o2: DSet[U2])(f: (U, U1, U2) => U3)(implicit
+      ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3]): DSet[U3] =
+    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => f(a, b, c) })
+
   /** Fork into n sibling branches sharing one upstream evaluation
     * (reference `DSetGenerics.fs:1728-1766`, `bypass`/`bypassN`; the Spark
     * analog is a cached parent reused across the DAG).
@@ -149,6 +192,12 @@ final class DSet[U](val ds: Dataset[U]) {
   def split2[A: Encoder, B: Encoder](fa: U => A, fb: U => B): (DSet[A], DSet[B]) = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
     (new DSet(cached.map(fa)), new DSet(cached.map(fb)))
+  }
+
+  /** 3-way projection split (reference `DSetGenerics.fs:1772-1835`, `split3`). */
+  def split3[A: Encoder, B: Encoder, C: Encoder](fa: U => A, fb: U => B, fc: U => C): (DSet[A], DSet[B], DSet[C]) = {
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    (new DSet(cached.map(fa)), new DSet(cached.map(fb)), new DSet(cached.map(fc)))
   }
 
   /** Replicate the whole DSet to every executor (reference
@@ -252,6 +301,45 @@ final class DSet[U](val ds: Dataset[U]) {
     */
   def saveToName(path: String): Unit =
     ds.write.mode("overwrite").parquet(path)
+
+  /** Deferred save (reference `DSetGenerics.fs:549-581`, `lazySaveToHDD`):
+    * Spark actions are single-sink, so the lazy sink is a thunk over a
+    * cached parent — invoke it when another action has warmed the cache
+    * (SURVEY §7 "hard parts": multi-output emulated with cached parent +
+    * two writes).
+    */
+  def lazySaveToName(path: String): (DSet[U], () => Unit) = {
+    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    (cached, () => cached.saveToName(path))
+  }
+
+  /** Save with progress monitoring (reference `DSetGenerics.fs:588-615`,
+    * `saveToHDDWithMonitor`): the bypass-branch progress stream maps to
+    * `observe()` metrics. The write triggers its own query execution, so
+    * metrics are captured via a `QueryExecutionListener` (the listener bus
+    * is async — polled briefly after the write).
+    */
+  def saveToNameWithMonitor(path: String)(implicit e: Encoder[U]): Map[String, Any] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var captured: Map[String, Any] = Map.empty
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("graft_save").foreach { r =>
+          captured = r.schema.fieldNames.zip(r.toSeq).toMap
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val observed = ds.observe("graft_save",
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows_written"))
+      observed.write.mode("overwrite").parquet(path)
+      val deadline = System.nanoTime() + 10000000000L // 10 s
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      captured
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
 
 object DSet {
@@ -286,6 +374,46 @@ object DSet {
   def initS[U: Encoder: ClassTag](spark: SparkSession, numPartitions: Int, partitionSize: Int)(
       f: (Int, Long) => U): DSet[U] =
     init(spark, numPartitions, _ => partitionSize)(f)
+
+  /** init whose size function receives (numPartitions, partitionIdx)
+    * (reference `DSetGenerics.fs:674-705`, `initN`).
+    */
+  def initN[U: Encoder: ClassTag](spark: SparkSession, numPartitions: Int)(
+      sizeFunc: (Int, Int) => Int)(f: (Int, Long) => U): DSet[U] =
+    init(spark, numPartitions, pi => sizeFunc(numPartitions, pi))(f)
+
+  /** One generator delegate per parallel slot — the reference runs one
+    * `unit -> seq` delegate per cluster node (reference
+    * `DSetGenerics.fs:706-733`, `source`); the Spark analog of "node" is a
+    * default-parallelism slot.
+    */
+  def source[U: Encoder: ClassTag](spark: SparkSession)(f: () => IterableOnce[U]): DSet[U] =
+    sourceI(spark, spark.sparkContext.defaultParallelism)(_ => f())
+
+  /** num delegate calls per slot (reference `DSetGenerics.fs:734-760`,
+    * `sourceN`): partition i runs delegate `i % num` of slot `i / num`.
+    */
+  def sourceN[U: Encoder: ClassTag](spark: SparkSession, num: Int)(f: Int => IterableOnce[U]): DSet[U] =
+    sourceI(spark, spark.sparkContext.defaultParallelism * num)(pi => f(pi % num))
+
+  /** distribute with n partitions per slot (reference
+    * `DSetGenerics.fs:881-950`, `distributeN`).
+    */
+  def distributeN[U: Encoder](spark: SparkSession, seq: Seq[U], perSlot: Int): DSet[U] =
+    distribute(spark, seq, spark.sparkContext.defaultParallelism * perSlot)
+
+  /** Enumerate stored datasets matching a name pattern under a warehouse
+    * directory — the reference's mini catalog (reference
+    * `DSetGenerics.fs:1841-1857`, `tryFind`; parquet dirs replace
+    * name+version metadata).
+    */
+  def tryFind(warehouseDir: String, pattern: String): Seq[String] = {
+    val dir = new java.io.File(warehouseDir)
+    val rx = java.util.regex.Pattern.compile(pattern)
+    Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && rx.matcher(f.getName).find())
+      .map(_.getName).sorted.toSeq
+  }
 
   /** Partition i ← delegate(i), fixed total (reference
     * `DSetGenerics.fs:761-787`, `sourceI`).
@@ -327,6 +455,12 @@ object DSet {
     def mapByValue[V1](f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
       new DSet(ds.map(kv => (kv._1, f(kv._2))))
 
+    /** Concurrent value map, keys untouched (reference `DKV.fs:185-198`,
+      * `asyncMapByValue`/`parallelMapByValue`).
+      */
+    def parallelMapByValue[V1](parallelism: Int = 8)(f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
+      dset.parallelMap(parallelism)(kv => (kv._1, f(kv._2)))
+
     /** 3-stage group-by-key — in Spark a declarative `groupByKey` whose
       * partial aggregation Catalyst handles (reference `DKV.fs:99-126`;
       * the reference shuffles full value lists, we get map-side combine
@@ -351,6 +485,25 @@ object DSet {
     def repartitionPByKey(numPartitions: Int)(partFunc: K => Int)(implicit e: Encoder[(K, V)], ct: ClassTag[(K, V)]): DSet[(K, V)] = {
       val rdd2 = ds.rdd.map(kv => (partFunc(kv._1), kv))
         .partitionBy(new BinPartitioner(numPartitions)).values
+      DSet.fromRDD(spark, rdd2)
+    }
+
+    /** Hash repartition by key to n partitions (reference `DKV.fs:54-70`,
+      * `repartitionNByKey`) — declarative, AQE-aware.
+      */
+    def repartitionNByKey(numPartitions: Int): DSet[(K, V)] =
+      new DSet(ds.repartition(numPartitions, org.apache.spark.sql.functions.col("_1")))
+
+    /** Range-partitioned key sort — reference `binSortNByKey` with Spark's
+      * sampled range partitioner supplying the bin function the reference
+      * made the user write (`DKV.fs:140-169`; SortBenchmark ReadMe: "I
+      * don't have code to determine partition boundary yet").
+      */
+    def binSortNByKey(numPartitions: Int)(implicit ord: Ordering[K], e: Encoder[(K, V)],
+        ctk: ClassTag[K], ctv: ClassTag[V]): DSet[(K, V)] = {
+      val rdd2 = ds.rdd.map(kv => (kv._1, kv._2))
+        .repartitionAndSortWithinPartitions(
+          new org.apache.spark.RangePartitioner(numPartitions, ds.rdd.map(kv => (kv._1, kv._2))))
       DSet.fromRDD(spark, rdd2)
     }
 
@@ -406,6 +559,20 @@ object DSet {
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "inner")
           .map { case (a, b) => (a._1, f(a._2, b._2)) })
+    }
+
+    /** Semi join: keep pairs whose key appears in `other` — absent in the
+      * reference, free in Spark (SURVEY §2.4 "no semi/anti joins").
+      */
+    def semiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
+      val l = ds; val r = other.ds
+      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_semi").as[(K, V)])
+    }
+
+    /** Anti join: keep pairs whose key does NOT appear in `other`. */
+    def antiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
+      val l = ds; val r = other.ds
+      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_anti").as[(K, V)])
     }
   }
 

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Sources
+import graft.streaming.Sessionize
+
+/** Sessionization + source-format roundtrip queries. */
+object PipelineQueries {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gap-based sessionization (batch form; the streaming twin is
+    // Sessionize.sessionsStream, spec-verified against this one).
+    "sq1_sessions" -> { (s, dir) =>
+      Sessionize.sessionsBatch(
+        Tables.load(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        gapMinutes = 30)
+    },
+
+    // CSV sink → source roundtrip; the aggregate must match the original
+    // parquet data (proves schema + value fidelity through the format).
+    "cs1_csv_roundtrip" -> { (s, dir) =>
+      val out = tmpDir("csv")
+      val src = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      Sources.writeCsv(src, out)
+      Sources.readCsv(s, out, src.schema)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+
+    // JSON sink → source roundtrip.
+    "js1_json_roundtrip" -> { (s, dir) =>
+      val out = tmpDir("json")
+      val src = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      Sources.writeJson(src, out)
+      Sources.readJson(s, out, src.schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sq1_sessions" ->
+      """WITH w AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS is_break
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(is_break) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM w)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_id""",
+    "cs1_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_quantity >= 49 GROUP BY l_returnflag""",
+    "js1_json_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY o_orderpriority"""
+  )
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats beyond parquet. The reference's storage layer is a
+  * custom replicated byte-stream (`HDDStream`, reference
+  * `src/CoreLib/storage.fs:75-89`, write path `DSet.fs:1094-1451`); here
+  * every format is a Spark DataSource — splittable, predicate/projection
+  * aware where the format allows, schema-carrying where it doesn't.
+  */
+object Sources {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV keeps a header; schema must be supplied on read (or inferred) —
+    * prefer explicit schema at scale to avoid an inference pass.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

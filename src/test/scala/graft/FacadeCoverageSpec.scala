@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.dset.DSet
+import graft.dset.DSet._
+import graft.streaming.Sessionize
+
+/** Specs for the remaining SURVEY §2 operator variants. */
+class FacadeCoverageSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("initN size func receives (numPartitions, parti)") {
+    val d = DSet.initN[Int](spark, 4)((np, pi) => np + pi)((pi, s) => pi * 100 + s.toInt)
+    // sizes: 4+0, 4+1, 4+2, 4+3 = 4,5,6,7 → 22 elements
+    assert(d.count() == 22)
+  }
+
+  test("source / sourceN / distributeN generate per-slot partitions") {
+    val par = spark.sparkContext.defaultParallelism
+    assert(DSet.source(spark)(() => Seq(1, 2)).count() == par * 2L)
+    val sn = DSet.sourceN(spark, 3)(i => Seq(i))
+    assert(sn.ds.rdd.getNumPartitions == par * 3)
+    assert(sn.toArray.sorted.toSeq == (0 until par * 3).map(_ % 3).sorted)
+    assert(DSet.distributeN(spark, 1 to 10, 1).count() == 10)
+  }
+
+  test("tryFind lists saved dataset names by pattern") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    DSet.distribute(spark, 1 to 5).saveToName(s"$wh/ds_alpha")
+    DSet.distribute(spark, 1 to 5).saveToName(s"$wh/ds_beta")
+    DSet.distribute(spark, 1 to 5).saveToName(s"$wh/other")
+    assert(DSet.tryFind(wh, "^ds_") == Seq("ds_alpha", "ds_beta"))
+  }
+
+  test("parallelMapi carries positions with bounded concurrency") {
+    val d = DSet.initS[Int](spark, 2, 20)((pi, s) => pi * 20 + s.toInt)
+    val got = d.parallelMapi(4)((pi, serial, u) => u - (pi * 20 + serial.toInt)).toArray
+    assert(got.forall(_ == 0) && got.length == 40)
+  }
+
+  test("rowsReorg / reorgWDegree are documented no-ops") {
+    val d = DSet.distribute(spark, 1 to 10)
+    assert(d.rowsReorg(5).count() == 10)
+    assert(d.reorgWDegree(4).count() == 10)
+  }
+
+  test("mix3 / map3 zip three same-shape dsets") {
+    val a = DSet.initS[Int](spark, 2, 5)((pi, s) => pi * 5 + s.toInt)
+    val b = a.map(_ * 2)
+    val c = a.map(_ * 3)
+    val m = a.mix3(b, c).toArray
+    m.foreach { case (x, y, z) => assert(y == 2 * x && z == 3 * x) }
+    assert(a.map3(b, c)(_ + _ + _).toArray.sorted.toSeq == (0 until 10).map(_ * 6))
+  }
+
+  test("split3 projects three branches from one cached parent") {
+    val (x, y, z) = DSet.distribute(spark, 1 to 10).split3(_ * 1, _ * 2, _ * 3)
+    assert(x.toArray.sum == 55 && y.toArray.sum == 110 && z.toArray.sum == 165)
+  }
+
+  test("lazySaveToName defers the write until invoked") {
+    val path = java.nio.file.Files.createTempDirectory("graft-lazy").toString + "/out"
+    val (cached, doSave) = DSet.distribute(spark, 1 to 100).lazySaveToName(path)
+    assert(cached.count() == 100) // pull branch drives the cache
+    assert(!new java.io.File(path).exists())
+    doSave()
+    assert(DSet.loadParquet[Int](spark, path).count() == 100)
+  }
+
+  test("saveToNameWithMonitor reports rows written") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mon").toString + "/out"
+    val metrics = DSet.distribute(spark, 1 to 42).saveToNameWithMonitor(path)
+    assert(metrics.get("rows_written").contains(42L), s"metrics=$metrics")
+  }
+
+  test("parallelMapByValue / repartitionNByKey / binSortNByKey") {
+    val kv = DSet.distribute(spark, (0 until 100).map(i => (i % 7, i)), 4)
+    assert(kv.parallelMapByValue(4)(_ * 2).toArray.forall { case (k, v) => (v / 2) % 7 == k })
+    assert(kv.repartitionNByKey(3).count() == 100)
+    val sorted = DSet.distribute(spark, scala.util.Random.shuffle((0 until 200).toList).map(i => (i, i.toString)), 4)
+      .binSortNByKey(4)
+    val parts = sorted.ds.rdd.glom().collect()
+    // range partitioner: partitions are key-disjoint and internally sorted
+    parts.foreach { arr =>
+      val ks = arr.map(_._1).toSeq
+      assert(ks == ks.sorted)
+    }
+    val bounds = parts.filter(_.nonEmpty).map(arr => (arr.head._1, arr.last._1))
+    bounds.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
+  test("semiJoinByKey / antiJoinByKey") {
+    val l = DSet.distribute(spark, (0 until 20).map(i => (i, i.toString)), 2)
+    val r = DSet.distribute(spark, (0 until 10).map(i => (i * 2, i)), 2)
+    assert(l.semiJoinByKey(r).toArray.map(_._1).sorted.toSeq == (0 until 20 by 2))
+    assert(l.antiJoinByKey(r).toArray.map(_._1).sorted.toSeq == (1 until 20 by 2))
+  }
+
+  test("streaming sessionization: closed sessions match the batch oracle") {
+    val batchEvents = Tables.load(spark, sf0001, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val batch = Sessionize.sessionsBatch(batchEvents, 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("sess-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.SessionEvent]
+    val q = Sessionize.sessionsStream(stream, 30, "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(streamed.nonEmpty, "no sessions closed")
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed sessions absent from batch: ${missing.take(3)}")
+  }
+}
