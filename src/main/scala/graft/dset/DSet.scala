@@ -469,6 +469,23 @@ object DSet {
     def groupByKey(implicit ek: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
       new DSet(ds.groupByKey(_._1).mapGroups((k, vs) => (k, vs.map(_._2).toSeq)))
 
+    /** Two-phase salted grouping for skewed keys: values first group under
+      * (key, salt) — spreading a heavy-hitter key over `saltParts`
+      * reducers — then partial groups merge per key. The standard skew
+      * mitigation at 100 TB when one key would overwhelm a single reducer
+      * (brief: "salting for skew"). For reduceByKey-style aggregates
+      * Catalyst's partial aggregation already does this; the salted path
+      * matters for full value-list grouping.
+      */
+    def groupByKeySalted(saltParts: Int)(implicit ek: Encoder[((K, Int), V)], eks: Encoder[(K, Int)],
+        ekv: Encoder[((K, Int), Seq[V])], ek2: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
+      new DSet(
+        ds.map(kv => ((kv._1, kv._2.hashCode() % saltParts), kv._2))
+          .groupByKey(_._1)
+          .mapGroups((ks, vs) => (ks, vs.map(_._2).toSeq))
+          .groupByKey(_._1._1)
+          .mapGroups((k, groups) => (k, groups.flatMap(_._2).toSeq)))
+
     /** reference `DKV.fs:128-138` (`reduceByKey` via mapReduce); Spark's
       * `reduceGroups` does partial (map-side) aggregation — strictly
       * better than the reference, which groups full lists first

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{GraftFunctions, Tables}
+import graft.operators.TemporalJoins
 import graft.sources.Sources
 import graft.streaming.Sessionize
 
@@ -47,6 +48,40 @@ object PipelineQueries {
       Sources.readJson(s, out, src.schema)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+
+    // As-of join: each click matched to the user's most recent prior
+    // purchase (operator the reference lacks; SURVEY §2.4).
+    "qa1_asof_click_purchase" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      TemporalJoins.asofJoin(clicks, purchases, "user_id", "ts", Seq("purchase_id"))
+        .select(col("click_id"), col("purchase_id"))
+    },
+
+    // Range join: clicks in the 5 minutes before each error, per user.
+    "qr1_range_clicks_before_error" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoins.rangeJoin(errors, clicks, "user_id", "ts", 300)
+        .groupBy(col("l.event_id").as("event_id"))
+        .agg(count(col("click_id")).as("n_clicks"))
+    },
+
+    // Custom Catalyst expressions callable from plain SQL text (vec_dot
+    // registered on the session) — the engine's SQL surface.
+    "qsql_vec_norm" -> { (s, dir) =>
+      GraftFunctions.register(s)
+      Tables.load(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id, round(sqrt(vec_dot(embedding, embedding)), 6) AS norm
+           FROM embeddings_v""")
     }
   )
 
@@ -70,6 +105,20 @@ object PipelineQueries {
          FROM lineitem WHERE l_quantity >= 49 GROUP BY l_returnflag""",
     "js1_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-         FROM orders GROUP BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority""",
+    "qa1_asof_click_purchase" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "qr1_range_clicks_before_error" ->
+      """SELECT e.event_id, count(c.event_id) AS n_clicks
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+         LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND c.ts >= e.ts - INTERVAL 300 SECONDS AND c.ts <= e.ts
+         GROUP BY e.event_id""",
+    "qsql_vec_norm" ->
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+         SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm FROM ed"""
   )
 }

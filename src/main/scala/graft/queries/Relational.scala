@@ -213,6 +213,17 @@ object Relational {
         .ds.toDF("word", "cnt")
     },
 
+    // Distinct aggregation (Spark-native bonus; SURVEY §2.7).
+    "q21_distinct_agg" -> { (s, dir) =>
+      val sup = Tables.load(s, dir, "supplier")
+      val n = Tables.load(s, dir, "nation")
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
+    },
+
     // binSort through the typed DSet facade (reference `DKV.fs:140-169`);
     // oracle checks the multiset is preserved (order is asserted in the
     // ScalaTest spec — the driver compare is order-insensitive).
@@ -324,6 +335,11 @@ object Relational {
            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word""",
     "q20_binsort_keys" ->
-      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey < 1000"
+      "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey < 1000",
+    "q21_distinct_agg" ->
+      """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+         round(avg(s_acctbal), 2) AS avg_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name"""
   )
 }

@@ -10,4 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object graftbridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a custom expression as a SQL-callable temp function on an
+    * existing session (`sessionState` is private[sql]).
+    */
+  def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
 }
