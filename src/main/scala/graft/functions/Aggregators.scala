@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator`s — the Spark UDAF surface for the reference's
+  * fold-style aggregation (`fold(folder, aggrFunc, state)`, reference
+  * `DSetGenerics.fs:392-433`; SURVEY §2.7 "fold = UDAF"). These run as
+  * partial aggregates (map-side combine) inside Catalyst, unlike the
+  * reference's whole-list grouping.
+  */
+object Aggregators {
+
+  /** Sample variance via (n, Σx, Σx²) — mergeable, one pass. */
+  class VarianceAgg extends Aggregator[Double, (Long, Double, Double), Double] {
+    override def zero: (Long, Double, Double) = (0L, 0.0, 0.0)
+    override def reduce(b: (Long, Double, Double), x: Double): (Long, Double, Double) =
+      (b._1 + 1, b._2 + x, b._3 + x * x)
+    override def merge(a: (Long, Double, Double), b: (Long, Double, Double)): (Long, Double, Double) =
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    override def finish(r: (Long, Double, Double)): Double =
+      if (r._1 < 2) Double.NaN
+      else (r._3 - r._2 * r._2 / r._1) / (r._1 - 1)
+    override def bufferEncoder: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Per-group MinHash signature: element-wise min of row signatures —
+    * a mergeable sketch aggregator (grouped near-dup sketching at scale).
+    */
+  class MinHashUnionAgg(numHashes: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes && i < sig.length) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+}

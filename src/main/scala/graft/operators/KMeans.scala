@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Distributed Lloyd's k-means over an embedding column — the iterative
+  * workload shape of the reference's `DistributedKMeans` sample
+  * (reference `samples/DistributedKMeans/DistributedKMeans.fs:54-109,
+  * 427-528`: broadcast centroids, per-node partial sums, driver merge),
+  * re-expressed Spark-first. Also the coarse quantizer for [[ivfKnn]].
+  *
+  * Scale design: each iteration is ONE pass — assignment is a narrow map
+  * against broadcast centroids; centroid update is `treeAggregate` of
+  * k×dim partial sums (map-side combine, k×dim doubles to the driver, no
+  * shuffle of the corpus). Deterministic: init = first k vectors by id.
+  */
+object KMeans {
+
+  case class Model(centroids: Array[Array[Double]]) {
+    def nearest(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    /** nprobe nearest centroid ids for a query vector. */
+    def probes(v: Array[Double], nprobe: Int): Seq[Int] =
+      centroids.indices
+        .map { c =>
+          val ctr = centroids(c)
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          (c, d)
+        }
+        .sortBy(_._2).take(nprobe).map(_._1)
+  }
+
+  private def toVec(row: org.apache.spark.sql.Row, idx: Int): Array[Double] =
+    row.getSeq[Any](idx).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, maxIters: Int): Model = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val data = df.select(col(idCol), col(vecCol)).repartition(par)
+      .rdd.map(r => toVec(r, 1)).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = data.first().length
+      var centroids = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
+        .collect().map(r => toVec(r, 0))
+      var iter = 0
+      while (iter < maxIters) {
+        val bc = spark.sparkContext.broadcast(Model(centroids))
+        val zero = (Array.fill(k, dim)(0.0), Array.fill(k)(0L))
+        val (sums, counts) = data.treeAggregate(zero)(
+          seqOp = { case ((s, n), v) =>
+            val c = bc.value.nearest(v)
+            var i = 0
+            while (i < dim) { s(c)(i) += v(i); i += 1 }
+            n(c) += 1
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < k) {
+              var i = 0
+              while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+              n1(c) += n2(c)
+              c += 1
+            }
+            (s1, n1)
+          })
+        centroids = Array.tabulate(k) { c =>
+          if (counts(c) == 0) centroids(c)
+          else { val s = sums(c); Array.tabulate(dim)(i => s(i) / counts(c)) }
+        }
+        bc.destroy()
+        iter += 1
+      }
+      Model(centroids)
+    } finally data.unpersist()
+  }
+
+  /** Cluster assignments as a DataFrame (id, cluster). */
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, bc.value.nearest(v)) }
+    assigned.toDF(idCol, "cluster")
+  }
+
+  /** IVF approximate nearest neighbors: corpus bucketed by nearest
+    * centroid (once), each query probes its `nprobe` nearest cells and
+    * scores exactly only inside them — the inverted-file ANN pattern,
+    * scanning ~nprobe/k of the corpus per query.
+    */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, nprobe: Int, topK: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+
+    val corpusCells = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, bc.value.nearest(v), v) }
+      .toDF("neighbor", "cell", "cv")
+
+    val queryCells = broadcast(
+      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .flatMap { case (id, v) => bc.value.probes(v, nprobe).map(c => (id, c, v)) }
+        .toDF("qid", "cell", "qv"))
+
+    val scored = corpusCells.join(queryCells, "cell")
+      .filter(col("qid") =!= col("neighbor"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("neighbor"), col("rank"), round(col("cos"), 6).as("sim"))
+  }
+}

@@ -213,6 +213,19 @@ object Relational {
         .ds.toDF("word", "cnt")
     },
 
+    // Custom typed Aggregator (the Spark UDAF surface for the reference's
+    // fold-style aggregation; SURVEY §2.7 "fold = UDAF").
+    "qagg_variance" -> { (s, dir) =>
+      import s.implicits._
+      val varCol = new graft.functions.Aggregators.VarianceAgg().toColumn
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(varCol)
+        .toDF("l_returnflag", "var_raw")
+        .select(col("l_returnflag"), round(col("var_raw"), 2).as("var_qty"))
+    },
+
     // Distinct aggregation (Spark-native bonus; SURVEY §2.7).
     "q21_distinct_agg" -> { (s, dir) =>
       val sup = Tables.load(s, dir, "supplier")
@@ -340,6 +353,9 @@ object Relational {
       """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
          round(avg(s_acctbal), 2) AS avg_acctbal
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
-         GROUP BY n_name"""
+         GROUP BY n_name""",
+    "qagg_variance" ->
+      """SELECT l_returnflag, round(var_samp(l_quantity), 2) AS var_qty
+         FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -42,6 +42,25 @@ object VectorQueries {
         col("vec_id"),
         round(VectorFunctions.vecNorm(col("embedding")), 6).as("norm"),
         size(col("embedding")).as("dim"))
+    },
+
+    // K-means clustering (iterative broadcast+treeAggregate Lloyd's, the
+    // reference's DistributedKMeans workload) — rows-only check (cluster
+    // count is stable; boundary assignments are fp-order sensitive).
+    "km1_kmeans_sizes" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 5)
+      graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_points"))
+    },
+
+    // IVF ANN: corpus bucketed by nearest centroid, queries probe 3 cells
+    // — rows-only here; recall vs brute force asserted in ScaleOpsSpec.
+    "km2_ivf_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 5)
+      graft.operators.KMeans.ivfKnn(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", model, nprobe = 3, topK = 5)
     }
   )
 

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregators
+import graft.operators.{KMeans, Similarity}
+import graft.sources.Bucketing
+
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+
+  test("kmeans partitions the corpus into k non-empty-ish clusters") {
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    assert(model.centroids.length == 8)
+    val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
+    assert(assigned.count() == 500)
+    val sizes = assigned.groupBy("cluster").count().collect()
+    assert(sizes.map(_.getAs[Long]("count")).sum == 500)
+    assert(sizes.length >= 4, "degenerate clustering")
+  }
+
+  test("ivfKnn achieves decent recall vs brute-force top-5") {
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val ivf = KMeans.ivfKnn(queries, emb, "vec_id", "embedding", model, nprobe = 3, topK = 5)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall") // 3/8 cells probed
+  }
+
+  test("VarianceAgg matches Spark's var_samp") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val builtin = li.groupBy("l_returnflag").agg(var_samp(col("l_quantity")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val custom = li.select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new Aggregators.VarianceAgg().toColumn)
+      .collect().toMap
+    builtin.foreach { case (k, v) =>
+      assert(math.abs(custom(k) - v) < 1e-6, s"group $k: ${custom(k)} vs $v")
+    }
+  }
+
+  test("MinHashUnionAgg merges signatures element-wise min") {
+    val agg = new Aggregators.MinHashUnionAgg(4)
+    val sigs = Seq(Seq(5L, 1L, 9L, 7L), Seq(3L, 2L, 8L, 9L)).toDS()
+    val merged = sigs.groupByKey(_ => 1).agg(agg.toColumn).collect().head._2
+    assert(merged == Seq(3L, 1L, 8L, 7L))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    // default warehouse dir (spark-warehouse/, gitignored) — warehouse.dir
+    // is a static conf that cannot change on a live session
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+    val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, sf0001, "orders").select("o_orderkey", "o_totalprice")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bucketed", "l_orderkey", 8)
+    // force the sort-merge path (tiny test tables would broadcast) to show
+    // bucketing removes the shuffle a big-big join would otherwise pay
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readTable(spark, "li_bucketed")
+        .join(Bucketing.readTable(spark, "o_bucketed"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
