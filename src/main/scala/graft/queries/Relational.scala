@@ -237,6 +237,32 @@ object Relational {
           round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
     },
 
+    // Scalar function library breadth (date/string/math) — the reference
+    // has no scalar functions at all (SURVEY §2.7); these are Spark
+    // built-ins with exact DuckDB twins.
+    "q22_scalar_functions" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+          length(col("o_orderstatus")).as("st_len"),
+          floor(col("o_totalprice")).as("price_floor"),
+          round(sqrt(col("o_totalprice")), 4).as("price_sqrt"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"))
+    },
+
+    // CUBE grouping sets (Spark-native bonus).
+    "q23_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+
     // binSort through the typed DSet facade (reference `DKV.fs:140-169`);
     // oracle checks the multiset is preserved (order is asserted in the
     // ScalaTest spec — the driver compare is order-insensitive).
@@ -356,6 +382,21 @@ object Relational {
          GROUP BY n_name""",
     "qagg_variance" ->
       """SELECT l_returnflag, round(var_samp(l_quantity), 2) AS var_qty
-         FROM lineitem GROUP BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag""",
+    "q22_scalar_functions" ->
+      """SELECT o_orderkey,
+           date_part('year', o_orderdate)::INT AS yr,
+           date_part('month', o_orderdate)::INT AS mon,
+           date_part('day', o_orderdate)::INT AS dom,
+           upper(substring(o_orderpriority, 1, 3)) AS prio3,
+           length(o_orderstatus)::INT AS st_len,
+           floor(o_totalprice)::BIGINT AS price_floor,
+           round(sqrt(o_totalprice), 4) AS price_sqrt,
+           o_orderstatus || '-' || o_orderpriority AS tag
+         FROM orders WHERE o_orderkey < 100""",
+    "q23_cube" ->
+      """SELECT o_orderstatus, date_part('year', o_orderdate)::INT AS yr,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY CUBE(o_orderstatus, yr)"""
   )
 }

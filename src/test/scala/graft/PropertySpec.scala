@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.dset.DSet
+import graft.dset.DSet._
+import graft.operators.Dedup
+
+/** ScalaCheck-generator property tests (SURVEY §5 plan): structural
+  * invariants over randomized inputs, seeded for reproducibility.
+  * (scalacheck is used directly — the scalatestplus bridge isn't in the
+  * offline dependency cache.)
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Run `body` over `n` seeded samples of `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      val sample = gen.pureApply(Gen.Parameters.default, Seed(42L + i))
+      body(sample)
+    }
+
+  private val smallInts = Gen.listOfN(80, Gen.chooseNum(-1000, 1000))
+
+  test("repartitionP preserves the multiset for any partition function") {
+    forAllSeeded(Gen.zip(smallInts, Gen.chooseNum(1, 7))) { case (xs, parts) =>
+      val got = DSet.distribute(spark, xs, 3).repartitionP(parts)(u => u % parts).toArray
+      assert(got.sorted.toSeq == xs.sorted)
+    }
+  }
+
+  test("binSortP yields global order (bin-major) for monotone bin funcs") {
+    forAllSeeded(smallInts) { xs =>
+      val sorted = DSet.distribute(spark, xs, 3)
+        .binSortP(4)(u => math.min(3, math.max(0, (u + 1000) / 500)))
+      val flat = sorted.ds.rdd.glom().collect().flatten.toSeq
+      assert(flat == xs.sorted)
+    }
+  }
+
+  test("mapReduce wordcount equals local groupBy for arbitrary token lists") {
+    forAllSeeded(Gen.listOfN(60, Gen.oneOf("a", "b", "c", "dd", "ee"))) { ws =>
+      val got = DSet.distribute(spark, ws, 2)
+        .mapReduce(w => Iterator.single((w, 1L)))((k, vs) => (k, vs.sum))
+        .toArray.toMap
+      assert(got == ws.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+  }
+
+  test("join facade equals Scala-collection join for arbitrary key overlap") {
+    val pairs = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 15), Gen.chooseNum(0, 99)))
+    forAllSeeded(Gen.zip(pairs, pairs), n = 6) { case (l, r) =>
+      val exp = (for { (k, v) <- l; (k2, v2) <- r if k == k2 } yield (k, v * 1000 + v2)).sorted
+      val got = DSet.distribute(spark, l, 2)
+        .innerJoinByMerge(DSet.distribute(spark, r, 2))((a, b) => a * 1000 + b)
+        .toArray.sorted.toSeq
+      assert(got == exp)
+    }
+  }
+
+  test("groupByKey equals local groupBy over random key skew") {
+    val pairs = Gen.listOfN(100, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 999)))
+    forAllSeeded(pairs, n = 6) { kvs =>
+      val got = DSet.distribute(spark, kvs, 3).groupByKey.toArray.toMap
+        .view.mapValues(_.sorted).toMap
+      val exp = kvs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(got == exp)
+    }
+  }
+
+  test("MinHash similarity estimate tracks exact Jaccard within tolerance") {
+    (0 to 10).foreach { overlapTenths =>
+      val shared = (0 until overlapTenths * 10).map(i => s"tok$i")
+      val a = (shared ++ (0 until (100 - shared.length)).map(i => s"a$i")).mkString(" ")
+      val b = (shared ++ (0 until (100 - shared.length)).map(i => s"b$i")).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+      val sigs = df.select(
+        org.apache.spark.sql.functions.col("id"),
+        Dedup.minhashSignature(Dedup.wordShingleHashes(org.apache.spark.sql.functions.col("text"), 1), 256).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }.toDouble / 256
+      val sa = a.split(" ").toSet
+      val sb = b.split(" ").toSet
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(est - exact) < 0.15, s"overlap $overlapTenths: est $est vs exact $exact")
+    }
+  }
+}
