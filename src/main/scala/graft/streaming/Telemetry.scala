@@ -37,6 +37,13 @@ object Telemetry {
         col("window.start").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"), col("p95_value"))
 
+  /** Streaming exactly-once event dedup: drop repeated ids within the
+    * watermark horizon — the standard at-least-once → exactly-once
+    * correction for event pipelines (state bounded by the watermark).
+    */
+  def dedupStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+
   /** Streaming form: watermark bounds state for late data; append mode
     * emits a window once the watermark passes its end.
     */

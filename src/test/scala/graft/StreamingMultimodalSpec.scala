@@ -35,6 +35,26 @@ class StreamingMultimodalSpec extends SparkSuite {
     frames.foreach(r => assert(r.getAs[Int]("frame_idx") % 2 == 0))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val batchDf = Tables.load(spark, sf0001, "events").limit(200)
+    // stage duplicated events: the same parquet twice in one source dir
+    val dupDir = java.nio.file.Files.createTempDirectory("dedup-stream")
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    spark.read.parquet(s"$sf0001/events.parquet").limit(200)
+      .write.mode("overwrite").parquet(dupDir.toString + "/a")
+    spark.read.parquet(s"$sf0001/events.parquet").limit(200)
+      .write.mode("append").parquet(dupDir.toString + "/a")
+    val stream = spark.readStream.schema(rawSchema).parquet(dupDir.toString + "/a")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.Telemetry.dedupStream(stream, "event_id", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicates survived")
+    assert(ids.length == 200, s"expected 200 unique events, got ${ids.length}")
+  }
+
   test("streaming sliding stats ⊆ batch result; emitted windows match exactly") {
     val batchDf = Tables.load(spark, sf0001, "events")
     val batch = Telemetry.slidingStats(batchDf, "6 hours", "3 hours")
