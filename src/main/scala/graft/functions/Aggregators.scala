@@ -26,6 +26,23 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bounded top-k per group: the buffer never exceeds k elements, and
+    * partial (map-side) aggregation trims before the shuffle — top-k per
+    * key WITHOUT the per-partition full sort a window function pays.
+    * At 100 TB this is the difference between shuffling k rows per key
+    * and sorting every row of every partition.
+    */
+  class TopKAgg[V](k: Int, ord: Ordering[V])(implicit seqEnc: Encoder[Seq[V]])
+      extends Aggregator[V, Seq[V], Seq[V]] {
+    private def trim(s: Seq[V]): Seq[V] = s.sorted(ord).take(k)
+    override def zero: Seq[V] = Vector.empty
+    override def reduce(b: Seq[V], v: V): Seq[V] = trim(v +: b)
+    override def merge(a: Seq[V], b: Seq[V]): Seq[V] = trim(a ++ b)
+    override def finish(r: Seq[V]): Seq[V] = r.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[V]] = seqEnc
+    override def outputEncoder: Encoder[Seq[V]] = seqEnc
+  }
+
   /** Per-group MinHash signature: element-wise min of row signatures —
     * a mergeable sketch aggregator (grouped near-dup sketching at scale).
     */

@@ -192,15 +192,48 @@ object Dedup {
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     graftbridge.column(MinHashSig(graftbridge.expression(shingles), numHashes, seed))
 
-  /** Banded LSH keys: split the signature into `bands` bands of
-    * `numHashes / bands` rows; each band key is the joined slice. Two docs
-    * collide when any band matches.
+  /** Native banded-LSH keys: one pass over the signature hashes each band
+    * of `numHashes / bands` rows into a single long (band index mixed in,
+    * so keys from different bands never collide). Long keys shuffle and
+    * group far cheaper than the joined-string formulation.
     */
-  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+  case class BandKeysExpr(child: Expression, numHashes: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    array((0 until bands).map(j => array_join(slice(sig, j * r + 1, r), ",")): _*)
+    private val r = numHashes / bands
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_band_keys"
+
+    private def mix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val keys = new Array[Long](bands)
+      var j = 0
+      while (j < bands) {
+        var h = mix(j.toLong + 0x9E3779B97F4A7C15L)
+        var i = 0
+        while (i < r) { h = mix(h ^ sig.getLong(j * r + i)); i += 1 }
+        keys(j) = h
+        j += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
+
+  /** Banded LSH keys: split the signature into `bands` bands; two docs
+    * collide when any band matches (see [[BandKeysExpr]]).
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column =
+    graftbridge.column(BandKeysExpr(graftbridge.expression(sig), numHashes, bands))
 
   /** Near-duplicate pairs by word-shingle MinHash-LSH with exact-Jaccard
     * verification.

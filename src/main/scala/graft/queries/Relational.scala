@@ -226,6 +226,27 @@ object Relational {
         .select(col("l_returnflag"), round(col("var_raw"), 2).as("var_qty"))
     },
 
+    // Top-k per key via bounded-heap typed Aggregator — same semantics as
+    // q7's window form, but with partial aggregation instead of a
+    // per-partition full sort (the scalable form; see Aggregators.TopKAgg).
+    "qtopk_per_cust_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
+      val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long)](2, ord).toColumn
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(topk)
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(
+          col("o_custkey"),
+          col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))
+    },
+
     // Distinct aggregation (Spark-native bonus; SURVEY §2.7).
     "q21_distinct_agg" -> { (s, dir) =>
       val sup = Tables.load(s, dir, "supplier")
@@ -383,6 +404,12 @@ object Relational {
     "qagg_variance" ->
       """SELECT l_returnflag, round(var_samp(l_quantity), 2) AS var_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "qtopk_per_cust_agg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 2""",
     "q22_scalar_functions" ->
       """SELECT o_orderkey,
            date_part('year', o_orderdate)::INT AS yr,

@@ -45,6 +45,16 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("TopKAgg equals window-function top-k per key") {
+    val orders = Tables.load(spark, sf0001, "orders")
+    val windowed = SparkEntry.queries("q7_top_orders_per_cust")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val agg = SparkEntry.queries("qtopk_per_cust_agg")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(agg == windowed)
+    assert(agg.nonEmpty)
+  }
+
   test("MinHashUnionAgg merges signatures element-wise min") {
     val agg = new Aggregators.MinHashUnionAgg(4)
     val sigs = Seq(Seq(5L, 1L, 9L, 7L), Seq(3L, 2L, 8L, 9L)).toDS()
