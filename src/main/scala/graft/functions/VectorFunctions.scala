@@ -122,9 +122,18 @@ object VectorFunctions {
 
   /** Cosine similarity; formula shape (dot / (sqrt·sqrt)) mirrors the
     * DuckDB oracle exactly so both engines agree to rounding precision.
+    *
+    * Pair-join hot paths should NOT call this directly: it recomputes both
+    * self-norms per *pair*. Materialize [[vecNorm]] per row below the join
+    * and use [[cosineFromNorms]] — bitwise-identical result (same float
+    * ops), norm cost ∝ rows instead of pairs.
     */
   def cosineSim(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Cosine from per-row precomputed norms (see [[cosineSim]] scaladoc). */
+  def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    vecDot(a, b) / (normA * normB)
 
   /** Signed-random-projection bucket keys: `tables` independent hash
     * tables, each hashing the vector to `bits` sign bits of dot products

@@ -365,12 +365,19 @@ object Dedup {
     * least one chunk equal, pigeonhole), verification by `bit_count(xor)`.
     * Shuffles only (chunkIdx, chunkVal) keys — the SimHash analog of LSH
     * banding.
+    *
+    * `maxBucketSize` drops degenerate hot buckets (e.g. short/templated
+    * docs all sharing an all-zero chunk) before pair expansion — without
+    * it one hot (chunk, val) goes O(bucket²). The groupBy formulation
+    * also evaluates the sketch pipeline ONCE (a self-join would run the
+    * upstream map on both sides).
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sketches = df
@@ -379,17 +386,19 @@ object Dedup {
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("id", "sim")
 
-    val chunked = sketches.select(
+    sketches.select(
       col("id"), col("sim"),
       posexplode(array((0 until 4).map(j => shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sim", "chunk", "val")
-
-    chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") && col("x.id") < col("y.id"))
+      .groupBy("chunk", "val")
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

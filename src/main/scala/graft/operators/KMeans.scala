@@ -119,20 +119,23 @@ object KMeans {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
 
+    // norms per row below the cell join — not per scored pair
     val corpusCells = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, bc.value.nearest(v), v) }
       .toDF("neighbor", "cell", "cv")
+      .withColumn("cn", VectorFunctions.vecNorm(col("cv")))
 
     val queryCells = broadcast(
       queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])]
         .flatMap { case (id, v) => bc.value.probes(v, nprobe).map(c => (id, c, v)) }
-        .toDF("qid", "cell", "qv"))
+        .toDF("qid", "cell", "qv")
+        .withColumn("qn", VectorFunctions.vecNorm(col("qv"))))
 
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("qid") =!= col("neighbor"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("qv"), col("cv")))
+      .withColumn("cos", VectorFunctions.cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

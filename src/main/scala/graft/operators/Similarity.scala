@@ -28,12 +28,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv")))
+    // norms materialized per row below the join (broadcast build computes
+    // qn once; corpus side once per row) — not per candidate pair
+    val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .withColumn("qn", vecNorm(col("qv"))))
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val c = corpus.repartition(par).select(col(cId).as("neighbor"), col(cVec).as("cv"))
+      .withColumn("cn", vecNorm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("neighbor"))
-      .withColumn("cos", cosineSim(col("qv"), col("cv")))
+      .withColumn("cos", cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -50,25 +54,35 @@ object Similarity {
     // small input file would otherwise score the whole product on one task
     val par = df.sparkSession.sparkContext.defaultParallelism
     val a = df.repartition(par).select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", vecNorm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", vecNorm(col("vb")))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }
 
   /** SRP-LSH candidate pairs: vectors colliding in any hash table.
     * Shuffles only (table:bucket) keys — no cross join.
+    *
+    * `maxBucketSize` drops degenerate hot buckets (near-identical or
+    * zero-ish vectors all landing in one cell) before pair expansion; the
+    * groupBy formulation also evaluates the SRP keying ONCE instead of on
+    * both sides of a self-join.
     */
   def srpCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L): DataFrame = {
-    val keyed = df
-      .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
-    keyed.as("x")
-      .join(keyed.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    df.select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
@@ -78,12 +92,15 @@ object Similarity {
     */
   def annCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L): DataFrame = {
-    val cands = srpCandidatePairs(df, idCol, vecCol, dim, bits, tables, seed)
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val cands = srpCandidatePairs(df, idCol, vecCol, dim, bits, tables, seed, maxBucketSize)
     val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", vecNorm(col("va")))
     val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", vecNorm(col("vb")))
     cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
   }

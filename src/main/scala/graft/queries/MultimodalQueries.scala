@@ -60,15 +60,15 @@ object MultimodalQueries {
          FROM documents""",
     "m2_image_checksum" ->
       """SELECT doc_id,
-           list_sum(list_transform(range(0, (64 + doc_id % 64)::INT),
-                                   i -> (doc_id * 31 + i) % 256)) % 997 AS checksum
+           (list_sum(list_transform(range(0, (64 + doc_id % 64)::INT),
+                                    i -> (doc_id * 31 + i) % 256)) % 997)::BIGINT AS checksum
          FROM documents""",
     "m3_frame_sample" ->
       """WITH p AS (SELECT doc_id, (64 + doc_id % 64)::INT AS len FROM documents)
          SELECT doc_id, j::INT AS frame_idx,
            least(16, len - 16 * j)::INT AS frame_bytes,
            list_sum(list_transform(range(16 * j, least(16 * j + 16, len)),
-                                   i -> (doc_id * 31 + i) % 256)) AS frame_sum
+                                   i -> (doc_id * 31 + i) % 256))::BIGINT AS frame_sum
          FROM p, unnest(range(0, (len + 15) // 16)) AS t(j)
          WHERE j % 2 = 0""",
     "m4_thumbnails" ->
