@@ -177,6 +177,18 @@ final class DSet[U](val ds: Dataset[U]) {
       ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3]): DSet[U3] =
     DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => f(a, b, c) })
 
+  /** 4-way zip (reference `DSetGenerics.fs:1594-1643`, `mix4`). */
+  def mix4[U1, U2, U3](o1: DSet[U1], o2: DSet[U2], o3: DSet[U3])(implicit
+      e: Encoder[(U, U1, U2, U3)], ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3]): DSet[(U, U1, U2, U3)] =
+    DSet.fromRDD(spark,
+      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => (a, b, c, d) })
+
+  /** 4-way zip + apply (reference `DSetGenerics.fs:1558-1592`, `map4`). */
+  def map4[U1, U2, U3, U4: Encoder](o1: DSet[U1], o2: DSet[U2], o3: DSet[U3])(f: (U, U1, U2, U3) => U4)(implicit
+      ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3], ct4: ClassTag[U4]): DSet[U4] =
+    DSet.fromRDD(spark,
+      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => f(a, b, c, d) })
+
   /** Fork into n sibling branches sharing one upstream evaluation
     * (reference `DSetGenerics.fs:1728-1766`, `bypass`/`bypassN`; the Spark
     * analog is a cached parent reused across the DAG).
@@ -198,6 +210,12 @@ final class DSet[U](val ds: Dataset[U]) {
   def split3[A: Encoder, B: Encoder, C: Encoder](fa: U => A, fb: U => B, fc: U => C): (DSet[A], DSet[B], DSet[C]) = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
     (new DSet(cached.map(fa)), new DSet(cached.map(fb)), new DSet(cached.map(fc)))
+  }
+
+  /** 4-way projection split (reference `DSetGenerics.fs:1772-1835`, `split4`). */
+  def split4[A: Encoder, B: Encoder, C: Encoder, D: Encoder](fa: U => A, fb: U => B, fc: U => C, fd: U => D): (DSet[A], DSet[B], DSet[C], DSet[D]) = {
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    (new DSet(cached.map(fa)), new DSet(cached.map(fb)), new DSet(cached.map(fc)), new DSet(cached.map(fd)))
   }
 
   /** Replicate the whole DSet to every executor (reference
@@ -276,9 +294,12 @@ final class DSet[U](val ds: Dataset[U]) {
   def toArray(implicit ct: ClassTag[U]): Array[U] = ds.collect()
 
   /** Composite map → shuffle-by-key → per-key reduce (reference
-    * `DSetGenerics.fs:1396-1465`, `mapReduce`). Spark-first: declared as
-    * flatMap + `groupByKey.mapGroups`, so Catalyst inserts partial
-    * aggregation where possible.
+    * `DSetGenerics.fs:1396-1465`, `mapReduce`). NOTE: with an opaque
+    * `reduceFunc`, `groupByKey.mapGroups` shuffles every mapped pair —
+    * Catalyst cannot insert partial aggregation through an arbitrary
+    * iterator-consuming closure. When the reduction is an associative
+    * merge of values, use [[mapReduceAssoc]], which does map-side combine
+    * (matching the reference's local pre-group, `DG:1399-1423`).
     */
   def mapReduce[K1, V1, U2](mapFunc: U => IterableOnce[(K1, V1)])(reduceFunc: (K1, Iterator[V1]) => U2)(implicit
       e1: Encoder[(K1, V1)], ek: Encoder[K1], e2: Encoder[U2]): DSet[U2] =
@@ -287,11 +308,65 @@ final class DSet[U](val ds: Dataset[U]) {
         .groupByKey(_._1)
         .mapGroups((k, vs) => reduceFunc(k, vs.map(_._2))))
 
+  /** Combiner-capable mapReduce: when the per-key reduction is an
+    * associative binary merge, route through an RDD `reduceByKey`, which
+    * pre-aggregates on the map side before the shuffle — only one partial
+    * value per (partition, key) crosses the network, reproducing the
+    * reference's local pre-group per collection
+    * (reference `DSetGenerics.fs:1399-1423`).
+    */
+  def mapReduceAssoc[K1, V1](mapFunc: U => IterableOnce[(K1, V1)])(combine: (V1, V1) => V1)(implicit
+      e: Encoder[(K1, V1)], ctk: ClassTag[K1], ctv: ClassTag[V1]): DSet[(K1, V1)] = {
+    val rdd2 = ds.rdd.flatMap(u => mapFunc(u).iterator).reduceByKey(combine)
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** mapReduce with a pinned shuffle partition count (reference
+    * `DSetGenerics.fs:1396-1465`, `mapReduceP` — the `Param` overloads let
+    * the caller fix the reducer fan-in).
+    */
+  def mapReduceP[K1, V1, U2: Encoder](numPartitions: Int)(mapFunc: U => IterableOnce[(K1, V1)])(
+      reduceFunc: (K1, Iterator[V1]) => U2)(implicit ctk: ClassTag[K1], ctv: ClassTag[V1], ctu: ClassTag[U2]): DSet[U2] = {
+    val rdd2 = ds.rdd.flatMap(u => mapFunc(u).iterator)
+      .groupByKey(numPartitions)
+      .map { case (k, vs) => reduceFunc(k, vs.iterator) }
+    DSet.fromRDD(spark, rdd2)
+  }
+
+  /** mapReduce with a caller-supplied shuffle partitioner `'K -> int`
+    * (reference `DSetGenerics.fs:1396-1465`,
+    * `mapReducePWithPartitionFunction`): mapped pairs route to partition
+    * `partFunc(k)`, then each partition reduces its keys locally — the
+    * reference's exact shuffle contract, via [[BinPartitioner]].
+    */
+  def mapReducePWithPartitionFunction[K1, V1, U2: Encoder](numPartitions: Int)(partFunc: K1 => Int)(
+      mapFunc: U => IterableOnce[(K1, V1)])(reduceFunc: (K1, Iterator[V1]) => U2)(implicit
+      ctk: ClassTag[K1], ctv: ClassTag[V1], ctu: ClassTag[U2]): DSet[U2] = {
+    val rdd2 = ds.rdd.flatMap(u => mapFunc(u).iterator)
+      .map(kv => (partFunc(kv._1), kv))
+      .partitionBy(new BinPartitioner(numPartitions))
+      .mapPartitions { it =>
+        val acc = mutable.LinkedHashMap.empty[K1, mutable.ArrayBuffer[V1]]
+        it.foreach { case (_, (k, v)) => acc.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V1]) += v }
+        acc.iterator.map { case (k, vs) => reduceFunc(k, vs.iterator) }
+      }
+    DSet.fromRDD(spark, rdd2)
+  }
+
   /** Run a side-effecting closure once per partition slot (reference
     * `DSetGenerics.fs:951-995`, `execute` — ops tooling, not data-bound).
     */
   def executeOnPartitions(f: Int => Unit): Unit =
     ds.rdd.mapPartitionsWithIndex { (pi, _) => f(pi); Iterator.empty }.count(): Unit
+
+  /** Run a side-effecting closure N times per partition slot (reference
+    * `DSetGenerics.fs:951-995`, `executeN` — N calls per node; the call
+    * index is passed so each invocation can differentiate itself).
+    */
+  def executeN(n: Int)(f: (Int, Int) => Unit): Unit =
+    ds.rdd.mapPartitionsWithIndex { (pi, _) =>
+      var i = 0; while (i < n) { f(pi, i); i += 1 }; Iterator.empty
+    }.count(): Unit
 
   // ---- persistence (reference §2.6 save/load) ----
 
@@ -401,6 +476,32 @@ object DSet {
     */
   def distributeN[U: Encoder](spark: SparkSession, seq: Seq[U], perSlot: Int): DSet[U] =
     distribute(spark, seq, spark.sparkContext.defaultParallelism * perSlot)
+
+  /** distribute with caller-controlled uneven partition sizes (reference
+    * `DSetGenerics.fs:881-950`, `distributeUnevenN`): partition i receives
+    * the next `sizeFunc(i)` consecutive elements of the client seq; the
+    * final partition absorbs any remainder so no element is dropped.
+    */
+  def distributeUnevenN[U: Encoder: ClassTag](spark: SparkSession, seq: Seq[U], numPartitions: Int)(
+      sizeFunc: Int => Int): DSet[U] = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    val elems = seq.toIndexedSeq
+    val bounds = new Array[(Int, Int)](numPartitions) // (start, endExclusive) per partition
+    var start = 0
+    var i = 0
+    while (i < numPartitions) {
+      val end =
+        if (i == numPartitions - 1) elems.length
+        else math.min(start + math.max(sizeFunc(i), 0), elems.length)
+      bounds(i) = (start, end)
+      start = end
+      i += 1
+    }
+    sourceI(spark, numPartitions) { pi =>
+      val (s, e) = bounds(pi)
+      elems.slice(s, e)
+    }
+  }
 
   /** Enumerate stored datasets matching a name pattern under a warehouse
     * directory — the reference's mini catalog (reference

@@ -34,11 +34,37 @@ object Aggregators {
     */
   class TopKAgg[V](k: Int, ord: Ordering[V])(implicit seqEnc: Encoder[Seq[V]])
       extends Aggregator[V, Seq[V], Seq[V]] {
-    private def trim(s: Seq[V]): Seq[V] = s.sorted(ord).take(k)
+    // Invariant: the buffer is always sorted ascending by `ord` with ≤ k
+    // elements, so a row that can't make the top-k is rejected in O(1)
+    // (the overwhelmingly common case once the buffer is full) and an
+    // accepted row binary-inserts in O(log k) compares.
+    private def insertionIdx(b: Seq[V], v: V): Int = {
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(b(mid), v)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     override def zero: Seq[V] = Vector.empty
-    override def reduce(b: Seq[V], v: V): Seq[V] = trim(v +: b)
-    override def merge(a: Seq[V], b: Seq[V]): Seq[V] = trim(a ++ b)
-    override def finish(r: Seq[V]): Seq[V] = r.sorted(ord)
+    override def reduce(b: Seq[V], v: V): Seq[V] =
+      if (b.length >= k && ord.gteq(v, b.last)) b
+      else {
+        val inserted = b.patch(insertionIdx(b, v), Seq(v), 0)
+        if (inserted.length > k) inserted.dropRight(1) else inserted
+      }
+    override def merge(a: Seq[V], b: Seq[V]): Seq[V] = {
+      // linear merge of two sorted buffers, stopping at k elements
+      val out = Vector.newBuilder[V]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < a.length || j < b.length)) {
+        if (j >= b.length || (i < a.length && ord.lteq(a(i), b(j)))) { out += a(i); i += 1 }
+        else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(r: Seq[V]): Seq[V] = r
     override def bufferEncoder: Encoder[Seq[V]] = seqEnc
     override def outputEncoder: Encoder[Seq[V]] = seqEnc
   }

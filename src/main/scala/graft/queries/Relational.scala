@@ -204,12 +204,14 @@ object Relational {
     },
 
     // mapReduce composite through the typed DSet facade (reference
-    // `DSetGenerics.fs:1396-1465`).
+    // `DSetGenerics.fs:1396-1465`) — associative counting, so it takes the
+    // combiner path: map-side pre-aggregation means one partial count per
+    // (partition, word) crosses the shuffle, not one pair per occurrence.
     "q19_mapreduce_wordcount" -> { (s, dir) =>
       import s.implicits._
       val docs = new DSet(Tables.load(s, dir, "documents").select(col("text")).as[String])
       docs
-        .mapReduce(t => t.split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)))((k, vs) => (k, vs.map(_ => 1L).sum))
+        .mapReduceAssoc(t => t.split(" ").iterator.filter(_.nonEmpty).map(w => (w, 1L)))(_ + _)
         .ds.toDF("word", "cnt")
     },
 

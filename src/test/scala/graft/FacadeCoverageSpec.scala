@@ -94,6 +94,64 @@ class FacadeCoverageSpec extends SparkSuite {
     }
   }
 
+  test("mix4 / map4 zip four same-shape dsets") {
+    val a = DSet.initS[Int](spark, 2, 5)((pi, s) => pi * 5 + s.toInt)
+    val b = a.map(_ * 2)
+    val c = a.map(_ * 3)
+    val d = a.map(_ * 4)
+    a.mix4(b, c, d).toArray.foreach { case (w, x, y, z) =>
+      assert(x == 2 * w && y == 3 * w && z == 4 * w)
+    }
+    assert(a.map4(b, c, d)(_ + _ + _ + _).toArray.sorted.toSeq == (0 until 10).map(_ * 10))
+  }
+
+  test("split4 projects four branches from one cached parent") {
+    val (w, x, y, z) = DSet.distribute(spark, 1 to 10).split4(_ * 1, _ * 2, _ * 3, _ * 4)
+    assert(w.toArray.sum == 55 && x.toArray.sum == 110 && y.toArray.sum == 165 && z.toArray.sum == 220)
+  }
+
+  test("executeN runs the closure N times per partition slot") {
+    val acc = spark.sparkContext.longAccumulator("execN")
+    val d = DSet.distribute(spark, 1 to 8, 4)
+    d.executeN(3)((pi, call) => acc.add(pi * 10 + call))
+    // 4 partitions × calls {0,1,2}: sum = Σ_pi Σ_c (10·pi + c) = 10·(0+1+2+3)·3 + 4·(0+1+2)
+    assert(acc.value == 10 * 6 * 3 + 4 * 3)
+  }
+
+  test("distributeUnevenN cuts the client seq into caller-sized partitions") {
+    val d = DSet.distributeUnevenN(spark, 1 to 100, 4)(i => (i + 1) * 10) // 10,20,30,+remainder
+    val parts = d.ds.rdd.glom().collect().map(_.toSeq)
+    assert(parts.map(_.size).toSeq == Seq(10, 20, 30, 40))
+    assert(parts.flatten.toSeq == (1 to 100))
+  }
+
+  test("mapReduceAssoc does map-side combine and matches mapReduce") {
+    val words = DSet.distribute(spark, Seq("a b a", "b c", "a"), 2)
+    val viaAssoc = words.mapReduceAssoc(_.split(" ").map(w => (w, 1L)))(_ + _).toArray.toMap
+    val viaGroup = words
+      .mapReduce(_.split(" ").map(w => (w, 1L)))((k, vs) => (k, vs.sum)).toArray.toMap
+    assert(viaAssoc == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+    assert(viaAssoc == viaGroup)
+  }
+
+  test("mapReduceP pins the reducer partition count") {
+    val d = DSet.distribute(spark, (0 until 100).map(_.toString), 4)
+    val red = d.mapReduceP(5)(s => Seq((s.toInt % 7, 1)))((k, vs) => (k, vs.sum))
+    assert(red.ds.rdd.getNumPartitions == 5)
+    assert(red.toArray.toMap == (0 until 100).groupBy(_ % 7).view.mapValues(_.size).toMap)
+  }
+
+  test("mapReducePWithPartitionFunction routes keys by the user partitioner") {
+    val d = DSet.distribute(spark, (0 until 100).map(_.toString), 4)
+    val red = d.mapReducePWithPartitionFunction(3)((k: Int) => k % 3)(s => Seq((s.toInt % 9, 1)))((k, vs) => (k, vs.sum))
+    assert(red.ds.rdd.getNumPartitions == 3)
+    // partition i must hold exactly the keys with k % 3 == i
+    red.ds.rdd.glom().collect().zipWithIndex.foreach { case (arr, pi) =>
+      arr.foreach { case (k, _) => assert(k % 3 == pi, s"key $k in partition $pi") }
+    }
+    assert(red.toArray.toMap == (0 until 100).groupBy(_ % 9).view.mapValues(_.size).toMap)
+  }
+
   test("semiJoinByKey / antiJoinByKey") {
     val l = DSet.distribute(spark, (0 until 20).map(i => (i, i.toString)), 2)
     val r = DSet.distribute(spark, (0 until 10).map(i => (i * 2, i)), 2)
