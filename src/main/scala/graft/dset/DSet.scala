@@ -338,6 +338,13 @@ final class DSet[U](val ds: Dataset[U]) {
     * `mapReducePWithPartitionFunction`): mapped pairs route to partition
     * `partFunc(k)`, then each partition reduces its keys locally — the
     * reference's exact shuffle contract, via [[BinPartitioner]].
+    *
+    * Memory bound: the local reduce buffers every (key, value) of a
+    * partition in heap (no spill) — matching the reference's in-memory
+    * per-node group (`DSetGenerics.fs:1399-1423`). Size `numPartitions`
+    * so a partition's pairs fit in executor memory; for unbounded inputs
+    * with an associative reduction use [[mapReduceAssoc]] (spill-aware
+    * map-side combine), or [[mapReduceP]] whose `groupByKey` spills.
     */
   def mapReducePWithPartitionFunction[K1, V1, U2: Encoder](numPartitions: Int)(partFunc: K1 => Int)(
       mapFunc: U => IterableOnce[(K1, V1)])(reduceFunc: (K1, Iterator[V1]) => U2)(implicit
@@ -418,6 +425,12 @@ final class DSet[U](val ds: Dataset[U]) {
 }
 
 object DSet {
+
+  /** Salt for two-phase skew grouping: always in [0, parts) —
+    * `hashCode % parts` would yield (-parts, parts) and silently double
+    * the declared fan-out for negative hashes.
+    */
+  def salt(v: Any, parts: Int): Int = math.floorMod(v.hashCode(), parts)
 
   def fromDataset[U](ds: Dataset[U]): DSet[U] = new DSet(ds)
 
@@ -581,7 +594,7 @@ object DSet {
     def groupByKeySalted(saltParts: Int)(implicit ek: Encoder[((K, Int), V)], eks: Encoder[(K, Int)],
         ekv: Encoder[((K, Int), Seq[V])], ek2: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
       new DSet(
-        ds.map(kv => ((kv._1, kv._2.hashCode() % saltParts), kv._2))
+        ds.map(kv => ((kv._1, DSet.salt(kv._2, saltParts)), kv._2))
           .groupByKey(_._1)
           .mapGroups((ks, vs) => (ks, vs.map(_._2).toSeq))
           .groupByKey(_._1._1)
@@ -616,13 +629,23 @@ object DSet {
       * sampled range partitioner supplying the bin function the reference
       * made the user write (`DKV.fs:140-169`; SortBenchmark ReadMe: "I
       * don't have code to determine partition boundary yet").
+      *
+      * The keyed input is bound once and persisted around partitioner
+      * construction, so the range-sampling pass materializes the cache and
+      * the shuffle's map stage reads it back — ONE upstream evaluation
+      * instead of the two full input scans a naive `sortByKey`-style
+      * formulation pays. MEMORY_AND_DISK makes the cache spill-safe at
+      * scale; once the sorted output is computed the shuffle files carry
+      * any re-reads, and the ContextCleaner unpersists the cache when the
+      * sorted DSet is released. When the key distribution is known a
+      * priori, [[binSortPByKey]] skips the sampling pass entirely.
       */
     def binSortNByKey(numPartitions: Int)(implicit ord: Ordering[K], e: Encoder[(K, V)],
         ctk: ClassTag[K], ctv: ClassTag[V]): DSet[(K, V)] = {
-      val rdd2 = ds.rdd.map(kv => (kv._1, kv._2))
-        .repartitionAndSortWithinPartitions(
-          new org.apache.spark.RangePartitioner(numPartitions, ds.rdd.map(kv => (kv._1, kv._2))))
-      DSet.fromRDD(spark, rdd2)
+      val keyed = ds.rdd.map(kv => (kv._1, kv._2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val partitioner = new org.apache.spark.RangePartitioner(numPartitions, keyed)
+      DSet.fromRDD(spark, keyed.repartitionAndSortWithinPartitions(partitioner))
     }
 
     /** Bin-partition + in-partition key sort (reference `DKV.fs:140-169`,

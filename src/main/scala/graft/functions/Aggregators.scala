@@ -34,6 +34,7 @@ object Aggregators {
     */
   class TopKAgg[V](k: Int, ord: Ordering[V])(implicit seqEnc: Encoder[Seq[V]])
       extends Aggregator[V, Seq[V], Seq[V]] {
+    require(k > 0, s"TopKAgg needs k > 0, got $k") // reduce probes b.last once full
     // Invariant: the buffer is always sorted ascending by `ord` with ≤ k
     // elements, so a row that can't make the top-k is rejected in O(1)
     // (the overwhelmingly common case once the buffer is full) and an

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -21,6 +21,31 @@ import graft.functions.TextFunctions
   * broadcast/skew-split. No driver-side collection anywhere.
   */
 object Dedup {
+
+  /** Attach dropped-bucket accounting to a bucketed frame: when a
+    * `dropMetrics` [[Observation]] is supplied, the pipeline observes
+    * `dropped_buckets` / `dropped_members` (buckets over `maxBucketSize`
+    * and the rows inside them) at zero extra cost — `observe` computes
+    * the sums inline with the pass that filters the buckets. After any
+    * action on the result, `observation.get` returns the counts, so a
+    * caller can detect that the guard silently excluded pairs (recall
+    * loss) rather than trusting scaladoc. `maxBucketSize = Int.MaxValue`
+    * is the exact-enumeration sentinel: nothing is dropped.
+    *
+    * AQE caveat (verified on 4.1.2): when the FINAL result of the query is
+    * empty, AQE's empty-relation propagation replaces the upstream subtree
+    * — CollectMetrics included — and the observation completes with an
+    * EMPTY map rather than zeros. Read metrics with
+    * `get.getOrElse("dropped_buckets", ...)` and treat an empty map as
+    * "query short-circuited, counts unavailable"; any non-empty result
+    * (the normal case at scale) reports exact counts.
+    */
+  private[operators] def observeDrops(
+      buckets: DataFrame, sizeCol: Column, maxBucketSize: Int,
+      dropMetrics: Option[Observation]): DataFrame =
+    dropMetrics.fold(buckets)(o => buckets.observe(o,
+      coalesce(sum(when(sizeCol > maxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(sizeCol > maxBucketSize, sizeCol.cast("long")).otherwise(lit(0L))), lit(0L)).as("dropped_members")))
 
   /** Exact deduplication: one representative (min id) per duplicate group
     * of `keyCols`, with the group size. A single hash aggregation —
@@ -245,7 +270,9 @@ object Dedup {
     * `maxBucketSize` drops degenerate buckets (boilerplate/spam clusters)
     * before the quadratic bucket join — the standard guard at scale; at
     * default parameters recall for pairs at `threshold` ≥ 0.8 is
-    * 1-(1-j^4)^16 ≈ 1-4e-8 at j=0.9.
+    * 1-(1-j^4)^16 ≈ 1-4e-8 at j=0.9. Pass `dropMetrics` to observe what
+    * the guard excluded ([[observeDrops]]); `maxBucketSize = Int.MaxValue`
+    * restores exact enumeration.
     *
     * Output: (doc_a, doc_b, jaccard rounded to 4).
     */
@@ -257,11 +284,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame =
+      maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame =
     lshNearDupPairs(
       df.select(col(idCol).as("id"), col(textCol).as("text")),
       wordShingleHashes(col("text"), shingleN),
-      numHashes, bands, threshold, maxBucketSize)
+      numHashes, bands, threshold, maxBucketSize, dropMetrics)
 
   /** Character-n-gram variant of [[minhashNearDupPairs]] — robust to word
     * re-segmentation; same LSH machinery over char shingles.
@@ -274,11 +302,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketSize: Int = 1000): DataFrame =
+      maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame =
     lshNearDupPairs(
       df.select(col(idCol).as("id"), col(textCol).as("text")),
       charShingleHashes(col("text"), ngram),
-      numHashes, bands, threshold, maxBucketSize)
+      numHashes, bands, threshold, maxBucketSize, dropMetrics)
 
   /** Shared LSH pipeline over an (id, shingle-array) frame: signature →
     * band keys → bucket groupBy (the shingle/signature computation runs
@@ -291,7 +320,8 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int,
+      dropMetrics: Option[Observation] = None): DataFrame = {
     // A small corpus file arrives as one input split; the shingle+signature
     // stage is compute-bound, so spread it across all cores first. (At real
     // scale the file-split count already provides this parallelism; the
@@ -300,11 +330,12 @@ object Dedup {
     val spread = idText.repartition(par)
     val withSets = spread.select(col("id"), shingleCol.as("sh")).filter(size(col("sh")) > 0)
 
-    val candidates = withSets
+    val buckets = withSets
       .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
       .toDF("id", "band", "key")
       .groupBy("band", "key")
       .agg(collect_list(col("id")).as("ids"))
+    val candidates = observeDrops(buckets, size(col("ids")), maxBucketSize, dropMetrics)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
@@ -370,14 +401,17 @@ object Dedup {
     * docs all sharing an all-zero chunk) before pair expansion — without
     * it one hot (chunk, val) goes O(bucket²). The groupBy formulation
     * also evaluates the sketch pipeline ONCE (a self-join would run the
-    * upstream map on both sides).
+    * upstream map on both sides). Pass `dropMetrics` to observe what the
+    * guard excluded ([[observeDrops]]); `maxBucketSize = Int.MaxValue`
+    * restores exact enumeration.
     */
   def simhashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sketches = df
@@ -386,12 +420,13 @@ object Dedup {
       .map { case (id, text) => (id, simhash64(text)) }
       .toDF("id", "sim")
 
-    sketches.select(
+    val buckets = sketches.select(
       col("id"), col("sim"),
       posexplode(array((0 until 4).map(j => shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sim", "chunk", "val")
       .groupBy("chunk", "val")
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+    observeDrops(buckets, size(col("members")), maxBucketSize, dropMetrics)
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(col("members")).as("y"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,15 +70,20 @@ object Similarity {
     * `maxBucketSize` drops degenerate hot buckets (near-identical or
     * zero-ish vectors all landing in one cell) before pair expansion; the
     * groupBy formulation also evaluates the SRP keying ONCE instead of on
-    * both sides of a self-join.
+    * both sides of a self-join. Pass `dropMetrics` to observe
+    * `dropped_buckets`/`dropped_members` (see [[Dedup.observeDrops]]);
+    * `maxBucketSize = Int.MaxValue` restores exact candidate enumeration.
     */
   def srpCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
-    df.select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
+      maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
+    val buckets = df
+      .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
       .groupBy("bucket")
       .agg(collect_list(col("id")).as("ids"))
+    Dedup.observeDrops(buckets, size(col("ids")), maxBucketSize, dropMetrics)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -58,22 +58,32 @@ object LiveIngest {
       .json(dir)
 
   /** Minimal "running service" for demos/tests: serves the given lines to
-    * the first client that connects, then keeps the connection open until
-    * `close()` is invoked. Returns (boundPort, closeFn). Pass port=0 to
-    * bind an ephemeral port.
+    * every client that connects (a socket-source task retry or query
+    * restart re-dials and replays the same lines rather than hanging on a
+    * one-shot accept), holding each connection open until `close()` is
+    * invoked. Returns (boundPort, closeFn). Pass port=0 to bind an
+    * ephemeral port.
     */
   def serveLines(port: Int, lines: Seq[String]): (Int, () => Unit) = {
     val server = new ServerSocket(port)
     @volatile var done = false
     val t = new Thread(() => {
-      try {
-        val sock = server.accept()
-        val out = new PrintWriter(sock.getOutputStream, true)
-        lines.foreach(out.println)
-        out.flush()
-        while (!done) Thread.sleep(50)
-        sock.close()
-      } catch { case _: Exception => () } // closed under us: shutting down
+      while (!done) {
+        try {
+          val sock = server.accept()
+          val conn = new Thread(() => {
+            try {
+              val out = new PrintWriter(sock.getOutputStream, true)
+              lines.foreach(out.println)
+              out.flush()
+              while (!done) Thread.sleep(50)
+            } catch { case _: Exception => () } // client went away
+            finally { try sock.close() catch { case _: Exception => () } }
+          }, "graft-live-ingest-conn")
+          conn.setDaemon(true)
+          conn.start()
+        } catch { case _: Exception => () } // server closed: shutting down
+      }
     }, "graft-live-ingest-server")
     t.setDaemon(true)
     t.start()

@@ -94,6 +94,18 @@ class FacadeCoverageSpec extends SparkSuite {
     }
   }
 
+  test("binSortNByKey evaluates its upstream once (sample pass reads the cache)") {
+    val acc = spark.sparkContext.longAccumulator("graft-binsort-scans")
+    val n = 300
+    val sorted = DSet.distribute(spark, (0 until n).toList, 4)
+      .map { i => acc.add(1); (n - i, i) }
+      .binSortNByKey(4)
+    assert(sorted.toArray.map(_._1).toSeq == sorted.toArray.map(_._1).toSeq.sorted)
+    // one evaluation total: the RangePartitioner sampling job materializes
+    // the persisted keyed RDD; the shuffle map stage reads it back
+    assert(acc.value == n, s"upstream evaluated ${acc.value.toDouble / n}x")
+  }
+
   test("mix4 / map4 zip four same-shape dsets") {
     val a = DSet.initS[Int](spark, 2, 5)((pi, s) => pi * 5 + s.toInt)
     val b = a.map(_ * 2)

@@ -69,9 +69,13 @@ class LiveIngestSpec extends SparkSuite {
     // also written TWICE so the exactly-once dedup has real work
     val chunks = eventLines.grouped(math.max(1, eventLines.size / 4 + 1)).toSeq
     def drop(i: Int): Unit = {
-      val p = java.nio.file.Paths.get(dir, f"chunk_$i%02d.json")
+      // stage outside the watched dir, then move in atomically — the file
+      // source can list a file mid-write otherwise (partial JSON lines)
+      val tmp = Files.createTempFile("live-drop-stage", ".json")
       val dup = chunks(i) ++ chunks(i) // at-least-once delivery simulated
-      Files.write(p, dup.mkString("\n").getBytes)
+      Files.write(tmp, dup.mkString("\n").getBytes)
+      Files.move(tmp, java.nio.file.Paths.get(dir, f"chunk_$i%02d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     drop(0)
 

@@ -55,6 +55,12 @@ class ScaleOpsSpec extends SparkSuite {
     assert(agg.nonEmpty)
   }
 
+  test("TopKAgg rejects non-positive k at construction") {
+    intercept[IllegalArgumentException] {
+      new Aggregators.TopKAgg[Int](0, Ordering.Int)
+    }
+  }
+
   test("MinHashUnionAgg merges signatures element-wise min") {
     val agg = new Aggregators.MinHashUnionAgg(4)
     val sigs = Seq(Seq(5L, 1L, 9L, 7L), Seq(3L, 2L, 8L, 9L)).toDS()

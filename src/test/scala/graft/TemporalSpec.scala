@@ -42,10 +42,17 @@ class TemporalSpec extends SparkSuite {
   }
 
   test("groupByKeySalted equals plain groupByKey") {
-    val kv = DSet.distribute(spark, (0 until 500).map(i => (i % 3, i)), 4)
+    // negative values exercise negative hashCodes through the salt
+    val kv = DSet.distribute(spark, (-250 until 250).map(i => (math.floorMod(i, 3), i)), 4)
     val plain = kv.groupByKey.toArray.toMap.view.mapValues(_.sorted).toMap
     val salted = kv.groupByKeySalted(8).toArray.toMap.view.mapValues(_.sorted).toMap
     assert(salted == plain)
+  }
+
+  test("salt domain is exactly [0, saltParts) incl. negative hashCodes") {
+    val parts = 8
+    val salts = (-1000 until 1000).map(v => DSet.salt(v, parts)).toSet
+    assert(salts == (0 until parts).toSet)
   }
 
   test("registered SQL functions work from sql text") {

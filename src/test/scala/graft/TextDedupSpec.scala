@@ -85,6 +85,31 @@ class TextDedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("hot-bucket guard drops oversized buckets and reports them via dropMetrics") {
+    // 60 identical docs (every SimHash chunk bucket has 60 members) plus a
+    // small genuine near-dup pair that must survive the guard — a non-empty
+    // result also keeps AQE from pruning the CollectMetrics subtree (see
+    // Dedup.observeDrops scaladoc)
+    val hot = (1L to 60L).map(i => (i, "alpha beta gamma delta")) ++
+      Seq((100L, "unique survivor words here"), (101L, "unique survivor words here"))
+    val df = hot.toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val guarded = Dedup.simhashNearDupPairs(df, "doc_id", "text",
+      maxBucketSize = 50, dropMetrics = Some(obs))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((100L, 101L)), s"got $guarded") // hot pairs dropped, survivor kept
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] == 4L, s"metrics=$m") // all 4 chunks hot
+    assert(m("dropped_members").asInstanceOf[Long] == 240L, s"metrics=$m")
+
+    // Int.MaxValue sentinel restores exact enumeration, and reports 0 drops
+    val obs2 = org.apache.spark.sql.Observation()
+    val exact = Dedup.simhashNearDupPairs(df, "doc_id", "text",
+      maxBucketSize = Int.MaxValue, dropMetrics = Some(obs2))
+    assert(exact.count() == 60L * 59 / 2 + 1)
+    assert(obs2.get("dropped_buckets").asInstanceOf[Long] == 0L)
+  }
+
   test("qualityScore stays in [0,1]") {
     val vals = docs.select(TextFunctions.qualityScore(col("text"))).collect().map(_.getDouble(0))
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))

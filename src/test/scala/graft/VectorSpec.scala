@@ -47,6 +47,26 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("SRP hot-bucket guard reports dropped buckets via dropMetrics") {
+    // 40 identical vectors land in the same bucket of every hash table; a
+    // second identical pair survives the guard (and keeps the result
+    // non-empty so AQE doesn't prune the metrics node)
+    val dim = 8
+    val survivor = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else -1.0f).toSeq
+    val rows = (1L to 40L).map(i => (i, Array.fill(dim)(1.0f).toSeq)) ++
+      Seq((100L, survivor), (101L, survivor))
+    val hot = rows.toDF("vec_id", "embedding")
+    val obs = org.apache.spark.sql.Observation()
+    val cands = Similarity.srpCandidatePairs(hot, "vec_id", "embedding", dim,
+      maxBucketSize = 30, dropMetrics = Some(obs))
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((100L, 101L)), s"got $cands")
+    assert(!cands.exists(p => p._1 <= 40L && p._2 <= 40L), "hot pairs must be dropped")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 1L, s"metrics=$m")
+    assert(m("dropped_members").asInstanceOf[Long] >= 40L, s"metrics=$m")
+  }
+
   test("SRP-LSH candidates achieve full recall on top similar pairs") {
     // exact pairs above 0.45 vs LSH-candidate-verified pairs
     val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.45)
