@@ -48,8 +48,10 @@ object TextQueries {
       Dedup.ngramJaccardNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
-    // SimHash near-dup pairs (rows-only check; ScalaTest asserts the
-    // planted near-dups are recovered).
+    // SimHash near-dup pairs, hash-gated: the oracle replays the exact
+    // FNV-1a + bit-tally sketch in DuckDB (mod-2^64 HUGEINT arithmetic)
+    // and enumerates all pairs at hamming <= 3 — chunk blocking is
+    // exhaustive at that radius by pigeonhole, so blocked == all-pairs.
     "d5_simhash_neardup" -> { (s, dir) =>
       Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -148,6 +150,40 @@ object TextQueries {
                 WHEN s_fr > 0 THEN 'fr'
                 ELSE 'und' END AS lang_pred
          FROM sc""",
+    // Exact SimHash replay: FNV-1a64 per token (HUGEINT mod-2^64), per-bit
+    // tally over token occurrences, sign -> bit, then all pairs at
+    // hamming <= 3 (equivalent to the 4x16-bit chunk blocking at radius 3).
+    "d5_simhash_neardup" ->
+      """WITH tok AS (
+           SELECT d.doc_id, u.t
+           FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
+           WHERE u.t <> ''),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(t,''), c -> ascii(c)::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+           FROM tok),
+         bits AS (
+           SELECT th.doc_id, i.i,
+                  sum(CASE WHEN (th.h >> i.i) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+           FROM th, (SELECT unnest(range(64)) AS i) i
+           GROUP BY th.doc_id, i.i),
+         sims AS (
+           SELECT b.doc_id,
+                  sum(CASE WHEN b.acc > 0 THEN (1::HUGEINT << b.i) ELSE 0::HUGEINT END) AS usim
+           FROM bits b GROUP BY b.doc_id),
+         s2 AS (
+           SELECT d.doc_id,
+                  COALESCE(CASE WHEN s.usim >= 9223372036854775808::HUGEINT
+                       THEN (s.usim - 18446744073709551616::HUGEINT)::BIGINT
+                       ELSE s.usim::BIGINT END, 0) AS sim
+           FROM documents d LEFT JOIN sims s USING (doc_id))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+         FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
     "t4_fingerprint" ->
       """SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),

@@ -30,8 +30,12 @@ object VectorQueries {
       Similarity.exactCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
     },
 
-    // ANN (SRP-LSH) near-pairs — the scale path; approximate recall, so
-    // rows-only check here and a recall spec in VectorSpec.
+    // ANN (SRP-LSH) near-pairs — the scale path. Hash-gated: the SRP
+    // hyperplanes are a deterministic xorshift64* stream from the seed,
+    // so the oracle replays plane generation (recursive-CTE PRNG in
+    // mod-2^64 HUGEINT), sign bits, bucket collisions, and the cosine
+    // verification in DuckDB; recall vs exact is additionally spec'd in
+    // VectorSpec.
     "v3_ann_srp_pairs" -> { (s, dir) =>
       Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
     },
@@ -44,21 +48,39 @@ object VectorQueries {
         size(col("embedding")).as("dim"))
     },
 
-    // K-means clustering (iterative broadcast+treeAggregate Lloyd's, the
-    // reference's DistributedKMeans workload) — rows-only check (cluster
-    // count is stable; boundary assignments are fp-order sensitive).
+    // Fitted k-means model export (cluster, centroid). Lloyd's iterations
+    // sum floats, so the model itself can't be replayed engine-independently
+    // — instead the fit is bitwise-deterministic (fixed partition fold +
+    // driver merge order, see KMeans.fit), this query publishes the
+    // centroids, and the km1/km2 oracles read them back via __OUT__ and
+    // replay ASSIGNMENT and SCORING in SQL. Rows-only itself (it IS the
+    // ground truth the dependent oracles consume); convergence quality is
+    // spec'd in ScaleOpsSpec.
+    "km0_centroids" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", k = 8, maxIters = 5)
+      model.centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster", "centroid")
+    },
+
+    // K-means clustering (iterative broadcast + partition-partial Lloyd's,
+    // the reference's DistributedKMeans workload) — hash-gated: the oracle
+    // replays nearest-centroid assignment from the km0_centroids export.
     "km1_kmeans_sizes" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 5)
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", k = 8, maxIters = 5)
       graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_points"))
     },
 
     // IVF ANN: corpus bucketed by nearest centroid, queries probe 3 cells
-    // — rows-only here; recall vs brute force asserted in ScaleOpsSpec.
+    // — hash-gated via the km0_centroids export (cells, probes, cosine
+    // top-k all replayed in SQL); recall vs brute force in ScaleOpsSpec.
     "km2_ivf_knn" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val model = graft.operators.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 5)
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", k = 8, maxIters = 5)
       graft.operators.KMeans.ivfKnn(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", model, nprobe = 3, topK = 5)
     }
@@ -93,6 +115,89 @@ object VectorQueries {
       """WITH ed AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm,
            len(embedding) AS dim
-         FROM ed"""
+         FROM ed""",
+    // Full SRP-LSH replay: the xorshift64* hyperplane stream (12 tables ×
+    // 6 bits × 64 dims = 4608 draws) is regenerated with mod-2^64 HUGEINT
+    // arithmetic, sign bits and bucket keys recomputed, colliding pairs
+    // cosine-verified — byte-identical to SrpKeys + annCosinePairs.
+    "v3_ann_srp_pairs" ->
+      """WITH RECURSIVE rng(n, s) AS (
+           SELECT 0, 42::HUGEINT
+           UNION ALL
+           SELECT n + 1, xor(B, B >> 27) FROM (
+             SELECT n, xor(A, (A * 33554432::HUGEINT) % 18446744073709551616::HUGEINT) AS B
+             FROM (SELECT n, s, xor(s, s >> 12) AS A FROM rng WHERE n < 4608))),
+         vals AS (
+           SELECT n - 1 AS idx,
+                  ((s * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT >> 11)::DOUBLE
+                    / 9007199254740992.0 * 2.0 - 1.0 AS d
+           FROM rng WHERE n >= 1),
+         planes AS (
+           SELECT idx // 64 AS p, list(d ORDER BY idx) AS pl
+           FROM vals GROUP BY idx // 64),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         sb AS (
+           SELECT e.vec_id, pl.p // 6 AS t,
+                  CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % 6)) ELSE 0 END AS bit
+           FROM ed e, planes pl),
+         keys AS (SELECT vec_id, t, sum(bit) AS k FROM sb GROUP BY vec_id, t),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id)
+         SELECT c.id_a, c.id_b,
+                round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+         FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
+         WHERE list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // Assignment replay over the exported model: per-vector nearest
+    // centroid (squared euclid, ties to the lowest cluster id — the
+    // strict-< argmin in Model.nearest), then the group sizes.
+    "km1_kmeans_sizes" ->
+      """WITH c AS (SELECT cluster, centroid FROM read_parquet('__OUT__/km0_centroids/*.parquet')),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         a AS (
+           SELECT e.vec_id,
+             (SELECT c.cluster FROM c
+              ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+                          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
+                       c.cluster ASC
+              LIMIT 1) AS cluster
+           FROM ed e)
+         SELECT cluster, count(*) AS n_points FROM a GROUP BY cluster""",
+    // IVF replay over the exported model: corpus cells by nearest
+    // centroid, 3 probe cells per query (distance then cluster-id order,
+    // matching Model.probes' stable sort), cosine from per-row norms,
+    // rank <= 5 with the neighbor-id tiebreak.
+    "km2_ivf_knn" ->
+      """WITH c AS (SELECT cluster, centroid FROM read_parquet('__OUT__/km0_centroids/*.parquet')),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         cells AS (
+           SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
+             (SELECT c.cluster FROM c
+              ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+                          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
+                       c.cluster ASC
+              LIMIT 1) AS cell
+           FROM ed e),
+         q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
+               FROM ed WHERE vec_id < 20),
+         probes AS (
+           SELECT q.qid, q.qv, q.qn, p.cell
+           FROM q, LATERAL (
+             SELECT c.cluster AS cell FROM c
+             ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+                         i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
+                      c.cluster ASC
+             LIMIT 3) p),
+         scored AS (
+           SELECT p.qid, cl.vec_id AS neighbor,
+                  list_dot_product(p.qv, cl.v) / (p.qn * cl.nrm) AS cos
+           FROM probes p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid),
+         ranked AS (
+           SELECT qid, neighbor, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
+           FROM scored)
+         SELECT qid, neighbor, rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5"""
   )
 }
