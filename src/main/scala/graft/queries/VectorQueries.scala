@@ -48,21 +48,23 @@ object VectorQueries {
         size(col("embedding")).as("dim"))
     },
 
-    // Fitted k-means model export (cluster, centroid). Lloyd's iterations
-    // sum floats, so the model itself can't be replayed engine-independently
-    // — instead the fit is bitwise-deterministic (fixed partition fold +
-    // driver merge order, see KMeans.fit), this query publishes the
-    // centroids, and the km1/km2 oracles read them back via __OUT__ and
-    // replay ASSIGNMENT and SCORING in SQL. Rows-only itself (it IS the
-    // ground truth the dependent oracles consume); convergence quality is
-    // spec'd in ScaleOpsSpec.
+    // Fitted k-means model export. Lloyd's iterations sum floats, so the
+    // model itself can't be replayed engine-independently — instead the
+    // fit is bitwise-deterministic (fixed partition fold + driver merge
+    // order, see KMeans.fit), this query publishes the centroids, and the
+    // km1/km2 oracles read them back via __OUT__ and replay ASSIGNMENT
+    // and SCORING in SQL. Exported as scalar (cluster, dim_idx, value)
+    // rows — the verify harness canonicalizes scalar columns only, and
+    // the oracles `list(value ORDER BY dim_idx)` the centroids back.
+    // Rows-only itself (it IS the ground truth the dependent oracles
+    // consume); convergence quality is spec'd in ScaleOpsSpec.
     "km0_centroids" -> { (s, dir) =>
       import s.implicits._
       val e = Tables.load(s, dir, "embeddings")
       val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", k = 8, maxIters = 5)
       model.centroids.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }
-        .toDF("cluster", "centroid")
+        .flatMap { case (c, ci) => c.toSeq.zipWithIndex.map { case (v, di) => (ci, di, v) } }
+        .toDF("cluster", "dim_idx", "value")
     },
 
     // K-means clustering (iterative broadcast + partition-partial Lloyd's,
@@ -152,44 +154,49 @@ object VectorQueries {
                / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
     // Assignment replay over the exported model: per-vector nearest
     // centroid (squared euclid, ties to the lowest cluster id — the
-    // strict-< argmin in Model.nearest), then the group sizes.
+    // strict-< argmin in Model.nearest), then the group sizes. Written
+    // WITHOUT correlated subqueries: DuckDB's binder can't see outer
+    // columns inside a lambda within a correlated subquery (r4 err), so
+    // the argmin is CROSS JOIN + distance + row_number instead. The
+    // left-to-right list_reduce fold matches KMeans' sequential loop, so
+    // distances are bitwise identical and the argmin agrees exactly.
     "km1_kmeans_sizes" ->
-      """WITH c AS (SELECT cluster, centroid FROM read_parquet('__OUT__/km0_centroids/*.parquet')),
+      """WITH c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+                    FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         dist AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+               i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN c),
          a AS (
-           SELECT e.vec_id,
-             (SELECT c.cluster FROM c
-              ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
-                          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
-                       c.cluster ASC
-              LIMIT 1) AS cluster
-           FROM ed e)
-         SELECT cluster, count(*) AS n_points FROM a GROUP BY cluster""",
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist)
+         SELECT cluster, count(*) AS n_points FROM a WHERE rn = 1 GROUP BY cluster""",
     // IVF replay over the exported model: corpus cells by nearest
-    // centroid, 3 probe cells per query (distance then cluster-id order,
-    // matching Model.probes' stable sort), cosine from per-row norms,
-    // rank <= 5 with the neighbor-id tiebreak.
+    // centroid (rn = 1), 3 probe cells per query (rn <= 3 on the same
+    // ranking — distance then cluster-id order, matching Model.probes'
+    // stable sort), cosine from per-row norms, rank <= 5 with the
+    // neighbor-id tiebreak. Same uncorrelated CROSS JOIN + row_number
+    // shape as km1.
     "km2_ivf_knn" ->
-      """WITH c AS (SELECT cluster, centroid FROM read_parquet('__OUT__/km0_centroids/*.parquet')),
+      """WITH c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+                    FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         cells AS (
-           SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
-             (SELECT c.cluster FROM c
-              ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
-                          i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
-                       c.cluster ASC
-              LIMIT 1) AS cell
-           FROM ed e),
-         q AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn
-               FROM ed WHERE vec_id < 20),
-         probes AS (
-           SELECT q.qid, q.qv, q.qn, p.cell
-           FROM q, LATERAL (
-             SELECT c.cluster AS cell FROM c
-             ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
-                         i -> (q.qv[i] - c.centroid[i]) * (q.qv[i] - c.centroid[i]))), (x, y) -> x + y) ASC,
-                      c.cluster ASC
-             LIMIT 3) p),
+         dist AS (
+           SELECT e.vec_id, e.v, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+               i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN c),
+         ranked_cells AS (
+           SELECT vec_id, v, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist),
+         cells AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, cluster AS cell
+                   FROM ranked_cells WHERE rn = 1),
+         probes AS (SELECT vec_id AS qid, v AS qv, sqrt(list_dot_product(v, v)) AS qn, cluster AS cell
+                    FROM ranked_cells WHERE vec_id < 20 AND rn <= 3),
          scored AS (
            SELECT p.qid, cl.vec_id AS neighbor,
                   list_dot_product(p.qv, cl.v) / (p.qn * cl.nrm) AS cos
