@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR (default sf0.1), printing ONE JSON line.
@@ -8,8 +8,20 @@ import org.apache.spark.sql.SparkSession
   * Each query gets one warm-up execution (plan compilation + codegen +
   * JIT) and one timed execution — the driver grades steady-state engine
   * throughput, not JVM warm-up.
+  *
+  * The timed action is a `noop`-format write, not `count()`: count lets
+  * Catalyst prune projection-only plans down to a row count (a scan that
+  * never materializes the projected columns), while the noop sink pulls
+  * every output column through the full plan — what a real consumer pays.
+  *
+  * `km_fit` is a bench-only entry timing an UNCACHED `KMeans.fit` (the
+  * iterative Lloyd's workload): the query trio km0/km1/km2 shares one
+  * cached model by design, which would otherwise hide fit regressions.
   */
 object Bench {
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,15 +38,28 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () } // warm-up
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // Uncached fit timing (bypasses the km0/km1/km2 shared-model cache).
+    val embeddings = Tables.load(spark, sfDir, "embeddings")
+    val kmFit = {
+      try graft.operators.KMeans.fit(embeddings, "vec_id", "embedding", 8, 5) // warm-up
+      catch { case _: Throwable => () }
+      val t0 = System.nanoTime()
+      try graft.operators.KMeans.fit(embeddings, "vec_id", "embedding", 8, 5)
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val all = results :+ ("km_fit" -> kmFit)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"action=noop-write (r5; was count) + bench-only km_fit entry"}""")
     spark.stop()
   }
 }

@@ -29,12 +29,21 @@ object KMeans {
   /** Process-wide model cache so the export query (`km0_centroids`) and
     * the dependent queries (km1/km2) replay the SAME fitted model within
     * one run — and repeated bench iterations skip refitting. Keyed by
-    * (data dir, cols, k, iters); test data is immutable per dir.
+    * (data dir, cols, k, iters, rowcount): the count is a cheap data
+    * fingerprint (parquet metadata read, no scan) so a dir whose contents
+    * are regenerated within one JVM isn't served a stale model. Callers
+    * that need a guaranteed-fresh fit (bench) call [[fit]] directly.
     */
-  private val modelCache = scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int), Model]
+  private val modelCache = scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int, Long), Model]
 
-  def fitCached(df: DataFrame, dir: String, idCol: String, vecCol: String, k: Int, maxIters: Int): Model =
-    modelCache.getOrElseUpdate((dir, idCol, vecCol, k, maxIters), fit(df, idCol, vecCol, k, maxIters))
+  def fitCached(df: DataFrame, dir: String, idCol: String, vecCol: String, k: Int, maxIters: Int): Model = {
+    val fingerprint = df.count()
+    modelCache.getOrElseUpdate((dir, idCol, vecCol, k, maxIters, fingerprint),
+      fit(df, idCol, vecCol, k, maxIters))
+  }
+
+  /** Drop all cached models (test/bench hygiene). */
+  def clearCache(): Unit = modelCache.clear()
 
   case class Model(centroids: Array[Array[Double]]) {
     def nearest(v: Array[Double]): Int = {
@@ -79,8 +88,11 @@ object KMeans {
     // partition, so every partition folds its rows in the same order on
     // every run (a plain repartition leaves within-partition order to
     // shuffle-fetch arrival). One extra sort, paid once before iterating.
-    val data = df.select(col(idCol).cast("long"), col(vecCol)).rdd
-      .map(r => (r.getLong(0), toVec(r, 1)))
+    // The key is (xxhash64(id), id-as-string) — a total order that works
+    // for ARBITRARY id types (a cast("long") would silently null
+    // non-numeric ids and NPE at getLong).
+    val data = df.select(xxhash64(col(idCol)), col(idCol).cast("string"), col(vecCol)).rdd
+      .map(r => ((r.getLong(0), r.getString(1)), toVec(r, 2)))
       .repartitionAndSortWithinPartitions(new org.apache.spark.HashPartitioner(par))
       .values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -127,15 +139,13 @@ object KMeans {
     } finally data.unpersist(): Unit
   }
 
-  /** Cluster assignments as a DataFrame (id, cluster). */
+  /** Cluster assignments as a DataFrame (id, cluster). The id column
+    * passes through untouched (any type); only the vector is closed over.
+    */
   def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model)
-    val assigned = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, bc.value.nearest(v)) }
-    assigned.toDF(idCol, "cluster")
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
+    df.select(col(idCol), nearestU(col(vecCol).cast("array<double>")).as("cluster"))
   }
 
   /** IVF approximate nearest neighbors: corpus bucketed by nearest
@@ -146,21 +156,19 @@ object KMeans {
   def ivfKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       model: Model, nprobe: Int, topK: Int): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
+    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
+    val probesU = udf((v: Seq[Double]) => bc.value.probes(v.toArray, nprobe))
 
-    // norms per row below the cell join — not per scored pair
-    val corpusCells = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, bc.value.nearest(v), v) }
-      .toDF("neighbor", "cell", "cv")
+    // norms per row below the cell join — not per scored pair; ids pass
+    // through untouched (any type)
+    val corpusCells = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", nearestU(col("cv")))
       .withColumn("cn", VectorFunctions.vecNorm(col("cv")))
 
     val queryCells = broadcast(
-      queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-        .as[(Long, Array[Double])]
-        .flatMap { case (id, v) => bc.value.probes(v, nprobe).map(c => (id, c, v)) }
-        .toDF("qid", "cell", "qv")
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("cell", explode(probesU(col("qv"))))
         .withColumn("qn", VectorFunctions.vecNorm(col("qv"))))
 
     val scored = corpusCells.join(queryCells, "cell")
