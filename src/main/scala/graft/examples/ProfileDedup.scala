@@ -36,6 +36,27 @@ object ProfileDedup {
         .toDF("id", "band", "key")
         .groupBy("band", "key").agg(count(lit(1)).as("n")).count()
     }
+    val buckets = spread
+      .select(col("id"), posexplode(Dedup.bandKeys(
+        Dedup.minhashSignature(Dedup.charShingleHashes(col("text"), 5), 64), 64, 16)))
+      .toDF("id", "band", "key")
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+    println("[profile] bucket size histogram (n -> buckets):")
+    buckets.filter(col("n") > 1).groupBy("n").count().orderBy(col("n").desc).limit(12)
+      .collect().foreach(r => println(s"[profile]   size ${r.get(0)} x ${r.get(1)}"))
+    time("candidate pairs (distinct)") {
+      val b = spread
+        .select(col("id"), posexplode(Dedup.bandKeys(
+          Dedup.minhashSignature(Dedup.charShingleHashes(col("text"), 5), 64), 64, 16)))
+        .toDF("id", "band", "key")
+        .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
+        .select(explode(col("ids")).as("a"), col("ids"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+      println(s"[profile]   raw pair rows: ${b.count()}")
+      b.distinct().count()
+    }
     time("full ngram near-dup") {
       Dedup.ngramJaccardNearDupPairs(docs, "doc_id", "text").count()
     }

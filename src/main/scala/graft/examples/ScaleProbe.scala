@@ -1,0 +1,82 @@
+package graft.examples
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry, Tables}
+import graft.operators.{Dedup, KMeans}
+
+/** Scale-probe runner: times a set of declared queries (one warm-up, then
+  * min of 3 noop-write runs) against an arbitrary data dir — used with
+  * `tools/make_scale10.py` output to measure 1× vs 10× scaling of the
+  * LLM-pipeline ops, recorded in BASELINE.md.
+  *
+  * `--hot-bucket` instead runs the planted-hot-bucket demonstration: a
+  * corpus where one degenerate cluster (N identical docs) would create an
+  * O(N²) bucket, showing the `maxBucketSize` guard dropping it and
+  * `dropMetrics` accounting for the loss.
+  */
+object ScaleProbe {
+  private def timed(run: => Unit): Double = {
+    run // warm-up
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      run
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("--hot-bucket")) {
+      val docs = Tables.load(spark, sfDir, "documents")
+      // plant one degenerate cluster: 3000 copies of a single doc
+      val hot = spark.range(3000).select(
+        (col("id") + 900000000L).as("doc_id"),
+        lit("the same short boilerplate paragraph repeated verbatim across the corpus").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(hot)
+      // an Observation registers with one query execution only — fresh one
+      // per run; warm-up separately, then one timed run
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      val obs = Observation("drops")
+      val t0 = System.nanoTime()
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text", dropMetrics = Some(obs))
+        .write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(s"[probe] hot_bucket guard: ${"%.2f".format(t)} s, metrics=${obs.get}")
+    } else {
+      val names = args.drop(1).filter(!_.startsWith("--")) match {
+        case more if more.nonEmpty => more.toSeq
+        case _ => Seq("d3_minhash_neardup", "d4_ngram_neardup", "d5_simhash_neardup",
+          "v3_ann_srp_pairs", "km1_kmeans_sizes", "km2_ivf_knn", "sq1_sessions")
+      }
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val t = timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        println(f"[probe] $name%-24s ${t}%6.2f s")
+      }
+      val e = Tables.load(spark, sfDir, "embeddings")
+      val t = timed { KMeans.fit(e, "vec_id", "embedding", 8, 5): Unit }
+      println(f"[probe] ${"km_fit"}%-24s ${t}%6.2f s")
+
+      // v3 with scale-adjusted SRP parameters: the declared query pins
+      // bits=6 (64 buckets/table) for the oracle replay, which saturates
+      // as the corpus grows — bucket population ∝ n/2^bits, pair
+      // expansion ∝ n²/2^bits. The operator's contract is
+      // bits ≈ log2(n / target_bucket_size); this measures that path.
+      for ((bits, tables) <- Seq((10, 12), (10, 24))) {
+        val ts = timed {
+          graft.operators.Similarity.annCosinePairs(
+            e, "vec_id", "embedding", 64, 0.45, bits = bits, tables = tables)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v3_srp_b${bits}_t$tables"}%-24s ${ts}%6.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -352,8 +352,12 @@ object Dedup {
     // reached a shared bucket.
     val candIds = candidates
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
+    // Persisted: candSets feeds BOTH verification joins below — without
+    // the persist each reference re-runs the docs scan + broadcast join +
+    // shingle expression (the r4 d4 regression). Bounded by |candidates|.
     val candSets = spread.join(broadcast(candIds), "id")
       .select(col("id"), shingleCol.as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     candidates
       .join(candSets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
