@@ -583,6 +583,19 @@ object DSet {
     def groupByKey(implicit ek: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
       new DSet(ds.groupByKey(_._1).mapGroups((k, vs) => (k, vs.map(_._2).toSeq)))
 
+    /** [[groupByKey]] with an explicit reducer count (reference
+      * `DKV.fs:99-126` exposes the partition-count variant). One shuffle
+      * of the pairs to exactly `numPartitions` reducers, then grouping —
+      * the partition count genuinely sizes the shuffle (a Dataset-level
+      * repartition + groupByKey would re-shuffle to the session default),
+      * matching the reference's contract where `numPartitions` controls
+      * reducer fan-in.
+      */
+    def groupByKeyN(numPartitions: Int)(implicit e: Encoder[(K, Seq[V])],
+        ctk: ClassTag[K], ctv: ClassTag[V]): DSet[(K, Seq[V])] =
+      DSet.fromRDD(spark,
+        ds.rdd.groupByKey(numPartitions).map { case (k, vs) => (k, vs.toSeq) })
+
     /** Two-phase salted grouping for skewed keys: values first group under
       * (key, salt) — spreading a heavy-hitter key over `saltParts`
       * reducers — then partial groups merge per key. The standard skew

@@ -82,7 +82,14 @@ object LiveIngest {
           }, "graft-live-ingest-conn")
           conn.setDaemon(true)
           conn.start()
-        } catch { case _: Exception => () } // server closed: shutting down
+        } catch {
+          // server closed: shutting down. Any OTHER accept failure (e.g.
+          // fd exhaustion) must not hot-spin the daemon thread — back off
+          // briefly and retry.
+          case _: Exception =>
+            if (server.isClosed) done = true
+            else try Thread.sleep(100) catch { case _: InterruptedException => done = true }
+        }
       }
     }, "graft-live-ingest-server")
     t.setDaemon(true)

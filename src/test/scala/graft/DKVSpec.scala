@@ -28,6 +28,15 @@ class DKVSpec extends SparkSuite {
     got.foreach { case (k, vs) => assert(vs.sorted == exp(k).sorted) }
   }
 
+  test("groupByKeyN groups identically at an explicit partition count") {
+    val d = pairs().groupByKeyN(4)
+    assert(d.ds.rdd.getNumPartitions == 4)
+    val got = d.toArray.toMap
+    val exp = (0 until 200).groupBy(_ % 10)
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, vs) => assert(vs.sorted == exp(k).sorted) }
+  }
+
   test("reduceByKey matches local oracle (map-side combine path)") {
     val got = pairs().reduceByKey(_ + _).toArray.toMap
     val exp = (0 until 200).groupBy(_ % 10).view.mapValues(_.sum).toMap
