@@ -1,38 +1,155 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
 /** Text-analysis column builders for large-scale training-data pipelines.
   *
   * The reference has no scalar function library — all row logic is user
-  * lambdas (SURVEY §2.7) — so these are engine-native additions. Every
-  * function is built from `org.apache.spark.sql.functions._` (JVM-eval'd
-  * higher-order functions, no Python/Scala UDFs), keeping the hot path
-  * inside Catalyst so it survives a 100 TB scan: a per-row expression with
-  * no shuffle, no driver involvement, and column pruning intact.
+  * lambdas (SURVEY §2.7) — so these are engine-native additions. The
+  * scalar builders are backed by native Catalyst expressions with tight
+  * primitive scan loops (CodegenFallback, same pattern as
+  * [[graft.operators.Dedup.ShingleHashes]]): the higher-order-function
+  * formulations (`filter`/`aggregate` with Column lambdas) interpret a
+  * lambda per token/char, which the 10× scale probe showed becoming the
+  * dominant per-row cost. Either way the shape survives a 100 TB scan —
+  * per-row expressions, no shuffle, no driver involvement, column pruning
+  * intact — the native bodies just make the scan compute-cheap.
+  *
+  * Tokenization semantics (all scalar functions): single-space splitting
+  * with empty tokens removed — `filter(split(text, " "), _ =!= "")` — so
+  * token character counts are exactly the non-space character count.
   */
 object TextFunctions {
+
+  /** Shared scan: invoke `f(start, end)` for each maximal non-space run. */
+  private def eachToken(s: String)(f: (Int, Int) => Unit): Unit = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) != ' ') {
+        var j = i
+        while (j < n && s.charAt(j) != ' ') j += 1
+        f(i, j)
+        i = j
+      } else i += 1
+    }
+  }
+
+  /** Native token statistic over a text column — one pass, no per-token
+    * lambda interpretation, no token array materialization (and for
+    * `mode = Distinct` only, one substring per token into a hash set).
+    */
+  private[functions] object ScanMode {
+    val Count = 0 // number of tokens
+    val Distinct = 1 // number of distinct tokens (exact, string equality)
+    val LenSum = 2 // sum of token lengths == non-space char count
+  }
+
+  private[functions] case class TokenScan(child: Expression, mode: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = if (mode == ScanMode.LenSum) LongType else IntegerType
+    override def prettyName: String = mode match {
+      case ScanMode.Count => "token_count"
+      case ScanMode.Distinct => "distinct_token_count"
+      case _ => "token_len_sum"
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      mode match {
+        case ScanMode.Count =>
+          var c = 0
+          eachToken(s)((_, _) => c += 1)
+          c
+        case ScanMode.Distinct =>
+          val seen = new java.util.HashSet[String]()
+          eachToken(s)((i, j) => { seen.add(s.substring(i, j)): Unit })
+          seen.size()
+        case _ =>
+          var c = 0L
+          eachToken(s)((i, j) => c += (j - i))
+          c
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Native stopword-hit counter: per token one hash-set membership test
+    * (vs an interpreted `isInCollection` lambda per token).
+    */
+  private[functions] case class StopwordHits(child: Expression, words: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "stopword_hits"
+
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var c = 0
+      eachToken(s)((i, j) => if (set.contains(s.substring(i, j))) c += 1)
+      c
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Native polynomial rolling hash over every character (spaces
+    * included), `acc = (acc * 31 + char) mod 1e9+7` — the same fold the
+    * DuckDB oracle replays with `list_reduce`. Accumulator < 2^30, so
+    * `acc * 31 + c` stays far below 2^63.
+    */
+  private[functions] case class RollingHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var acc = 0L
+      var i = 0
+      while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 
   /** Whitespace tokens (empty tokens removed). */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column =
+    graftbridge.column(TokenScan(graftbridge.expression(text), ScanMode.Count))
 
-  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+  def distinctTokenCount(text: Column): Column =
+    graftbridge.column(TokenScan(graftbridge.expression(text), ScanMode.Distinct))
 
   /** Mean token length; null-safe for empty docs. */
   def avgTokenLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0))
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
       .otherwise(
-        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+        graftbridge.column(TokenScan(graftbridge.expression(text), ScanMode.LenSum))
+          .cast("double") / n)
   }
 
   /** Count of tokens contained in `words` (stopword-list hit count). */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(words)))
+    graftbridge.column(StopwordHits(graftbridge.expression(text), words))
 
   /** Share of tokens that are stopwords — a standard quality signal. */
   def stopwordRatio(text: Column, words: Seq[String]): Column = {
@@ -46,7 +163,7 @@ object TextFunctions {
     * oracle replays it with `list_reduce`).
     */
   def rollingHash(text: Column): Column =
-    aggregate(split(text, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+    graftbridge.column(RollingHashExpr(graftbridge.expression(text)))
 
   /** Overlapping word n-gram shingles (distinct), the MinHash input.
     * Guarded for docs shorter than n tokens (Spark's `sequence` would
