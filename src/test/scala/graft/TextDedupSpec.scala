@@ -30,6 +30,26 @@ class TextDedupSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
   }
 
+  test("native token scans handle empty / multi-space / null edge cases") {
+    val df = Seq[String]("", " ", "  a  a b ", "a", null).toDF("text").select(
+      col("text"),
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("d"),
+      TextFunctions.avgTokenLen(col("text")).as("avg"),
+      TextFunctions.stopwordCount(col("text"), Seq("a", "the")).as("stop"),
+      TextFunctions.rollingHash(col("text")).as("fp"))
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) -1 else r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3), if (r.isNullAt(4)) -1 else r.getInt(4),
+      if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    def ref(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(got(0) == (("", 0, 0, 0.0, 0, 0L)))
+    assert(got(1) == ((" ", 0, 0, 0.0, 0, ref(" "))))
+    assert(got(2) == (("  a  a b ", 3, 2, 1.0, 2, ref("  a  a b "))))
+    assert(got(3) == (("a", 1, 1, 1.0, 1, ref("a"))))
+    assert(got(4) == ((null, -1, -1, -1.0, -1, -1L))) // null in -> null out
+  }
+
   test("wordShingles produce n-grams; short docs yield empty array") {
     val df = Seq("a b c d", "x y", "").toDF("text")
       .select(TextFunctions.wordShingles(col("text"), 3).as("sh"))
