@@ -139,6 +139,45 @@ object Dedup {
       copy(child = newChild)
   }
 
+  /** Exact Jaccard of two SORTED distinct long arrays (the
+    * [[ShingleHashes]] output contract) by linear merge — no per-pair
+    * hash-set allocation like `array_intersect`/`array_union`, which
+    * dominate LSH verification cost once candidates number in the
+    * millions. Identical counts to the set formulation on sorted-distinct
+    * inputs, so oracle parity is unchanged.
+    */
+  case class JaccardSortedLong(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def prettyName: String = "jaccard_sorted"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val m = y.numElements()
+      var i = 0
+      var j = 0
+      var inter = 0
+      while (i < n && j < m) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      val union = n + m - inter
+      if (union == 0) null else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column builder for [[JaccardSortedLong]]. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    graftbridge.column(JaccardSortedLong(graftbridge.expression(a), graftbridge.expression(b)))
+
   /** Distinct word-n-gram shingle hashes (see [[ShingleHashes]]). */
   def wordShingleHashes(text: Column, n: Int): Column =
     graftbridge.column(ShingleHashes(graftbridge.expression(text), n, word = true))
@@ -362,7 +401,7 @@ object Dedup {
     candidates
       .join(candSets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(candSets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
