@@ -50,6 +50,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
     },
 
+    // ORC sink → source roundtrip (columnar format with embedded schema,
+    // pushdown, splittable stripes — the third sink/source format).
+    "or1_orc_roundtrip" -> { (s, dir) =>
+      val out = tmpDir("orc")
+      val src = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      Sources.writeOrc(src, out)
+      Sources.readOrc(s, out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
+    },
+
     // As-of join: each click matched to the user's most recent prior
     // purchase (operator the reference lacks; SURVEY §2.4).
     "qa1_asof_click_purchase" -> { (s, dir) =>
@@ -106,6 +118,9 @@ object PipelineQueries {
     "js1_json_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY o_orderpriority""",
+    "or1_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
+         FROM part GROUP BY p_brand""",
     "qa1_asof_click_purchase" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
