@@ -62,6 +62,24 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
     },
 
+    // Hive-style partitioned layout: write orders partitioned by
+    // o_orderpriority, read back filtered to ONE partition value — the
+    // filter prunes at the directory level before any file is opened
+    // (PartitionFilters in the scan; PartitionPruneSpec asserts it).
+    // At 100 TB this is the date-partition pattern: a day's query reads
+    // a day's files, not the table.
+    "pp1_partition_prune" -> { (s, dir) =>
+      val out = tmpDir("ppart")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+
     // As-of join: each click matched to the user's most recent prior
     // purchase (operator the reference lacks; SURVEY §2.4).
     "qa1_asof_click_purchase" -> { (s, dir) =>
@@ -121,6 +139,9 @@ object PipelineQueries {
     "or1_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
          FROM part GROUP BY p_brand""",
+    "pp1_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""",
     "qa1_asof_click_purchase" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c

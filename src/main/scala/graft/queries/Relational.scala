@@ -114,6 +114,23 @@ object Relational {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     },
 
+    // Analytic-window pack: lag / lead / ntile / running sum share ONE
+    // window spec, so Catalyst plans a single shuffle on o_custkey and
+    // one sort — four analytics for the price of one exchange.
+    "ql1_window_analytics" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+          col("next_price"), col("quartile"), col("running_spend"))
+    },
+
     // Rollup (grouping sets) — Spark-native bonus.
     "q8_rollup_status_priority" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
@@ -352,6 +369,14 @@ object Relational {
              row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 2""",
+    "ql1_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,
+           round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS next_price,
+           ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+         FROM orders""",
     "q8_rollup_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          round(sum(o_totalprice),2) AS sum_price

@@ -103,4 +103,29 @@ class ScaleOpsSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("pp1 partitioned layout: equality filter prunes to one directory") {
+    val df = graft.queries.PipelineQueries.queries("pp1_partition_prune")(spark, sf0001)
+    // collect() runs THIS DataFrame's memoized QueryExecution (count()
+    // would plan a separate one whose metrics we couldn't inspect)
+    assert(df.collect().nonEmpty)
+    // descend through AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec
+    // are leaves to collect(), hiding the scan they wrap)
+    def findScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => findScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => findScans(q.plan)
+      case other => other.children.flatMap(findScans)
+    }
+    val executed = df.queryExecution.executedPlan
+    val scan = findScans(executed).headOption
+      .getOrElse(fail(s"no FileSourceScanExec in plan:\n$executed"))
+    assert(scan.partitionFilters.exists(_.toString.contains("o_orderpriority")),
+      s"partition filter did not reach the scan: ${scan.partitionFilters}")
+    // driver-side metric: directories actually listed after pruning
+    scan.metrics.get("numPartitions").foreach { m =>
+      assert(m.value == 1, s"expected 1 partition dir read, got ${m.value}")
+    }
+  }
 }
