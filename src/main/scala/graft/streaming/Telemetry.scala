@@ -44,6 +44,27 @@ object Telemetry {
   def dedupStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
 
+  /** Watermarked stream-stream interval join: left events matched to
+    * right events with the same key whose timestamp falls in
+    * `[left.ts - beforeSec, left.ts]` — the streaming twin of
+    * [[graft.operators.TemporalJoins.rangeJoin]] (spec asserts pair-set
+    * parity with the batch form).
+    *
+    * Scale: both sides shuffle on the join key once; the time-range
+    * predicate bounds each side's state to watermark + interval, so
+    * state is O(rate × horizon) per key regardless of stream length.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      watermark: String, beforeSec: Int): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $beforeSec SECONDS") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
   /** Streaming form: watermark bounds state for late data; append mode
     * emits a window once the watermark passes its end.
     */

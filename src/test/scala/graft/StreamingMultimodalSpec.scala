@@ -96,4 +96,41 @@ class StreamingMultimodalSpec extends SparkSuite {
     }
     assert(streamed.size >= batch.size / 2, s"too few windows emitted: ${streamed.size}/${batch.size}")
   }
+
+  test("stream-stream interval join matches the batch range join pair-for-pair") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val errorsB = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicksB = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val batchPairs = graft.operators.TemporalJoins
+      .rangeJoin(errorsB, clicksB, "user_id", "ts", 300)
+      .select(col("l.event_id"), col("click_id"))
+      .filter(col("click_id").isNotNull) // rangeJoin is left_outer; stream join is inner
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("join-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    def evStream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errorsS = evStream.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicksS = evStream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val q = Telemetry.intervalJoinStream(errorsS, clicksS, "user_id", "10 minutes", 300)
+      .select(col("l.event_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("sjoin")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedPairs = spark.table("sjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedPairs == batchPairs,
+      s"pair sets differ: stream-only=${(streamedPairs -- batchPairs).take(5)} " +
+        s"batch-only=${(batchPairs -- streamedPairs).take(5)} " +
+        s"(sizes ${streamedPairs.size} vs ${batchPairs.size})")
+  }
 }
