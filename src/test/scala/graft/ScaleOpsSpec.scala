@@ -104,6 +104,36 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a planted skewed join partition at runtime (skew=true)") {
+    // one hot key holding ~98% of the left side — the shape salting
+    // (KVOps.groupByKeySalted) fixes at plan time; here AQE must fix it
+    // at RUNTIME by splitting the oversized shuffle partition
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkewThresh = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevAdvisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // test-scale thresholds (defaults are 256 MB — cluster-sized)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val left = spark.range(100000)
+        .select(when(col("id") % 50 === 0, col("id") % 100).otherwise(lit(7L)).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      // collect() executes THIS DataFrame's QueryExecution (count() would
+      // plan a separate one whose final adaptive plan we couldn't inspect)
+      assert(joined.collect().length == 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not flag/split the skewed partition:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevSkewThresh)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+    }
+  }
+
   test("pp1 partitioned layout: equality filter prunes to one directory") {
     val df = graft.queries.PipelineQueries.queries("pp1_partition_prune")(spark, sf0001)
     // collect() runs THIS DataFrame's memoized QueryExecution (count()
