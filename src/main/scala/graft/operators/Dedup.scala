@@ -47,6 +47,48 @@ object Dedup {
       coalesce(sum(when(sizeCol > maxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L)).as("dropped_buckets"),
       coalesce(sum(when(sizeCol > maxBucketSize, sizeCol.cast("long")).otherwise(lit(0L))), lit(0L)).as("dropped_members")))
 
+  /** Connected components over an undirected pair list — the group-
+    * resolution step that turns near-dup PAIRS (from the LSH detectors
+    * below) into dedup DECISIONS: every member of a cluster mapped to the
+    * cluster's min id, the canonical "keep" document.
+    *
+    * Iterative min-label propagation: each pass pushes every node's
+    * current label across its edges and keeps the min; fixpoint after
+    * O(component diameter) passes. Near-dup clusters are cliques or short
+    * chains, so this converges in 2-4 passes regardless of corpus size.
+    * Each pass is one shuffle on node id over the EDGE list only (pairs,
+    * not corpus); `localCheckpoint` truncates lineage so the plan stays
+    * flat across iterations. The convergence probe is a `limit(1)` count
+    * — it short-circuits at the first changed label.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp"))
+        .limit(1).count()
+      labels = next
+      it += 1
+      converged = changed == 0L
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** Exact deduplication: one representative (min id) per duplicate group
     * of `keyCols`, with the group size. A single hash aggregation —
     * partial (map-side) combine makes this one shuffle of distinct keys.

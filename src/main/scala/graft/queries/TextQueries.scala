@@ -48,6 +48,17 @@ object TextQueries {
       Dedup.ngramJaccardNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    // Near-dup GROUP resolution: connected components over the verified
+    // MinHash pairs — every clustered doc mapped to its component's min
+    // id (the keep/drop decision a dedup pipeline actually emits).
+    // Oracle: DuckDB recursive-CTE transitive closure over the same
+    // exact-Jaccard pair list.
+    "d6_dedup_groups" -> { (s, dir) =>
+      val pairs = Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+    },
+
     // SimHash near-dup pairs, hash-gated: the oracle replays the exact
     // FNV-1a + bit-tally sketch in DuckDB (mod-2^64 HUGEINT arithmetic)
     // and enumerates all pairs at hamming <= 3 — chunk blocking is
@@ -120,6 +131,24 @@ object TextQueries {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+    "d6_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         pr AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         ed AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM ed
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
+         SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a""",
     "t1_token_stats" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
                      FROM documents)

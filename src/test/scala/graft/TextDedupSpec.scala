@@ -134,4 +134,24 @@ class TextDedupSpec extends SparkSuite {
     val vals = docs.select(TextFunctions.qualityScore(col("text"))).collect().map(_.getDouble(0))
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("connectedComponents resolves chains and cliques to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs multiple label passes), a
+    // 3-clique with redundant edges, and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents on an empty pair list returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
+  }
 }
