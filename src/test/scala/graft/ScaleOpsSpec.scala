@@ -104,6 +104,24 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("approx sketches track exact within tolerance (the 100 TB substitutes)") {
+    // at 100 TB, countDistinct / exact percentile become the bottleneck
+    // (full shuffle of distinct values / full sort per group); the HLL and
+    // KLL-sketch forms are one narrow pass with mergeable partials —
+    // prove they stay within advertised error so the swap is safe
+    val li = Tables.load(spark, sf001, "lineitem")
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_orderkey"), 0.02)).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL off by ${math.abs(approx - exact).toDouble / exact}: $approx vs $exact")
+
+    val Array(exQ50, exQ95) = li.stat.approxQuantile("l_quantity", Array(0.5, 0.95), 0.0)
+    val Array(apQ50, apQ95) = li.stat.approxQuantile("l_quantity", Array(0.5, 0.95), 0.01)
+    // rank error 1% of n translates to small value error on this domain
+    assert(math.abs(apQ50 - exQ50) <= 2.0, s"q50 $apQ50 vs $exQ50")
+    assert(math.abs(apQ95 - exQ95) <= 2.0, s"q95 $apQ95 vs $exQ95")
+  }
+
   test("AQE splits a planted skewed join partition at runtime (skew=true)") {
     // one hot key holding ~98% of the left side — the shape salting
     // (KVOps.groupByKeySalted) fixes at plan time; here AQE must fix it
