@@ -72,18 +72,24 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // one pass per iteration: min over {own label} ∪ {neighbor labels},
+      // with the convergence count piggy-backed as an observe() metric on
+      // the same job (own label rides along as `prev`; a fresh Observation
+      // per iteration — they are single-use)
       val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("comp"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp"))
-        .limit(1).count()
+        .select(sym("src").as("id"), col("comp"), lit(false).as("own"))
+      val obs = Observation(s"cc-iter-$it-${System.nanoTime()}")
+      val next = labels.withColumn("own", lit(true))
+        .union(viaNeighbors)
+        .groupBy("id")
+        .agg(min("comp").as("comp"),
+          min(when(col("own"), col("comp"))).as("prev"))
+        .observe(obs, sum(when(col("comp") < col("prev"), 1L).otherwise(0L)).as("changed"))
+        .select("id", "comp")
+        .localCheckpoint() // eager: materializes AND completes the observation
       labels = next
       it += 1
-      converged = changed == 0L
+      converged = obs.get.get("changed").forall(_.asInstanceOf[Long] == 0L)
     }
     sym.unpersist()
     labels
