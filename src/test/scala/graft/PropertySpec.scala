@@ -87,4 +87,28 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(est - exact) < 0.15, s"overlap $overlapTenths: est $est vs exact $exact")
     }
   }
+
+  test("connectedComponents equals a local union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
+    forAllSeeded(edgeGen, n = 6) { edges =>
+      // local oracle: path-compressing union-find, min id as root label
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+
+      val got = Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
 }
