@@ -66,8 +66,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(own, min neighbor) — the node-distinct was a shuffle
+    // anyway, and starting one hop ahead converges cliques/pairs (the
+    // common dup-group shape) in a single confirming pass
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
       .localCheckpoint()
     var converged = false
     var it = 0
