@@ -96,6 +96,11 @@ object Dedup {
       converged = obs.get.get("changed").forall(_.asInstanceOf[Long] == 0L)
     }
     sym.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: no fixpoint after $maxIters passes — " +
+          "components with diameter > maxIters are left unmerged (raise maxIters; " +
+          "near-dup clusters normally converge in 2-4)")
     labels
   }
 
