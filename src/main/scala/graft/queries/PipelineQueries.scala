@@ -62,6 +62,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
     },
 
+    // Text (line-per-doc) sink → source roundtrip — the raw-corpus
+    // interchange format; the aggregate (count/total length/lexicographic
+    // extremes) must survive the roundtrip byte-exactly.
+    "tx1_text_roundtrip" -> { (s, dir) =>
+      val out = tmpDir("text")
+      Sources.writeText(Tables.load(s, dir, "documents").select(col("text")), out)
+      Sources.readText(s, out)
+        .agg(count(lit(1)).as("n_lines"), sum(length(col("value"))).as("sum_len"),
+          min(col("value")).as("min_text"), max(col("value")).as("max_text"))
+    },
+
     // Hive-style partitioned layout: write orders partitioned by
     // o_orderpriority, read back filtered to ONE partition value — the
     // filter prunes at the directory level before any file is opened
@@ -139,6 +150,9 @@ object PipelineQueries {
     "or1_orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price
          FROM part GROUP BY p_brand""",
+    "tx1_text_roundtrip" ->
+      """SELECT count(*) AS n_lines, sum(len(text))::BIGINT AS sum_len,
+         min(text) AS min_text, max(text) AS max_text FROM documents""",
     "pp1_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""",

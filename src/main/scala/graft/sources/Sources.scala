@@ -32,6 +32,16 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Line-oriented text: one string column in, one line per row out —
+    * the raw-corpus interchange format (requires newline-free values).
+    */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
+  /** Reads lines as a single `value: string` column. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** ORC: columnar + self-describing like parquet (schema embedded,
     * predicate/projection pushdown, splittable stripes).
     */
