@@ -132,6 +132,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** BPE-style pre-tokenizer token count: letter runs, short digit runs
+    * (BPE vocabularies chunk numbers), and punctuation runs — the
+    * pattern uses only character classes so the RE2 (DuckDB oracle) and
+    * Java (Spark) regex engines agree byte-for-byte. A real tokenizer's
+    * merge table refines WITHIN these pre-tokens, so this count is the
+    * standard pre-tokenization upper-bound used for corpus budgeting.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
   def tokenCount(text: Column): Column =
     graftbridge.column(TokenScan(graftbridge.expression(text), ScanMode.Count))
 

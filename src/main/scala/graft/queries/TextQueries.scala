@@ -77,6 +77,15 @@ object TextQueries {
         round(avgTokenLen(col("text")), 4).as("avg_len"))
     },
 
+    // BPE-style pre-tokenizer count (the "BPE-ish regex" half of the
+    // token-counting mandate; whitespace counts are t1). The pattern is
+    // char-class-only so Spark (Java regex) and the DuckDB oracle (RE2)
+    // agree exactly.
+    "t5_bpe_tokens" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), bpeTokenCount(col("text")).as("n_bpe_tokens"))
+    },
+
     // Quality scoring (stopword ratio + composite score).
     "t2_quality" -> { (s, dir) =>
       Tables.load(s, dir, "documents").select(
@@ -149,6 +158,10 @@ object TextQueries {
            UNION
            SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a""",
+    "t5_bpe_tokens" ->
+      """SELECT doc_id, len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+         FROM documents""",
     "t1_token_stats" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
                      FROM documents)

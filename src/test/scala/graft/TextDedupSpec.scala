@@ -135,6 +135,22 @@ class TextDedupSpec extends SparkSuite {
     assert(vals.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("bpeTokenCount chunks digits, splits punctuation runs, handles empties") {
+    import spark.implicits._
+    val rows = Seq(
+      ("hello world", 2L),       // two letter runs
+      ("12345", 2L),             // digit chunking: "123" + "45"
+      ("a-b...c", 5L),           // a, -, b, ..., c
+      ("", 0L),
+      ("  ", 0L),
+      ("don't stop", 4L)         // don, ', t, stop
+    ).toDF("text", "expected")
+    val got = rows.select(col("expected"),
+      graft.functions.TextFunctions.bpeTokenCount(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(0), r.toString))
+  }
+
   test("connectedComponents resolves chains and cliques to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3: needs multiple label passes), a
