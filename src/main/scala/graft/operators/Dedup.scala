@@ -104,6 +104,25 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup: the corpus with every near-duplicate cluster
+    * reduced to its canonical (min-id) member — what a training-data
+    * pipeline actually ships. Composes [[minhashNearDupPairs]] →
+    * [[connectedComponents]] → a left-anti join dropping non-canonical
+    * members. The drop list is tiny relative to the corpus (it is the
+    * duplicates), so the anti-join broadcasts; the corpus itself is
+    * touched by exactly one narrow sketch pass plus that join.
+    */
+  def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucketSize)
+    val drops = connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__drop_id"))
+    df.join(broadcast(drops), col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Exact deduplication: one representative (min id) per duplicate group
     * of `keyCols`, with the group size. A single hash aggregation —
     * partial (map-side) combine makes this one shuffle of distinct keys.

@@ -77,6 +77,14 @@ object TextQueries {
         round(avgTokenLen(col("text")), 4).as("avg_len"))
     },
 
+    // End-to-end near-dedup: the kept corpus after collapsing every
+    // near-dup cluster to its min-id member (d3 pairs → d6 components →
+    // anti-join). The deliverable a training pipeline ships.
+    "d7_near_dedup_corpus" -> { (s, dir) =>
+      Dedup.nearDedupKeep(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"))
+    },
+
     // BPE-style pre-tokenizer count (the "BPE-ish regex" half of the
     // token-counting mandate; whitespace counts are t1). The pattern is
     // char-class-only so Spark (Java regex) and the DuckDB oracle (RE2)
@@ -158,6 +166,26 @@ object TextQueries {
            UNION
            SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a""",
+    "d7_near_dedup_corpus" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         pr AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         ed AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM ed
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (
+           SELECT a FROM reach GROUP BY a HAVING a != min(b))""",
     "t5_bpe_tokens" ->
       """SELECT doc_id, len(regexp_extract_all(text,
            '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
