@@ -40,6 +40,17 @@ object VectorQueries {
       Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
     },
 
+    // Embedding near-dup GROUP resolution: connected components over the
+    // exact cosine pairs — each near-dup vector mapped to its cluster's
+    // min id (the keep decision). Exact pairs gate the correctness; at
+    // scale the same composition runs over annCosinePairs (SRP-LSH).
+    "v5_embed_dedup_groups" -> { (s, dir) =>
+      val pairs = Similarity.exactCosinePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("comp").as("keep_id"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -113,6 +124,20 @@ object VectorQueries {
          FROM ed a JOIN ed b ON a.vec_id < b.vec_id
          WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
+    "v5_embed_dedup_groups" ->
+      """WITH RECURSIVE ed AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         pr AS (
+           SELECT a.vec_id AS da, b.vec_id AS db
+           FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+         eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM eg
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
+         SELECT a AS vec_id, min(b) AS keep_id FROM reach GROUP BY a""",
     "v4_vector_norms" ->
       """WITH ed AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm,
