@@ -37,31 +37,38 @@ object Bench {
 
     // warm-up once (plan compile + codegen + JIT), then min of 2 timed
     // runs — single timed runs showed ±2× GC/AQE noise on the heavier
-    // queries, and steady-state throughput is what's graded
-    def bench(run: => Unit): Double = {
-      try run catch { case _: Throwable => () } // warm-up
-      (1 to 2).map { _ =>
+    // queries, and steady-state throughput is what's graded. A query
+    // that throws records the sentinel -1 (and lands in "errors"): a
+    // fast failure must not masquerade as a speedup in the published
+    // totals.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    def bench(name: String)(run: => Unit): Double = {
+      var failed = false
+      try run catch { case _: Throwable => failed = true } // warm-up
+      val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try run catch { case _: Throwable => () }
+        try run catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.min
+      if (failed) { errors += name; -1.0 } else t
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      name -> bench(exec(fn(spark, sfDir)))
+      name -> bench(name)(exec(fn(spark, sfDir)))
     }
 
     // Uncached fit timing (bypasses the km0/km1/km2 shared-model cache).
     val embeddings = Tables.load(spark, sfDir, "embeddings")
-    val kmFit = bench { graft.operators.KMeans.fit(embeddings, "vec_id", "embedding", 8, 5): Unit }
+    val kmFit = bench("km_fit") { graft.operators.KMeans.fit(embeddings, "vec_id", "embedding", 8, 5): Unit }
 
     val all = results :+ ("km_fit" -> kmFit)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-2 after warm-up (r5; was count x1) + bench-only km_fit entry"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-2 after warm-up; failed queries report -1 and are excluded from total (r6) + bench-only km_fit entry"}""")
     spark.stop()
   }
 }

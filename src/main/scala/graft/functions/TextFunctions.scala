@@ -107,9 +107,13 @@ object TextFunctions {
   }
 
   /** Native polynomial rolling hash over every character (spaces
-    * included), `acc = (acc * 31 + char) mod 1e9+7` — the same fold the
-    * DuckDB oracle replays with `list_reduce`. Accumulator < 2^30, so
-    * `acc * 31 + c` stays far below 2^63.
+    * included), `acc = (acc * 31 + codepoint) mod 1e9+7` — the same fold
+    * the DuckDB oracle replays with `list_reduce` over
+    * `string_split(text, '')`, which yields one element per CODE POINT.
+    * The scan therefore iterates code points, not UTF-16 units: a
+    * non-BMP character (emoji, CJK extension) is one term in both
+    * engines. Accumulator < 2^30 and codepoint < 2^21, so
+    * `acc * 31 + cp` stays far below 2^63.
     */
   private[functions] case class RollingHashExpr(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -120,7 +124,11 @@ object TextFunctions {
       val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
       var acc = 0L
       var i = 0
-      while (i < s.length) { acc = (acc * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
       acc
     }
 

@@ -108,9 +108,13 @@ object Dedup {
     * reduced to its canonical (min-id) member — what a training-data
     * pipeline actually ships. Composes [[minhashNearDupPairs]] →
     * [[connectedComponents]] → a left-anti join dropping non-canonical
-    * members. The drop list is tiny relative to the corpus (it is the
-    * duplicates), so the anti-join broadcasts; the corpus itself is
-    * touched by exactly one narrow sketch pass plus that join.
+    * members. The drop list is O(duplicates), and real web corpora run
+    * 30-50% near-dups — so the join strategy is left to AQE, which
+    * broadcasts only when the measured drop-list size fits
+    * `autoBroadcastJoinThreshold` and otherwise shuffles the anti-join.
+    * A forced `broadcast()` hint here would collect an O(corpus) list to
+    * the driver at the 100 TB target. The corpus itself is touched by
+    * exactly one narrow sketch pass plus this join.
     */
   def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -120,7 +124,7 @@ object Dedup {
     val drops = connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("__drop_id"))
-    df.join(broadcast(drops), col(idCol) === col("__drop_id"), "left_anti")
+    df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Exact deduplication: one representative (min id) per duplicate group
@@ -474,12 +478,20 @@ object Dedup {
       .select(col("id"), shingleCol.as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    candidates
+    val verified = candidates
       .join(candSets.select(col("id").as("a"), col("sh").as("sh_a")), "a")
       .join(candSets.select(col("id").as("b"), col("sh").as("sh_b")), "b")
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      // eager localCheckpoint: materializes the (small, candidate-bound)
+      // verified pairs so BOTH intermediate caches can be released here —
+      // without this every call leaked two CacheManager entries for the
+      // life of the session (d3 + d6 + d7's two calls + bench warm-ups)
+      .localCheckpoint()
+    candSets.unpersist()
+    candidates.unpersist()
+    verified
   }
 
   // ---- SimHash near-duplicate detection ----

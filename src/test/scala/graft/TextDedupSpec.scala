@@ -30,6 +30,27 @@ class TextDedupSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(1) == ref(r.getString(0))))
   }
 
+  test("rollingHash folds CODE POINTS — non-BMP chars match the oracle's per-codepoint split") {
+    // DuckDB's string_split(text, '') yields one element per code point,
+    // so a surrogate pair (emoji U+1F600) must contribute ONE term with
+    // its full code point value, not two UTF-16 units.
+    def refCp(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val samples = Seq("a😀b", "😀", "汉字 😀 mix", "plain ascii")
+    val got = samples.toDF("text")
+      .select(col("text"), TextFunctions.rollingHash(col("text")).as("fp")).collect()
+    got.foreach(r => assert(r.getLong(1) == refCp(r.getString(0))))
+    // and the emoji case genuinely differs from a UTF-16-unit fold
+    def refUtf16(s: String): Long = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(refCp("😀") != refUtf16("😀"))
+  }
+
   test("native token scans handle empty / multi-space / null edge cases") {
     val df = Seq[String]("", " ", "  a  a b ", "a", null).toDF("text").select(
       col("text"),
