@@ -13,18 +13,32 @@ import graft.functions.VectorFunctions
   * re-expressed Spark-first. Also the coarse quantizer for [[ivfKnn]].
   *
   * Scale design: each iteration is ONE pass — assignment is a narrow map
-  * against broadcast centroids; centroid update sums k×dim partials per
-  * partition (map-side combine, no shuffle of the corpus) and merges them
-  * on the driver in ascending partition order. That fixed merge order
-  * makes the fit BITWISE deterministic for a given input and parallelism
-  * (a `treeAggregate` merges partials in shuffle-arrival order, so two
-  * runs over identical data can differ in float low bits — which breaks
-  * replaying the model in an external oracle). Driver merge cost is
-  * k×dim×P doubles; beyond ~10^4 partitions insert one order-preserving
-  * pre-merge level (group partials by pi >> 10, same sorted fold).
-  * Deterministic init: first k vectors by id.
+  * against broadcast centroids; the centroid update `treeAggregate`s
+  * k×dim partial sums (map-side combine, no shuffle of the corpus).
+  *
+  * The fit runs in FIXED-POINT arithmetic: inputs quantize once to
+  * `qv_i = floor(v_i · S + 0.5)` longs ([[QuantScale]]) and every
+  * centroid sum is an exact integer. Integer addition commutes, so the
+  * fit is deterministic under ANY partition layout, task order, or
+  * aggregate tree shape — no deterministic-layout shuffle or ordered
+  * driver merge needed (the r4 design paid one extra corpus sort for the
+  * same guarantee, and still couldn't be replayed off-JVM). Assignment
+  * distances fold dequantized doubles dim-ascending — the identical
+  * left-to-right IEEE sequence a DuckDB `list_reduce` runs — and the
+  * centroid divide is truncating integer division, identical to
+  * DuckDB's `//`. Net effect: an external SQL oracle replays the ENTIRE
+  * iterative fit bit-for-bit (the km0 gate). Deterministic init: first
+  * k vectors by id.
   */
 object KMeans {
+
+  /** Fixed-point scale (2^20): quantization granularity ~1e-6, and
+    * centroid values `cq/S` are exact in double (power-of-two divide).
+    * Overflow bound: |Σ qv| ≤ n_cluster · |v|max · S — with |v| ≤ 8
+    * that is safe past 10^12 rows per cluster; a corpus beyond that
+    * needs a second pre-scale pass, not a different algorithm.
+    */
+  val QuantScale: Long = 1L << 20
 
   /** Process-wide model cache so the export query (`km0_centroids`) and
     * the dependent queries (km1/km2) replay the SAME fitted model within
@@ -93,62 +107,86 @@ object KMeans {
       case n: Number => n.doubleValue()
     }.toArray
 
+  /** Quantize a vector to fixed-point longs. `v·S` and `floor` are exact
+    * IEEE double ops, so DuckDB's `floor(x::DOUBLE * S + 0.5)::BIGINT`
+    * computes the identical long.
+    */
+  private def quantize(v: Array[Double], s: Long): Array[Long] = {
+    val q = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = math.floor(v(i) * s.toDouble + 0.5).toLong; i += 1 }
+    q
+  }
+
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, maxIters: Int): Model = {
     val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    // Deterministic layout: hash-partition by id and sort within each
-    // partition, so every partition folds its rows in the same order on
-    // every run (a plain repartition leaves within-partition order to
-    // shuffle-fetch arrival). One extra sort, paid once before iterating.
-    // The key is (xxhash64(id), id-as-string) — a total order that works
-    // for ARBITRARY id types (a cast("long") would silently null
-    // non-numeric ids and NPE at getLong).
-    val data = df.select(xxhash64(col(idCol)), col(idCol).cast("string"), col(vecCol)).rdd
-      .map(r => ((r.getLong(0), r.getString(1)), toVec(r, 2)))
-      .repartitionAndSortWithinPartitions(new org.apache.spark.HashPartitioner(par))
-      .values.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val S = QuantScale
+    // One quantize pass, persisted; partition layout is whatever the scan
+    // produced — integer sums make the fit order-independent, so no
+    // deterministic re-layout is needed.
+    val qdata = df.select(col(vecCol)).rdd
+      .map(r => quantize(toVec(r, 0), S))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = data.first().length
-      var centroids = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
-        .collect().map(r => toVec(r, 0))
+      val dim = qdata.first().length
+      var cq: Array[Array[Long]] = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
+        .collect().map(r => quantize(toVec(r, 0), S))
       var iter = 0
       while (iter < maxIters) {
-        val bc = spark.sparkContext.broadcast(Model(centroids))
-        // per-partition partials (one pass, nothing but k×dim doubles
-        // per partition leaves the executors) ...
-        val partials = data.mapPartitionsWithIndex { (pi, it) =>
-          val s = Array.fill(k, dim)(0.0)
-          val n = Array.fill(k)(0L)
-          it.foreach { v =>
-            val c = bc.value.nearest(v)
+        val bc = spark.sparkContext.broadcast(cq)
+        // assignment + partial sums in one pass; nothing but k×dim longs
+        // per task leaves the executors, merged in an arbitrary-order
+        // aggregate tree (exact: integer addition commutes)
+        val (sums, counts) = qdata.treeAggregate((Array.fill(k, dim)(0L), Array.fill(k)(0L)))(
+          seqOp = { case ((s, n), qv) =>
+            val cqs = bc.value
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              val ctr = cqs(c)
+              var d = 0.0
+              var i = 0
+              // dequantized doubles, dim-ascending fold — the exact IEEE
+              // sequence the km0 oracle's list_reduce replays
+              while (i < dim) {
+                val t = qv(i).toDouble / S - ctr(i).toDouble / S
+                d += t * t
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
             var i = 0
-            while (i < dim) { s(c)(i) += v(i); i += 1 }
-            n(c) += 1
+            while (i < dim) { s(best)(i) += qv(i); i += 1 }
+            n(best) += 1
+            (s, n)
+          },
+          combOp = { case ((s1, n1), (s2, n2)) =>
+            var c = 0
+            while (c < k) {
+              var i = 0
+              while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+              n1(c) += n2(c)
+              c += 1
+            }
+            (s1, n1)
+          })
+        cq = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cq(c)
+          else {
+            val s = sums(c)
+            val n = counts(c)
+            // rounded mean via truncating integer division — identical to
+            // DuckDB's (2*sq + cnt) // (2*cnt)
+            Array.tabulate(dim)(i => (2 * s(i) + n) / (2 * n))
           }
-          Iterator((pi, (s, n)))
-        }.collect()
-        // ... merged on the driver in ascending partition order — the
-        // fixed fold order is what makes the fit reproducible
-        val sums = Array.fill(k, dim)(0.0)
-        val counts = Array.fill(k)(0L)
-        partials.sortBy(_._1).foreach { case (_, (s, n)) =>
-          var c = 0
-          while (c < k) {
-            var i = 0
-            while (i < dim) { sums(c)(i) += s(c)(i); i += 1 }
-            counts(c) += n(c)
-            c += 1
-          }
-        }
-        centroids = Array.tabulate(k) { c =>
-          if (counts(c) == 0) centroids(c)
-          else { val s = sums(c); Array.tabulate(dim)(i => s(i) / counts(c)) }
         }
         bc.destroy()
         iter += 1
       }
-      Model(centroids)
-    } finally data.unpersist(): Unit
+      Model(cq.map(_.map(_.toDouble / S)))
+    } finally qdata.unpersist(): Unit
   }
 
   /** Cluster assignments as a DataFrame (id, cluster). The id column

@@ -59,16 +59,15 @@ object VectorQueries {
         size(col("embedding")).as("dim"))
     },
 
-    // Fitted k-means model export. Lloyd's iterations sum floats, so the
-    // model itself can't be replayed engine-independently — instead the
-    // fit is bitwise-deterministic (fixed partition fold + driver merge
-    // order, see KMeans.fit), this query publishes the centroids, and the
-    // km1/km2 oracles read them back via __OUT__ and replay ASSIGNMENT
-    // and SCORING in SQL. Exported as scalar (cluster, dim_idx, value)
-    // rows — the verify harness canonicalizes scalar columns only, and
-    // the oracles `list(value ORDER BY dim_idx)` the centroids back.
-    // Rows-only itself (it IS the ground truth the dependent oracles
-    // consume); convergence quality is spec'd in ScaleOpsSpec.
+    // Fitted k-means model export — HASH-GATED (r6): KMeans.fit runs in
+    // exact fixed-point arithmetic (quantized long sums, truncating
+    // integer centroid divide, left-to-right double distance folds), so
+    // the oracle replays the ENTIRE 5-iteration Lloyd's fit in DuckDB —
+    // init, every assignment round, every centroid update — and the
+    // centroids must agree bit-for-bit (see km0OracleSql). Exported as
+    // scalar (cluster, dim_idx, value) rows; the km1/km2 oracles also
+    // read them back via __OUT__ and replay ASSIGNMENT and SCORING.
+    // Convergence quality is additionally spec'd in ScaleOpsSpec.
     "km0_centroids" -> { (s, dir) =>
       import s.implicits._
       val e = Tables.load(s, dir, "embeddings")
@@ -99,7 +98,69 @@ object VectorQueries {
     }
   )
 
+  /** km0 oracle: replays the ENTIRE quantized Lloyd's fit
+    * ([[graft.operators.KMeans.fit]]) in DuckDB SQL — init (first k
+    * vectors by id), `iters` unrolled assignment+update rounds, final
+    * centroids as (cluster, dim_idx, value). Bit-exact parity holds
+    * because the fit's sums are integers (order-free: DuckDB's parallel
+    * SUM and Spark's treeAggregate must agree), its centroid divide is
+    * truncating integer division (DuckDB `//` == Scala Long `/`), and
+    * its distances fold dequantized doubles dim-ascending — the exact
+    * IEEE sequence `list_reduce` performs. Ties in the argmin go to the
+    * lowest cluster id on both sides (strict `<` vs `row_number` ordered
+    * by (d, cluster)); empty clusters carry the previous centroid.
+    */
+  private def km0OracleSql(k: Int, dim: Int, iters: Int, scale: Long): String = {
+    val S = s"$scale.0"
+    val dims = s"(SELECT unnest(range(1, ${dim + 1})) AS r) t"
+    def iterBlock(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""dist$i AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+               j -> (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S)
+                  * (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S))),
+               (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN $prev c),
+         a$i AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+             FROM dist$i) WHERE rn = 1),
+         n$i AS (SELECT cluster, count(*) AS cnt FROM a$i GROUP BY cluster),
+         s$i AS (
+           SELECT a.cluster, q.dim_idx, sum(q.q) AS sq
+           FROM a$i a JOIN eq q USING (vec_id) GROUP BY a.cluster, q.dim_idx),
+         c$i AS (
+           SELECT g.cluster,
+             list(CASE WHEN n.cnt IS NULL THEN p.cq[g.dim_idx]
+                       ELSE (2 * s.sq + n.cnt) // (2 * n.cnt) END ORDER BY g.dim_idx) AS cq
+           FROM grid g
+           JOIN $prev p ON p.cluster = g.cluster
+           LEFT JOIN s$i s ON s.cluster = g.cluster AND s.dim_idx = g.dim_idx
+           LEFT JOIN n$i n ON n.cluster = g.cluster
+           GROUP BY g.cluster)"""
+    }
+    s"""WITH ed AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+       eq AS (
+         SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
+         FROM ed, $dims),
+       grid AS (
+         SELECT c.cluster, t.r AS dim_idx
+         FROM (SELECT unnest(range(0, $k)) AS cluster) c, $dims),
+       c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
+         FROM (SELECT vec_id, qv FROM ed ORDER BY vec_id LIMIT $k)),
+       ${(1 to iters).map(iterBlock).mkString(",\n")}
+       SELECT c.cluster, t.r - 1 AS dim_idx, c.cq[t.r]::DOUBLE / $S AS value
+       FROM c$iters c, $dims"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
     // NB: embeddings are FLOAT lists; DuckDB's list_dot_product would
     // accumulate in float while Spark casts to double — cast to DOUBLE[]
     // first so both engines do the same double arithmetic.
