@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** splitmix64 finalizer over a long id, reduced to a bucket in
+  * `[0, buckets)` by UNSIGNED remainder — the deterministic-sampling
+  * primitive (consistent sampling: the same id lands in the same bucket
+  * in every run, on every executor, at every scale, so samples are
+  * reproducible and composable across pipeline stages).
+  *
+  * Full whole-stage codegen (a handful of long ops per row — sampling
+  * runs in the scan stage, no shuffle). The mix constants are public
+  * (Steele et al., "Fast Splittable Pseudorandom Number Generators",
+  * OOPSLA 2014); the DuckDB oracle replays the identical chain in
+  * mod-2^64 HUGEINT arithmetic (see CurationQueries.splitmixSql).
+  *
+  * Unsigned remainder (not `pmod`) is load-bearing: 2^64 mod buckets ≠ 0
+  * in general, so the signed and unsigned remainders of the high-bit-set
+  * half of hash space differ — the oracle works in the unsigned domain.
+  */
+case class HashBucket(child: Expression, buckets: Long, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    var z = input.asInstanceOf[Long] + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c + ${seed}L + 0x9E3779B97F4A7C15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |$z = $z ^ ($z >>> 31);
+         |${ev.value} = java.lang.Long.remainderUnsigned($z, ${buckets}L);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+
+  /** Deterministic bucket in `[0, buckets)` for a long id column. */
+  def hashBucket(id: Column, buckets: Long, seed: Long = 42L): Column =
+    graftbridge.column(HashBucket(graftbridge.expression(id.cast("long")), buckets, seed))
+
+  /** JVM-side twin of [[HashBucket]] for tests/oracle builders. */
+  def bucketOf(id: Long, buckets: Long, seed: Long = 42L): Long = {
+    var z = id + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, buckets)
+  }
+}

@@ -135,6 +135,48 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Cross-document repeated-line removal (CCNet-style boilerplate
+    * stripping): lines occurring in more than `maxDocFrac` of documents
+    * (nav bars, cookie banners, license headers) are deleted from every
+    * document; line order is otherwise preserved. Output:
+    * `(idCol, clean_text, n_kept)` — documents whose every line was
+    * boilerplate survive with `clean_text = ""` so corpus cardinality is
+    * stable through the operator.
+    *
+    * Scale shape: explode → two hash shuffles (doc-frequency on the line
+    * value; rebuild on doc id). The line-frequency table is vocabulary-
+    * sized — AQE broadcasts it into the keep-join at any corpus size
+    * where distinct lines fit an executor; beyond that it degrades to a
+    * plain shuffle join, never a driver collect. The document count
+    * enters as a 1-row aggregate cross join (broadcast), not a driver
+    * `count()`.
+    */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", maxDocFrac: Double = 0.5): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .toDF(idCol, "pos", "line")
+      .filter(col("line") =!= "")
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val docFreq = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+    val keepLines = docFreq.crossJoin(nDocs)
+      .filter(col("__df") <= col("__n") * maxDocFrac)
+      .select("line")
+    val rebuilt = lines.join(keepLines, "line")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          delim).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ---- MinHash + LSH near-duplicate detection ----
 
   /** Prime just above 2^32 for the universal-hash family

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.hashBucket
+
+/** Deterministic (consistent) sampling for training-data curation.
+  *
+  * Unlike `df.sample()` (seeded per-partition RNG: the kept set changes
+  * with partitioning, and a re-run over re-split files samples different
+  * rows), these operators hash the ROW IDENTITY — the same document is
+  * in or out of the sample regardless of cluster size, file layout, or
+  * retry history. That property is what makes a 100 TB sample auditable:
+  * the keep decision is a pure function of (id, seed, rate), and any
+  * engine (the DuckDB oracle included) can replay it.
+  *
+  * Scale shape: a narrow filter in the scan stage (codegen'd splitmix64,
+  * no shuffle, no state). Rates are expressed in millionths (bucket
+  * space 10^6) so rate resolution is 0.0001 %.
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  private def keep(id: Column, rate: Double, seed: Long): Column =
+    hashBucket(id, Buckets, seed) < lit((rate * Buckets).round)
+
+  /** Keep ~`rate` of rows, decided by splitmix64(id, seed). */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, seed: Long = 42L): DataFrame =
+    df.filter(keep(col(idCol), rate, seed))
+
+  /** Stratified variant: per-stratum rates (e.g. per-language up/down
+    * sampling to rebalance a corpus), same deterministic hash. Strata
+    * missing from `rates` fall back to `defaultRate`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      seed: Long = 42L): DataFrame = {
+    val bucket = hashBucket(col(idCol), Buckets, seed)
+    val thr = rates.foldLeft(lit((defaultRate * Buckets).round)) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit((rate * Buckets).round)).otherwise(acc)
+    }
+    df.filter(bucket < thr)
+  }
+
+  /** Disjoint train/holdout split from one hash: rows below the eval
+    * threshold form the eval set, the rest train — membership is stable
+    * under corpus growth (a doc never migrates between splits when new
+    * data arrives, the property that keeps eval sets uncontaminated).
+    */
+  def trainEvalSplit(df: DataFrame, idCol: String, evalFrac: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    val bucket = hashBucket(col(idCol), Buckets, seed)
+    val thr = lit((evalFrac * Buckets).round)
+    (df.filter(bucket >= thr), df.filter(bucket < thr))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokenCount
+import graft.operators.{Dedup, Packing, Sampling, TfIdf}
+
+/** Corpus-curation queries: deterministic sampling, sequence packing,
+  * boilerplate removal, TF-IDF — the data-prep stages between dedup and
+  * training that the LLM-pipeline brief calls for.
+  */
+object CurationQueries {
+
+  private val SampleSeed = 42L
+  /** Per-language resampling rates for s2 (rebalance toward the tail). */
+  private val StratRates = Seq("en" -> 0.05, "de" -> 0.25, "es" -> 0.5, "fr" -> 0.75, "zh" -> 1.0)
+  private val PackCapacity = 128L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 10% sample: splitmix64(doc_id) bucket < 100k/1M.
+    // Consistent sampling — the keep set is a pure function of
+    // (id, seed, rate), replayed hash-exactly by the oracle.
+    "s1_hash_sample" -> { (s, dir) =>
+      Sampling.hashSample(Tables.load(s, dir, "documents"), "doc_id", 0.1, SampleSeed)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // Stratified resampling: per-language rates over the same hash
+    // (downsample the dominant language, keep the tail) — the corpus
+    // rebalancing step of a multilingual training mix.
+    "s2_stratified_sample" -> { (s, dir) =>
+      Sampling.stratifiedHashSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
+        StratRates, defaultRate = 0.0, seed = SampleSeed)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // Concat-and-chunk sequence packing into 128-token context windows,
+    // one packing stream per source shard: each doc tagged with the
+    // chunk (bin) and token offset where it starts.
+    "p1_pack_chunks" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), tokenCount(col("text")).as("n_tokens"))
+      Packing.packChunks(docs, "source", "doc_id", "n_tokens", PackCapacity)
+    },
+
+    // Cross-document boilerplate removal: tokens/lines present in more
+    // than half the corpus stripped from every document (CCNet-style;
+    // the test corpus is single-line so the "line" unit is the token —
+    // multi-line behavior is spec'd in CurationSpec).
+    "d8_boilerplate_removal" -> { (s, dir) =>
+      Dedup.removeRepeatedLines(Tables.load(s, dir, "documents"), "doc_id", "text",
+        delim = " ", maxDocFrac = 0.5)
+    },
+
+    // TF-IDF top-3 terms per document (keyword extraction).
+    "t6_tfidf_topterms" -> { (s, dir) =>
+      TfIdf.tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+    }
+  )
+
+  // ---- oracle SQL ----
+
+  private val M = "18446744073709551616" // 2^64
+
+  /** `(a * b) mod 2^64` in HUGEINT SQL without int128 overflow: both
+    * operands can reach 2^64, whose product exceeds int128, so split
+    * `a` at 2^32 — each partial stays below 2^97.
+    */
+  private def mulMod(a: String, b: Long): String = {
+    val bu = java.lang.Long.toUnsignedString(b)
+    s"((($a) % 4294967296) * $bu + (((($a) // 4294967296) * $bu) % 4294967296) * 4294967296) % $M"
+  }
+
+  /** DuckDB replay of [[graft.functions.HashBucket]]: the splitmix64
+    * finalizer chain in unsigned mod-2^64 arithmetic over `idExpr`,
+    * exposing a `bucket` column on table `src`.
+    */
+  private def splitmixCte(src: String, idExpr: String, seed: Long): String = {
+    val a = java.lang.Long.toUnsignedString(seed + 0x9E3779B97F4A7C15L)
+    s"""h0 AS (SELECT *, (($idExpr)::HUGEINT + $a) % $M AS z0 FROM $src),
+        h1 AS (SELECT *, ${mulMod("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)} AS z1 FROM h0),
+        h2 AS (SELECT *, ${mulMod("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)} AS z2 FROM h1),
+        h AS (SELECT *, xor(z2, z2 >> 31) % ${Sampling.Buckets} AS bucket FROM h2)"""
+  }
+
+  private def rateThr(rate: Double): Long = (rate * Sampling.Buckets).round
+
+  val oracles: Map[String, String] = Map(
+    "s1_hash_sample" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
+          SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "s2_stratified_sample" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
+          SELECT doc_id, lang FROM h
+          WHERE bucket < CASE ${StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN ${rateThr(r)}" }.mkString(" ")} ELSE 0 END""",
+    "p1_pack_chunks" ->
+      s"""WITH tk AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM tk)
+          SELECT doc_id, source, n_tokens,
+                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+          FROM c""",
+    "d8_boilerplate_removal" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+          tok AS (
+            SELECT doc_id, u.i AS pos, ts[u.i] AS line
+            FROM tk, UNNEST(range(1, len(ts) + 1)) AS u(i)
+            WHERE ts[u.i] <> ''),
+          nd AS (SELECT count(*) AS n FROM documents),
+          dfq AS (SELECT line, count(DISTINCT doc_id) AS dfd FROM tok GROUP BY line),
+          keep AS (SELECT line FROM dfq, nd WHERE dfd <= n * 0.5),
+          reb AS (
+            SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+                   count(*) AS n_kept
+            FROM tok JOIN keep USING (line) GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+                 COALESCE(r.n_kept, 0) AS n_kept
+          FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    "t6_tfidf_topterms" ->
+      """WITH tok AS (
+            SELECT doc_id, u.t AS term
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+            WHERE u.t <> ''),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+          n AS (SELECT count(*) AS n FROM documents),
+          sc AS (
+            SELECT f.doc_id, f.term, f.tf, d.df_t,
+                   round(f.tf * ln(n.n / d.df_t), 6) AS score
+            FROM tf f JOIN dfq d USING (term), n),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+            FROM sc)
+          SELECT doc_id, term, tf, df_t, rank, score FROM r WHERE rank <= 3"""
+  )
+}

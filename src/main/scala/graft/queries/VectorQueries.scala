@@ -51,6 +51,18 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
+    // Embedding near-dup groups on the SCALE path: connected components
+    // over the SRP-LSH ANN pairs (v3) instead of the O(n²) exact pairs
+    // (v5) — the composition a 100 TB corpus actually runs. Hash-gated:
+    // the oracle replays the hyperplane stream, bucket collisions,
+    // cosine verification AND the transitive closure.
+    "v6_ann_dedup_groups" -> { (s, dir) =>
+      val pairs = Similarity.annCosinePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("comp").as("keep_id"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -159,6 +171,35 @@ object VectorQueries {
        FROM c$iters c, $dims"""
   }
 
+  /** Shared CTE chain replaying [[graft.functions.SrpKeys]]: hyperplane
+    * stream (xorshift64* in HUGEINT), sign-bit bucket keys, candidate
+    * collisions. Used by the v3 (pairs) and v6 (groups) oracles.
+    */
+  private val srpReplayCte: String =
+    """rng(n, s) AS (
+           SELECT 0, 42::HUGEINT
+           UNION ALL
+           SELECT n + 1, xor(B, B >> 27) FROM (
+             SELECT n, xor(A, (A * 33554432::HUGEINT) % 18446744073709551616::HUGEINT) AS B
+             FROM (SELECT n, s, xor(s, s >> 12) AS A FROM rng WHERE n < 4608))),
+         vals AS (
+           SELECT n - 1 AS idx,
+                  ((s * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT >> 11)::DOUBLE
+                    / 9007199254740992.0 * 2.0 - 1.0 AS d
+           FROM rng WHERE n >= 1),
+         planes AS (
+           SELECT idx // 64 AS p, list(d ORDER BY idx) AS pl
+           FROM vals GROUP BY idx // 64),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         sb AS (
+           SELECT e.vec_id, pl.p // 6 AS t,
+                  CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % 6)) ELSE 0 END AS bit
+           FROM ed e, planes pl),
+         keys AS (SELECT vec_id, t, sum(bit) AS k FROM sb GROUP BY vec_id, t),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id)"""
+
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
     // NB: embeddings are FLOAT lists; DuckDB's list_dot_product would
@@ -209,35 +250,28 @@ object VectorQueries {
     // arithmetic, sign bits and bucket keys recomputed, colliding pairs
     // cosine-verified — byte-identical to SrpKeys + annCosinePairs.
     "v3_ann_srp_pairs" ->
-      """WITH RECURSIVE rng(n, s) AS (
-           SELECT 0, 42::HUGEINT
-           UNION ALL
-           SELECT n + 1, xor(B, B >> 27) FROM (
-             SELECT n, xor(A, (A * 33554432::HUGEINT) % 18446744073709551616::HUGEINT) AS B
-             FROM (SELECT n, s, xor(s, s >> 12) AS A FROM rng WHERE n < 4608))),
-         vals AS (
-           SELECT n - 1 AS idx,
-                  ((s * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT >> 11)::DOUBLE
-                    / 9007199254740992.0 * 2.0 - 1.0 AS d
-           FROM rng WHERE n >= 1),
-         planes AS (
-           SELECT idx // 64 AS p, list(d ORDER BY idx) AS pl
-           FROM vals GROUP BY idx // 64),
-         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-         sb AS (
-           SELECT e.vec_id, pl.p // 6 AS t,
-                  CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % 6)) ELSE 0 END AS bit
-           FROM ed e, planes pl),
-         keys AS (SELECT vec_id, t, sum(bit) AS k FROM sb GROUP BY vec_id, t),
-         cand AS (
-           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id)
+      s"""WITH RECURSIVE $srpReplayCte
          SELECT c.id_a, c.id_b,
                 round(list_dot_product(ea.v, eb.v)
                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
          FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
          WHERE list_dot_product(ea.v, eb.v)
                / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // v3's SRP replay composed with the recursive-CTE transitive closure
+    // (the v5 shape) — the full ANN dedup-group pipeline in SQL.
+    "v6_ann_dedup_groups" ->
+      s"""WITH RECURSIVE $srpReplayCte,
+         pr AS (
+           SELECT c.id_a AS da, c.id_b AS db
+           FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
+           WHERE list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45),
+         eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM eg
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
+         SELECT a AS vec_id, min(b) AS keep_id FROM reach GROUP BY a""",
     // Assignment replay over the exported model: per-vector nearest
     // centroid (squared euclid, ties to the lowest cluster id — the
     // strict-< argmin in Model.nearest), then the group sizes. Written

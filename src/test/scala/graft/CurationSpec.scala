@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, Packing, Sampling, TfIdf}
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- deterministic sampling ----
+
+  test("hashBucket expression matches the JVM twin and is partitioning-independent") {
+    val ids = (0L until 2000L).toDF("id")
+    val got1 = Sampling.hashSample(ids.repartition(1), "id", 0.3).as[Long].collect().toSet
+    val got32 = Sampling.hashSample(ids.repartition(32), "id", 0.3).as[Long].collect().toSet
+    assert(got1 == got32, "keep set must not depend on partitioning")
+    val expected = (0L until 2000L)
+      .filter(HashFunctions.bucketOf(_, Sampling.Buckets) < 300000L).toSet
+    assert(got1 == expected, "expression must equal the JVM reference implementation")
+  }
+
+  test("hashSample keeps ~rate of rows and different seeds give different samples") {
+    val ids = (0L until 20000L).toDF("id")
+    val n = Sampling.hashSample(ids, "id", 0.1).count()
+    assert(n > 1600 && n < 2400, s"~10% of 20k expected, got $n")
+    val a = Sampling.hashSample(ids, "id", 0.1, seed = 1L).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "id", 0.1, seed = 2L).as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates; default drops unknown strata") {
+    val df = (0L until 6000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedHashSample(df, "id", "lang", Seq("en" -> 0.0, "zh" -> 1.0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("en") && !kept.contains("xx"), s"en/xx must be dropped: $kept")
+    assert(kept("zh") == 2000L, s"zh rate 1.0 keeps all: $kept")
+  }
+
+  test("trainEvalSplit is disjoint, complete, and stable under corpus growth") {
+    val small = (0L until 1000L).toDF("id")
+    val big = (0L until 2000L).toDF("id")
+    val (tr, ev) = Sampling.trainEvalSplit(small, "id", 0.2)
+    val trS = tr.as[Long].collect().toSet
+    val evS = ev.as[Long].collect().toSet
+    assert((trS & evS).isEmpty && (trS | evS) == (0L until 1000L).toSet)
+    val evBig = Sampling.trainEvalSplit(big, "id", 0.2)._2.as[Long].collect().toSet
+    assert(evBig.filter(_ < 1000L) == evS, "membership must not migrate when new data arrives")
+  }
+
+  // ---- sequence packing ----
+
+  test("packChunks: bin/offset are the token prefix-sum; offsets stay below capacity") {
+    val docs = Seq((0L, "g", 100L), (1L, "g", 50L), (2L, "g", 30L), (3L, "g", 200L))
+      .toDF("id", "grp", "toks")
+    val got = Packing.packChunks(docs, "grp", "id", "toks", 128L)
+      .select("id", "bin", "offset").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // starts: 0, 100, 150, 180 → bins 0,0,1,1; offsets 0,100,22,52
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 100L), (2L, 1L, 22L), (3L, 1L, 52L)))
+    assert(got.forall(_._3 < 128L))
+  }
+
+  test("packChunksGlobal equals the single-window formulation") {
+    val docs = (0L until 500L).map(i => (i, 1L + (i * 37) % 90)).toDF("id", "toks")
+      .withColumn("grp", lit("all"))
+    val viaWindow = Packing.packChunks(docs, "grp", "id", "toks", 64L)
+      .select("id", "bin", "offset").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaGlobal = Packing.packChunksGlobal(docs, "id", "toks", 64L, partitions = 7)
+      .select("id", "bin", "offset").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaGlobal == viaWindow)
+  }
+
+  // ---- boilerplate removal ----
+
+  test("removeRepeatedLines strips cross-doc frequent lines, keeps order, retains emptied docs") {
+    val docs = Seq(
+      (0L, "cookie banner\nunique alpha\ncookie banner\nunique beta"),
+      (1L, "cookie banner\nunique gamma"),
+      (2L, "cookie banner\nfooter"),
+      (3L, "cookie banner"),
+      (4L, "footer\nunique delta")
+    ).toDF("doc_id", "text")
+    // "cookie banner" in 4/5 docs (80%), "footer" in 2/5 (40%) — threshold 0.5
+    val got = Dedup.removeRepeatedLines(docs, "doc_id", "text", "\n", 0.5)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "unique alpha\nunique beta", 2L),
+      (1L, "unique gamma", 1L),
+      (2L, "footer", 1L),
+      (3L, "", 0L),
+      (4L, "footer\nunique delta", 2L)))
+  }
+
+  // ---- tf-idf ----
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first with deterministic tiebreak") {
+    val docs = Seq(
+      (0L, "common rare rare"),
+      (1L, "common other"),
+      (2L, "common other")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Int)].collect().toSet
+    // doc 0: rare tf=2 df=1 → 2·ln3 ≈ 2.197 beats common (ln1 = 0)
+    assert(got.contains((0L, "rare", 1)))
+    // common appears in all docs → idf 0 → score 0; "other" (df 2) wins rank 1 in docs 1/2
+    assert(got.contains((1L, "other", 1)) && got.contains((2L, "other", 1)))
+    assert(got.contains((0L, "common", 2)), s"zero-idf term still ranked by tiebreak: $got")
+  }
+}
