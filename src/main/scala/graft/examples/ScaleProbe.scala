@@ -76,6 +76,18 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v3_srp_b${bits}_t$tables"}%-24s ${ts}%6.2f s")
       }
+
+      // v6 on the scale-adjusted parameters (same contract): ANN pairs at
+      // bits=10 + connected components — the dedup-group pipeline a 10×+
+      // corpus would actually run (the declared v6 pins bits=6 for the
+      // oracle replay, inheriting v3's documented key-space saturation).
+      val tv6 = timed {
+        val pairs = graft.operators.Similarity.annCosinePairs(
+          e, "vec_id", "embedding", 64, 0.45, bits = 10, tables = 12)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[probe] ${"v6_groups_b10_t12"}%-24s ${tv6}%6.2f s")
     }
     spark.stop()
   }

@@ -144,12 +144,15 @@ object Dedup {
     * stable through the operator.
     *
     * Scale shape: explode → two hash shuffles (doc-frequency on the line
-    * value; rebuild on doc id). The line-frequency table is vocabulary-
-    * sized — AQE broadcasts it into the keep-join at any corpus size
-    * where distinct lines fit an executor; beyond that it degrades to a
-    * plain shuffle join, never a driver collect. The document count
-    * enters as a 1-row aggregate cross join (broadcast), not a driver
-    * `count()`.
+    * value; rebuild on doc id). The filter is an ANTI-join against the
+    * DROP list, not an inner join against the keep list: a boilerplate
+    * line needs more than `maxDocFrac·N` document hits, so the drop list
+    * holds at most `avgLinesPerDoc / maxDocFrac` distinct lines — a
+    * corpus-size-independent bound that AQE reliably broadcasts (the
+    * keep list is the unbounded vocabulary tail, and an inner join
+    * against it tempts the planner into broadcasting the exploded corpus
+    * — observed on 4.1.2). The document count enters as a 1-row
+    * aggregate cross join (broadcast), not a driver `count()`.
     */
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", maxDocFrac: Double = 0.5): DataFrame = {
@@ -160,10 +163,10 @@ object Dedup {
     val nDocs = df.agg(count(lit(1)).as("__n"))
     val docFreq = lines.select(col(idCol), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("__df"))
-    val keepLines = docFreq.crossJoin(nDocs)
-      .filter(col("__df") <= col("__n") * maxDocFrac)
+    val dropLines = docFreq.crossJoin(nDocs)
+      .filter(col("__df") > col("__n") * maxDocFrac)
       .select("line")
-    val rebuilt = lines.join(keepLines, "line")
+    val rebuilt = lines.join(dropLines, Seq("line"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         array_join(
