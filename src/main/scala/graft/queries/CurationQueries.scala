@@ -57,6 +57,17 @@ object CurationQueries {
     // TF-IDF top-3 terms per document (keyword extraction).
     "t6_tfidf_topterms" -> { (s, dir) =>
       TfIdf.tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
+    // → boilerplate removal → emptiness filter → stratified resampling →
+    // sequence packing. Hash-gated end-to-end: the oracle replays the
+    // MinHash closure, the drop-line accounting, the splitmix64 sampling
+    // hash AND the packing cumsum in one SQL statement.
+    "c1_curation_pipeline" -> { (s, dir) =>
+      graft.operators.CurationPipeline.curate(
+        Tables.load(s, dir, "documents"), "doc_id", "text", "lang", "source",
+        StratRates, SampleSeed, maxDocFrac = 0.5, capacity = PackCapacity)
     }
   )
 
@@ -124,6 +135,53 @@ object CurationQueries {
           SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
                  COALESCE(r.n_kept, 0) AS n_kept
           FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    "c1_curation_pipeline" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              range(1, len(string_split(text,' ')) - 1),
+              i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                   || ' ' || string_split(text,' ')[i+2])) AS s
+            FROM documents WHERE len(string_split(text,' ')) >= 3),
+          pr AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+          eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+          reach(a, b) AS (
+            SELECT DISTINCT a, a FROM eg
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a),
+          kept AS (
+            SELECT * FROM documents
+            WHERE doc_id NOT IN (SELECT a FROM reach GROUP BY a HAVING a != min(b))),
+          ktk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM kept),
+          ktok AS (
+            SELECT doc_id, u.i AS pos, ts[u.i] AS line
+            FROM ktk, UNNEST(range(1, len(ts) + 1)) AS u(i)
+            WHERE ts[u.i] <> ''),
+          knd AS (SELECT count(*) AS n FROM kept),
+          kdfq AS (SELECT line, count(DISTINCT doc_id) AS dfd FROM ktok GROUP BY line),
+          kdrop AS (SELECT line FROM kdfq, knd WHERE dfd > n * 0.5),
+          reb AS (
+            SELECT doc_id, count(*) AS n_kept
+            FROM ktok WHERE line NOT IN (SELECT line FROM kdrop)
+            GROUP BY doc_id),
+          flt AS (
+            SELECT k.doc_id, k.source, k.lang, r.n_kept
+            FROM kept k JOIN reb r USING (doc_id)),
+          ${splitmixCte("flt", "doc_id", SampleSeed)},
+          samp AS (
+            SELECT doc_id, source, lang, n_kept FROM h
+            WHERE bucket < CASE ${StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN ${rateThr(r)}" }.mkString(" ")} ELSE 0 END),
+          pk AS (
+            SELECT doc_id, source, lang, n_kept,
+                   COALESCE(sum(n_kept) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM samp)
+          SELECT doc_id, source, lang, n_kept,
+                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+          FROM pk""",
     "t6_tfidf_topterms" ->
       """WITH tok AS (
             SELECT doc_id, u.t AS term
