@@ -92,6 +92,46 @@ class CurationSpec extends SparkSuite {
       (4L, "footer\nunique delta", 2L)))
   }
 
+  // ---- robustness ----
+
+  test("removeRepeatedLines and tfidf tolerate null text (doc retained, zero tokens)") {
+    val docs = Seq((0L, "alpha beta"), (1L, null), (2L, "alpha"))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.removeRepeatedLines(docs, "doc_id", "text", " ", 0.6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // "alpha" in 2/3 docs (67% > 60%) → dropped; null doc survives emptied
+    assert(cleaned == Seq((0L, "beta", 1L), (1L, "", 0L), (2L, "", 0L)))
+    val tf = TfIdf.tfidfTopTerms(docs, "doc_id", "text", 3)
+    assert(!tf.select("doc_id").as[Long].collect().contains(1L))
+  }
+
+  // ---- streaming parity ----
+
+  test("sampling + token filters are stateless: streaming result equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // three separate files so the stream sees multiple micro-batches
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      Sampling.hashSample(df, "doc_id", 0.3)
+        .filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 10)
+        .select(col("doc_id"), col("lang"))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = curate(stream).writeStream
+      .outputMode("append").format("memory").queryName("curation_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("curation_stream")
+      .as[(Long, String)].collect().toSet
+    val batch = curate(docs).as[(Long, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"streaming kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   // ---- tf-idf ----
 
   test("tfidfTopTerms ranks rare-but-frequent terms first with deterministic tiebreak") {
