@@ -88,6 +88,21 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
       }
       println(f"[probe] ${"v6_groups_b10_t12"}%-24s ${tv6}%6.2f s")
+
+      // d9 with a FIXED-SIZE eval set (copy-0 zh docs only — constant
+      // across probe scales): real decontamination runs against a
+      // benchmark of fixed size that AQE broadcasts, so cost is one
+      // narrow train-side pass; the declared query's eval grows with the
+      // corpus (10% share), which is the unrealistic worst case.
+      val docs = Tables.load(spark, sfDir, "documents")
+      val td9 = timed {
+        graft.operators.Decontaminate.contaminationReport(
+          docs.filter(col("lang") =!= "zh"),
+          docs.filter(col("lang") === "zh" && col("doc_id") < 10000000L),
+          "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[probe] ${"d9_fixed_eval"}%-24s ${td9}%6.2f s")
     }
     spark.stop()
   }

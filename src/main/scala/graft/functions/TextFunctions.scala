@@ -136,6 +136,58 @@ object TextFunctions {
       copy(child = newChild)
   }
 
+  /** Distinct space-joined word n-grams in one scan — the
+    * decontamination primitive. The HOF formulation
+    * (`transform(sequence(...), i => array_join(slice(...)))`) interprets
+    * four nested Column lambdas per gram; this builds each gram with one
+    * StringBuilder pass over precomputed token boundaries (matches
+    * `list_distinct(list_transform(range(...), i -> array_to_string(
+    * ts[i:i+n-1], ' ')))` over empty-filtered tokens in the oracle).
+    */
+  case class WordNGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val starts = new scala.collection.mutable.ArrayBuffer[Int]
+      val ends = new scala.collection.mutable.ArrayBuffer[Int]
+      eachToken(s) { (a, b) => starts += a; ends += b }
+      val m = starts.length - n + 1
+      if (m <= 0) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.HashSet[String](m * 2)
+        val out = new scala.collection.mutable.ArrayBuffer[Any](m)
+        var j = 0
+        val sb = new java.lang.StringBuilder
+        while (j < m) {
+          sb.setLength(0)
+          var t = j
+          while (t < j + n) {
+            if (t > j) sb.append(' ')
+            sb.append(s, starts(t), ends(t))
+            t += 1
+          }
+          val gram = sb.toString
+          if (seen.add(gram)) out += UTF8String.fromString(gram)
+          j += 1
+        }
+        new GenericArrayData(out.toArray)
+      }
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def wordNGrams(text: Column, n: Int): Column =
+    graftbridge.column(WordNGrams(graftbridge.expression(text), n))
+
   /** Whitespace tokens (empty tokens removed). */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
-import graft.operators.{Dedup, Packing, Sampling, TfIdf}
+import graft.operators.{Decontaminate, Dedup, Packing, Sampling, TfIdf}
 
 /** Corpus-curation queries: deterministic sampling, sequence packing,
   * boilerplate removal, TF-IDF — the data-prep stages between dedup and
@@ -57,6 +57,16 @@ object CurationQueries {
     // TF-IDF top-3 terms per document (keyword extraction).
     "t6_tfidf_topterms" -> { (s, dir) =>
       TfIdf.tfidfTopTerms(Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // Eval-set decontamination report: training docs (lang <> 'zh')
+    // sharing any word 8-gram with the held-out eval set (the zh slice
+    // stands in for a benchmark), with distinct shared-gram counts.
+    "d9_decontaminate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.contaminationReport(
+        docs.filter(col("lang") =!= "zh"), docs.filter(col("lang") === "zh"),
+        "doc_id", "text", n = 8)
     },
 
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
@@ -135,6 +145,19 @@ object CurationQueries {
           SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
                  COALESCE(r.n_kept, 0) AS n_kept
           FROM documents d LEFT JOIN reb r USING (doc_id)""",
+    "d9_decontaminate" ->
+      """WITH tk AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+          g AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(range(1, len(ts) - 6),
+                     i -> array_to_string(ts[i:i+7], ' '))) AS gs
+            FROM tk WHERE len(ts) >= 8),
+          ev AS (SELECT DISTINCT u.g AS gram FROM g, UNNEST(gs) AS u(g) WHERE lang = 'zh'),
+          tr AS (SELECT doc_id, u.g AS gram FROM g, UNNEST(gs) AS u(g) WHERE lang <> 'zh')
+          SELECT doc_id, count(*) AS n_shared
+          FROM tr JOIN ev USING (gram) GROUP BY doc_id""",
     "c1_curation_pipeline" ->
       s"""WITH RECURSIVE sh AS (
             SELECT doc_id, list_distinct(list_transform(

@@ -92,6 +92,24 @@ class CurationSpec extends SparkSuite {
       (4L, "footer\nunique delta", 2L)))
   }
 
+  // ---- decontamination ----
+
+  test("contaminationReport flags shared n-grams; decontaminate drops flagged docs; short docs safe") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val train = Seq(
+      (0L, s"prefix $eight suffix"),          // contains the eval 8-gram
+      (1L, "totally different words here that never overlap with anything"),
+      (2L, "short doc")                        // < 8 tokens: no grams, no descending-sequence blowup
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, s"$eight trailing tail")).toDF("doc_id", "text")
+    val report = graft.operators.Decontaminate.contaminationReport(train, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(report.keySet == Set(0L) && report(0L) == 1L, s"got $report")
+    val kept = graft.operators.Decontaminate.decontaminate(train, eval, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   // ---- robustness ----
 
   test("removeRepeatedLines and tfidf tolerate null text (doc retained, zero tokens)") {
