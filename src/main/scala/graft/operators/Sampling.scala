@@ -46,6 +46,36 @@ object Sampling {
     df.filter(bucket < thr)
   }
 
+  /** Mixture (data-mixing) sampling: per-stratum rates COMPUTED FROM THE
+    * DATA rather than given — each stratum (source, domain, language) is
+    * downsampled toward a per-stratum weight budget (e.g. a token budget
+    * per source in a training mix): rate = budget / stratum_total,
+    * capped at 1. The keep decision is then the same deterministic
+    * splitmix64 hash as [[hashSample]], so the mix is auditable and
+    * replayable even though the rates are data-dependent.
+    *
+    * The threshold is computed as `floor(budget·Buckets / total)` in
+    * DOUBLE division — written exactly that way in the oracle too, so
+    * the IEEE operation sequence (and hence the boundary buckets) match
+    * bit-for-bit.
+    *
+    * Scale shape: one map-side-combined aggregation producing one row
+    * per stratum (broadcast back), then the codegen'd hash filter in
+    * the scan stage — no data-sized shuffle.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, budgetPerStratum: Long, seed: Long = 42L): DataFrame = {
+    val totals = df.groupBy(stratumCol)
+      .agg(sum(col(weightCol).cast("long")).as("__stratum_total"))
+    val thr = least(
+      lit(Buckets),
+      floor(lit((budgetPerStratum * Buckets).toDouble) / col("__stratum_total").cast("double"))
+        .cast("long"))
+    df.join(broadcast(totals), stratumCol)
+      .filter(hashBucket(col(idCol), Buckets, seed) < thr)
+      .drop("__stratum_total")
+  }
+
   /** Disjoint train/holdout split from one hash: rows below the eval
     * threshold form the eval set, the rest train — membership is stable
     * under corpus growth (a doc never migrates between splits when new

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
-import graft.operators.{Decontaminate, Dedup, Packing, Sampling, TfIdf}
+import graft.operators.{Decontaminate, Dedup, Packing, QualityFilters, Redact, Sampling, TfIdf}
 
 /** Corpus-curation queries: deterministic sampling, sequence packing,
   * boilerplate removal, TF-IDF — the data-prep stages between dedup and
@@ -14,6 +14,12 @@ import graft.operators.{Decontaminate, Dedup, Packing, Sampling, TfIdf}
 object CurationQueries {
 
   private val SampleSeed = 42L
+  /** mix1: per-source character budget (sources at sf0.01 hold 6-9k chars). */
+  private val MixBudget = 5000L
+  /** f2 keep thresholds, centered on the corpus medians so the decision splits. */
+  private val MaxDup = 0.55
+  private val MaxTopWord = 0.11
+  private val MaxTopBigram = 0.05
   /** Per-language resampling rates for s2 (rebalance toward the tail). */
   private val StratRates = Seq("en" -> 0.05, "de" -> 0.25, "es" -> 0.5, "fr" -> 0.75, "zh" -> 1.0)
   private val PackCapacity = 128L
@@ -69,6 +75,44 @@ object CurationQueries {
         "doc_id", "text", n = 8)
     },
 
+    // PII redaction: emails → phones → IPv4 scrubbed in rule order, with
+    // a per-row redaction count. The synthetic corpus has no natural PII,
+    // so the query composes realistic contact strings from customer
+    // columns (both engines build the identical string) — the operator
+    // under test is the sequential regex scrub itself.
+    "f1_pii_redact" -> { (s, dir) =>
+      val contact = concat(
+        lit("contact user"), col("c_custkey").cast("string"),
+        lit("@"), lower(col("c_mktsegment")), lit(".org or +1-"),
+        (col("c_nationkey") + 100).cast("string"), lit("-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("c_nationkey") % 256).cast("string"),
+        lit("."), (col("c_custkey") % 256).cast("string"), lit(".1 re "),
+        col("c_mktsegment"))
+      Redact.redact(
+        Tables.load(s, dir, "customer").select(col("c_custkey"), contact.as("contact")),
+        "contact")
+        .select(col("c_custkey"), col("redacted"), col("n_redacted"))
+    },
+
+    // Gopher-style repetition quality: duplicate-word fraction, top-word
+    // and top-bigram mass, mean word length, and the keep decision.
+    "f2_repetition_quality" -> { (s, dir) =>
+      QualityFilters.repetitionStats(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .withColumn("keep",
+          QualityFilters.keepDecision(MaxDup, MaxTopWord, MaxTopBigram).cast("int"))
+    },
+
+    // Mixture sampling (data mixing): per-source rates computed FROM the
+    // data (char budget / source total, floor'd in double), then the
+    // deterministic splitmix64 keep — the source-rebalancing step of a
+    // training mix where the rates themselves are data-dependent.
+    "mix1_mixture_sample" -> { (s, dir) =>
+      Sampling.mixtureSample(Tables.load(s, dir, "documents"), "doc_id", "source",
+        "n_chars", MixBudget, SampleSeed)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
     // → boilerplate removal → emptiness filter → stratified resampling →
     // sequence packing. Hash-gated end-to-end: the oracle replays the
@@ -108,7 +152,62 @@ object CurationQueries {
 
   private def rateThr(rate: Double): Long = (rate * Sampling.Buckets).round
 
+  /** f1 oracle: the SAME pattern strings as [[Redact.PiiRules]] are
+    * interpolated into the SQL, and the count-then-replace sequencing
+    * mirrors [[Redact.redact]] rule by rule.
+    */
+  private def f1Oracle: String = {
+    val Seq((pe, re), (pp, rp), (pi, ri)) = Redact.PiiRules
+    s"""WITH t AS (
+          SELECT c_custkey,
+            'contact user' || c_custkey || '@' || lower(c_mktsegment) || '.org or +1-' ||
+            (c_nationkey + 100) || '-555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') ||
+            ' from 10.' || (c_nationkey % 256) || '.' || (c_custkey % 256) || '.1 re ' ||
+            c_mktsegment AS c0
+          FROM customer),
+        r1 AS (SELECT c_custkey, regexp_replace(c0, '$pe', '$re', 'g') AS c1,
+                      len(regexp_extract_all(c0, '$pe')) AS n1 FROM t),
+        r2 AS (SELECT c_custkey, regexp_replace(c1, '$pp', '$rp', 'g') AS c2,
+                      n1 + len(regexp_extract_all(c1, '$pp')) AS n2 FROM r1),
+        r3 AS (SELECT c_custkey, regexp_replace(c2, '$pi', '$ri', 'g') AS c3,
+                      n2 + len(regexp_extract_all(c2, '$pi')) AS n3 FROM r2)
+        SELECT c_custkey, c3 AS redacted, n3::BIGINT AS n_redacted FROM r3"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "f1_pii_redact" -> f1Oracle,
+    "f2_repetition_quality" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                      FROM documents),
+          uc AS (SELECT doc_id, u.t AS w, count(*) AS c
+                 FROM tk, UNNEST(ts) AS u(t) GROUP BY 1, 2),
+          ua AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS top,
+                        sum(len(w) * c) AS sum_len
+                 FROM uc GROUP BY 1),
+          bg AS (SELECT doc_id, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS gs
+                 FROM tk WHERE len(ts) >= 2),
+          bc AS (SELECT doc_id, u.g AS g, count(*) AS c
+                 FROM bg, UNNEST(gs) AS u(g) GROUP BY 1, 2),
+          ba AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bc GROUP BY 1),
+          st AS (
+            SELECT d.doc_id,
+                   COALESCE(n, 0) AS n_words,
+                   round(1 - COALESCE(nd::DOUBLE / n, 1), 4) AS dup_word_frac,
+                   round(COALESCE(top::DOUBLE / n, 0), 4) AS top_word_frac,
+                   round(COALESCE(topb::DOUBLE / nb, 0), 4) AS top_bigram_frac,
+                   round(COALESCE(sum_len::DOUBLE / n, 0), 4) AS mean_word_len
+            FROM documents d LEFT JOIN ua USING (doc_id) LEFT JOIN ba USING (doc_id))
+          SELECT *, (dup_word_frac <= $MaxDup AND top_word_frac <= $MaxTopWord
+                     AND top_bigram_frac <= $MaxTopBigram)::INT AS keep
+          FROM st""",
+    "mix1_mixture_sample" ->
+      s"""WITH tot AS (SELECT source, sum(n_chars) AS total FROM documents GROUP BY source),
+          j AS (SELECT d.doc_id, d.source, d.n_chars,
+                       least(${Sampling.Buckets},
+                             floor((${MixBudget * Sampling.Buckets})::DOUBLE / total::DOUBLE)::BIGINT) AS thr
+                FROM documents d JOIN tot USING (source)),
+          ${splitmixCte("j", "doc_id", SampleSeed)}
+          SELECT doc_id, source, n_chars FROM h WHERE bucket < thr""",
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",

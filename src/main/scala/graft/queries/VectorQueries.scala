@@ -107,6 +107,15 @@ object VectorQueries {
       val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", k = 8, maxIters = 5)
       graft.operators.KMeans.ivfKnn(
         e.filter(col("vec_id") < 20), e, "vec_id", "embedding", model, nprobe = 3, topK = 5)
+    },
+
+    // Int8 scalar quantization (the SQ8-before-IVF compression step):
+    // per-dimension min/max → codes, exploded to scalar rows for the
+    // hash gate. floor-based double math replays bit-exactly in SQL.
+    "vq1_quantize_int8" -> { (s, dir) =>
+      graft.operators.Quantize.scalarQuantizeInt8(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim_idx", "code")))
     }
   )
 
@@ -202,6 +211,14 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
+    "vq1_quantize_int8" ->
+      """WITH ex AS (SELECT vec_id, u.i - 1 AS dim_idx, embedding[u.i]::DOUBLE AS v
+                     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+         st AS (SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim_idx)
+         SELECT vec_id, dim_idx,
+                (CASE WHEN mx = mn THEN 0
+                      ELSE floor((v - mn) * 255.0 / (mx - mn))::BIGINT - 128 END)::INT AS code
+         FROM ex JOIN st USING (dim_idx)""",
     // NB: embeddings are FLOAT lists; DuckDB's list_dot_product would
     // accumulate in float while Spark casts to double — cast to DOUBLE[]
     // first so both engines do the same double arithmetic.

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{QualityFilters, Quantize, Redact, Sampling}
+
+/** Round-6 curation additions: PII redaction, Gopher-style repetition
+  * stats, data-mixing sampler, int8 scalar quantization.
+  */
+class QualityOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Redact ----
+
+  test("redact scrubs emails, phones, and IPs in rule order with correct counts") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org and x@y.io today"),
+      (2L, "call +1-425-555-0199 or 425-555-0101 now"),
+      (3L, "from 192.168.0.1 and 10.0.0.255"),
+      (4L, "nothing to scrub here"),
+      (5L, "all: u@v.com +1-206-555-0000 127.0.0.1")).toDF("id", "text")
+    val got = Redact.redact(df, "text").select("id", "redacted", "n_redacted")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "mail <EMAIL> and <EMAIL> today", 2L)))
+    assert(got(1) == ((2L, "call <PHONE> or <PHONE> now", 2L)))
+    assert(got(2) == ((3L, "from <IP> and <IP>", 2L)))
+    assert(got(3) == ((4L, "nothing to scrub here", 0L)))
+    assert(got(4) == ((5L, "all: <EMAIL> <PHONE> <IP>", 3L)))
+  }
+
+  test("redact: email rule consumes its digits before the phone rule sees them; null text survives") {
+    // The local part is digit-heavy: if phone ran first it would match inside
+    // the email. Rule order must prevent double redaction.
+    val df = Seq((1L, "user00000042@example.com"), (2L, null)).toDF("id", "text")
+    val got = Redact.redact(df, "text").select("id", "redacted", "n_redacted")
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some("<EMAIL>"), Some(1L))))
+    assert(got(1) == ((2L, None, None)))
+  }
+
+  // ---- QualityFilters ----
+
+  test("repetitionStats computes exact fractions on a hand-checked doc") {
+    // "a a b a c" → 5 words, 3 distinct, top 'a'=3, lens 5*1
+    // bigrams: "a a","a b","b a","a c" → 4, all distinct, top=1
+    val df = Seq((1L, "a a b a c")).toDF("doc_id", "text")
+    val r = QualityFilters.repetitionStats(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Double]("dup_word_frac") == 0.4) // 1 - 3/5
+    assert(r.getAs[Double]("top_word_frac") == 0.6) // 3/5
+    assert(r.getAs[Double]("top_bigram_frac") == 0.25) // 1/4
+    assert(r.getAs[Double]("mean_word_len") == 1.0)
+  }
+
+  test("repetitionStats: single-word and empty docs don't produce nulls") {
+    val df = Seq((1L, "word"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val got = QualityFilters.repetitionStats(df, "doc_id", "text")
+      .select("doc_id", "n_words", "top_bigram_frac", "dup_word_frac")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 0.0, 0.0)))
+    assert(got(1) == ((2L, 0L, 0.0, 0.0)))
+    assert(got(2) == ((3L, 0L, 0.0, 0.0)))
+  }
+
+  test("repetitionStats flags a degenerate repeated doc that keepDecision rejects") {
+    val df = Seq((1L, "spam spam spam spam spam spam"), (2L, "a varied doc with many distinct words here"))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.repetitionStats(df, "doc_id", "text")
+      .withColumn("keep", QualityFilters.keepDecision(0.55, 0.3, 0.5))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!got(1L) && got(2L))
+  }
+
+  // ---- mixtureSample ----
+
+  test("mixtureSample: budget >= stratum total keeps everything; rates scale with totals") {
+    val df = (0L until 3000L).map { i =>
+      val src = if (i % 3 == 0) "big" else "small"
+      (i, src, if (src == "big") 100L else 10L)
+    }.toDF("id", "src", "w")
+    // big total = 100k, small total = 20k; budget 20k → big rate 0.2, small rate 1.0
+    val kept = Sampling.mixtureSample(df, "id", "src", "w", 20000L)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 2000L, s"small stratum under budget keeps all rows: $kept")
+    assert(kept("big") > 120 && kept("big") < 280, s"big stratum ~20%: $kept")
+  }
+
+  test("mixtureSample keep set is independent of partitioning (auditable mix)") {
+    val df = (0L until 2000L).map(i => (i, s"s${i % 4}", 7L)).toDF("id", "src", "w")
+    val a = Sampling.mixtureSample(df.repartition(1), "id", "src", "w", 2000L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(df.repartition(17), "id", "src", "w", 2000L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ---- Quantize ----
+
+  test("scalarQuantizeInt8: known vectors quantize to exact codes; degenerate dim → 0") {
+    val df = Seq(
+      (0L, Array(0.0f, 5.0f, 1.0f)),
+      (1L, Array(1.0f, 5.0f, 3.0f)),
+      (2L, Array(2.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val got = Quantize.scalarQuantizeInt8(df, "vec_id", "embedding")
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
+    // dim0: range [0,2] → codes floor(v*127.5)-128 = -128, -1, 127
+    // dim1: degenerate → 0; dim2: range [1,5] → floor((v-1)*63.75)-128
+    assert(got(0)._2 == Seq(-128, 0, -128))
+    assert(got(1)._2 == Seq(-1, 0, -1))
+    assert(got(2)._2 == Seq(127, 0, 127))
+  }
+
+  test("scalarQuantizeInt8 codes stay in [-128, 127] and extremes hit both ends") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val codes = Quantize.scalarQuantizeInt8(e, "vec_id", "embedding")
+      .select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).as[(Int, Int)].collect().head
+    assert(codes._1 == -128 && codes._2 == 127)
+  }
+}
