@@ -185,6 +185,62 @@ object TextFunctions {
       copy(child = newChild)
   }
 
+  /** All six repetition counters in ONE pass over the text — the Gopher
+    * quality signals are per-document, so no shuffle is ever needed: a
+    * (doc, term) groupBy formulation would shuffle every distinct term
+    * occurrence in the corpus just to compute row-local counts. One
+    * per-row hash map (bounded by document length) replaces all of it.
+    * Fields: n_words, n_distinct, top_cnt (max unigram multiplicity),
+    * sum_len (non-space chars), n_bigrams, top_bi_cnt.
+    */
+  private[functions] case class RepetitionScan(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.StructField
+
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("top_cnt", LongType, nullable = false),
+      StructField("sum_len", LongType, nullable = false),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("top_bi_cnt", LongType, nullable = false)))
+    override def prettyName: String = "repetition_scan"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      val uni = new java.util.HashMap[String, Long]()
+      val bi = new java.util.HashMap[String, Long]()
+      var nWords = 0L
+      var sumLen = 0L
+      var topCnt = 0L
+      var topBi = 0L
+      var prev: String = null
+      eachToken(s) { (a, b) =>
+        val w = s.substring(a, b)
+        nWords += 1
+        sumLen += (b - a)
+        val c = uni.merge(w, 1L, (x, y) => x + y)
+        if (c > topCnt) topCnt = c
+        if (prev != null) {
+          val g = prev + " " + w
+          val cb = bi.merge(g, 1L, (x, y) => x + y)
+          if (cb > topBi) topBi = cb
+        }
+        prev = w
+      }
+      val nBigrams = if (nWords >= 2) nWords - 1 else 0L
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](nWords, uni.size.toLong, topCnt, sumLen, nBigrams, topBi))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Struct of repetition counters (see [[RepetitionScan]]). */
+  def repetitionScan(text: Column): Column =
+    graftbridge.column(RepetitionScan(graftbridge.expression(text)))
+
   def wordNGrams(text: Column, n: Int): Column =
     graftbridge.column(WordNGrams(graftbridge.expression(text), n))
 

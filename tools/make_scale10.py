@@ -95,7 +95,19 @@ pq.write_table(pa.concat_tables(parts), dst / "events.parquet",
                coerce_timestamps=None)
 print("events:", sum(p.num_rows for p in parts))
 
+# customer 10x (f1 redaction probe input): remap the key, keep the rest —
+# the composed contact strings stay realistic and unique per copy.
+t = pq.read_table(src / "customer.parquet")
+parts = []
+for i in range(copies):
+    cols = {name: t.column(name) for name in t.column_names}
+    cols["c_custkey"] = pa.array(
+        [c + i * 10_000_000 for c in t.column("c_custkey").to_pylist()], pa.int64())
+    parts.append(pa.table(cols))
+pq.write_table(pa.concat_tables(parts), dst / "customer.parquet")
+print("customer:", sum(p.num_rows for p in parts))
+
 # remaining tables 1x
-for name in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+for name in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
     shutil.copyfile(src / f"{name}.parquet", dst / f"{name}.parquet")
 print("done ->", dst)
