@@ -127,6 +127,68 @@ object Dedup {
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Incremental near-dedup: keep only the NEW-batch docs that are not
+    * near-duplicates of any EXISTING-corpus doc — the daily-ingest shape
+    * of a production pipeline, where re-running batch dedup over
+    * N_old + N_new per day is unaffordable.
+    *
+    * Both sides get the narrow shingle → signature → band-key pass, but
+    * pairs expand ONLY across sides: buckets are grouped per side and
+    * inner-joined on (band, key), so a bucket with no new-batch member
+    * never leaves the join, and old × old / new × new products are never
+    * formed. At 100 TB the existing side contributes one sketch pass +
+    * (band, key) longs; at steady state the sketch of the existing corpus
+    * would be persisted and only the new batch computes signatures.
+    *
+    * Duplicates WITHIN the new batch are both kept — collapse them with
+    * [[nearDedupKeep]] on the batch first if needed; the two concerns
+    * compose. `maxBucketSize` guards each side's bucket independently
+    * ([[observeDrops]] accounts for what the guard excluded).
+    */
+  def incrementalNearDupKeep(newDf: DataFrame, oldDf: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
+    val par = newDf.sparkSession.sparkContext.defaultParallelism
+    val shingle = wordShingleHashes(col("text"), shingleN)
+    def raw(d: DataFrame) =
+      d.select(col(idCol).as("id"), col(textCol).as("text")).repartition(par)
+    def buckets(r: DataFrame, idsName: String) = r
+      .select(col("id"), shingle.as("sh")).filter(size(col("sh")) > 0)
+      .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
+      .toDF("id", "band", "key")
+      .groupBy("band", "key").agg(collect_list(col("id")).as(idsName))
+
+    val newRaw = raw(newDf)
+    val oldRaw = raw(oldDf)
+    val shared = buckets(newRaw, "new_ids").join(buckets(oldRaw, "old_ids"), Seq("band", "key"))
+    val candidates =
+      observeDrops(shared, greatest(size(col("new_ids")), size(col("old_ids"))), maxBucketSize, dropMetrics)
+        .filter(size(col("new_ids")) <= maxBucketSize && size(col("old_ids")) <= maxBucketSize)
+        .select(explode(col("new_ids")).as("nid"), col("old_ids"))
+        .select(col("nid"), explode(col("old_ids")).as("oid"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // verification ∝ |candidates|: shingle sets are re-materialized only
+    // for ids that reached a shared bucket (same shape as lshNearDupPairs)
+    def candSets(r: DataFrame, ids: DataFrame) = r
+      .join(broadcast(ids), "id").select(col("id"), shingle.as("sh"))
+    val matched = candidates
+      .join(candSets(newRaw, candidates.select(col("nid").as("id")).distinct())
+        .select(col("id").as("nid"), col("sh").as("sh_n")), "nid")
+      .join(candSets(oldRaw, candidates.select(col("oid").as("id")).distinct())
+        .select(col("id").as("oid"), col("sh").as("sh_o")), "oid")
+      .filter(jaccardSorted(col("sh_n"), col("sh_o")) >= threshold)
+      .select(col("nid").as("__match_id")).distinct()
+      .localCheckpoint() // eager — lets the candidate cache go
+    candidates.unpersist()
+    // drop list is bounded by the new batch, but AQE still decides the
+    // join strategy (no forced broadcast — same reasoning as nearDedupKeep)
+    newDf.join(matched, col(idCol) === col("__match_id"), "left_anti")
+  }
+
   /** Exact deduplication: one representative (min id) per duplicate group
     * of `keyCols`, with the group size. A single hash aggregation —
     * partial (map-side) combine makes this one shuffle of distinct keys.

@@ -114,6 +114,31 @@ object TextQueries {
     "t4_fingerprint" -> { (s, dir) =>
       Tables.load(s, dir, "documents").select(
         col("doc_id"), rollingHash(col("text")).as("fp"))
+    },
+
+    // Corpus-wide frequent n-grams: top-20 word bigrams by occurrence
+    // with document frequency — boilerplate/contamination reconnaissance.
+    // One (gram) hash agg with map-side combine; top-k is
+    // TakeOrderedAndProject, so only 20 rows ever reach the driver.
+    "t7_common_ngrams" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(wordNGramsAll(col("text"), 2)).as("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("g"))
+        .limit(20)
+    },
+
+    // Incremental near-dedup: a simulated daily batch (doc_id % 10 = 7)
+    // screened against the rest of the corpus — kept rows are new docs
+    // with no existing near-duplicate. Pairs expand only ACROSS sides
+    // (the batch-ingest shape; within-batch dups are d7's concern).
+    "d10_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.incrementalNearDupKeep(
+        docs.filter(col("doc_id") % 10 === 7), docs.filter(col("doc_id") % 10 =!= 7),
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
     }
   )
 
@@ -258,6 +283,29 @@ object TextQueries {
       """SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ascii(c)::BIGINT)),
                        (a, b) -> (a * 31 + b) % 1000000007) AS fp
-         FROM documents"""
+         FROM documents""",
+    "t7_common_ngrams" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
+                     FROM documents),
+         gr AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g
+                FROM tk WHERE len(ts) >= 2)
+         SELECT g, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM gr GROUP BY g ORDER BY n DESC, g LIMIT 20""",
+    "d10_incremental_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         hit AS (
+           SELECT n.doc_id
+           FROM sh n JOIN sh o
+             ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+           WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                 / len(list_distinct(list_concat(n.s, o.s))) >= 0.8)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM hit)"""
   )
 }

@@ -191,4 +191,21 @@ class TextDedupSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(graft.operators.Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
   }
+
+  test("incrementalNearDupKeep drops cross-side near-dups, keeps within-batch dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val old = Seq(
+      (1L, base),
+      (2L, "completely different words about something else entirely here now"),
+      (3L, "short")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, base + " x"),                                  // near-dup of old 1 → dropped
+      (102L, "a genuinely novel document with its own vocabulary and phrasing"),
+      (103L, "a genuinely novel document with its own vocabulary and phrasing"), // dup of 102 WITHIN batch → both kept
+      (104L, "hi")).toDF("doc_id", "text")                  // < shingleN tokens → no shingles → kept
+    val kept = Dedup.incrementalNearDupKeep(fresh, old, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(102L, 103L, 104L))
+  }
 }
