@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.repetitionScan
+import graft.functions.TextFunctions.{repetitionScan, wordNGramsAll}
 
 /** Gopher-style repetition / quality statistics per document.
   *
@@ -54,6 +54,41 @@ object QualityFilters {
         when(r.getField("n_words") === 0, lit(0.0))
           .otherwise(round(r.getField("sum_len").cast("double") / r.getField("n_words"), 4))
           .as("mean_word_len"))
+  }
+
+  /** Per-document average unigram log-probability under a language model
+    * estimated from the corpus itself — the perplexity-style quality
+    * signal (CCNet scores against a KenLM; a corpus-trained unigram LM is
+    * its reproducible, oracle-replayable core). Low scores flag docs
+    * whose vocabulary is unusual for the corpus (spam, encoding damage,
+    * wrong language).
+    *
+    * Two-stage shape: (1) the LM — one (token) hash agg with map-side
+    * combine, vocabulary-sized output (Heaps' law: ≪ corpus); the token
+    * total rides along as a 1-row cross join. (2) scoring — token
+    * instances join the vocab on token (AQE broadcasts the vocab side
+    * while it fits; at extreme vocabularies it degrades to a shuffle
+    * join, never a driver collect), then one (doc) avg. Nothing is ever
+    * quadratic; both shuffles carry token instances at most once.
+    *
+    * Output: id, n_tokens, avg_logprob = avg(ln(count(t)/N)) rounded to
+    * 4 decimals (0.0 for empty docs), ascending = more surprising.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"), explode(wordNGramsAll(col(textCol), 1)).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").as("n"))
+    val scored = toks
+      .join(vocab, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
+    df.select(col(idCol))
+      .join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
   /** The Gopher-style keep decision over [[repetitionStats]] output. */

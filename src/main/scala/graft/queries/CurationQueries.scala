@@ -103,6 +103,12 @@ object CurationQueries {
           QualityFilters.keepDecision(MaxDup, MaxTopWord, MaxTopBigram).cast("int"))
     },
 
+    // Perplexity-style quality: per-doc average unigram log-prob under a
+    // corpus-trained LM — docs with unusual vocabulary score low.
+    "f3_unigram_logprob" -> { (s, dir) =>
+      QualityFilters.unigramLogProb(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     // Mixture sampling (data mixing): per-source rates computed FROM the
     // data (char budget / source total, floor'd in double), then the
     // deterministic splitmix64 keep — the source-rebalancing step of a
@@ -176,6 +182,18 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "f1_pii_redact" -> f1Oracle,
+    "f3_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         inst AS (SELECT doc_id, u.t FROM tk, UNNEST(ts) AS u(t)),
+         vocab AS (SELECT t, count(*) AS c FROM inst GROUP BY t),
+         tot AS (SELECT sum(c) AS n FROM vocab),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+                       round(avg(ln(c::DOUBLE / n)), 4) AS avg_logprob
+                FROM inst JOIN vocab USING (t), tot GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+                COALESCE(avg_logprob, 0.0) AS avg_logprob
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     "f2_repetition_quality" ->
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                       FROM documents),

@@ -28,6 +28,20 @@ class QualityOpsSpec extends SparkSuite {
     assert(got(4) == ((5L, "all: <EMAIL> <PHONE> <IP>", 3L)))
   }
 
+  test("unigramLogProb matches hand-computed LM scores; empty/null docs score 0") {
+    // corpus: "a a b" + "a c" + empty + null → counts a=3, b=1, c=1, N=5
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.unigramLogProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val la = math.log(3.0 / 5); val lb = math.log(1.0 / 5)
+    assert(got(0) == ((1L, 3L, r4((la + la + lb) / 3))))
+    assert(got(1) == ((2L, 2L, r4((la + lb) / 2))))
+    assert(got(2) == ((3L, 0L, 0.0)))
+    assert(got(3) == ((4L, 0L, 0.0)))
+  }
+
   test("redact: email rule consumes its digits before the phone rule sees them; null text survives") {
     // The local part is digit-heavy: if phone ran first it would match inside
     // the email. Rule order must prevent double redaction.
