@@ -19,16 +19,19 @@ object GraftFunctions {
   private def toDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
-  def register(spark: SparkSession): Unit = {
-    graftbridge.registerFunction(spark, "vec_dot",
-      es => VectorDot(toDoubleArray(es(0)), toDoubleArray(es(1))))
-    graftbridge.registerFunction(spark, "minhash_sig",
-      es => Dedup.MinHashSig(es.head, 64, 42L))
-    graftbridge.registerFunction(spark, "srp_keys",
-      es => SrpKeys(toDoubleArray(es.head), 64, 6, 12, 42L))
-    graftbridge.registerFunction(spark, "word_shingle_hashes",
-      es => Dedup.ShingleHashes(es.head, 3, word = true))
-    graftbridge.registerFunction(spark, "char_shingle_hashes",
-      es => Dedup.ShingleHashes(es.head, 5, word = false))
-  }
+  /** Name → builder for every SQL-callable graft expression — shared by
+    * [[register]] (temp functions on an existing session) and
+    * [[GraftExtensions]] (catalog injection at session build).
+    */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VectorDot(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    "minhash_sig" -> (es => Dedup.MinHashSig(es.head, 64, 42L)),
+    "srp_keys" -> (es => SrpKeys(toDoubleArray(es.head), 64, 6, 12, 42L)),
+    "word_shingle_hashes" -> (es => Dedup.ShingleHashes(es.head, 3, word = true)),
+    "char_shingle_hashes" -> (es => Dedup.ShingleHashes(es.head, 5, word = false)))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      graftbridge.registerFunction(spark, name, builder)
+    }
 }

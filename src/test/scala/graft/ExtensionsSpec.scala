@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end check of the `spark.sql.extensions` entry point: a session
+  * built with ONLY the config string (no Scala-side registration call)
+  * can invoke graft's custom expressions from SQL text.
+  */
+class ExtensionsSpec extends SparkSuite {
+
+  test("a session built with the GraftExtensions class can call graft SQL functions") {
+    spark // force the shared suite session (and its SparkContext) first
+    // `spark.sql.extensions` is a STATIC conf read from the SparkContext at
+    // context creation, so the config-string path can't be exercised on a
+    // second session sharing this suite's context. Spark's loader does
+    // exactly `Class.forName(name).newInstance().apply(extensions)` —
+    // replicate that instantiation here, then build the session through the
+    // public withExtensions API with the reflectively-created instance.
+    val viaReflection = Class.forName("graft.GraftExtensions")
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(viaReflection)
+      .create() // a NEW session — getOrCreate would return the suite session
+    try {
+      val d = s2.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+      val sig = s2.sql("SELECT size(minhash_sig(word_shingle_hashes('a b c d e'))) AS n")
+        .collect().head.getInt(0)
+      assert(sig == 64)
+      // injected as catalog functions: visible to SHOW FUNCTIONS
+      val shown = s2.sql("SHOW FUNCTIONS LIKE 'vec_dot'").collect().map(_.getString(0))
+      assert(shown.contains("vec_dot"))
+      // and absent from a session built WITHOUT the extension (proves the
+      // config did the work, not some global side effect)
+      assert(spark.catalog.listFunctions().filter("name = 'vec_dot'").isEmpty)
+    } finally {
+      // do NOT s2.stop(): it shares the suite's SparkContext
+      SparkSession.clearActiveSession()
+    }
+  }
+}
