@@ -241,6 +241,55 @@ object TextFunctions {
   def repetitionScan(text: Column): Column =
     graftbridge.column(RepetitionScan(graftbridge.expression(text)))
 
+  /** Within-document repeated-segment removal (Gopher-style "dedup lines
+    * within a doc"): split on `delim`, keep each segment's FIRST
+    * occurrence (order preserved), rejoin — plus the dropped-segment
+    * count. One pass, one per-row LinkedHashSet; empty segments (runs of
+    * the delimiter) are removed, matching the tokenizer's semantics.
+    */
+  private[functions] case class SegmentDedup(child: Expression, delim: Char)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.{IntegerType => IntT, StringType, StructField}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+      StructField("clean", StringType, nullable = false),
+      StructField("n_dropped", IntT, nullable = false)))
+    override def prettyName: String = "segment_dedup"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val seen = new java.util.LinkedHashSet[String]()
+      var total = 0
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        if (s.charAt(i) != delim) {
+          var j = i
+          while (j < n && s.charAt(j) != delim) j += 1
+          total += 1
+          seen.add(s.substring(i, j))
+          i = j
+        } else i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      val it = seen.iterator()
+      while (it.hasNext) {
+        if (sb.length > 0) sb.append(delim)
+        sb.append(it.next())
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(sb.toString), total - seen.size))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Struct (clean, n_dropped) of [[SegmentDedup]] over `delim`. */
+  def dedupSegments(text: Column, delim: Char = ' '): Column =
+    graftbridge.column(SegmentDedup(graftbridge.expression(text), delim))
+
   def wordNGrams(text: Column, n: Int): Column =
     graftbridge.column(WordNGrams(graftbridge.expression(text), n))
 

@@ -103,6 +103,18 @@ object CurationQueries {
           QualityFilters.keepDecision(MaxDup, MaxTopWord, MaxTopBigram).cast("int"))
     },
 
+    // Within-doc repeated-segment removal: each doc keeps the FIRST
+    // occurrence of every segment, order preserved — single narrow pass
+    // (the corpus is single-line, so the segment unit is the token, as
+    // in d8; multi-segment behavior is spec'd in TextDedupSpec).
+    "d11_withindoc_dedup" -> { (s, dir) =>
+      val d = graft.functions.TextFunctions.dedupSegments(col("text"))
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        d.getField("clean").as("clean_text"),
+        d.getField("n_dropped").as("n_dropped"))
+    },
+
     // Perplexity-style quality: per-doc average unigram log-prob under a
     // corpus-trained LM — docs with unusual vocabulary score low.
     "f3_unigram_logprob" -> { (s, dir) =>
@@ -182,6 +194,15 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "f1_pii_redact" -> f1Oracle,
+    // (t,i) indexed lambda: keep a token iff its first occurrence index
+    // is its own index — DuckDB's order-preserving distinct.
+    "d11_withindoc_dedup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents)
+         SELECT doc_id,
+           array_to_string(list_filter(ts, (t, i) -> list_position(ts, t) = i), ' ') AS clean_text,
+           (len(ts) - len(list_distinct(ts)))::INTEGER AS n_dropped
+         FROM tk""",
     "f3_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                      FROM documents),

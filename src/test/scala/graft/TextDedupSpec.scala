@@ -192,6 +192,24 @@ class TextDedupSpec extends SparkSuite {
     assert(graft.operators.Dedup.connectedComponents(empty, "doc_a", "doc_b").count() == 0)
   }
 
+  test("dedupSegments keeps first occurrences in order; multi-space/empty/null edge cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a c b a"),
+      (2L, "  x   x  "),
+      (3L, "all unique words here"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val d = TextFunctions.dedupSegments(col("text"))
+    val got = df.select(col("id"), d.getField("clean"), d.getField("n_dropped"))
+      .as[(Long, Option[String], Option[Int])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, Some("a b c"), Some(3))))
+    assert(got(1) == ((2L, Some("x"), Some(1))))
+    assert(got(2) == ((3L, Some("all unique words here"), Some(0))))
+    assert(got(3) == ((4L, Some(""), Some(0))))
+    assert(got(4) == ((5L, None, None)))
+  }
+
   test("incrementalNearDupKeep drops cross-side near-dups, keeps within-batch dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
