@@ -150,6 +150,37 @@ class CurationSpec extends SparkSuite {
       s"streaming kept ${streamed.size}, batch kept ${batch.size}")
   }
 
+  test("full per-row cleaning chain is stateless: streaming result equals batch") {
+    // the round-6 narrow ops composed: within-doc segment dedup →
+    // repetition keep decision → PII redaction → hash sample. All per-row,
+    // so a file-source stream must produce the identical row set.
+    val dir = java.nio.file.Files.createTempDirectory("graft-clean-stream").toString
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+
+    def clean(df: org.apache.spark.sql.DataFrame) = {
+      val deduped = df.select(col("doc_id"),
+        graft.functions.TextFunctions.dedupSegments(col("text")).getField("clean").as("text"))
+      val sampled = Sampling.hashSample(deduped, "doc_id", 0.5)
+      val redacted = graft.operators.Redact.redact(sampled, "text")
+        .select(col("doc_id"), col("redacted").as("text"))
+      graft.operators.QualityFilters.repetitionStats(redacted, "doc_id", "text")
+        .withColumn("keep", graft.operators.QualityFilters.keepDecision(0.9, 0.5, 0.5).cast("int"))
+    }
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = clean(stream).writeStream
+      .outputMode("append").format("memory").queryName("clean_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("clean_stream").collect().map(_.toString).toSet
+    val batch = clean(docs).collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"streaming kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   // ---- tf-idf ----
 
   test("tfidfTopTerms ranks rare-but-frequent terms first with deterministic tiebreak") {
