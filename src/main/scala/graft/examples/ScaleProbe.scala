@@ -59,6 +59,21 @@ object ScaleProbe {
         val t = timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         println(f"[probe] $name%-24s ${t}%6.2f s")
       }
+      // --srp=bits:tables — probe the ANN contract path at explicit
+      // parameters (bits must grow with the corpus: ≈ log2(n / bucket))
+      args.filter(_.startsWith("--srp=")).foreach { a =>
+        val Array(b, tb) = a.stripPrefix("--srp=").split(":").map(_.toInt)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ts = timed {
+          graft.operators.Similarity.annCosinePairs(
+            emb, "vec_id", "embedding", 64, 0.45, bits = b, tables = tb)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v3_srp_b${b}_t$tb"}%-24s ${ts}%6.2f s")
+      }
+      // --only: just the named/--srp probes, none of the default extras
+      // below (whose fixed parameters are sized for 1×-10×, not 100×)
+      if (args.contains("--only")) { spark.stop(); return }
       val e = Tables.load(spark, sfDir, "embeddings")
       val t = timed { KMeans.fit(e, "vec_id", "embedding", 8, 5): Unit }
       println(f"[probe] ${"km_fit"}%-24s ${t}%6.2f s")

@@ -41,7 +41,18 @@ ALPHA = string.ascii_lowercase + string.digits
 def rot_table(i):
     if i == 0:
         return None
-    rot = ALPHA[i:] + ALPHA[:i]
+    if i < len(ALPHA):
+        # rotation (the original scheme — keeps the recorded 10x dataset
+        # byte-identical)
+        rot = ALPHA[i:] + ALPHA[:i]
+    else:
+        # rotations degenerate to identity at i >= len(ALPHA) (slices clamp),
+        # which would make copies 36+ EXACT duplicates of copy 0 — a
+        # pathological corpus. Seeded permutation instead.
+        import random
+        chars = list(ALPHA)
+        random.Random(7000 + i).shuffle(chars)
+        rot = "".join(chars)
     return str.maketrans(ALPHA, rot)
 
 
