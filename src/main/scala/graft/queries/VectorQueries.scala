@@ -51,6 +51,23 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
+    // Hybrid lexical+semantic dedup groups: docs are near-dups if their
+    // TEXTS match (MinHash-LSH-verified Jaccard >= 0.8) OR their
+    // EMBEDDINGS match (cosine >= 0.45) — the two signals' pair lists
+    // union into one connected-components pass. doc_id and vec_id align
+    // 1:1 in the testdata, standing in for a corpus with per-doc
+    // embeddings; at scale the cosine side swaps to annCosinePairs.
+    "x1_hybrid_dedup_groups" -> { (s, dir) =>
+      val txt = graft.operators.Dedup.minhashNearDupPairs(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val emb = Similarity.exactCosinePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      graft.operators.Dedup.connectedComponents(txt.unionByName(emb), "a", "b")
+        .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+    },
+
     // Embedding near-dup groups on the SCALE path: connected components
     // over the SRP-LSH ANN pairs (v3) instead of the O(n²) exact pairs
     // (v5) — the composition a 100 TB corpus actually runs. Hash-gated:
@@ -257,6 +274,32 @@ object VectorQueries {
            UNION
            SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
          SELECT a AS vec_id, min(b) AS keep_id FROM reach GROUP BY a""",
+    "x1_hybrid_dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         tp AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         ed AS (
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         vp AS (
+           SELECT a.vec_id AS da, b.vec_id AS db
+           FROM ed a JOIN ed b ON a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+         pr AS (SELECT da, db FROM tp UNION SELECT da, db FROM vp),
+         eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM eg
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
+         SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a""",
     "v4_vector_norms" ->
       """WITH ed AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm,
