@@ -42,6 +42,26 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Deterministic train/eval split: disjoint, complete, and stable
+    // under corpus growth (a doc's side never changes as rows arrive) —
+    // the hash property d9's decontamination assumes.
+    "s3_train_eval_split" -> { (s, dir) =>
+      val (train, eval) = Sampling.trainEvalSplit(
+        Tables.load(s, dir, "documents"), "doc_id", 0.2, SampleSeed)
+      train.select(col("doc_id"), lit("train").as("split"))
+        .unionByName(eval.select(col("doc_id"), lit("eval").as("split")))
+    },
+
+    // GLOBAL sequence packing: one corpus-wide stream (no shard key) via
+    // the two-phase prefix sum — range partition, per-partition window,
+    // P-row driver offset merge. The single-window formulation would put
+    // the whole corpus in one task.
+    "p2_pack_global" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      Packing.packChunksGlobal(docs, "doc_id", "n_tokens", PackCapacity)
+    },
+
     // Concat-and-chunk sequence packing into 128-token context windows,
     // one packing stream per source shard: each doc tagged with the
     // chunk (bin) and token offset where it starts.
@@ -254,6 +274,23 @@ object CurationQueries {
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang FROM h
           WHERE bucket < CASE ${StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN ${rateThr(r)}" }.mkString(" ")} ELSE 0 END""",
+    "s3_train_eval_split" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
+          SELECT doc_id, CASE WHEN bucket < ${rateThr(0.2)} THEN 'eval' ELSE 'train' END AS split
+          FROM h""",
+    "p2_pack_global" ->
+      s"""WITH tk AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+            FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+            FROM tk)
+          SELECT doc_id, n_tokens,
+                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+          FROM c""",
     "p1_pack_chunks" ->
       s"""WITH tk AS (
             SELECT doc_id, source,
