@@ -82,6 +82,28 @@ object Multimodal {
       greatest(col("width") / 2, lit(1)).cast("int").as("thumb_w"),
       greatest(col("height") / 2, lit(1)).cast("int").as("thumb_h"))
 
+  /** Content FEATURE EXTRACTION: normalized byte-value histogram of the
+    * payload — a real (not stubbed) feature vector computable from any
+    * binary column, standing in for a learned image embedding with the
+    * identical pipeline shape: batched mapPartitions featurize → the
+    * vector ops ([[graft.operators.Similarity]]) downstream. Narrow,
+    * shuffle-free; a production swap puts a model call in the same body.
+    */
+  def featurizeImages(images: Dataset[(Long, Array[Byte])], bins: Int = 16): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    require(256 % bins == 0, s"bins must divide 256: $bins")
+    val width = 256 / bins
+    images.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val payload = bytes.drop(12)
+        val counts = new Array[Double](bins)
+        payload.foreach(b => counts((b & 0xFF) / width) += 1)
+        (id, counts.map(_ / payload.length).toSeq)
+      }
+    }.toDF("doc_id", "feature")
+  }
+
   /** "Video" frame sampling: treat the payload as fixed-size frames, keep
     * every `stride`-th — the mapPartitions batch shape for frame-level
     * feature extraction.

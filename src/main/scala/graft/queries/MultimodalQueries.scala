@@ -44,6 +44,18 @@ object MultimodalQueries {
           Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id")))
     },
 
+    // Multimodal similarity search end-to-end: binary payload → batched
+    // byte-histogram FEATURE extraction (a real feature, same pipeline
+    // shape as a learned embedding) → brute-force cosine top-3 via the
+    // vector machinery. Proves the multimodal → vector composition.
+    "m5_image_knn" -> { (s, dir) =>
+      val feats = Multimodal.featurizeImages(
+        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id"))
+      graft.operators.Similarity.bruteForceKnn(
+        feats.filter(col("doc_id") < 20), feats,
+        "doc_id", "feature", "doc_id", "feature", k = 3)
+    },
+
     // Sliding-window telemetry stats (batch mode of the streaming
     // pipeline — the reference's per-cycle re-execution model).
     "st1_sliding_stats" -> { (s, dir) =>
@@ -63,6 +75,25 @@ object MultimodalQueries {
            (list_sum(list_transform(range(0, (64 + doc_id % 64)::INT),
                                     i -> (doc_id * 31 + i) % 256)) % 997)::BIGINT AS checksum
          FROM documents""",
+    // features replayed from the synthesis formula: 16-bin histogram of
+    // (doc_id*31+i) % 256 over the payload, normalized — then v1's knn.
+    "m5_image_knn" ->
+      """WITH f AS (SELECT doc_id, (64 + doc_id % 64) AS plen FROM documents),
+         v AS (SELECT doc_id, list_transform(range(16), b ->
+                 len(list_filter(range(plen), i -> ((doc_id * 31 + i) % 256) // 16 = b))::DOUBLE
+                   / plen) AS v
+               FROM f),
+         q AS (SELECT doc_id, v FROM v WHERE doc_id < 20),
+         pairs AS (
+           SELECT q.doc_id AS qid, e.doc_id AS neighbor,
+             list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM q JOIN v e ON e.doc_id <> q.doc_id),
+         ranked AS (
+           SELECT qid, neighbor, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
+           FROM pairs)
+         SELECT qid, neighbor, rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 3""",
     "m3_frame_sample" ->
       """WITH p AS (SELECT doc_id, (64 + doc_id % 64)::INT AS len FROM documents)
          SELECT doc_id, j::INT AS frame_idx,
