@@ -37,8 +37,19 @@ object Packing {
     * range-repartition by `orderCol`, per-partition token totals (one
     * row per partition to the driver — bounded by partition count, same
     * contract as KMeans' k×dim×P partials), prefix offsets broadcast
-    * back, then per-partition windows run in parallel. Identical output
-    * to a global-window cumsum, at P-way parallelism.
+    * back, then a per-partition RUNNING SUM over the already-sorted
+    * partitions. The running sum is `mapPartitionsWithIndex`, not a
+    * `Window.partitionBy(pid)` — the rows are already physically
+    * clustered by pid, and the window's hash-clustering requirement
+    * would re-shuffle the whole corpus for nothing (plan-audited: the
+    * window form carried a second corpus-sized Exchange). Identical
+    * output to a global-window cumsum, one shuffle total, P-way
+    * parallel.
+    *
+    * Both passes re-execute the range exchange; `RangePartitioner`'s
+    * boundary sampling is seeded per partition index, so the partition
+    * layout — and hence the totals — agree across executions (the
+    * oracle hash-gate proves it).
     */
   def packChunksGlobal(df: DataFrame, orderCol: String, tokenCol: String,
       capacity: Long, partitions: Int = 0): DataFrame = {
@@ -46,21 +57,30 @@ object Packing {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .withColumn("__pid", spark_partition_id())
     // per-partition totals: P rows — driver-side prefix sum is O(P)
-    val partTotals = ranged.groupBy("__pid").agg(sum(col(tokenCol)).as("__ptotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset of partition i = sum of totals of preceding partitions
-    val offsets = partTotals.map(_._1)
-      .zip(partTotals.map(_._2).scanLeft(0L)(_ + _))
-    val offsetsDf = broadcast(
-      spark.createDataFrame(offsets.toSeq).toDF("__pid", "__poffset"))
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(offsetsDf, "__pid")
-      .withColumn("__start", col("__poffset") + coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    val partTotals = ranged
+      .select(spark_partition_id().as("__pid"), col(tokenCol))
+      .groupBy("__pid").agg(sum(col(tokenCol)).as("__ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val partOffsets = (0 until p).scanLeft(0L)((acc, i) => acc + partTotals.getOrElse(i, 0L))
+    val tokIdx = ranged.schema.fieldIndex(tokenCol)
+    val withStart = spark.createDataFrame(
+      ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var acc = partOffsets(pid)
+        it.map { r =>
+          val start = acc
+          acc += (r.get(tokIdx) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case n: Number => n.longValue()
+          })
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+        }
+      },
+      ranged.schema.add("__start", org.apache.spark.sql.types.LongType, nullable = false))
+    withStart
       .withColumn("bin", floor(col("__start") / capacity).cast("long"))
       .withColumn("offset", col("__start") % capacity)
-      .drop("__pid", "__poffset", "__start")
+      .drop("__start")
   }
 }
