@@ -51,6 +51,8 @@ object ScaleProbe {
     } else {
       val names = args.drop(1).filter(!_.startsWith("--")) match {
         case more if more.nonEmpty => more.toSeq
+        // bare `--only [--srp=..]` means: nothing but the explicit probes
+        case _ if args.contains("--only") => Seq.empty
         case _ => Seq("d3_minhash_neardup", "d4_ngram_neardup", "d5_simhash_neardup",
           "v3_ann_srp_pairs", "km1_kmeans_sizes", "km2_ivf_knn", "sq1_sessions")
       }

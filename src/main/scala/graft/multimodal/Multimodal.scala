@@ -99,7 +99,10 @@ object Multimodal {
         val payload = bytes.drop(12)
         val counts = new Array[Double](bins)
         payload.foreach(b => counts((b & 0xFF) / width) += 1)
-        (id, counts.map(_ / payload.length).toSeq)
+        // empty/truncated payload → zero vector, not a silent NaN vector
+        // (0/0) that would poison downstream cosine rankings
+        val len = math.max(payload.length, 1)
+        (id, counts.map(_ / len).toSeq)
       }
     }.toDF("doc_id", "feature")
   }

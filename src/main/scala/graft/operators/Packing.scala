@@ -46,10 +46,14 @@ object Packing {
     * output to a global-window cumsum, one shuffle total, P-way
     * parallel.
     *
-    * Both passes re-execute the range exchange; `RangePartitioner`'s
-    * boundary sampling is seeded per partition index, so the partition
-    * layout — and hence the totals — agree across executions (the
-    * oracle hash-gate proves it).
+    * The totals pass and the running-sum pass MUST see the same
+    * partition layout, but `RangePartitioner`'s boundary sampling is
+    * seeded with the RDD id (`byteswap32(idx ^ (rdd.id << 16))`), which
+    * differs between two executions of the plan — whenever partitions
+    * are large enough that the reservoir subsamples, two runs can cut
+    * different boundaries and the offsets would silently misdescribe
+    * the data. The eager `localCheckpoint` materializes ONE layout that
+    * both passes read (and pays for the corpus scan once, not twice).
     */
   def packChunksGlobal(df: DataFrame, orderCol: String, tokenCol: String,
       capacity: Long, partitions: Int = 0): DataFrame = {
@@ -57,6 +61,7 @@ object Packing {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
+      .localCheckpoint()
     // per-partition totals: P rows — driver-side prefix sum is O(P)
     val partTotals = ranged
       .select(spark_partition_id().as("__pid"), col(tokenCol))
@@ -72,6 +77,8 @@ object Packing {
           acc += (r.get(tokIdx) match {
             case l: Long => l
             case i: Int => i.toLong
+            case null => 0L // null token count = contributes nothing (the
+            // window form's sum() ignored nulls the same way)
             case n: Number => n.longValue()
           })
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)

@@ -49,10 +49,14 @@ object MultimodalQueries {
     // shape as a learned embedding) → brute-force cosine top-3 via the
     // vector machinery. Proves the multimodal → vector composition.
     "m5_image_knn" -> { (s, dir) =>
-      val feats = Multimodal.featurizeImages(
-        Multimodal.synthesizeImages(Tables.load(s, dir, "documents"), "doc_id"))
+      val docs = Tables.load(s, dir, "documents")
+      def feats(d: org.apache.spark.sql.DataFrame) =
+        Multimodal.featurizeImages(Multimodal.synthesizeImages(d, "doc_id"))
+      // filter BEFORE synthesize on the query side: a filter above the
+      // typed mapPartitions chain can't push below it, and would
+      // re-featurize the whole corpus to produce 20 broadcast rows
       graft.operators.Similarity.bruteForceKnn(
-        feats.filter(col("doc_id") < 20), feats,
+        feats(docs.filter(col("doc_id") < 20)), feats(docs),
         "doc_id", "feature", "doc_id", "feature", k = 3)
     },
 

@@ -33,9 +33,12 @@ class ExtensionsSpec extends SparkSuite {
       // injected as catalog functions: visible to SHOW FUNCTIONS
       val shown = s2.sql("SHOW FUNCTIONS LIKE 'vec_dot'").collect().map(_.getString(0))
       assert(shown.contains("vec_dot"))
-      // and absent from a session built WITHOUT the extension (proves the
-      // config did the work, not some global side effect)
-      assert(spark.catalog.listFunctions().filter("name = 'vec_dot'").isEmpty)
+      // and absent from a fresh session built WITHOUT the extension
+      // (proves the extension did the work, not some global side effect;
+      // deliberately NOT the shared suite session — other suites register
+      // temp functions there, which would make this order-dependent)
+      val plain = SparkSession.builder().master("local[4]").create()
+      assert(plain.catalog.listFunctions().filter("name = 'vec_dot'").isEmpty)
     } finally {
       // do NOT s2.stop(): it shares the suite's SparkContext
       SparkSession.clearActiveSession()

@@ -35,6 +35,19 @@ class StreamingMultimodalSpec extends SparkSuite {
     frames.foreach(r => assert(r.getAs[Int]("frame_idx") % 2 == 0))
   }
 
+  test("featurizeImages: histogram sums to 1; header-only payload gives zero vector, not NaN") {
+    import spark.implicits._
+    val imgs = Seq(
+      (1L, Multimodal.fakeImageBytes(1L)),
+      (2L, Array.fill[Byte](12)(0))). // header only, empty payload
+      toDS()
+    val got = Multimodal.featurizeImages(imgs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(got(1L).sum - 1.0) < 1e-12)
+    assert(got(2L).forall(_ == 0.0), "empty payload must featurize to zeros")
+    assert(got.values.forall(v => v.forall(x => !x.isNaN)))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val batchDf = Tables.load(spark, sf0001, "events").limit(200)
     // stage duplicated events: the same parquet twice in one source dir
