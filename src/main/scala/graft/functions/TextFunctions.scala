@@ -47,7 +47,9 @@ object TextFunctions {
   private[functions] object ScanMode {
     val Count = 0 // number of tokens
     val Distinct = 1 // number of distinct tokens (exact, string equality)
-    val LenSum = 2 // sum of token lengths == non-space char count
+    val LenSum = 2 // sum of token lengths in CODE POINTS (DuckDB len()
+    // counts code points, not UTF-16 units — same parity rule as
+    // RollingHashExpr; equal for BMP-only text)
   }
 
   private[functions] case class TokenScan(child: Expression, mode: Int)
@@ -72,7 +74,7 @@ object TextFunctions {
           seen.size()
         case _ =>
           var c = 0L
-          eachToken(s)((i, j) => c += (j - i))
+          eachToken(s)((i, j) => c += s.codePointCount(i, j))
           c
       }
     }
@@ -218,7 +220,7 @@ object TextFunctions {
       eachToken(s) { (a, b) =>
         val w = s.substring(a, b)
         nWords += 1
-        sumLen += (b - a)
+        sumLen += s.codePointCount(a, b) // code points — DuckDB len() parity
         val c = uni.merge(w, 1L, (x, y) => x + y)
         if (c > topCnt) topCnt = c
         if (prev != null) {

@@ -43,9 +43,20 @@ object Dedup {
   private[operators] def observeDrops(
       buckets: DataFrame, sizeCol: Column, maxBucketSize: Int,
       dropMetrics: Option[Observation]): DataFrame =
+    observeDropsWhere(buckets, sizeCol > maxBucketSize, sizeCol, dropMetrics)
+
+  /** General form: `droppedPred` decides what the guard excludes and
+    * `membersCol` counts ALL member rows of an excluded bucket — the two
+    * must be supplied separately when the guard is multi-sided (the
+    * incremental pipeline guards each side, but the recall loss is the
+    * whole bucket).
+    */
+  private[operators] def observeDropsWhere(
+      buckets: DataFrame, droppedPred: Column, membersCol: Column,
+      dropMetrics: Option[Observation]): DataFrame =
     dropMetrics.fold(buckets)(o => buckets.observe(o,
-      coalesce(sum(when(sizeCol > maxBucketSize, lit(1L)).otherwise(lit(0L))), lit(0L)).as("dropped_buckets"),
-      coalesce(sum(when(sizeCol > maxBucketSize, sizeCol.cast("long")).otherwise(lit(0L))), lit(0L)).as("dropped_members")))
+      coalesce(sum(when(droppedPred, lit(1L)).otherwise(lit(0L))), lit(0L)).as("dropped_buckets"),
+      coalesce(sum(when(droppedPred, membersCol.cast("long")).otherwise(lit(0L))), lit(0L)).as("dropped_members")))
 
   /** Connected components over an undirected pair list — the group-
     * resolution step that turns near-dup PAIRS (from the LSH detectors
@@ -137,8 +148,10 @@ object Dedup {
     * inner-joined on (band, key), so a bucket with no new-batch member
     * never leaves the join, and old × old / new × new products are never
     * formed. At 100 TB the existing side contributes one sketch pass +
-    * (band, key) longs; at steady state the sketch of the existing corpus
-    * would be persisted and only the new batch computes signatures.
+    * (band, key) longs, plus a candidate-filtered re-read for
+    * verification (broadcast id join in the scan stage — never a second
+    * shuffle); at steady state the sketch of the existing corpus would
+    * be persisted and only the new batch computes signatures.
     *
     * Duplicates WITHIN the new batch are both kept — collapse them with
     * [[nearDedupKeep]] on the batch first if needed; the two concerns
@@ -152,33 +165,36 @@ object Dedup {
       dropMetrics: Option[Observation] = None): DataFrame = {
     val par = newDf.sparkSession.sparkContext.defaultParallelism
     val shingle = wordShingleHashes(col("text"), shingleN)
-    def raw(d: DataFrame) =
-      d.select(col(idCol).as("id"), col(textCol).as("text")).repartition(par)
-    def buckets(r: DataFrame, idsName: String) = r
-      .select(col("id"), shingle.as("sh")).filter(size(col("sh")) > 0)
-      .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
-      .toDF("id", "band", "key")
-      .groupBy("band", "key").agg(collect_list(col("id")).as(idsName))
-
+    def raw(d: DataFrame) = d.select(col(idCol).as("id"), col(textCol).as("text"))
     val newRaw = raw(newDf)
     val oldRaw = raw(oldDf)
-    val shared = buckets(newRaw, "new_ids").join(buckets(oldRaw, "old_ids"), Seq("band", "key"))
+    // spread only the compute-bound sketch pass (test files arrive as one
+    // split; at scale the split count provides the parallelism for free)
+    val shared =
+      bandBuckets(withShingleSets(newRaw.repartition(par), shingle), numHashes, bands, "new_ids")
+        .join(bandBuckets(withShingleSets(oldRaw.repartition(par), shingle), numHashes, bands, "old_ids"),
+          Seq("band", "key"))
+    // the guard is per side, but the recall loss of a dropped bucket is
+    // ALL its members — predicate and member count diverge, hence the
+    // general observeDropsWhere form
+    val droppedPred =
+      size(col("new_ids")) > maxBucketSize || size(col("old_ids")) > maxBucketSize
     val candidates =
-      observeDrops(shared, greatest(size(col("new_ids")), size(col("old_ids"))), maxBucketSize, dropMetrics)
+      observeDropsWhere(shared, droppedPred, size(col("new_ids")) + size(col("old_ids")), dropMetrics)
         .filter(size(col("new_ids")) <= maxBucketSize && size(col("old_ids")) <= maxBucketSize)
         .select(explode(col("new_ids")).as("nid"), col("old_ids"))
         .select(col("nid"), explode(col("old_ids")).as("oid"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // verification ∝ |candidates|: shingle sets are re-materialized only
-    // for ids that reached a shared bucket (same shape as lshNearDupPairs)
-    def candSets(r: DataFrame, ids: DataFrame) = r
-      .join(broadcast(ids), "id").select(col("id"), shingle.as("sh"))
+    // verification ∝ |candidates|: shingle sets re-materialized only for
+    // ids that reached a shared bucket, read from the UN-repartitioned
+    // sides — the broadcast id join filters in the scan stage, so the
+    // old corpus is never shuffled a second time
     val matched = candidates
-      .join(candSets(newRaw, candidates.select(col("nid").as("id")).distinct())
+      .join(candShingleSets(newRaw, candidates.select(col("nid").as("id")).distinct(), shingle)
         .select(col("id").as("nid"), col("sh").as("sh_n")), "nid")
-      .join(candSets(oldRaw, candidates.select(col("oid").as("id")).distinct())
+      .join(candShingleSets(oldRaw, candidates.select(col("oid").as("id")).distinct(), shingle)
         .select(col("id").as("oid"), col("sh").as("sh_o")), "oid")
       .filter(jaccardSorted(col("sh_n"), col("sh_o")) >= threshold)
       .select(col("nid").as("__match_id")).distinct()
@@ -535,6 +551,30 @@ object Dedup {
       charShingleHashes(col("text"), ngram),
       numHashes, bands, threshold, maxBucketSize, dropMetrics)
 
+  /** (id, sh) shingle sets with empty sets removed — the LSH input. */
+  private def withShingleSets(raw: DataFrame, shingleCol: Column): DataFrame =
+    raw.select(col("id"), shingleCol.as("sh")).filter(size(col("sh")) > 0)
+
+  /** (band, key) → collect_list(id) bucket table over shingle sets —
+    * shared by the batch and incremental pipelines so guard/signature
+    * mechanics can never diverge between them.
+    */
+  private def bandBuckets(
+      sets: DataFrame, numHashes: Int, bands: Int, idsName: String): DataFrame =
+    sets
+      .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
+      .toDF("id", "band", "key")
+      .groupBy("band", "key")
+      .agg(collect_list(col("id")).as(idsName))
+
+  /** Shingle sets for candidate ids only (verification ∝ |candidates|):
+    * the broadcast id join filters in the scan stage, so the corpus is
+    * re-READ but never re-SHUFFLED for verification.
+    */
+  private def candShingleSets(
+      raw: DataFrame, ids: DataFrame, shingleCol: Column): DataFrame =
+    raw.join(broadcast(ids), "id").select(col("id"), shingleCol.as("sh"))
+
   /** Shared LSH pipeline over an (id, shingle-array) frame: signature →
     * band keys → bucket groupBy (the shingle/signature computation runs
     * ONCE — a bucket self-join would evaluate the upstream twice) →
@@ -553,14 +593,8 @@ object Dedup {
     // scale the file-split count already provides this parallelism; the
     // repartition is a cheap no-op-ish shuffle of raw text rows.)
     val par = idText.sparkSession.sparkContext.defaultParallelism
-    val spread = idText.repartition(par)
-    val withSets = spread.select(col("id"), shingleCol.as("sh")).filter(size(col("sh")) > 0)
-
-    val buckets = withSets
-      .select(col("id"), posexplode(bandKeys(minhashSignature(col("sh"), numHashes), numHashes, bands)))
-      .toDF("id", "band", "key")
-      .groupBy("band", "key")
-      .agg(collect_list(col("id")).as("ids"))
+    val buckets = bandBuckets(
+      withShingleSets(idText.repartition(par), shingleCol), numHashes, bands, "ids")
     val candidates = observeDrops(buckets, size(col("ids")), maxBucketSize, dropMetrics)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("a"), col("ids"))
@@ -575,14 +609,14 @@ object Dedup {
     // Verification cost must scale with |candidates|, not |corpus|: join the
     // RAW rows down to candidate ids first, and only then apply the shingle
     // expression — shingle arrays are materialized solely for docs that
-    // reached a shared bucket.
+    // reached a shared bucket. Reads the UN-repartitioned input: the
+    // broadcast id join filters in the scan stage, no second corpus shuffle.
     val candIds = candidates
       .select(explode(array(col("a"), col("b"))).as("id")).distinct()
     // Persisted: candSets feeds BOTH verification joins below — without
     // the persist each reference re-runs the docs scan + broadcast join +
     // shingle expression (the r4 d4 regression). Bounded by |candidates|.
-    val candSets = spread.join(broadcast(candIds), "id")
-      .select(col("id"), shingleCol.as("sh"))
+    val candSets = candShingleSets(idText, candIds, shingleCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val verified = candidates

@@ -28,6 +28,20 @@ class QualityOpsSpec extends SparkSuite {
     assert(got(4) == ((5L, "all: <EMAIL> <PHONE> <IP>", 3L)))
   }
 
+  test("repetitionStats counts word length in CODE POINTS (DuckDB len() parity)") {
+    // U+1D54F is one code point but two UTF-16 units; "𝕏a" must have
+    // mean_word_len 2.0 (not 3.0) to match the oracle's len(w)
+    val df = Seq((1L, "𝕏a 𝕏a bb")).toDF("doc_id", "text")
+    val got = QualityFilters.repetitionStats(df, "doc_id", "text")
+      .select("n_words", "dup_word_frac", "mean_word_len")
+      .as[(Long, Double, Double)].collect().head
+    assert(got == ((3L, 0.3333, 2.0)))
+    // and the TokenScan-based avgTokenLen agrees
+    val avg = df.select(graft.functions.TextFunctions.avgTokenLen(col("text")))
+      .as[Double].collect().head
+    assert(avg == 2.0)
+  }
+
   test("unigramLogProb matches hand-computed LM scores; empty/null docs score 0") {
     // corpus: "a a b" + "a c" + empty + null → counts a=3, b=1, c=1, N=5
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, ""), (4L, null.asInstanceOf[String]))
