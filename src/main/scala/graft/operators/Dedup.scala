@@ -568,12 +568,17 @@ object Dedup {
       .agg(collect_list(col("id")).as(idsName))
 
   /** Shingle sets for candidate ids only (verification ∝ |candidates|):
-    * the broadcast id join filters in the scan stage, so the corpus is
-    * re-READ but never re-SHUFFLED for verification.
+    * the broadcast id join filters in the scan stage, so the CORPUS is
+    * re-read but never re-shuffled — the repartition sits above the
+    * filter and moves only candidate rows (bounded by |candidates|),
+    * restoring parallelism when the input arrives as few splits and the
+    * expensive shingle expression would otherwise run single-task.
     */
   private def candShingleSets(
       raw: DataFrame, ids: DataFrame, shingleCol: Column): DataFrame =
-    raw.join(broadcast(ids), "id").select(col("id"), shingleCol.as("sh"))
+    raw.join(broadcast(ids), "id")
+      .repartition(raw.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), shingleCol.as("sh"))
 
   /** Shared LSH pipeline over an (id, shingle-array) frame: signature →
     * band keys → bucket groupBy (the shingle/signature computation runs
