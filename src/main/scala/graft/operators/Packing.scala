@@ -66,7 +66,9 @@ object Packing {
     val partTotals = ranged
       .select(spark_partition_id().as("__pid"), col(tokenCol))
       .groupBy("__pid").agg(sum(col(tokenCol)).as("__ptotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // sum() is null when every token value in a partition is null —
+      // treat as 0, matching the running-sum pass's null handling below
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val partOffsets = (0 until p).scanLeft(0L)((acc, i) => acc + partTotals.getOrElse(i, 0L))
     val tokIdx = ranged.schema.fieldIndex(tokenCol)
     val withStart = spark.createDataFrame(

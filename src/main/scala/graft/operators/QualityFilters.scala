@@ -63,27 +63,36 @@ object QualityFilters {
     * whose vocabulary is unusual for the corpus (spam, encoding damage,
     * wrong language).
     *
-    * Two-stage shape: (1) the LM — one (token) hash agg with map-side
-    * combine, vocabulary-sized output (Heaps' law: ≪ corpus); the token
-    * total rides along as a 1-row cross join. (2) scoring — token
-    * instances join the vocab on token (AQE broadcasts the vocab side
-    * while it fits; at extreme vocabularies it degrades to a shuffle
-    * join, never a driver collect), then one (doc) avg. Nothing is ever
-    * quadratic; both shuffles carry token instances at most once.
+    * Shape: the corpus is exploded ONCE into per-document token counts
+    * (doc, token, cd) — map-side partial agg means the first shuffle
+    * carries distinct (doc, token) pairs, not raw instances (the r6
+    * formulation fed the raw instance explode into both the vocab agg
+    * and the scoring join, scanning + exploding the corpus twice).
+    * The LM is then a (token) re-agg of those counts — vocabulary-sized
+    * (Heaps' law: ≪ corpus) — with the token total riding along as a
+    * 1-row cross join; scoring joins the counts back on token (AQE
+    * broadcasts the vocab side while it fits; at extreme vocabularies
+    * it degrades to a shuffle join, never a driver collect) and one
+    * (doc) agg computes the count-weighted mean — identical to the
+    * per-instance avg, without ever moving instances again.
     *
-    * Output: id, n_tokens, avg_logprob = avg(ln(count(t)/N)) rounded to
-    * 4 decimals (0.0 for empty docs), ascending = more surprising.
+    * Output: id, n_tokens, avg_logprob = avg(ln(count(t)/N)) over token
+    * instances (computed as Σ cd·ln(c/N) / Σ cd) rounded to 4 decimals
+    * (0.0 for empty docs), ascending = more surprising.
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("__id"), explode(wordNGramsAll(col(textCol), 1)).as("t"))
-    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val docTok = df
+      .select(col(idCol).as("__id"), explode(wordNGramsAll(col(textCol), 1)).as("t"))
+      .groupBy("__id", "t").agg(count(lit(1)).as("cd"))
+    val vocab = docTok.groupBy("t").agg(sum("cd").as("c"))
     val total = vocab.agg(sum("c").as("n"))
-    val scored = toks
+    val scored = docTok
       .join(vocab, "t")
       .crossJoin(broadcast(total))
       .groupBy("__id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
+      .agg(sum("cd").as("n_tokens"),
+        round(sum(col("cd").cast("double") * log(col("c").cast("double") / col("n")))
+          / sum("cd").cast("double"), 4).as("avg_logprob"))
     df.select(col(idCol))
       .join(scored, col(idCol) === col("__id"), "left")
       .select(col(idCol),

@@ -32,8 +32,9 @@ object Similarity {
     // qn once; corpus side once per row) — not per candidate pair
     val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv"))
       .withColumn("qn", vecNorm(col("qv"))))
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par).select(col(cId).as("neighbor"), col(cVec).as("cv"))
+    // spread only when the corpus arrives as fewer splits than cores —
+    // at scale the scan's split count parallelizes the scoring for free
+    val c = Dedup.spreadIfNarrow(corpus).select(col(cId).as("neighbor"), col(cVec).as("cv"))
       .withColumn("cn", vecNorm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("neighbor"))
@@ -50,10 +51,9 @@ object Similarity {
     * [[srpCandidatePairs]] + this verification on candidates only.
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    // spread the streamed (non-broadcast) side across cores — a single
-    // small input file would otherwise score the whole product on one task
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.repartition(par).select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // spread the streamed (non-broadcast) side across cores when it
+    // arrives as a single small split — identity at real split counts
+    val a = Dedup.spreadIfNarrow(df).select(col(idCol).as("id_a"), col(vecCol).as("va"))
       .withColumn("na", vecNorm(col("va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
       .withColumn("nb", vecNorm(col("vb")))

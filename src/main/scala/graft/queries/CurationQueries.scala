@@ -223,16 +223,20 @@ object CurationQueries {
            array_to_string(list_filter(ts, (t, i) -> list_position(ts, t) = i), ' ') AS clean_text,
            (len(ts) - len(list_distinct(ts)))::INTEGER AS n_dropped
          FROM tk""",
+    // Count-weighted mean (Σ cd·ln(c/N) / Σ cd) over per-doc token
+    // counts — the same arithmetic the Spark side performs after its
+    // single-explode restructure, so the round-4 values agree exactly.
     "f3_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                      FROM documents),
-         inst AS (SELECT doc_id, u.t FROM tk, UNNEST(ts) AS u(t)),
-         vocab AS (SELECT t, count(*) AS c FROM inst GROUP BY t),
+         dt AS (SELECT doc_id, u.t AS t, count(*) AS cd
+                FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         vocab AS (SELECT t, sum(cd) AS c FROM dt GROUP BY t),
          tot AS (SELECT sum(c) AS n FROM vocab),
-         sc AS (SELECT doc_id, count(*) AS n_tokens,
-                       round(avg(ln(c::DOUBLE / n)), 4) AS avg_logprob
-                FROM inst JOIN vocab USING (t), tot GROUP BY doc_id)
-         SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+         sc AS (SELECT doc_id, sum(cd) AS n_tokens,
+                       round(sum(cd::DOUBLE * ln(c::DOUBLE / n)) / sum(cd)::DOUBLE, 4) AS avg_logprob
+                FROM dt JOIN vocab USING (t), tot GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
                 COALESCE(avg_logprob, 0.0) AS avg_logprob
          FROM documents d LEFT JOIN sc USING (doc_id)""",
     "f2_repetition_quality" ->
@@ -250,7 +254,7 @@ object CurationQueries {
           ba AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bc GROUP BY 1),
           st AS (
             SELECT d.doc_id,
-                   COALESCE(n, 0) AS n_words,
+                   COALESCE(n, 0)::BIGINT AS n_words,
                    round(1 - COALESCE(nd::DOUBLE / n, 1), 4) AS dup_word_frac,
                    round(COALESCE(top::DOUBLE / n, 0), 4) AS top_word_frac,
                    round(COALESCE(topb::DOUBLE / nb, 0), 4) AS top_bigram_frac,
@@ -278,10 +282,13 @@ object CurationQueries {
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, CASE WHEN bucket < ${rateThr(0.2)} THEN 'eval' ELSE 'train' END AS split
           FROM h""",
+    // Physical widths must match Spark exactly (the driver hashes dtypes):
+    // TokenScan emits INTEGER n_tokens; the window sum() is HUGEINT in
+    // DuckDB, so bin/offset are cast back to the BIGINT Packing emits.
     "p2_pack_global" ->
       s"""WITH tk AS (
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))::INTEGER AS n_tokens
             FROM documents),
           c AS (
             SELECT doc_id, n_tokens,
@@ -289,12 +296,13 @@ object CurationQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
             FROM tk)
           SELECT doc_id, n_tokens,
-                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+                 (start // $PackCapacity)::BIGINT AS bin,
+                 (start % $PackCapacity)::BIGINT AS offset
           FROM c""",
     "p1_pack_chunks" ->
       s"""WITH tk AS (
             SELECT doc_id, source,
-                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))::INTEGER AS n_tokens
             FROM documents),
           c AS (
             SELECT doc_id, source, n_tokens,
@@ -302,7 +310,8 @@ object CurationQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
             FROM tk)
           SELECT doc_id, source, n_tokens,
-                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+                 (start // $PackCapacity)::BIGINT AS bin,
+                 (start % $PackCapacity)::BIGINT AS offset
           FROM c""",
     "d8_boilerplate_removal" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -378,7 +387,8 @@ object CurationQueries {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
             FROM samp)
           SELECT doc_id, source, lang, n_kept,
-                 start // $PackCapacity AS bin, start % $PackCapacity AS offset
+                 (start // $PackCapacity)::BIGINT AS bin,
+                 (start % $PackCapacity)::BIGINT AS offset
           FROM pk""",
     "t6_tfidf_topterms" ->
       """WITH tok AS (
@@ -395,6 +405,6 @@ object CurationQueries {
           r AS (
             SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
             FROM sc)
-          SELECT doc_id, term, tf, df_t, rank, score FROM r WHERE rank <= 3"""
+          SELECT doc_id, term, tf, df_t, rank::INTEGER AS rank, score FROM r WHERE rank <= 3"""
   )
 }

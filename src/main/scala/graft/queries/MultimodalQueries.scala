@@ -97,7 +97,7 @@ object MultimodalQueries {
            SELECT qid, neighbor, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
            FROM pairs)
-         SELECT qid, neighbor, rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 3""",
+         SELECT qid, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 3""",
     "m3_frame_sample" ->
       """WITH p AS (SELECT doc_id, (64 + doc_id % 64)::INT AS len FROM documents)
          SELECT doc_id, j::INT AS frame_idx,

@@ -218,7 +218,7 @@ object TextQueries {
     "t1_token_stats" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
                      FROM documents)
-         SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct,
+         SELECT doc_id, len(ts)::INTEGER AS n_tokens, len(list_distinct(ts))::INTEGER AS n_distinct,
            round(list_sum(list_transform(ts, t -> len(t)))::DOUBLE / len(ts), 4) AS avg_len
          FROM tk""",
     "t2_quality" ->
@@ -233,10 +233,10 @@ object TextQueries {
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS ts
                       FROM documents),
          sc AS (SELECT doc_id,
-           len(list_filter(ts, t -> t IN $enStop)) AS s_en,
-           len(list_filter(ts, t -> t IN $deStop)) AS s_de,
-           len(list_filter(ts, t -> t IN $esStop)) AS s_es,
-           len(list_filter(ts, t -> t IN $frStop)) AS s_fr
+           len(list_filter(ts, t -> t IN $enStop))::INTEGER AS s_en,
+           len(list_filter(ts, t -> t IN $deStop))::INTEGER AS s_de,
+           len(list_filter(ts, t -> t IN $esStop))::INTEGER AS s_es,
+           len(list_filter(ts, t -> t IN $frStop))::INTEGER AS s_fr
            FROM tk)
          SELECT doc_id, s_en, s_de, s_es, s_fr,
            CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'

@@ -42,27 +42,36 @@ object VectorQueries {
 
     // Embedding near-dup GROUP resolution: connected components over the
     // exact cosine pairs — each near-dup vector mapped to its cluster's
-    // min id (the keep decision). Exact pairs gate the correctness; at
-    // scale the same composition runs over annCosinePairs (SRP-LSH).
+    // min id (the keep decision). BOUNDED exact verification gate
+    // (vec_id < 1000): v6 gates the identical composition on the ANN
+    // scale path over the full corpus; this exact twin exists to pin the
+    // CC semantics against a ground-truth pair list, so it runs at a
+    // fixed small n — the O(n²) side must never be the bench's cost
+    // center (r6: the unbounded form was 13.5 s of an 80-query suite).
     "v5_embed_dedup_groups" -> { (s, dir) =>
       val pairs = Similarity.exactCosinePairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", 0.45)
       graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
     // Hybrid lexical+semantic dedup groups: docs are near-dups if their
     // TEXTS match (MinHash-LSH-verified Jaccard >= 0.8) OR their
-    // EMBEDDINGS match (cosine >= 0.45) — the two signals' pair lists
-    // union into one connected-components pass. doc_id and vec_id align
-    // 1:1 in the testdata, standing in for a corpus with per-doc
-    // embeddings; at scale the cosine side swaps to annCosinePairs.
+    // EMBEDDINGS match (SRP-LSH ANN-verified cosine >= 0.45) — the two
+    // signals' pair lists union into one connected-components pass.
+    // doc_id and vec_id align 1:1 in the testdata, standing in for a
+    // corpus with per-doc embeddings. BOTH sides run their scale plan
+    // (bucketed LSH, never all-pairs) — r6 shipped the exact-cosine side
+    // here and it alone cost 85 s of the 118 s driver bench; the oracle
+    // replays the SRP hyperplane stream (v3/v6's CTE) so the ANN side
+    // stays hash-gated.
     "x1_hybrid_dedup_groups" -> { (s, dir) =>
       val txt = graft.operators.Dedup.minhashNearDupPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val emb = Similarity.exactCosinePairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      val emb = Similarity.annCosinePairs(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.operators.Dedup.connectedComponents(txt.unionByName(emb), "a", "b")
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
@@ -193,7 +202,8 @@ object VectorQueries {
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
          FROM (SELECT vec_id, qv FROM ed ORDER BY vec_id LIMIT $k)),
        ${(1 to iters).map(iterBlock).mkString(",\n")}
-       SELECT c.cluster, t.r - 1 AS dim_idx, c.cq[t.r]::DOUBLE / $S AS value
+       SELECT c.cluster::INTEGER AS cluster, (t.r - 1)::INTEGER AS dim_idx,
+              c.cq[t.r]::DOUBLE / $S AS value
        FROM c$iters c, $dims"""
   }
 
@@ -229,7 +239,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
     "vq1_quantize_int8" ->
-      """WITH ex AS (SELECT vec_id, u.i - 1 AS dim_idx, embedding[u.i]::DOUBLE AS v
+      """WITH ex AS (SELECT vec_id, (u.i - 1)::INTEGER AS dim_idx, embedding[u.i]::DOUBLE AS v
                      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
          st AS (SELECT dim_idx, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim_idx)
          SELECT vec_id, dim_idx,
@@ -251,7 +261,7 @@ object VectorQueries {
            SELECT qid, neighbor, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
            FROM pairs)
-         SELECT qid, neighbor, rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5""",
+         SELECT qid, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5""",
     "v2_cosine_pairs" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -262,7 +272,8 @@ object VectorQueries {
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
     "v5_embed_dedup_groups" ->
       """WITH RECURSIVE ed AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings WHERE vec_id < 1000),
          pr AS (
            SELECT a.vec_id AS da, b.vec_id AS db
            FROM ed a JOIN ed b ON a.vec_id < b.vec_id
@@ -274,8 +285,13 @@ object VectorQueries {
            UNION
            SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
          SELECT a AS vec_id, min(b) AS keep_id FROM reach GROUP BY a""",
+    // Text side: full-Jaccard ground truth (the MinHash gate d3 proves
+    // LSH == this at the declared thresholds); embedding side: the SRP
+    // hyperplane replay (v3/v6's CTE) — the oracle runs the SAME ANN
+    // candidate set the Spark plan does, cosine-verified.
     "x1_hybrid_dedup_groups" ->
-      """WITH RECURSIVE sh AS (
+      s"""WITH RECURSIVE $srpReplayCte,
+         sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, len(string_split(text,' ')) - 1),
              i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
@@ -286,13 +302,11 @@ object VectorQueries {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            WHERE len(list_intersect(a.s, b.s))::DOUBLE
                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-         ed AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          vp AS (
-           SELECT a.vec_id AS da, b.vec_id AS db
-           FROM ed a JOIN ed b ON a.vec_id < b.vec_id
-           WHERE list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45),
+           SELECT c.id_a AS da, c.id_b AS db
+           FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
+           WHERE list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45),
          pr AS (SELECT da, db FROM tp UNION SELECT da, db FROM vp),
          eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
          reach(a, b) AS (
@@ -303,7 +317,7 @@ object VectorQueries {
     "v4_vector_norms" ->
       """WITH ed AS (SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm,
-           len(embedding) AS dim
+           len(embedding)::INTEGER AS dim
          FROM ed""",
     // Full SRP-LSH replay: the xorshift64* hyperplane stream (12 tables ×
     // 6 bits × 64 dims = 4608 draws) is regenerated with mod-2^64 HUGEINT
@@ -385,6 +399,6 @@ object VectorQueries {
            SELECT qid, neighbor, cos,
                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
            FROM scored)
-         SELECT qid, neighbor, rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5"""
+         SELECT qid, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5"""
   )
 }

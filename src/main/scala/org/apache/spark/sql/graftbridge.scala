@@ -16,4 +16,32 @@ object graftbridge {
     */
   def registerFunction(spark: SparkSession, name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Unpersist every persisted RDD reachable from `df`'s analyzed plan —
+    * the `LogicalRDD` leaves that `localCheckpoint()` produces, plus any
+    * persisted ancestor in their lineage (a checkpoint wrapped by a later
+    * `mapPartitions` is a plan-invisible parent). Returns the number
+    * released. After release the DataFrame can no longer be recomputed —
+    * its lineage was truncated at the checkpoint — so call this only once
+    * the result has been fully consumed (written out or collected).
+    * Long-lived sessions use this to stop repeated pipeline invocations
+    * from accumulating executor storage.
+    */
+  def releaseCheckpoints(df: Dataset[_]): Int = {
+    val roots = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
+      case l: execution.LogicalRDD => l.rdd
+    }
+    val seen = scala.collection.mutable.Set.empty[Int]
+    var released = 0
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) {
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+          r.unpersist(blocking = false)
+          released += 1
+        }
+        r.dependencies.foreach(d => walk(d.rdd))
+      }
+    roots.foreach(walk)
+    released
+  }
 }

@@ -226,4 +226,24 @@ class TextDedupSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(102L, 103L, 104L))
   }
+
+  test("releaseCheckpoints frees checkpoint storage embedded in a result plan") {
+    import org.apache.spark.sql.graftbridge
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Seq(1L, 2L, 3L).toDF("v").localCheckpoint()
+    // derived frame hides the checkpoint behind a mapPartitions lineage —
+    // the walker must find the persisted PARENT, not just the plan leaf
+    val derived = spark.createDataFrame(ck.rdd.mapPartitions(identity), ck.schema)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "localCheckpoint should have registered persistent storage")
+    assert(graftbridge.releaseCheckpoints(derived) >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "release should unregister the checkpointed RDD")
+    // the consumed pipeline result releases its matched-id checkpoint too
+    val oldDocs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val fresh = Seq((2L, "totally different tokens only here")).toDF("doc_id", "text")
+    val res = Dedup.incrementalNearDupKeep(fresh, oldDocs, "doc_id", "text")
+    res.collect()
+    assert(graftbridge.releaseCheckpoints(res) >= 1)
+  }
 }

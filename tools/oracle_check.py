@@ -33,13 +33,27 @@ def rows_key(row):
     return tuple((str(type(v)), str(v)) for v in row)
 
 
-def compare(name, got, exp):
+def dtypes(con, sql):
+    """Column -> DuckDB type name, via DESCRIBE (binds, does not execute)."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
+def compare(name, got, exp, gtypes=None, etypes=None):
     if got is None:
         return f"FAIL {name}: spark result missing"
     gcols, grows = got
     ecols, erows = exp
     if sorted(gcols) != sorted(ecols):
         return f"FAIL {name}: columns differ spark={sorted(gcols)} duckdb={sorted(ecols)}"
+    # Physical type gate: the driver's hash is width-sensitive (HUGEINT vs
+    # BIGINT vs INTEGER fail it even when Python values compare equal), so
+    # the local gate must be too — this is the class that shipped red in r6.
+    if gtypes is not None and etypes is not None:
+        bad = [(c, gtypes.get(c), etypes.get(c)) for c in sorted(gcols)
+               if gtypes.get(c) != etypes.get(c)]
+        if bad:
+            det = ", ".join(f"{c}: spark={g} duckdb={e}" for c, g, e in bad)
+            return f"FAIL {name}: dtype mismatch ({det})"
     # reorder columns by sorted name
     gidx = [gcols.index(c) for c in sorted(gcols)]
     eidx = [ecols.index(c) for c in sorted(ecols)]
@@ -99,11 +113,19 @@ def main():
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
             gcols = [d[0] for d in cur.description]
             grows = cur.fetchall()
+            gtypes = dtypes(
+                con, f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
         except Exception as ex:
             print(f"FAIL {name}: cannot read spark output: {ex}")
             n_fail += 1
             continue
-        msg = compare(name, (gcols, grows), (ecols, erows))
+        try:
+            etypes = dtypes(con, sql)
+        except Exception as ex:
+            print(f"FAIL {name}: oracle DESCRIBE error: {ex}")
+            n_fail += 1
+            continue
+        msg = compare(name, (gcols, grows), (ecols, erows), gtypes, etypes)
         print(msg)
         if msg.startswith("FAIL"):
             n_fail += 1
