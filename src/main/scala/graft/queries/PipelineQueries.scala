@@ -123,6 +123,80 @@ object PipelineQueries {
       s.sql(
         """SELECT vec_id, round(sqrt(vec_dot(embedding, embedding)), 6) AS norm
            FROM embeddings_v""")
+    },
+
+    // RPC contract-dial roundtrip (reference `DSet.import`,
+    // `DSetGenerics.fs:788-836`): an in-process two-shard "running
+    // service" answers the `docs` contract; the RpcDataSource dials both
+    // endpoints (one input partition each, executors parse in parallel)
+    // and the scanned frame must aggregate identically to the parquet
+    // table it mirrors. The served fixture is driver-collected ONLY
+    // because the test must stand up the service itself — a real
+    // deployment dials endpoints that already exist.
+    "rp1_rpc_roundtrip" -> { (s, dir) =>
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      def tsv(r: org.apache.spark.sql.Row) = s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}"
+      val half = rows.length / 2
+      val (p1, _) = graft.sources.RpcSource.serve(0, Map("docs" -> rows.take(half).map(tsv).toSeq))
+      val (p2, _) = graft.sources.RpcSource.serve(0, Map("docs" -> rows.drop(half).map(tsv).toSeq))
+      graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
+        "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // Facade zip alignment under the driver hash (reference mix/map2,
+    // `DSetGenerics.fs:1558-1643`): one cached parent forks into two
+    // projections (split2) that zip back positionally (map2). Both ids
+    // ride into the output — a single misaligned pair makes zip_id
+    // diverge from doc_id and fails the hash, so the gate proves the
+    // shared-scan fork preserves per-partition layout AND the zip pairs
+    // corresponding rows.
+    "fx1_split_mix_zip" -> { (s, dir) =>
+      import s.implicits._
+      val base = new graft.dset.DSet(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .as[(Long, Long, String)])
+      val (ids, meta) = base.split2(u => (u._1, u._2), u => (u._1, u._3))
+      ids.map2(meta)((a, b) => (a._1, b._1, a._2, b._2))
+        .ds.toDF("doc_id", "zip_id", "n_chars", "source")
+    },
+
+    // Facade bypass (reference `DSetGenerics.fs:1728-1766`): two sibling
+    // branches over ONE cached upstream evaluation, each running its own
+    // mapReduceAssoc (map-side combine), re-joined on the group key. The
+    // sums are integer-exact so the hash gate is order-independent.
+    "fx2_bypass_branches" -> { (s, dir) =>
+      import s.implicits._
+      val base = new graft.dset.DSet(Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"))
+        .as[(String, Long)])
+      val Seq(b1, b2) = base.bypass(2)
+      val counts = b1.mapReduceAssoc(u => Seq((u._1, 1L)))(_ + _)
+      val sums = b2.mapReduceAssoc(u => Seq((u._1, u._2)))(_ + _)
+      counts.ds.toDF("o_orderstatus", "n")
+        .join(sums.ds.toDF("o_orderstatus", "sum_key"), "o_orderstatus")
+    },
+
+    // Facade mapReducePWithPartitionFunction (reference
+    // `DSetGenerics.fs:1396-1465`) with a CUSTOM partitioner: pairs route
+    // to partition k % 8 via BinPartitioner, then each partition reduces
+    // its keys LOCALLY — no global combine. The hash gate proves the
+    // routing: a key split across two partitions would emit two rows for
+    // that key and fail the row-count/hash compare.
+    "fx3_partfunc_shuffle" -> { (s, dir) =>
+      import s.implicits._
+      val base = new graft.dset.DSet(Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .as[(Long, Long)])
+      base.mapReducePWithPartitionFunction(8)((k: Long) => (k % 8).toInt)(
+        u => Seq((u._1, u._2))) { (k, it) =>
+          var n = 0L; var sm = 0L
+          it.foreach { v => n += 1; sm += v }
+          (k, n, sm)
+        }
+        .ds.toDF("l_suppkey", "n_items", "sum_okey")
     }
   )
 
@@ -169,6 +243,17 @@ object PipelineQueries {
          GROUP BY e.event_id""",
     "qsql_vec_norm" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-         SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm FROM ed"""
+         SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm FROM ed""",
+    "rp1_rpc_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY lang""",
+    "fx1_split_mix_zip" ->
+      """SELECT doc_id, doc_id AS zip_id, n_chars, source FROM documents""",
+    "fx2_bypass_branches" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey)::BIGINT AS sum_key
+         FROM orders GROUP BY o_orderstatus""",
+    "fx3_partfunc_shuffle" ->
+      """SELECT l_suppkey, count(*) AS n_items, sum(l_orderkey)::BIGINT AS sum_okey
+         FROM lineitem GROUP BY l_suppkey"""
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.RpcSource
+
+/** RPC contract-dial source: an RPC-sourced frame must equal the batch
+  * frame it mirrors (the `DSet.import` parity contract — reference
+  * `DSetGenerics.fs:788-836`), across multiple endpoints, with nulls,
+  * and under column pruning.
+  */
+class RpcSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val ddl = "id BIGINT, name STRING, score DOUBLE, ok BOOLEAN"
+
+  test("rpc frame equals the batch frame it mirrors (multi-endpoint, parallel dial)") {
+    val batch = Seq(
+      (1L, "alpha", 1.5, true),
+      (2L, "beta", -0.25, false),
+      (3L, "gamma", 42.0, true),
+      (4L, "delta", 0.0, false)).toDF("id", "name", "score", "ok")
+    def tsv(rows: Seq[(Long, String, Double, Boolean)]) =
+      rows.map { case (i, n, s, o) => s"$i\t$n\t$s\t$o" }
+    // two shards, one contract name — each endpoint becomes one partition
+    val (p1, close1) = RpcSource.serve(0, Map("t" -> tsv(Seq((1L, "alpha", 1.5, true), (2L, "beta", -0.25, false)))))
+    val (p2, close2) = RpcSource.serve(0, Map("t" -> tsv(Seq((3L, "gamma", 42.0, true), (4L, "delta", 0.0, false)))))
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p1", s"localhost:$p2"), ddl, "t")
+      assert(rpc.rdd.getNumPartitions == 2, "each endpoint must be its own input partition")
+      // DDL schemas are nullable; compare names + types (batch toDF marks
+      // primitive columns non-nullable)
+      assert(rpc.schema.map(f => (f.name, f.dataType)) == batch.schema.map(f => (f.name, f.dataType)))
+      assert(rpc.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+    } finally { close1(); close2() }
+  }
+
+  test("nulls, unknown contract, and repeated dials") {
+    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("1\t\\N\t\\N\t\\N")))
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t")
+      val r = rpc.collect()
+      assert(r.length == 1 && r(0).getLong(0) == 1L && r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3))
+      // a second action re-dials the same endpoint (server must answer again)
+      assert(rpc.count() == 1L)
+      // unknown contract = zero rows, not an error
+      assert(RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "nope").count() == 0L)
+    } finally close()
+  }
+
+  test("column pruning reaches the scan (readSchema = projected columns only)") {
+    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("7\tzeta\t3.5\ttrue")))
+    try {
+      val pruned = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t").select("name", "id")
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.scan.readSchema().fieldNames.toSet == Set("id", "name"))
+      assert(pruned.collect().map(_.toSeq).toSeq == Seq(Seq("zeta", 7L)))
+    } finally close()
+  }
+
+  test("timestamp fields roundtrip through the wire text form") {
+    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("1\t2026-01-15 10:30:00.123")))
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p"), "id BIGINT, ts TIMESTAMP", "t")
+      val got = rpc.select(col("ts")).as[java.sql.Timestamp].collect()
+      assert(got.toSeq == Seq(java.sql.Timestamp.valueOf("2026-01-15 10:30:00.123")))
+    } finally close()
+  }
+}
