@@ -77,8 +77,26 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v3_srp_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
-      // --only: just the named/--srp probes, none of the default extras
-      // below (whose fixed parameters are sized for 1×-10×, not 100×)
+      // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
+      // real corpus runs (first-k is the oracle gate). Honored under
+      // --only so it can probe at 100× without the 1×-sized extras.
+      if (args.contains("--kmpp")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val t = timed {
+          KMeans.fit(e, "vec_id", "embedding", 8, 5,
+            init = KMeans.InitKMeansParallel(seed = 42L)): Unit
+        }
+        println(f"[probe] ${"km_fit_kmpp"}%-24s ${t}%6.2f s")
+      }
+      // --kmfirst: the plain first-k-init fit, --only-compatible (the
+      // default-extras km_fit below doesn't run at 100×)
+      if (args.contains("--kmfirst")) {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        val t = timed { KMeans.fit(e, "vec_id", "embedding", 8, 5): Unit }
+        println(f"[probe] ${"km_fit_firstk"}%-24s ${t}%6.2f s")
+      }
+      // --only: just the named/--srp/--kmpp probes, none of the default
+      // extras below (whose fixed parameters are sized for 1×-10×, not 100×)
       if (args.contains("--only")) { spark.stop(); return }
       val e = Tables.load(spark, sfDir, "embeddings")
       val t = timed { KMeans.fit(e, "vec_id", "embedding", 8, 5): Unit }

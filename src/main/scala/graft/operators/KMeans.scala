@@ -40,6 +40,28 @@ object KMeans {
     */
   val QuantScale: Long = 1L << 20
 
+  /** Init strategy for [[fit]]. */
+  sealed trait Init
+  /** First k vectors by id — deterministic and trivially replayable in
+    * SQL; the oracle-gate path (km0 replays the whole fit from it). Poor
+    * clustering quality at real scale: the first k ids are arbitrary
+    * points, often co-located.
+    */
+  case object InitFirstK extends Init
+  /** Seeded k-means|| (Bahmani et al., "Scalable K-Means++", VLDB 2012):
+    * `rounds` distributed passes each sample points with probability
+    * `l·d²(x,C)/φ(C)` (l = `oversample`·k), then the ≈`rounds·l`
+    * candidates are weighted by their attraction counts and reduced to k
+    * on the driver with a deterministic greedy weighted farthest-point
+    * pass. All randomness is splitmix64(id, seed+round) — the same fit
+    * on the same data is bit-identical regardless of partitioning, so
+    * specs can pin results; the fit itself stays the integer Lloyd's.
+    * O(rounds) corpus passes (the published algorithm's contract), each
+    * a narrow map against ≤ rounds·l broadcast candidates.
+    */
+  final case class InitKMeansParallel(seed: Long = 42L, rounds: Int = 5,
+      oversample: Int = 2) extends Init
+
   /** Process-wide model cache so the export query (`km0_centroids`) and
     * the dependent queries (km1/km2) replay the SAME fitted model within
     * one run — and repeated bench iterations skip refitting. Keyed by
@@ -118,19 +140,50 @@ object KMeans {
     q
   }
 
-  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, maxIters: Int): Model = {
+  /** Stable long key for a row id of any type — feeds the splitmix64
+    * draws of the k-means|| init (Long/Int ids use their value; others
+    * their JVM hashCode, deterministic for the primitive/String ids the
+    * tables carry).
+    */
+  private def idKey(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case n: Number => n.longValue()
+    case other => if (other == null) 0L else other.hashCode().toLong
+  }
+
+  /** splitmix64(id + seed) mapped to [0, 1) — the init's only randomness
+    * source (same mix chain as [[graft.functions.HashFunctions]]).
+    */
+  private def mix01(x: Long, seed: Long): Double = {
+    var z = x + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, maxIters: Int,
+      init: Init = InitFirstK): Model = {
     val spark = df.sparkSession
     val S = QuantScale
     // One quantize pass, persisted; partition layout is whatever the scan
     // produced — integer sums make the fit order-independent, so no
-    // deterministic re-layout is needed.
-    val qdata = df.select(col(vecCol)).rdd
-      .map(r => quantize(toVec(r, 0), S))
+    // deterministic re-layout is needed. The id key rides along for the
+    // k-means|| init's deterministic sampling (8 bytes/row; unused by
+    // the first-k path).
+    val qdata = df.select(col(idCol), col(vecCol)).rdd
+      .map(r => (idKey(r.get(0)), quantize(toVec(r, 1), S)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim = qdata.first().length
-      var cq: Array[Array[Long]] = df.orderBy(col(idCol)).limit(k).select(col(vecCol))
-        .collect().map(r => quantize(toVec(r, 0), S))
+      val dim = qdata.first()._2.length
+      var cq: Array[Array[Long]] = init match {
+        case InitFirstK =>
+          df.orderBy(col(idCol)).limit(k).select(col(vecCol))
+            .collect().map(r => quantize(toVec(r, 0), S))
+        case InitKMeansParallel(seed, rounds, oversample) =>
+          initParallel(qdata, k, dim, S, seed, rounds, math.max(1, oversample) * k)
+      }
       var iter = 0
       while (iter < maxIters) {
         val bc = spark.sparkContext.broadcast(cq)
@@ -138,7 +191,7 @@ object KMeans {
         // per task leaves the executors, merged in an arbitrary-order
         // aggregate tree (exact: integer addition commutes)
         val (sums, counts) = qdata.treeAggregate((Array.fill(k, dim)(0L), Array.fill(k)(0L)))(
-          seqOp = { case ((s, n), qv) =>
+          seqOp = { case ((s, n), (_, qv)) =>
             val cqs = bc.value
             var best = 0
             var bestD = Double.MaxValue
@@ -187,6 +240,97 @@ object KMeans {
       }
       Model(cq.map(_.map(_.toDouble / S)))
     } finally qdata.unpersist(): Unit
+  }
+
+  /** k-means|| candidate generation + deterministic driver-side reduction
+    * (see [[InitKMeansParallel]]). Runs on the shared quantized
+    * (idKey, qv) RDD; distances fold dequantized doubles exactly like the
+    * fit. Per round: one cost pass (φ) + one sampling pass, candidates
+    * broadcast — the corpus never shuffles. The candidate set is capped
+    * deterministically (takeOrdered on the sampling draw) at 4·l per
+    * round, bounding driver memory at rounds·4·l vectors.
+    */
+  private def initParallel(qdata: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      k: Int, dim: Int, s: Long, seed: Long, rounds: Int, l: Int): Array[Array[Long]] = {
+    val sc = qdata.sparkContext
+    def dist2(a: Array[Long], b: Array[Long]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = a(i).toDouble / s - b(i).toDouble / s; d += t * t; i += 1 }
+      d
+    }
+    def minD2(qv: Array[Long], cands: Array[Array[Long]]): Double = {
+      var best = Double.MaxValue; var c = 0
+      while (c < cands.length) { val d = dist2(qv, cands(c)); if (d < best) best = d; c += 1 }
+      best
+    }
+    // deterministic "uniform" first center: the point with the smallest
+    // splitmix draw (id tiebreak)
+    val first = qdata.min()(Ordering.by { case (id, _) => (mix01(id, seed), id) })._2
+    val cands = scala.collection.mutable.ArrayBuffer[Array[Long]](first)
+    var r = 1
+    while (r <= rounds) {
+      val bc = sc.broadcast(cands.toArray)
+      val phi = qdata.map { case (_, qv) => minD2(qv, bc.value) }.sum()
+      if (phi > 0) {
+        val sampled = qdata.filter { case (id, qv) =>
+          mix01(id, seed + r) < l.toDouble * minD2(qv, bc.value) / phi
+        }.map { case (id, qv) => (mix01(id, seed + r), qv) }
+          .takeOrdered(4 * l)(Ordering.by(_._1)) // deterministic cap of the sampling tail
+        cands ++= sampled.map(_._2)
+      }
+      bc.destroy()
+      r += 1
+    }
+    // attraction weights: corpus points per nearest candidate (one pass)
+    val bcAll = sc.broadcast(cands.toArray)
+    val weights = qdata.map { case (_, qv) =>
+      val cs = bcAll.value
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cs.length) { val d = dist2(qv, cs(c)); if (d < bestD) { bestD = d; best = c }; c += 1 }
+      (best, 1L)
+    }.reduceByKey(_ + _).collectAsMap()
+    bcAll.destroy()
+    // deterministic greedy weighted farthest-point reduction to k: start
+    // at the heaviest candidate, then repeatedly take the candidate
+    // maximizing weight · d²(candidate, chosen) — the k-means++ objective
+    // with the argmax replacing the random draw (index tiebreak)
+    val arr = cands.toArray
+    val w = Array.tabulate(arr.length)(i => weights.getOrElse(i, 0L).toDouble)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      w.indices.maxBy(i => (w(i), -i.toDouble)))
+    val inChosen = scala.collection.mutable.Set(chosen.head)
+    while (chosen.length < math.min(k, arr.length)) {
+      var bestI = -1; var bestScore = -1.0
+      var i = 0
+      while (i < arr.length) {
+        if (!inChosen(i)) {
+          var nd = Double.MaxValue
+          chosen.foreach { j => val d = dist2(arr(i), arr(j)); if (d < nd) nd = d }
+          val score = w(i) * nd
+          if (score > bestScore) { bestScore = score; bestI = i }
+        }
+        i += 1
+      }
+      chosen += bestI; inChosen += bestI
+    }
+    // degenerate corpora can yield < k candidates — cycle what exists
+    Array.tabulate(k)(i => arr(chosen(i % chosen.length)))
+  }
+
+  /** Mean squared distance of each vector to its nearest centroid — the
+    * Lloyd's objective, for model-quality comparisons.
+    */
+  def cost(df: DataFrame, vecCol: String, model: Model): Double = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val (tot, n) = df.select(col(vecCol).cast("array<double>")).rdd.map { r =>
+      val v = r.getSeq[Double](0).toArray
+      val m = bc.value
+      val ctr = m.centroids(m.nearest(v))
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      (d, 1L)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    tot / n
   }
 
   /** Cluster assignments as a DataFrame (id, cluster). The id column

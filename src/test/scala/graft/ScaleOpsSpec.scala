@@ -21,6 +21,25 @@ class ScaleOpsSpec extends SparkSuite {
     assert(sizes.length >= 4, "degenerate clustering")
   }
 
+  test("k-means|| init: deterministic under a seed, k centroids, cost not worse than first-k") {
+    val kmpp = KMeans.InitKMeansParallel(seed = 42L)
+    val m1 = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5, init = kmpp)
+    val m2 = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5, init = kmpp)
+    // all randomness is splitmix64(id, seed) → bit-identical refits
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    assert(m1.centroids.length == 8)
+    // the oracle-gate init path must be untouched by the new flag
+    val firstK = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    val cPar = KMeans.cost(emb, "embedding", m1)
+    val cFirst = KMeans.cost(emb, "embedding", firstK)
+    // k-means|| seeds spread by construction; allow a whisker of slack so
+    // the assertion pins "not worse", not a lucky margin (deterministic:
+    // both fits are seeded, so this cannot flake)
+    assert(cPar <= cFirst * 1.05, s"k-means|| cost $cPar vs first-k $cFirst")
+    val distinctSeeds = m1.centroids.map(_.toSeq).distinct.length
+    assert(distinctSeeds == 8, s"duplicate centroids: $distinctSeeds of 8 distinct")
+  }
+
   test("ivfKnn achieves decent recall vs brute-force top-5") {
     val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
     val queries = emb.filter(col("vec_id") < 10)
