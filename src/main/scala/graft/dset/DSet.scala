@@ -263,13 +263,52 @@ final class DSet[U](val ds: Dataset[U]) {
   // ---- aggregations & actions (reference §2.6) ----
 
   /** Per-partition fold + cross-partition aggregation (reference
-    * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). The
-    * reference's `foldWithCommonStatePerNode` (node-shared state) has no
-    * Spark analog — state here is per-partition, documented divergence
-    * (SURVEY §2.6).
+    * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). State
+    * here is per-partition; for the reference's node-shared-state
+    * variant see [[foldWithCommonStatePerNode]].
     */
   def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S =
     ds.rdd.treeAggregate(state)(folder, aggr)
+
+  /** Node-shared-state fold (reference `DSetGenerics.fs:410-411, 464`,
+    * `foldWithCommonStatePerNode`): every partition running in the same
+    * executor JVM folds into ONE shared state object (the reference's
+    * per-node dictionary/buffer memory saving), then the per-node states
+    * aggregate on the driver. `initState` runs once per JVM; `folder`
+    * runs per element under the state's lock (element production stays
+    * parallel — only the fold step serializes, which is what sharing
+    * mutable state per node means); `aggr` merges node states.
+    *
+    * Completeness: each task emits a (jvmId, foldCount, state) snapshot
+    * read under the same lock AFTER its own last fold; the driver keeps
+    * the max-count snapshot per JVM. The count increments inside the
+    * locked fold, so a snapshot's count equals the folds that
+    * happened-before it — the max-count snapshot on a JVM is therefore
+    * taken at-or-after that JVM's final fold and holds the complete
+    * node state (every task's snapshot ships; the cost of not being
+    * able to know which task finishes last).
+    *
+    * The per-invocation state entry is freed on the driver JVM
+    * (covers local mode); on a cluster an executor retains its entry
+    * (one state object per invocation) until JVM exit — the same
+    * lifetime the reference's node state has (`DSetGenerics.fs:464`
+    * keeps it for the job).
+    */
+  def foldWithCommonStatePerNode[S](initState: () => S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
+    val invocation = java.util.UUID.randomUUID().toString
+    try {
+      val snapshots = ds.rdd.mapPartitions { it =>
+        val holder = NodeState.holder(invocation, initState)
+        it.foreach(u => holder.fold(u)(folder))
+        val (bytes, count) = holder.snapshot
+        Iterator.single((NodeState.jvmId, count, bytes))
+      }.collect()
+      if (snapshots.isEmpty) initState()
+      else snapshots.groupBy(_._1).values
+        .map(g => NodeState.deserialize[S](g.maxBy(_._2)._3))
+        .reduce(aggr)
+    } finally NodeState.release(invocation)
+  }
 
   /** reference `DSetGenerics.fs:438-455` (`reduce`). */
   def reduce(f: (U, U) => U): U = ds.reduce(f)

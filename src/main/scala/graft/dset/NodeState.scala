@@ -1,0 +1,65 @@
+package graft.dset
+
+import scala.collection.concurrent.TrieMap
+
+/** Per-JVM shared-state registry backing
+  * [[DSet.foldWithCommonStatePerNode]] (reference
+  * `DSetGenerics.fs:410-411, 464`: one mutable state object per NODE,
+  * shared by every partition task the node runs). On Spark the sharing
+  * unit is the executor JVM — tasks land here via a plain object
+  * (objects deserialize by module reference, so every task on a JVM
+  * sees the same registry).
+  */
+private[dset] object NodeState {
+
+  /** Identifies this JVM across all its tasks (fresh per process). */
+  val jvmId: String = java.util.UUID.randomUUID().toString
+
+  /** One shared state + fold counter, both guarded by the holder's
+    * lock: `fold` mutates under the lock; `snapshot` SERIALIZES the
+    * state under the same lock — a live reference would be torn by
+    * Spark's task-result serialization racing later folds, and the
+    * under-lock byte copy also makes the count↔content pairing exact
+    * (the completeness argument in [[DSet.foldWithCommonStatePerNode]]).
+    */
+  final class Holder[S](init: () => S) {
+    private var state: S = init()
+    private var count: Long = 0L
+    def fold[U](u: U)(folder: (S, U) => S): Unit = synchronized {
+      state = folder(state, u)
+      count += 1
+    }
+    def snapshot: (Array[Byte], Long) = synchronized {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(state)
+      oos.close()
+      (bos.toByteArray, count)
+    }
+  }
+
+  /** Deserialize a snapshot with the context classloader (sbt/REPL
+    * user classes are not visible to ObjectInputStream's default
+    * latest-user-defined-loader resolution).
+    */
+  def deserialize[S](bytes: Array[Byte]): S = {
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes)) {
+      override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] =
+        try Class.forName(desc.getName, false, Thread.currentThread().getContextClassLoader)
+        catch { case _: ClassNotFoundException => super.resolveClass(desc) }
+    }
+    try in.readObject().asInstanceOf[S] finally in.close()
+  }
+
+  private val holders = TrieMap.empty[String, Holder[_]]
+
+  /** Creation is serialized on the registry: TrieMap's getOrElseUpdate
+    * may evaluate the default more than once under contention, which
+    * would run the user's `init()` twice — the contract is once per JVM.
+    */
+  def holder[S](invocation: String, init: () => S): Holder[S] = holders.synchronized {
+    holders.getOrElseUpdate(invocation, new Holder(init)).asInstanceOf[Holder[S]]
+  }
+
+  def release(invocation: String): Unit = holders.remove(invocation): Unit
+}

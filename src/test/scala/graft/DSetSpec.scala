@@ -2,6 +2,13 @@ package graft
 
 import graft.dset.DSet
 
+/** Counts state instantiations across the JVM (executors share the test
+  * JVM in local mode, so the node-shared-state proof is direct).
+  */
+object NodeFoldProbe {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Local-oracle differential tests for the DSet facade — the reference's
   * test pattern: compute expected locally with Scala collections, assert
   * the distributed result matches (reference `tests/CoreLib/DSet.fs:489-533`
@@ -118,6 +125,25 @@ class DSetSpec extends SparkSuite {
     assert(d.fold(0L)((s, u) => s + u, _ + _) == (0 until 1000).map(_.toLong).sum)
     assert(d.reduce(math.max) == 999)
     assert(d.count() == 1000)
+  }
+
+  test("foldWithCommonStatePerNode: ONE shared state per JVM, complete fold, empty input") {
+    NodeFoldProbe.inits.set(0)
+    val d = nums(1000, 8)
+    val total = d.foldWithCommonStatePerNode(
+      () => { NodeFoldProbe.inits.incrementAndGet(); new java.util.concurrent.atomic.AtomicLong(0) })(
+      (s, u) => { s.addAndGet(u.toLong); s },
+      (a, b) => { a.addAndGet(b.get); a })
+    assert(total.get == (0 until 1000).map(_.toLong).sum)
+    // the reference's node-shared contract: 8 partitions, ONE state
+    // object per JVM (local = one JVM), not one per partition
+    assert(NodeFoldProbe.inits.get == 1,
+      s"state created ${NodeFoldProbe.inits.get} times — must be once per JVM")
+    // empty input returns the init state
+    val empty = new graft.dset.DSet(spark.emptyDataset[Int])
+    val t = empty.foldWithCommonStatePerNode(
+      () => new java.util.concurrent.atomic.AtomicLong(7))((s, _) => s, (a, _) => a)
+    assert(t.get == 7L)
   }
 
   test("toSeq streams all elements to the client") {
