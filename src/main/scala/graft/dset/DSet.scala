@@ -288,6 +288,16 @@ final class DSet[U](val ds: Dataset[U]) {
     * node state (every task's snapshot ships; the cost of not being
     * able to know which task finishes last).
     *
+    * Retries/speculation (shared mutable state is inherently
+    * at-least-once; this op makes it exactly-once-or-loud): a retried
+    * task whose earlier attempt COMPLETED on the same JVM skips
+    * re-folding (per-partition claim in the holder); an attempt that
+    * died mid-fold poisons its JVM's state and the retry throws with a
+    * clear message; a partition that completed on TWO JVMs (speculative
+    * twin) or left a dead partial on one is detected on the driver via
+    * the per-snapshot started/completed sets and throws rather than
+    * returning a silently-inflated aggregate.
+    *
     * The per-invocation state entry is freed on the driver JVM
     * (covers local mode); on a cluster an executor retains its entry
     * (one state object per invocation) until JVM exit — the same
@@ -298,15 +308,35 @@ final class DSet[U](val ds: Dataset[U]) {
     val invocation = java.util.UUID.randomUUID().toString
     try {
       val snapshots = ds.rdd.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val holder = NodeState.holder(invocation, initState)
-        it.foreach(u => holder.fold(u)(folder))
-        val (bytes, count) = holder.snapshot
-        Iterator.single((NodeState.jvmId, count, bytes))
+        if (holder.begin(pid)) {
+          it.foreach(u => holder.fold(u)(folder))
+          holder.complete(pid)
+        }
+        val (bytes, count, started, completed) = holder.snapshot
+        Iterator.single((NodeState.jvmId, count, bytes, started, completed))
       }.collect()
       if (snapshots.isEmpty) initState()
-      else snapshots.groupBy(_._1).values
-        .map(g => NodeState.deserialize[S](g.maxBy(_._2)._3))
-        .reduce(aggr)
+      else {
+        val chosen = snapshots.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+        // the max-count snapshot is taken after its JVM's last fold, so
+        // any started-but-not-completed partition there is a DEAD partial
+        // attempt baked into the state — and a partition completed on two
+        // JVMs would aggregate twice
+        chosen.foreach { case (jvm, _, _, started, completed) =>
+          val dead = started.diff(completed)
+          if (dead.nonEmpty) throw new IllegalStateException(
+            s"foldWithCommonStatePerNode: partitions $dead were partially folded by failed " +
+              s"attempts on executor JVM $jvm — shared state corrupted; rerun the action.")
+        }
+        val all = chosen.flatMap(_._5)
+        if (all.size != all.distinct.size) throw new IllegalStateException(
+          "foldWithCommonStatePerNode: a partition completed on more than one executor " +
+            "(speculative execution) — its elements would aggregate twice. Disable " +
+            "spark.speculation for jobs using this operator.")
+        chosen.map(c => NodeState.deserialize[S](c._3)).reduce(aggr)
+      }
     } finally NodeState.release(invocation)
   }
 

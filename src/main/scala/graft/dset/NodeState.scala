@@ -25,16 +25,40 @@ private[dset] object NodeState {
   final class Holder[S](init: () => S) {
     private var state: S = init()
     private var count: Long = 0L
+    private val started = scala.collection.mutable.Set.empty[Int]
+    private val completed = scala.collection.mutable.Set.empty[Int]
+
+    /** Claim a partition before folding it. Returns false when this
+      * partition already folded COMPLETELY on this JVM (a retried task
+      * whose first attempt succeeded — e.g. lost task result — must not
+      * double-fold). Throws when a previous attempt STARTED here but
+      * never completed: its partial folds are already mixed into the
+      * shared state and cannot be subtracted — failing loudly beats
+      * returning a silently-wrong aggregate.
+      */
+    def begin(pid: Int): Boolean = synchronized {
+      if (completed(pid)) false
+      else if (started(pid)) throw new IllegalStateException(
+        s"foldWithCommonStatePerNode: partition $pid was partially folded by a failed " +
+          "task attempt on this executor — the shared node state is corrupted. " +
+          "Rerun the action; for at-most-once task execution disable spark.speculation " +
+          "for jobs using this operator.")
+      else { started += pid; true }
+    }
+
+    def complete(pid: Int): Unit = synchronized { completed += pid: Unit }
+
     def fold[U](u: U)(folder: (S, U) => S): Unit = synchronized {
       state = folder(state, u)
       count += 1
     }
-    def snapshot: (Array[Byte], Long) = synchronized {
+
+    def snapshot: (Array[Byte], Long, Set[Int], Set[Int]) = synchronized {
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(state)
       oos.close()
-      (bos.toByteArray, count)
+      (bos.toByteArray, count, started.toSet, completed.toSet)
     }
   }
 

@@ -65,8 +65,11 @@ object ScaleProbe {
       // parameters (bits must grow with the corpus: ≈ log2(n / bucket))
       args.filter(_.startsWith("--srp=")).foreach { a =>
         val (b, tb) = a.stripPrefix("--srp=").split(":") match {
-          case Array(bs, ts) if bs.forall(_.isDigit) && ts.forall(_.isDigit) &&
-            bs.nonEmpty && ts.nonEmpty => (bs.toInt, ts.toInt)
+          case Array(bs, ts) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+              case _ => sys.error(s"--srp expects positive bits:tables (e.g. --srp=14:12), got '$a'")
+            }
           case _ => sys.error(s"--srp expects bits:tables (e.g. --srp=14:12), got '$a'")
         }
         val emb = Tables.load(spark, sfDir, "embeddings")

@@ -65,12 +65,29 @@ object Dedup {
     * the identity — the corpus is NEVER shuffled just to sketch it, which
     * is what an unconditional `repartition` here would do to 100 TB of
     * raw text (r6 verdict: the one place the code contradicted its own
-    * shuffle inventory). Split count comes from the planned scan
-    * (`rdd.getNumPartitions` — plan compile only, no job).
+    * shuffle inventory).
+    *
+    * The `.rdd` partition-count probe is only safe on NARROW plans: with
+    * AQE enabled, `Dataset.rdd` on a plan containing an exchange
+    * materializes its query stages — the upstream jobs would run once
+    * for the probe and again for the real query. A plan with any
+    * shuffle-introducing operator already emits
+    * `spark.sql.shuffle.partitions` partitions (the session sizes that
+    * ≥ cores), so such inputs skip both the probe and the spread.
     */
   private[operators] def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.exists {
+      case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: Intersect | _: Except | _: GlobalLimit |
+           _: RepartitionOperation | _: MapGroups | _: CoGroup => true
+      case _ => false
+    }
+    if (wide) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
   }
 
   /** Connected components over an undirected pair list — the group-

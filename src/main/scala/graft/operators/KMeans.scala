@@ -141,14 +141,17 @@ object KMeans {
   }
 
   /** Stable long key for a row id of any type — feeds the splitmix64
-    * draws of the k-means|| init (Long/Int ids use their value; others
-    * their JVM hashCode, deterministic for the primitive/String ids the
-    * tables carry).
+    * draws of the k-means|| init. Long/Int ids use their value; byte
+    * arrays hash by CONTENT (their JVM hashCode is identity-based —
+    * random per run); other types use hashCode, which is stable for the
+    * primitive/String ids the tables carry (a custom id class must
+    * define a content-based hashCode for the init to be reproducible).
     */
   private def idKey(v: Any): Long = v match {
     case l: Long => l
     case i: Int => i.toLong
     case n: Number => n.longValue()
+    case a: Array[Byte] => java.util.Arrays.hashCode(a).toLong
     case other => if (other == null) 0L else other.hashCode().toLong
   }
 
@@ -263,19 +266,30 @@ object KMeans {
       while (c < cands.length) { val d = dist2(qv, cands(c)); if (d < best) best = d; c += 1 }
       best
     }
+    // Cost quantization: RDD.sum() merges double partials in
+    // task-completion order, so a float φ would make the sampling
+    // threshold layout/run-dependent. Quantized LONG costs sum exactly
+    // in any order (the same trick the fit itself uses), so φ — and
+    // therefore every sampling decision — is bit-stable. Overflow
+    // bound: d² ≤ dim·(2·|v|max)² (≈16k at dim 64, |v| ≤ 8), ×2^20
+    // ×5·10^8 points ≈ 8·10^18 — re-scale before that corpus size.
+    val PhiScale = 1L << 20
+    def d2q(qv: Array[Long], cands: Array[Array[Long]]): Long =
+      math.floor(minD2(qv, cands) * PhiScale.toDouble + 0.5).toLong
     // deterministic "uniform" first center: the point with the smallest
-    // splitmix draw (id tiebreak)
+    // splitmix draw (id tiebreak; see idKey for the stable-hash contract)
     val first = qdata.min()(Ordering.by { case (id, _) => (mix01(id, seed), id) })._2
     val cands = scala.collection.mutable.ArrayBuffer[Array[Long]](first)
     var r = 1
     while (r <= rounds) {
       val bc = sc.broadcast(cands.toArray)
-      val phi = qdata.map { case (_, qv) => minD2(qv, bc.value) }.sum()
-      if (phi > 0) {
+      val phiQ = qdata.map { case (_, qv) => d2q(qv, bc.value) }.reduce(_ + _)
+      if (phiQ > 0) {
         val sampled = qdata.filter { case (id, qv) =>
-          mix01(id, seed + r) < l.toDouble * minD2(qv, bc.value) / phi
-        }.map { case (id, qv) => (mix01(id, seed + r), qv) }
-          .takeOrdered(4 * l)(Ordering.by(_._1)) // deterministic cap of the sampling tail
+          mix01(id, seed + r) < l.toDouble * d2q(qv, bc.value).toDouble / phiQ.toDouble
+        }.map { case (id, qv) => ((mix01(id, seed + r), id), qv) }
+          // deterministic cap of the sampling tail (draw, then id tiebreak)
+          .takeOrdered(4 * l)(Ordering.by(_._1))
         cands ++= sampled.map(_._2)
       }
       bc.destroy()

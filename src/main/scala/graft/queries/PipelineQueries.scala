@@ -17,6 +17,12 @@ object PipelineQueries {
     d.toString
   }
 
+  /** Bound ports of the rp1 fixture service, one entry per data dir
+    * (daemon accept threads live for the session — one pair total
+    * instead of one pair per invocation).
+    */
+  private val rpcFixture = scala.collection.concurrent.TrieMap.empty[String, Seq[Int]]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based sessionization (batch form; the streaming twin is
     // Sessionize.sessionsStream, spec-verified against this one).
@@ -134,12 +140,19 @@ object PipelineQueries {
     // because the test must stand up the service itself — a real
     // deployment dials endpoints that already exist.
     "rp1_rpc_roundtrip" -> { (s, dir) =>
-      val rows = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars")).collect()
-      def tsv(r: org.apache.spark.sql.Row) = s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}"
-      val half = rows.length / 2
-      val (p1, _) = graft.sources.RpcSource.serve(0, Map("docs" -> rows.take(half).map(tsv).toSeq))
-      val (p2, _) = graft.sources.RpcSource.serve(0, Map("docs" -> rows.drop(half).map(tsv).toSeq))
+      // the two-shard fixture service is memoized per data dir: repeated
+      // invocations (verify + bench warm-ups, probe loops) re-dial the
+      // SAME endpoints instead of binding fresh ServerSockets each call
+      val Seq(p1, p2) = rpcFixture.getOrElseUpdate(dir, {
+        val rows = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+        def tsv(r: org.apache.spark.sql.Row) =
+          s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}"
+        val half = rows.length / 2
+        Seq(rows.take(half), rows.drop(half)).map { shard =>
+          graft.sources.RpcSource.serve(0, Map("docs" -> shard.map(tsv).toSeq))._1
+        }
+      })
       graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
         "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs")
         .groupBy(col("lang"))

@@ -209,7 +209,11 @@ object VectorQueries {
 
   /** Shared CTE chain replaying [[graft.functions.SrpKeys]]: hyperplane
     * stream (xorshift64* in HUGEINT), sign-bit bucket keys, candidate
-    * collisions. Used by the v3 (pairs) and v6 (groups) oracles.
+    * collisions — INCLUDING the `maxBucketSize = 1000` hot-bucket guard
+    * (`bsz`/`WHERE s.n <= 1000`), so a fixture whose vectors cluster
+    * into an oversized bucket drops it on BOTH sides instead of
+    * silently diverging. Used by the v3 (pairs), v6 (groups) and x1
+    * (hybrid) oracles.
     */
   private val srpReplayCte: String =
     """rng(n, s) AS (
@@ -232,9 +236,13 @@ object VectorQueries {
                   CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % 6)) ELSE 0 END AS bit
            FROM ed e, planes pl),
          keys AS (SELECT vec_id, t, sum(bit) AS k FROM sb GROUP BY vec_id, t),
+         bsz AS (SELECT t, k, count(*) AS n FROM keys GROUP BY t, k),
          cand AS (
            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id)"""
+           FROM keys a
+           JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id
+           JOIN bsz s ON s.t = a.t AND s.k = a.k
+           WHERE s.n <= 1000)"""
 
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),

@@ -134,35 +134,45 @@ private[sources] class RpcScanBuilder(full: StructType, options: CaseInsensitive
       throw new IllegalArgumentException("rpc source requires an 'endpoints' option"))
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val contract = Option(options.get("contract")).getOrElse("")
-    new RpcScan(full, required, eps, contract)
+    // session timezone captured at plan time: executors must parse wire
+    // timestamp text the way every Spark text source does — in the
+    // SESSION zone, not the executor JVM's default (which can differ)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    new RpcScan(full, required, eps, contract, tz)
   }
 }
 
 private[sources] class RpcScan(full: StructType, required: StructType,
-    endpoints: Seq[String], contract: String) extends Scan with Batch {
+    endpoints: Seq[String], contract: String, timeZone: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     endpoints.map { ep =>
-      val (h, p) = ep.splitAt(ep.lastIndexOf(':'))
-      RpcInputPartition(h, p.drop(1).toInt): InputPartition
+      val i = ep.lastIndexOf(':')
+      val port = if (i > 0) scala.util.Try(ep.substring(i + 1).toInt).toOption else None
+      port match {
+        case Some(p) if p > 0 && p <= 65535 =>
+          RpcInputPartition(ep.substring(0, i), p): InputPartition
+        case _ => throw new IllegalArgumentException(
+          s"rpc source: malformed endpoint '$ep' — expected host:port")
+      }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcReaderFactory(full, required, contract)
+    new RpcReaderFactory(full, required, contract, timeZone)
 }
 
 private[sources] case class RpcInputPartition(host: String, port: Int) extends InputPartition
 
 private[sources] class RpcReaderFactory(full: StructType, required: StructType,
-    contract: String) extends PartitionReaderFactory {
+    contract: String, timeZone: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RpcInputPartition]
-    new RpcPartitionReader(p.host, p.port, full, required, contract)
+    new RpcPartitionReader(p.host, p.port, full, required, contract, timeZone)
   }
 }
 
 private[sources] class RpcPartitionReader(host: String, port: Int, full: StructType,
-    required: StructType, contract: String) extends PartitionReader[InternalRow] {
+    required: StructType, contract: String, timeZone: String) extends PartitionReader[InternalRow] {
   private val socket = {
     val s = new Socket()
     s.connect(new InetSocketAddress(host, port), 10000)
@@ -200,7 +210,12 @@ private[sources] class RpcPartitionReader(host: String, port: Int, full: StructT
           case DoubleType => raw.toDouble
           case BooleanType => raw.toBoolean
           case StringType => UTF8String.fromString(raw)
-          case TimestampType => DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(raw))
+          case TimestampType =>
+            // parse in the captured SESSION timezone (java.sql.Timestamp
+            // .valueOf would use the executor JVM's default zone)
+            val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+            DateTimeUtils.instantToMicros(
+              ldt.atZone(java.time.ZoneId.of(timeZone)).toInstant)
           case dt => throw new IllegalArgumentException(
             s"rpc source: unsupported field type $dt for '${required.fields(i).name}'")
         }

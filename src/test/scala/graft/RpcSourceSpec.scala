@@ -62,12 +62,28 @@ class RpcSourceSpec extends SparkSuite {
     } finally close()
   }
 
-  test("timestamp fields roundtrip through the wire text form") {
+  test("timestamp fields parse in the SESSION timezone, not the JVM default") {
     val (p, close) = RpcSource.serve(0, Map("t" -> Seq("1\t2026-01-15 10:30:00.123")))
     try {
       val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p"), "id BIGINT, ts TIMESTAMP", "t")
       val got = rpc.select(col("ts")).as[java.sql.Timestamp].collect()
-      assert(got.toSeq == Seq(java.sql.Timestamp.valueOf("2026-01-15 10:30:00.123")))
+      // expected instant computed in the session zone explicitly — the
+      // assertion must hold even when the JVM default zone differs
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      val expected = java.sql.Timestamp.from(
+        java.time.LocalDateTime.parse("2026-01-15T10:30:00.123")
+          .atZone(java.time.ZoneId.of(tz)).toInstant)
+      assert(got.toSeq == Seq(expected))
     } finally close()
+  }
+
+  test("malformed endpoints fail with a clear validation error") {
+    val ex = intercept[Exception] {
+      RpcSource.readRpc(spark, Seq("localhost9000"), ddl, "t").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).flatMap(c => Option(c.getMessage)).exists(_.contains("malformed endpoint")))
   }
 }

@@ -1,0 +1,35 @@
+package graft.dset
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Claim semantics backing foldWithCommonStatePerNode's
+  * exactly-once-or-loud retry contract (no Spark needed).
+  */
+class NodeStateSpec extends AnyFunSuite {
+
+  test("begin/complete: completed retries skip, mid-fold retries throw") {
+    val h = new NodeState.Holder[Long](() => 0L)
+    assert(h.begin(0))
+    h.fold(5L)((s, u) => s + u)
+    h.complete(0)
+    assert(!h.begin(0), "a completed partition's retry must SKIP re-folding")
+    assert(h.begin(1))
+    // partition 1 never completes (simulated dead attempt) — its retry
+    // must fail loudly: the partial folds cannot be subtracted
+    val ex = intercept[IllegalStateException](h.begin(1))
+    assert(ex.getMessage.contains("partially folded"))
+    val (_, count, started, completed) = h.snapshot
+    assert(count == 1L && started == Set(0, 1) && completed == Set(0))
+  }
+
+  test("snapshot bytes deserialize to the folded state") {
+    val h = new NodeState.Holder[java.util.ArrayList[Int]](() => new java.util.ArrayList[Int]())
+    assert(h.begin(3))
+    h.fold(7)((s, u) => { s.add(u); s })
+    h.complete(3)
+    val (bytes, count, _, _) = h.snapshot
+    assert(count == 1L)
+    val back = NodeState.deserialize[java.util.ArrayList[Int]](bytes)
+    assert(back.size() == 1 && back.get(0) == 7)
+  }
+}

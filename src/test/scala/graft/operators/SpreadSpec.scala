@@ -13,22 +13,27 @@ import graft.SparkSuite
 class SpreadSpec extends SparkSuite {
   import spark.implicits._
 
-  test("spreadIfNarrow is the IDENTITY on pre-split input, repartitions narrow input") {
+  test("spreadIfNarrow is the IDENTITY on pre-split input, repartitions narrow scans") {
     val par = spark.sparkContext.defaultParallelism
-    // narrow: a single in-memory partition → must spread to par
-    val narrow = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("id", "text")
-      .coalesce(1)
-    val spreadN = Dedup.spreadIfNarrow(narrow)
+    // narrow: ONE small parquet file → one scan split (an explicit
+    // coalesce/repartition in the plan would instead be respected as the
+    // user's choice — that's the wide-plan rule below)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread1").toString
+    Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val narrow = spark.read.parquet(dir)
     assert(narrow.rdd.getNumPartitions == 1)
+    val spreadN = Dedup.spreadIfNarrow(narrow)
     assert(spreadN.rdd.getNumPartitions == par)
-    assert(!(spreadN eq narrow), "narrow input must be repartitioned")
+    assert(!(spreadN eq narrow), "narrow scan must be repartitioned")
+  }
 
-    // pre-split: at least `par` partitions → the SAME object comes back,
-    // so no plan change and no Exchange can be introduced
-    val wide = Seq.tabulate(100)(i => (i.toLong, s"doc $i")).toDF("id", "text")
-      .repartition(par + 2)
-    val spreadW = Dedup.spreadIfNarrow(wide)
-    assert(spreadW eq wide, "pre-split input must pass through untouched")
+  test("wide plans (existing shuffle) skip probe AND spread — no AQE stage materialization") {
+    // an aggregate already emits shuffle.partitions; probing .rdd on it
+    // under AQE would RUN the aggregation at pipeline-construction time
+    val agg = Seq.tabulate(100)(i => (i.toLong % 5, s"doc $i")).toDF("id", "text")
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    assert(Dedup.spreadIfNarrow(agg) eq agg)
   }
 
   test("file scans with enough splits skip the spread (the 100 TB case)") {
