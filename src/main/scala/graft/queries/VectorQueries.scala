@@ -25,9 +25,15 @@ object VectorQueries {
     },
 
     // Exact all-pairs cosine >= 0.45 (embedding near-dup at this corpus's
-    // similarity ceiling; data has no planted dup vectors).
+    // similarity ceiling; data has no planted dup vectors). BOUNDED
+    // verification gate (vec_id < 1000, same treatment as v5): the O(n²)
+    // product exists to pin the cosine arithmetic against ground truth,
+    // not to run at corpus scale — v3 gates the SRP-LSH scale path on
+    // the full corpus.
     "v2_cosine_pairs" -> { (s, dir) =>
-      Similarity.exactCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      Similarity.exactCosinePairs(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "vec_id", "embedding", 0.45)
     },
 
     // ANN (SRP-LSH) near-pairs — the scale path. Hash-gated: the SRP
@@ -271,7 +277,8 @@ object VectorQueries {
            FROM pairs)
          SELECT qid, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5""",
     "v2_cosine_pairs" ->
-      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                     FROM embeddings WHERE vec_id < 1000)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
