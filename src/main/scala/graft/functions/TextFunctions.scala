@@ -243,6 +243,48 @@ object TextFunctions {
   def repetitionScan(text: Column): Column =
     graftbridge.column(RepetitionScan(graftbridge.expression(text)))
 
+  /** Per-document token → count map in ONE narrow pass (same tokenizer
+    * as [[WordNGrams]]/[[RepetitionScan]]): the upstream primitive for
+    * corpus-LM scoring ([[graft.operators.QualityFilters.unigramLogProb]]).
+    * `explode`-ing the map is narrow, so per-doc counts reach downstream
+    * aggregations WITHOUT the (doc, token) shuffle that a
+    * `explode(tokens) → groupBy(doc, token)` formulation pays — on a
+    * 100 TB corpus that shuffle carries ~half the token instances.
+    */
+  private[functions] case class TokenCountsScan(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "token_counts"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val m = new java.util.LinkedHashMap[String, Long]()
+      eachToken(s) { (a, b) => m.merge(s.substring(a, b), 1L, (x, y) => x + y): Unit }
+      val keys = new Array[Any](m.size)
+      val vals = new Array[Any](m.size)
+      var i = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        keys(i) = UTF8String.fromString(e.getKey)
+        vals(i) = e.getValue
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** token → count map per document (see [[TokenCountsScan]]). */
+  def tokenCounts(text: Column): Column =
+    graftbridge.column(TokenCountsScan(graftbridge.expression(text)))
+
   /** Within-document repeated-segment removal (Gopher-style "dedup lines
     * within a doc"): split on `delim`, keep each segment's FIRST
     * occurrence (order preserved), rejoin — plus the dropped-segment

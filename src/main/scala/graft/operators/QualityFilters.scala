@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{repetitionScan, wordNGramsAll}
+import graft.functions.TextFunctions.repetitionScan
 
 /** Gopher-style repetition / quality statistics per document.
   *
@@ -63,18 +63,20 @@ object QualityFilters {
     * whose vocabulary is unusual for the corpus (spam, encoding damage,
     * wrong language).
     *
-    * Shape: the corpus is exploded ONCE into per-document token counts
-    * (doc, token, cd) — map-side partial agg means the first shuffle
-    * carries distinct (doc, token) pairs, not raw instances (the r6
-    * formulation fed the raw instance explode into both the vocab agg
-    * and the scoring join, scanning + exploding the corpus twice).
-    * The LM is then a (token) re-agg of those counts — vocabulary-sized
-    * (Heaps' law: ≪ corpus) — with the token total riding along as a
-    * 1-row cross join; scoring joins the counts back on token (AQE
-    * broadcasts the vocab side while it fits; at extreme vocabularies
-    * it degrades to a shuffle join, never a driver collect) and one
-    * (doc) agg computes the count-weighted mean — identical to the
-    * per-instance avg, without ever moving instances again.
+    * Shape (narrow-first): per-document token counts come from ONE
+    * narrow scan — the native [[graft.functions.TextFunctions.TokenCountsScan]]
+    * map expression plus a narrow map-explode — so NOTHING
+    * corpus-sized ever shuffles. (The r6 formulation scanned + exploded
+    * the corpus twice; the first r7 rewrite exploded once but paid a
+    * (doc, token) groupBy shuffle carrying ~half the token instances —
+    * the per-row hash map replaces both.) The LM is a (token) agg of
+    * those counts — map-side combine shuffles per-partition-distinct
+    * tokens only, vocabulary-sized output (Heaps' law: ≪ corpus) — with
+    * the token total riding along as a 1-row cross join; scoring joins
+    * the counts back on token (AQE broadcasts the vocab side while it
+    * fits; at extreme vocabularies it degrades to a shuffle join, never
+    * a driver collect) and one (doc) agg computes the count-weighted
+    * mean — identical to the per-instance avg.
     *
     * Output: id, n_tokens, avg_logprob = avg(ln(count(t)/N)) over token
     * instances (computed as Σ cd·ln(c/N) / Σ cd) rounded to 4 decimals
@@ -82,8 +84,9 @@ object QualityFilters {
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docTok = df
-      .select(col(idCol).as("__id"), explode(wordNGramsAll(col(textCol), 1)).as("t"))
-      .groupBy("__id", "t").agg(count(lit(1)).as("cd"))
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.tokenCounts(coalesce(col(textCol), lit(""))))
+          .as(Seq("t", "cd")))
     val vocab = docTok.groupBy("t").agg(sum("cd").as("c"))
     val total = vocab.agg(sum("c").as("n"))
     val scored = docTok
