@@ -265,41 +265,88 @@ object Dedup {
     * boilerplate survive with `clean_text = ""` so corpus cardinality is
     * stable through the operator.
     *
-    * Scale shape: explode → two hash shuffles (doc-frequency on the line
-    * value; rebuild on doc id). The filter is an ANTI-join against the
-    * DROP list, not an inner join against the keep list: a boilerplate
-    * line needs more than `maxDocFrac·N` document hits, so the drop list
-    * holds at most `avgLinesPerDoc / maxDocFrac` distinct lines — a
-    * corpus-size-independent bound that AQE reliably broadcasts (the
-    * keep list is the unbounded vocabulary tail, and an inner join
-    * against it tempts the planner into broadcasting the exploded corpus
-    * — observed on 4.1.2). The document count enters as a 1-row
+    * Scale shape (narrow-first, r7): ONE shuffle total. Doc frequency
+    * explodes each document's DISTINCT lines (`array_distinct` is
+    * per-row, narrow) into a (line) hash agg — map-side combine means
+    * the exchange carries per-partition-distinct lines, vocabulary-
+    * sized. The drop list is bounded: a boilerplate line needs more
+    * than `maxDocFrac·N` document hits, so it holds at most
+    * `avgLinesPerDoc / maxDocFrac` distinct lines REGARDLESS of corpus
+    * size — it collapses to a one-row `collect_list` array that
+    * broadcasts, and the rebuild is a map-only pass over the original
+    * documents (native [[RemoveSegments]]: split, drop, rejoin in
+    * order). The r6 formulation paid two corpus-expansion shuffles
+    * (a (doc, line) distinct + a rebuild groupBy carrying every kept
+    * line); both are gone. The document count enters as a 1-row
     * aggregate cross join (broadcast), not a driver `count()`.
     */
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", maxDocFrac: Double = 0.5): DataFrame = {
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
-      .toDF(idCol, "pos", "line")
+    val q = java.util.regex.Pattern.quote(delim)
+    val docLines = df
+      .select(col(idCol), explode(array_distinct(split(col(textCol), q))).as("line"))
       .filter(col("line") =!= "")
     val nDocs = df.agg(count(lit(1)).as("__n"))
-    val docFreq = lines.select(col(idCol), col("line")).distinct()
-      .groupBy("line").agg(count(lit(1)).as("__df"))
-    val dropLines = docFreq.crossJoin(nDocs)
-      .filter(col("__df") > col("__n") * maxDocFrac)
-      .select("line")
-    val rebuilt = lines.join(dropLines, Seq("line"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          delim).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    val docFreq = docLines.groupBy("line").agg(count(lit(1)).as("__df"))
+    val dropArr = broadcast(
+      docFreq.crossJoin(nDocs)
+        .filter(col("__df") > col("__n") * maxDocFrac)
+        .agg(collect_list(col("line")).as("__drops")))
+    val cleaned = graftbridge.column(RemoveSegments(
+      graftbridge.expression(coalesce(col(textCol), lit(""))),
+      graftbridge.expression(col("__drops")), delim))
+    df.crossJoin(dropArr)
+      .select(col(idCol), cleaned.as("__c"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        col("__c").getField("clean_text").as("clean_text"),
+        col("__c").getField("n_kept").as("n_kept"))
+  }
+
+  /** Map-only rebuild for [[removeRepeatedLines]]: split `text` on the
+    * delimiter, keep each non-empty segment not in the (bounded,
+    * broadcast) drop array, rejoin in original order — struct
+    * (clean_text, n_kept). One pass, one per-row HashSet of the drop
+    * list; replaces an explode + anti-join + per-doc collect_list
+    * rebuild that shuffled every kept line in the corpus.
+    */
+  private[operators] case class RemoveSegments(
+      text: Expression, drops: Expression, delim: String)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def left: Expression = text
+    override def right: Expression = drops
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean_text", StringType, nullable = false),
+      StructField("n_kept", LongType, nullable = false)))
+    override def prettyName: String = "remove_segments"
+
+    override def nullSafeEval(t: Any, d: Any): Any = {
+      val s = t.asInstanceOf[UTF8String].toString
+      val arr = d.asInstanceOf[ArrayData]
+      val dropSet = new java.util.HashSet[String](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) { dropSet.add(arr.getUTF8String(i).toString); i += 1 }
+      val parts = s.split(java.util.regex.Pattern.quote(delim), -1)
+      val sb = new java.lang.StringBuilder
+      var n = 0L
+      var j = 0
+      while (j < parts.length) {
+        val p = parts(j)
+        if (p.nonEmpty && !dropSet.contains(p)) {
+          if (n > 0) sb.append(delim)
+          sb.append(p)
+          n += 1
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(sb.toString), n))
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(text = newLeft, drops = newRight)
   }
 
   // ---- MinHash + LSH near-duplicate detection ----
