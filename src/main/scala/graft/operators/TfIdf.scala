@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
 /** Corpus-statistics term weighting (TF-IDF) — the classic signal for
   * keyword extraction / topic filtering in a curation pipeline.
   *
-  * Scale shape: tokenize (narrow) → tf aggregation (one shuffle on
-  * (doc, term)) → document-frequency aggregation over the tf table (one
-  * shuffle on term; input is already one row per (doc, term), so df is a
-  * plain count) → score join (the df table is vocabulary-sized — AQE
-  * broadcasts it) → per-doc top-k window (one shuffle on doc id). The
-  * corpus row count enters as a 1-row aggregate cross join, never a
-  * driver action.
+  * Scale shape (narrow-first, r7): per-doc (term, tf) pairs come from
+  * the native `TokenCountsScan` map expression + a narrow map-explode —
+  * the r6 formulation's (doc, term) groupBy shuffle (which carried
+  * every token instance's key) is gone. Plan-audited: one full-pair
+  * exchange removed; local wall time is a WASH at 1×/10× (the
+  * interpreted map expression trades CPU for the saved exchange —
+  * worth it where shuffle is network-bound, neutral on local[32]).
+  * Document frequency is one
+  * (term) hash agg over those pairs — map-side combine shuffles
+  * per-partition-distinct terms, vocabulary-sized — then the score join
+  * (AQE broadcasts the vocab-sized df table) and the per-doc top-k
+  * window (one shuffle on doc id, Spark 4's WindowGroupLimit keeps only
+  * per-partition survivors). The corpus row count enters as a 1-row
+  * aggregate cross join, never a driver action.
   *
   * Ranking is over the ROUNDED score with a term-name tiebreak so the
   * ordering is replayable in the DuckDB oracle to the last row.
@@ -21,10 +28,9 @@ import org.apache.spark.sql.functions._
 object TfIdf {
 
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokenCounts(coalesce(col(textCol), lit(""))))
+        .as(Seq("term", "tf")))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = df.agg(count(lit(1)).as("__n"))
     val scored = tf.join(docFreq, "term").crossJoin(n)
