@@ -243,15 +243,18 @@ object TextFunctions {
   def repetitionScan(text: Column): Column =
     graftbridge.column(RepetitionScan(graftbridge.expression(text)))
 
-  /** Per-document token → count map in ONE narrow pass (same tokenizer
-    * as [[WordNGrams]]/[[RepetitionScan]]): the upstream primitive for
-    * corpus-LM scoring ([[graft.operators.QualityFilters.unigramLogProb]]).
-    * `explode`-ing the map is narrow, so per-doc counts reach downstream
-    * aggregations WITHOUT the (doc, token) shuffle that a
-    * `explode(tokens) → groupBy(doc, token)` formulation pays — on a
-    * 100 TB corpus that shuffle carries ~half the token instances.
+  /** Per-document n-gram → count map in ONE narrow pass (same tokenizer
+    * as [[WordNGrams]]/[[RepetitionScan]]; n = 1 is plain tokens): the
+    * upstream primitive for corpus-LM scoring
+    * ([[graft.operators.QualityFilters.unigramLogProb]]), TF-IDF and
+    * gram statistics. `explode`-ing the map is narrow, so per-doc
+    * counts reach downstream aggregations WITHOUT the (doc, gram)
+    * shuffle that an `explode(grams) → groupBy(doc, gram)` formulation
+    * pays — and a per-gram doc frequency becomes a plain `count(*)`
+    * instead of a `count(DISTINCT doc_id)` two-phase agg (each (doc,
+    * gram) appears exactly once after the map-explode).
     */
-  private[functions] case class TokenCountsScan(child: Expression)
+  private[functions] case class TokenCountsScan(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.unsafe.types.UTF8String
 
@@ -263,7 +266,27 @@ object TextFunctions {
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
       val m = new java.util.LinkedHashMap[String, Long]()
-      eachToken(s) { (a, b) => m.merge(s.substring(a, b), 1L, (x, y) => x + y): Unit }
+      if (n == 1) {
+        eachToken(s) { (a, b) => m.merge(s.substring(a, b), 1L, (x, y) => x + y): Unit }
+      } else {
+        val starts = new scala.collection.mutable.ArrayBuffer[Int]
+        val ends = new scala.collection.mutable.ArrayBuffer[Int]
+        eachToken(s) { (a, b) => starts += a; ends += b }
+        val gmax = starts.length - n + 1
+        var j = 0
+        val sb = new java.lang.StringBuilder
+        while (j < gmax) {
+          sb.setLength(0)
+          var t = j
+          while (t < j + n) {
+            if (t > j) sb.append(' ')
+            sb.append(s, starts(t), ends(t))
+            t += 1
+          }
+          m.merge(sb.toString, 1L, (x, y) => x + y)
+          j += 1
+        }
+      }
       val keys = new Array[Any](m.size)
       val vals = new Array[Any](m.size)
       var i = 0
@@ -283,7 +306,11 @@ object TextFunctions {
 
   /** token → count map per document (see [[TokenCountsScan]]). */
   def tokenCounts(text: Column): Column =
-    graftbridge.column(TokenCountsScan(graftbridge.expression(text)))
+    graftbridge.column(TokenCountsScan(graftbridge.expression(text), 1))
+
+  /** space-joined word n-gram → count map per document. */
+  def tokenGramCounts(text: Column, n: Int): Column =
+    graftbridge.column(TokenCountsScan(graftbridge.expression(text), n))
 
   /** Within-document repeated-segment removal (Gopher-style "dedup lines
     * within a doc"): split on `delim`, keep each segment's FIRST

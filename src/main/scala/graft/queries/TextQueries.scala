@@ -118,13 +118,17 @@ object TextQueries {
 
     // Corpus-wide frequent n-grams: top-20 word bigrams by occurrence
     // with document frequency — boilerplate/contamination reconnaissance.
-    // One (gram) hash agg with map-side combine; top-k is
-    // TakeOrderedAndProject, so only 20 rows ever reach the driver.
+    // Narrow-first (r7): per-doc gram counts from the TokenCountsScan
+    // map-explode make n a sum and n_docs a PLAIN count — the
+    // count(DISTINCT doc_id) two-phase agg (the classic 100 TB distinct
+    // bottleneck) is gone. One (gram) hash agg with map-side combine;
+    // top-k is TakeOrderedAndProject, so only 20 rows reach the driver.
     "t7_common_ngrams" -> { (s, dir) =>
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(wordNGramsAll(col("text"), 2)).as("g"))
+        .select(col("doc_id"),
+          explode(tokenGramCounts(col("text"), 2)).as(Seq("g", "cd")))
         .groupBy("g")
-        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("cd")).as("n"), count(lit(1)).as("n_docs"))
         .orderBy(col("n").desc, col("g"))
         .limit(20)
     },
