@@ -5,19 +5,23 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{SrpKeys, VectorDot}
+import graft.functions.{SrpKeys, TextFunctions, VectorDot}
 import graft.operators.Dedup
 
 /** SQL surface for graft's custom Catalyst expressions: after
   * `GraftFunctions.register(spark)`, plain `spark.sql` text can call
   * `vec_dot`, `minhash_sig`, `srp_keys`, `word_shingle_hashes`,
-  * `char_shingle_hashes` — the engine's extensions behave like
-  * built-ins for SQL users.
+  * `char_shingle_hashes`, `token_counts`, `word_ngram_counts`,
+  * `word_ngrams`, `repetition_scan`, `segment_dedup` — the engine's
+  * extensions behave like built-ins for SQL users.
   */
 object GraftFunctions {
 
   private def toDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
 
   /** Name → builder for every SQL-callable graft expression — shared by
     * [[register]] (temp functions on an existing session) and
@@ -28,7 +32,16 @@ object GraftFunctions {
     "minhash_sig" -> (es => Dedup.MinHashSig(es.head, 64, 42L)),
     "srp_keys" -> (es => SrpKeys(toDoubleArray(es.head), 64, 6, 12, 42L)),
     "word_shingle_hashes" -> (es => Dedup.ShingleHashes(es.head, 3, word = true)),
-    "char_shingle_hashes" -> (es => Dedup.ShingleHashes(es.head, 5, word = false)))
+    "char_shingle_hashes" -> (es => Dedup.ShingleHashes(es.head, 5, word = false)),
+    // narrow per-document text statistics (r7): token/gram count maps,
+    // distinct n-grams, the Gopher repetition counters, segment dedup.
+    // The n/delim arguments must be foldable literals (evaluated at
+    // registration-call time, like Spark's own `repeat`-style args).
+    "token_counts" -> (es => TextFunctions.TokenCountsScan(es.head, 1)),
+    "word_ngram_counts" -> (es => TextFunctions.TokenCountsScan(es(0), intLit(es(1)))),
+    "word_ngrams" -> (es => TextFunctions.WordNGrams(es(0), intLit(es(1)))),
+    "repetition_scan" -> (es => TextFunctions.RepetitionScan(es.head)),
+    "segment_dedup" -> (es => TextFunctions.SegmentDedup(es.head, ' ')))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

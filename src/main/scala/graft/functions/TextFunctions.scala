@@ -195,7 +195,7 @@ object TextFunctions {
     * Fields: n_words, n_distinct, top_cnt (max unigram multiplicity),
     * sum_len (non-space chars), n_bigrams, top_bi_cnt.
     */
-  private[functions] case class RepetitionScan(child: Expression)
+  private[graft] case class RepetitionScan(child: Expression)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.sql.types.StructField
 
@@ -254,7 +254,7 @@ object TextFunctions {
     * instead of a `count(DISTINCT doc_id)` two-phase agg (each (doc,
     * gram) appears exactly once after the map-explode).
     */
-  private[functions] case class TokenCountsScan(child: Expression, n: Int)
+  private[graft] case class TokenCountsScan(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.unsafe.types.UTF8String
 
@@ -318,7 +318,7 @@ object TextFunctions {
     * count. One pass, one per-row LinkedHashSet; empty segments (runs of
     * the delimiter) are removed, matching the tokenizer's semantics.
     */
-  private[functions] case class SegmentDedup(child: Expression, delim: Char)
+  private[graft] case class SegmentDedup(child: Expression, delim: Char)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.sql.types.{IntegerType => IntT, StringType, StructField}
     import org.apache.spark.unsafe.types.UTF8String

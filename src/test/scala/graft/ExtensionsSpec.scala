@@ -33,6 +33,17 @@ class ExtensionsSpec extends SparkSuite {
       // injected as catalog functions: visible to SHOW FUNCTIONS
       val shown = s2.sql("SHOW FUNCTIONS LIKE 'vec_dot'").collect().map(_.getString(0))
       assert(shown.contains("vec_dot"))
+      // the r7 text-statistics expressions are SQL-callable too
+      val tc = s2.sql("SELECT token_counts('a b a') AS m").collect().head
+        .getMap[String, Long](0)
+      assert(tc == Map("a" -> 2L, "b" -> 1L))
+      val ng = s2.sql("SELECT word_ngram_counts('x y x y', 2) AS m").collect().head
+        .getMap[String, Long](0)
+      assert(ng == Map("x y" -> 2L, "y x" -> 1L))
+      val rep = s2.sql("SELECT repetition_scan('a a b').n_words AS n").collect().head.getLong(0)
+      assert(rep == 3L)
+      val sd = s2.sql("SELECT segment_dedup('a b a').clean AS c").collect().head.getString(0)
+      assert(sd == "a b")
       // and absent from a fresh session built WITHOUT the extension
       // (proves the extension did the work, not some global side effect;
       // deliberately NOT the shared suite session — other suites register
