@@ -208,16 +208,64 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
     val shingle = wordShingleHashes(col("text"), shingleN)
-    def raw(d: DataFrame) = d.select(col(idCol).as("id"), col(textCol).as("text"))
-    val newRaw = raw(newDf)
-    val oldRaw = raw(oldDf)
+    val oldRaw = oldDf.select(col(idCol).as("id"), col(textCol).as("text"))
     // spread only the compute-bound sketch pass, and only when the input
     // arrives as fewer splits than cores (test files are one split; at
     // scale the split count provides the parallelism and no shuffle runs)
+    val oldBuckets =
+      bandBuckets(withShingleSets(spreadIfNarrow(oldRaw), shingle), numHashes, bands, "old_ids")
+    incrementalCore(newDf, oldBuckets, oldRaw, idCol, textCol,
+      shingleN, numHashes, bands, threshold, maxBucketSize, dropMetrics)
+  }
+
+  /** Persistable LSH sketch of a corpus: one row per (band, key) bucket
+    * with its member-id list — exactly the bucket frame the incremental
+    * pipeline computes for its existing side. At steady state a daily-
+    * batch pipeline computes this ONCE (or maintains it), saves it to
+    * parquet, and every subsequent batch screens against the saved
+    * sketch via [[incrementalNearDupKeepWithSketch]] — the 100 TB
+    * existing corpus is never re-sketched per batch (its raw text is
+    * touched only for candidate verification, broadcast-id-filtered in
+    * the scan stage).
+    *
+    * The sketch bakes in (shingleN, numHashes, bands): screening with
+    * different parameters than the sketch was built with silently finds
+    * nothing — pass the same values to the consuming call.
+    */
+  def minhashSketch(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val shingle = wordShingleHashes(col("text"), shingleN)
+    val raw = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    bandBuckets(withShingleSets(spreadIfNarrow(raw), shingle), numHashes, bands, "ids")
+  }
+
+  /** [[incrementalNearDupKeep]] against a PRE-COMPUTED existing-side
+    * sketch ([[minhashSketch]], typically read back from parquet): the
+    * steady-state daily-batch shape — only the new batch is sketched;
+    * the existing corpus contributes its saved buckets plus candidate-
+    * only raw reads for verification. `oldDf` must be the corpus the
+    * sketch was built from, with the SAME (shingleN, numHashes, bands).
+    */
+  def incrementalNearDupKeepWithSketch(newDf: DataFrame, oldSketch: DataFrame,
+      oldDf: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame =
+    incrementalCore(newDf,
+      oldSketch.select(col("band"), col("key"), col("ids").as("old_ids")),
+      oldDf.select(col(idCol).as("id"), col(textCol).as("text")),
+      idCol, textCol, shingleN, numHashes, bands, threshold, maxBucketSize, dropMetrics)
+
+  private def incrementalCore(newDf: DataFrame, oldBuckets: DataFrame,
+      oldRaw: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucketSize: Int,
+      dropMetrics: Option[Observation]): DataFrame = {
+    val shingle = wordShingleHashes(col("text"), shingleN)
+    val newRaw = newDf.select(col(idCol).as("id"), col(textCol).as("text"))
     val shared =
       bandBuckets(withShingleSets(spreadIfNarrow(newRaw), shingle), numHashes, bands, "new_ids")
-        .join(bandBuckets(withShingleSets(spreadIfNarrow(oldRaw), shingle), numHashes, bands, "old_ids"),
-          Seq("band", "key"))
+        .join(oldBuckets, Seq("band", "key"))
     // the guard is per side, but the recall loss of a dropped bucket is
     // ALL its members — predicate and member count diverge, hence the
     // general observeDropsWhere form

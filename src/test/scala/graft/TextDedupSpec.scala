@@ -227,6 +227,23 @@ class TextDedupSpec extends SparkSuite {
     assert(kept.toSeq == Seq(102L, 103L, 104L))
   }
 
+  test("persisted minhash sketch: parquet-roundtripped sketch screens identically to direct incremental") {
+    val docsAll = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = docsAll.filter(col("doc_id") % 10 === 7)
+    val existing = docsAll.filter(col("doc_id") % 10 =!= 7)
+    val direct = Dedup.incrementalNearDupKeep(batch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // steady state: sketch the corpus once, save, read back, screen
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    Dedup.minhashSketch(existing, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val viaSketch = Dedup.incrementalNearDupKeepWithSketch(
+      batch, spark.read.parquet(dir), existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaSketch == direct)
+    assert(direct.nonEmpty, "fixture must keep at least one batch doc")
+  }
+
   test("releaseCheckpoints frees checkpoint storage embedded in a result plan") {
     import org.apache.spark.sql.graftbridge
     val before = spark.sparkContext.getPersistentRDDs.keySet
