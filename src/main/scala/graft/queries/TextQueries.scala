@@ -143,6 +143,22 @@ object TextQueries {
         docs.filter(col("doc_id") % 10 === 7), docs.filter(col("doc_id") % 10 =!= 7),
         "doc_id", "text")
         .select(col("doc_id"), col("lang"))
+    },
+
+    // d10's STEADY-STATE twin under the driver hash: the existing corpus's
+    // LSH sketch is materialized to parquet and read back (the artifact a
+    // real daily-batch pipeline persists), then the batch screens against
+    // the saved sketch — existing docs are re-read only for candidate
+    // verification. Same semantics as d10, so the oracle is shared.
+    "d12_sketch_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val existing = docs.filter(col("doc_id") % 10 =!= 7)
+      val out = java.nio.file.Files.createTempDirectory("graft-sketch-q").toString
+      Dedup.minhashSketch(existing, "doc_id", "text").write.mode("overwrite").parquet(out)
+      Dedup.incrementalNearDupKeepWithSketch(
+        docs.filter(col("doc_id") % 10 === 7), s.read.parquet(out), existing,
+        "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
     }
   )
 
@@ -297,6 +313,22 @@ object TextQueries {
          SELECT g, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          FROM gr GROUP BY g ORDER BY n DESC, g LIMIT 20""",
     "d10_incremental_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         hit AS (
+           SELECT n.doc_id
+           FROM sh n JOIN sh o
+             ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+           WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                 / len(list_distinct(list_concat(n.s, o.s))) >= 0.8)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
+    // identical semantics to d10 — the sketch is a materialization detail
+    "d12_sketch_incremental_dedup" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, len(string_split(text,' ')) - 1),
