@@ -20,8 +20,18 @@ object GraftFunctions {
   private def toDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  private def intLit(es: Seq[Expression], idx: Int, fn: String, arg: String): Int = {
+    if (es.length <= idx) throw new IllegalArgumentException(
+      s"$fn: missing argument '$arg' (expects ${idx + 1} arguments)")
+    val e = es(idx)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+  }
 
   /** Name → builder for every SQL-callable graft expression — shared by
     * [[register]] (temp functions on an existing session) and
@@ -38,8 +48,10 @@ object GraftFunctions {
     // The n/delim arguments must be foldable literals (evaluated at
     // registration-call time, like Spark's own `repeat`-style args).
     "token_counts" -> (es => TextFunctions.TokenCountsScan(es.head, 1)),
-    "word_ngram_counts" -> (es => TextFunctions.TokenCountsScan(es(0), intLit(es(1)))),
-    "word_ngrams" -> (es => TextFunctions.WordNGrams(es(0), intLit(es(1)))),
+    "word_ngram_counts" -> (es =>
+      TextFunctions.TokenCountsScan(es(0), intLit(es, 1, "word_ngram_counts", "n"))),
+    "word_ngrams" -> (es =>
+      TextFunctions.WordNGrams(es(0), intLit(es, 1, "word_ngrams", "n"))),
     "repetition_scan" -> (es => TextFunctions.RepetitionScan(es.head)),
     "segment_dedup" -> (es => TextFunctions.SegmentDedup(es.head, ' ')))
 

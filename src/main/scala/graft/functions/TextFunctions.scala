@@ -146,7 +146,7 @@ object TextFunctions {
     * `list_distinct(list_transform(range(...), i -> array_to_string(
     * ts[i:i+n-1], ' ')))` over empty-filtered tokens in the oracle).
     */
-  case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
+  case class WordNGrams(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
@@ -176,7 +176,7 @@ object TextFunctions {
             t += 1
           }
           val gram = sb.toString
-          if (!distinct || seen.add(gram)) out += UTF8String.fromString(gram)
+          if (seen.add(gram)) out += UTF8String.fromString(gram)
           j += 1
         }
         new GenericArrayData(out.toArray)
@@ -363,12 +363,9 @@ object TextFunctions {
 
   def wordNGrams(text: Column, n: Int): Column =
     graftbridge.column(WordNGrams(graftbridge.expression(text), n))
-
-  /** Non-distinct variant: every gram occurrence, in order (for
-    * repetition statistics, where multiplicity is the signal).
-    */
-  def wordNGramsAll(text: Column, n: Int): Column =
-    graftbridge.column(WordNGrams(graftbridge.expression(text), n, distinct = false))
+  // (the former non-distinct wordNGramsAll variant is gone: multiplicity
+  // consumers moved to [[tokenCounts]]/[[tokenGramCounts]], which carry
+  // the count instead of repeating the gram)
 
   /** Whitespace tokens (empty tokens removed). */
   def tokens(text: Column): Column =

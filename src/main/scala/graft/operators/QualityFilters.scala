@@ -63,13 +63,15 @@ object QualityFilters {
     * whose vocabulary is unusual for the corpus (spam, encoding damage,
     * wrong language).
     *
-    * Shape (narrow-first): per-document token counts come from ONE
-    * narrow scan — the native [[graft.functions.TextFunctions.TokenCountsScan]]
-    * map expression plus a narrow map-explode — so NOTHING
-    * corpus-sized ever shuffles. (The r6 formulation scanned + exploded
-    * the corpus twice; the first r7 rewrite exploded once but paid a
-    * (doc, token) groupBy shuffle carrying ~half the token instances —
-    * the per-row hash map replaces both.) The LM is a (token) agg of
+    * Shape (narrow-first): per-document token counts come from the
+    * native [[graft.functions.TextFunctions.TokenCountsScan]] map
+    * expression plus a narrow map-explode — so NOTHING corpus-sized
+    * ever shuffles. The `docTok` frame feeds two consumers (vocab agg +
+    * scoring join), so the narrow scan/explode runs twice — deliberate:
+    * narrow scans are I/O-linear and fully parallel, while persisting
+    * per-doc counts corpus-wide would spill at the design scale, and
+    * the r6/first-r7 alternatives paid corpus-sized SHUFFLES (the
+    * scarce resource) to avoid the second scan. The LM is a (token) agg of
     * those counts — map-side combine shuffles per-partition-distinct
     * tokens only, vocabulary-sized output (Heaps' law: ≪ corpus) — with
     * the token total riding along as a 1-row cross join; scoring joins

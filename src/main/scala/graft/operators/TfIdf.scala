@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * exchange removed; local wall time is a WASH at 1×/10× (the
   * interpreted map expression trades CPU for the saved exchange —
   * worth it where shuffle is network-bound, neutral on local[32]).
-  * Document frequency is one
+  * The `tf` frame feeds two consumers (df agg + score join), so the
+  * narrow scan runs twice — the same deliberate scans-for-shuffles
+  * trade documented on `unigramLogProb`. Document frequency is one
   * (term) hash agg over those pairs — map-side combine shuffles
   * per-partition-distinct terms, vocabulary-sized — then the score join
   * (AQE broadcasts the vocab-sized df table) and the per-doc top-k
