@@ -88,6 +88,43 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("tokenCounts / tokenGramCounts equal local counting over arbitrary text (incl. unicode)") {
+    // text from a token alphabet incl. multi-space runs and non-BMP chars
+    val tokenGen = Gen.oneOf("a", "bb", "ccc", "δδ", "👋x", "z9")
+    val textGen = Gen.listOfN(30, Gen.oneOf(tokenGen, Gen.const(""), Gen.const(" ")))
+      .map(_.mkString(" "))
+    forAllSeeded(textGen, n = 8) { text =>
+      def toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val expect1 = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect2 = toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val row = Seq(Tuple1(text)).toDF("t").select(
+        graft.functions.TextFunctions.tokenCounts(org.apache.spark.sql.functions.col("t")).as("m1"),
+        graft.functions.TextFunctions.tokenGramCounts(org.apache.spark.sql.functions.col("t"), 2).as("m2"))
+        .collect().head
+      assert(row.getMap[String, Long](0) == expect1, s"text='$text'")
+      assert(row.getMap[String, Long](1) == expect2, s"text='$text'")
+    }
+  }
+
+  test("removeRepeatedLines equals local filtering for arbitrary corpora and thresholds") {
+    val docGen = Gen.listOfN(5, Gen.oneOf("nav", "body1", "body2", "footer", "x y", ""))
+      .map(_.mkString("\n"))
+    forAllSeeded(Gen.listOfN(8, docGen), n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val nDocs = docs.length
+      val dropSet = docs.flatMap { case (_, t) => t.split("\n").filter(_.nonEmpty).distinct }
+        .groupBy(identity).collect { case (l, hits) if hits.size > nDocs * 0.5 => l }.toSet
+      val expected = docs.map { case (id, t) =>
+        val kept = t.split("\n").filter(l => l.nonEmpty && !dropSet(l))
+        (id, kept.mkString("\n"), kept.length.toLong)
+      }.toSet
+      val got = Dedup.removeRepeatedLines(docs.toDF("id", "text"), "id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected, s"texts=$texts dropSet=$dropSet")
+    }
+  }
+
   test("connectedComponents equals a local union-find on random graphs") {
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
