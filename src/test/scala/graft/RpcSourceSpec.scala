@@ -77,6 +77,30 @@ class RpcSourceSpec extends SparkSuite {
     } finally close()
   }
 
+  test("wire roundtrip property: randomized rows (nulls included) survive serve -> scan") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cell = Gen.option(Gen.alphaNumStr.map(_.take(8)))
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 1L << 40), cell,
+      Gen.option(Gen.chooseNum(-1e6, 1e6)), Gen.option(Gen.oneOf(true, false)))
+    val rowsGen = Gen.listOfN(25, rowGen)
+    (0 until 4).foreach { i =>
+      val rows = rowsGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      def f(o: Option[Any]) = o.map(_.toString).getOrElse("\\N")
+      val lines = rows.map { case (id, s, d, b) => s"$id\t${f(s)}\t${f(d)}\t${f(b)}" }
+      val (p, close) = RpcSource.serve(0, Map("t" -> lines))
+      try {
+        val got = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t")
+          .collect().map(r => (r.getLong(0),
+            Option(r.get(1)).map(_.toString),
+            Option(r.get(2)).map(_.asInstanceOf[Double]),
+            Option(r.get(3)).map(_.asInstanceOf[Boolean]))).toSet
+        // doubles roundtrip via toString exactly (shortest repr parses back)
+        assert(got == rows.toSet, s"seed ${7 + i}")
+      } finally close()
+    }
+  }
+
   test("malformed endpoints fail with a clear validation error") {
     val ex = intercept[Exception] {
       RpcSource.readRpc(spark, Seq("localhost9000"), ddl, "t").collect()
