@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++ graft.queries.MultimodalQueries.queries ++
-      graft.queries.PipelineQueries.queries ++ graft.queries.CurationQueries.queries
+      graft.queries.PipelineQueries.queries ++ graft.queries.CurationQueries.queries ++
+      graft.queries.FacadeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++ graft.queries.MultimodalQueries.oracles ++
-      graft.queries.PipelineQueries.oracles ++ graft.queries.CurationQueries.oracles
+      graft.queries.PipelineQueries.oracles ++ graft.queries.CurationQueries.oracles ++
+      graft.queries.FacadeQueries.oracles
 }

@@ -87,6 +87,9 @@ def compare(name, got, exp, gtypes=None, etypes=None):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names to check (matches
+    # graft.Verify's subset arg for local iteration)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -94,6 +97,8 @@ def main():
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_fail = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         sql = oracle[name]
         try:
             cur = con.execute(sql)
