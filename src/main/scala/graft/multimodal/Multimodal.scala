@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked STUB (this container ships no
-  * image/audio codecs — see `decodeImages`): it parses the deterministic
-  * synthetic header/payload produced by [[synthesizeImages]]. Everything
-  * around the stub is the real Spark plumbing a production pipeline
-  * needs — binary schema, batched `mapPartitions` processing (the Scala
-  * analog of Python's `mapInPandas` batch UDFs), metadata structs, and
-  * narrow (shuffle-free) execution end-to-end.
+  * [[decodeImages]] is a REAL decoder for the in-JVM formats: PNG and BMP
+  * bytes go through `javax.imageio` (no native codec deps — reference
+  * capability `samples/ImageResize`, `ImageBrowser`); the GFT1 synthetic
+  * format keeps its arithmetic parse so the m1/m2 oracles can replay the
+  * binary roundtrip in SQL. Around the decode sits the Spark plumbing a
+  * production pipeline needs — binary schema, batched `mapPartitions`
+  * processing (the Scala analog of Python's `mapInPandas` batch UDFs),
+  * metadata structs, and narrow (shuffle-free) execution end-to-end.
   *
   * Scale notes: decode is a narrow per-partition pass — at 100 TB the
   * parallelism is the file-split count; no shuffle, no driver data. The
@@ -50,26 +51,88 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long].map(id => (id, fakeImageBytes(id)))
   }
 
-  /** STUB decode — parses the synthetic header + payload checksum in
-    * partition batches. A real deployment swaps the body for an actual
-    * codec (e.g. TwelveMonkeys/javacv) with the same signature; the
-    * batching, schema, and narrow-execution shape stay identical.
+  /** Real deterministic PNG: gray pixel `g(id,x,y) = (id*31 + x*7 + y*13)
+    * mod 256` encoded with `javax.imageio` — an actual codec producing
+    * actual PNG bytes. Dimensions and every pixel are pure functions of
+    * the id, and PNG is lossless, so a DuckDB oracle can assert the full
+    * encode → binary column → decode roundtrip arithmetically (m6)
+    * without being able to parse PNG itself.
+    */
+  def pngImageBytes(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + (id / 9) % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    imageIoInit
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a binary column of REAL PNG bytes to any table with a long id. */
+  def synthesizePngImages(df: DataFrame, idCol: String): Dataset[(Long, Array[Byte])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map(id => (id, pngImageBytes(id)))
+  }
+
+  /** ImageIO's default stream disk cache writes temp files per decode —
+    * pure memory streams don't need it; disable once per executor JVM.
+    */
+  @transient private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decode in partition batches. Real formats — PNG (8-byte signature)
+    * and BMP ("BM") — decode through `javax.imageio`; the GFT1 synthetic
+    * format parses its arithmetic header so the m1/m2 oracles stay
+    * SQL-replayable. `checksum` semantics per format: real images sum the
+    * 8-bit blue/gray channel over all pixels (bit-stable — both formats
+    * are lossless); GFT1 sums payload bytes mod 997 (the original gate
+    * contract). Other bytes fail loudly with the doc id in the message.
     */
   def decodeImages(images: Dataset[(Long, Array[Byte])]): Dataset[DecodedImage] = {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val buf = ByteBuffer.wrap(bytes)
-        val magic = buf.getInt()
-        require(magic == MAGIC, s"bad magic: $magic")
-        val width = buf.getInt()
-        val height = buf.getInt()
-        var checksum = 0L
-        var i = 12
-        while (i < bytes.length) { checksum += (bytes(i) & 0xFF); i += 1 }
-        DecodedImage(id, width, height, bytes.length, checksum % 997)
+      imageIoInit
+      it.map { case (id, bytes) => decodeOne(id, bytes) }
+    }
+  }
+
+  private def decodeOne(id: Long, bytes: Array[Byte]): DecodedImage = {
+    val isPng = bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte
+    val isBmp = bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+    if (isPng || isBmp) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"doc $id: ImageIO failed to decode ${bytes.length}-byte image")
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+        y += 1
       }
+      DecodedImage(id, img.getWidth, img.getHeight, bytes.length, sum)
+    } else {
+      val buf = ByteBuffer.wrap(bytes)
+      val magic = buf.getInt()
+      require(magic == MAGIC, s"doc $id: unrecognized image bytes (magic 0x${magic.toHexString})")
+      val width = buf.getInt()
+      val height = buf.getInt()
+      var checksum = 0L
+      var i = 12
+      while (i < bytes.length) { checksum += (bytes(i) & 0xFF); i += 1 }
+      DecodedImage(id, width, height, bytes.length, checksum % 997)
     }
   }
 

@@ -60,6 +60,21 @@ object MultimodalQueries {
         "doc_id", "feature", "doc_id", "feature", k = 3)
     },
 
+    // REAL codec roundtrip (closes the r7 stub): deterministic gray
+    // pixels → javax.imageio PNG encode → binary column → javax.imageio
+    // decode → width/height/pixel-sum. PNG is lossless, so the decoded
+    // raster must equal the generated one and the oracle replays the
+    // pixel arithmetic without parsing PNG — any codec/roundtrip slip
+    // (wrong dims, channel order, a single pixel) fails the hash.
+    // n_bytes is deliberately NOT selected: encoded length is
+    // encoder-implementation-defined, not oracle-replayable.
+    "m6_png_decode" -> { (s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.synthesizePngImages(Tables.load(s, dir, "documents"), "doc_id"))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          col("checksum").as("pixel_sum"))
+    },
+
     // Sliding-window telemetry stats (batch mode of the streaming
     // pipeline — the reference's per-cycle re-execution model).
     "st1_sliding_stats" -> { (s, dir) =>
@@ -111,6 +126,17 @@ object MultimodalQueries {
            ((16 + (doc_id * 7919) % 240) // 2)::INT AS thumb_w,
            ((16 + (doc_id * 104729) % 240) // 2)::INT AS thumb_h
          FROM documents""",
+    "m6_png_decode" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 9)::INTEGER AS width,
+                      (8 + (doc_id // 9) % 7)::INTEGER AS height
+                    FROM documents),
+         px AS (SELECT d.doc_id, d.width, d.height,
+                  (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS g
+                FROM d
+                JOIN range(16) x(x) ON x.x < d.width
+                JOIN range(14) y(y) ON y.y < d.height)
+         SELECT doc_id, width, height, sum(g)::BIGINT AS pixel_sum
+         FROM px GROUP BY doc_id, width, height""",
     // Sliding 6h/3h windows = union of two 6h tumbling grids offset by 3h.
     "st1_sliding_stats" ->
       """WITH both_grids AS (

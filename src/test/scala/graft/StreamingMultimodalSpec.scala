@@ -25,7 +25,46 @@ class StreamingMultimodalSpec extends SparkSuite {
     val ex = intercept[Exception] {
       Multimodal.decodeImages(bad).collect()
     }
-    assert(ex.getMessage.contains("bad magic") || ex.getCause != null)
+    assert(ex.getMessage.contains("unrecognized image bytes") || ex.getCause != null)
+  }
+
+  test("PNG decode: real ImageIO roundtrip recovers dims and exact pixels") {
+    val ids = Seq(0L, 1L, 7L, 62L, 499L)
+    val decoded = Multimodal.decodeImages(ids.map(id => (id, Multimodal.pngImageBytes(id))).toDS())
+      .collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val d = decoded(id)
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      assert(d.width == w && d.height == h)
+      val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(d.checksum == expectedSum, s"pixel sum mismatch for doc $id")
+      assert(d.n_bytes > 8, "encoded PNG must be non-trivial")
+    }
+  }
+
+  test("BMP decode: the second ImageIO format routes through the same decoder") {
+    // encode the same deterministic raster as BMP — both lossless formats
+    // must agree bit-for-bit on dims and pixel sum
+    def bmpBytes(id: Long): Array[Byte] = {
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    val ids = Seq(3L, 42L)
+    val viaPng = Multimodal.decodeImages(ids.map(id => (id, Multimodal.pngImageBytes(id))).toDS())
+      .collect().map(d => d.doc_id -> (d.width, d.height, d.checksum)).toMap
+    val viaBmp = Multimodal.decodeImages(ids.map(id => (id, bmpBytes(id))).toDS())
+      .collect().map(d => d.doc_id -> (d.width, d.height, d.checksum)).toMap
+    assert(viaPng == viaBmp)
   }
 
   test("frame sampling covers payload with stride") {
