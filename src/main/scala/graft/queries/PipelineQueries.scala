@@ -13,7 +13,14 @@ object PipelineQueries {
 
   private def tmpDir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
-    d.toFile.deleteOnExit()
+    // deleteOnExit never removes a non-empty directory — clean recursively
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }, s"graft-tmp-clean-$tag"))
     d.toString
   }
 
@@ -142,17 +149,22 @@ object PipelineQueries {
     "rp1_rpc_roundtrip" -> { (s, dir) =>
       // the two-shard fixture service is memoized per data dir: repeated
       // invocations (verify + bench warm-ups, probe loops) re-dial the
-      // SAME endpoints instead of binding fresh ServerSockets each call
-      val Seq(p1, p2) = rpcFixture.getOrElseUpdate(dir, {
-        val rows = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars")).collect()
-        def tsv(r: org.apache.spark.sql.Row) =
-          s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}"
-        val half = rows.length / 2
-        Seq(rows.take(half), rows.drop(half)).map { shard =>
-          graft.sources.RpcSource.serve(0, Map("docs" -> shard.map(tsv).toSeq))._1
-        }
-      })
+      // SAME endpoints instead of binding fresh ServerSockets each call.
+      // getOrElseUpdate may run its default twice under contention (the
+      // NodeState gotcha) — ServerSocket binds must be once, so lock.
+      val Seq(p1, p2) = rpcFixture.synchronized {
+        rpcFixture.getOrElseUpdate(dir, {
+          val rows = Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+          val half = rows.length / 2
+          Seq(rows.take(half), rows.drop(half)).map { shard =>
+            graft.sources.RpcSource.serve(0, Map("docs" ->
+              graft.sources.RpcSource.RpcContract(Seq("doc_id", "lang", "n_chars"),
+                shard.toSeq.map(r =>
+                  Seq(r.getLong(0).toString, r.getString(1), r.getLong(2).toString))))).port
+          }
+        })
+      }
       graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
         "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs")
         .groupBy(col("lang"))

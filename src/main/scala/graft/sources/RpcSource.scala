@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedReader, InputStreamReader}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.util.{Map => JMap}
@@ -19,27 +19,37 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Batch DataSourceV2 that dials a running RPC endpoint and scans what the
   * service answers — closing the reference's `DSet.import` contract
   * (reference `src/CoreLib/DSetGenerics.fs:788-836`: import a DSet from a
-  * NAMED service contract on live nodes; `contractFSharp.fs:219-226`).
+  * NAMED service contract on live nodes; `contractFSharp.fs:48-226` is
+  * the seq-batched contract streaming this mirrors).
   * [[graft.streaming.LiveIngest]] covers the streaming shape of the same
   * idea; this source is the batch dial: `spark.read.format(...)` against
   * one or more live endpoints, each answering a contract name.
   *
-  * Wire protocol (deliberately minimal, like the reference's
-  * line-oriented contract demos): the client sends `GET <contract>\n`;
-  * the server streams one row per line, fields tab-separated, `\N` for
-  * null, then closes. Supported field types: BIGINT, INT, DOUBLE,
-  * BOOLEAN, STRING, TIMESTAMP (as `java.sql.Timestamp` text). Strings
-  * containing tabs/newlines need a framed protocol — out of scope for
-  * the contract-dial surface.
+  * Wire protocol (line-oriented, framed fields):
+  * {{{
+  * request:  GET <contract> <col1,col2,...>\n   -- the projected columns,
+  *           in scan order; "-" when the scan needs only row COUNTS
+  *           (all columns pruned, e.g. count(*))
+  * response: OK\n   then one row per line, fields tab-separated in the
+  *           requested order, then close (EOF = end of scan); or
+  *           ERR <message>\n   and close.
+  * }}}
+  * Fields are escaped so any string survives the wire: `\\` `\t` `\n`
+  * `\r` are two-character escapes, and an SQL NULL is the unescaped
+  * two-character token `\N` (a literal string "\N" arrives as `\\N`, so
+  * there is no collision). An unknown contract answers `OK` with zero
+  * rows (a service that does not hold the contract simply has no data).
   *
   * Scale design: every endpoint in `endpoints` becomes ONE input
   * partition, so a fleet of N service shards is scanned by N parallel
   * executor tasks dialing independently — the driver never touches row
-  * data. Column pruning pushes into the reader
-  * ([[SupportsPushDownRequiredColumns]]): pruned fields are skipped at
-  * parse time (the text still crosses the wire — a richer contract
-  * would push the projection to the service; the reference's import has
-  * no projection pushdown either).
+  * data. Column pruning pushes THROUGH to the service
+  * ([[SupportsPushDownRequiredColumns]] → the request's column list):
+  * pruned columns never cross the wire, so a 100-column contract scanned
+  * for 2 columns pays a 2-column wire cost. Supported field types:
+  * BIGINT, INT, DOUBLE, BOOLEAN, STRING, TIMESTAMP (text, parsed in the
+  * session timezone). Parse failures carry host:port, contract, and the
+  * offending line.
   *
   * Usage:
   * {{{
@@ -51,6 +61,66 @@ import org.apache.spark.unsafe.types.UTF8String
   * }}}
   */
 object RpcSource {
+
+  /** A named dataset a service answers: column names + rows of raw field
+    * values (`null` element = SQL NULL).
+    */
+  final case class RpcContract(columns: Seq[String], rows: Seq[Seq[String]])
+
+  /** Handle on a running fixture service: bound port, per-connection
+    * request log, and total payload bytes sent — the observability the
+    * pushdown tests need (asserting pruned columns never crossed the
+    * wire).
+    */
+  final class RpcServer private[sources] (server: ServerSocket) {
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private[sources] val sent = new java.util.concurrent.atomic.AtomicLong()
+    @volatile private[sources] var done = false
+    def port: Int = server.getLocalPort
+    def bytesSent: Long = sent.get()
+    def close(): Unit = { done = true; try server.close() catch { case _: Exception => () } }
+  }
+
+  /** Escape one field for the wire (see class doc); `null` → `\N`. */
+  private[sources] def escapeField(s: String): String =
+    if (s == null) "\\N"
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 4)
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => sb.append("\\\\")
+          case '\t' => sb.append("\\t")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case c => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+
+  /** Reverse of [[escapeField]]; the exact token `\N` is SQL NULL. */
+  private[sources] def unescapeField(s: String): String =
+    if (s == "\\N") null
+    else if (s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => sb.append('\\'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Read a contract from live endpoints as a DataFrame (facade over the
     * DataSourceV2 — see class doc for the wire protocol).
@@ -65,43 +135,80 @@ object RpcSource {
 
   /** Minimal contract-answering service for demos/tests (the counterpart
     * of [[graft.streaming.LiveIngest.serveLines]], plus the handshake):
-    * each connection's first line must be `GET <name>`; the server
-    * replies with that contract's lines and closes the connection (EOF =
-    * end of scan). Unknown contracts get zero rows. Serves any number of
-    * sequential/concurrent connections until `close()`. Returns
-    * (boundPort, closeFn); port=0 binds an ephemeral port.
+    * each connection's first line must be `GET <name> <cols>`; the server
+    * answers `OK` and streams exactly the requested columns of that
+    * contract (escaped per the class-doc protocol), then closes — so
+    * column pruning genuinely shrinks the wire payload. Unknown contract
+    * → `OK` + zero rows; unknown column → `ERR`. Serves any number of
+    * sequential/concurrent connections until `close()`; port=0 binds an
+    * ephemeral port.
     */
-  def serve(port: Int, contracts: Map[String, Seq[String]]): (Int, () => Unit) = {
+  def serve(port: Int, contracts: Map[String, RpcContract]): RpcServer = {
     val server = new ServerSocket(port)
-    @volatile var done = false
+    val handle = new RpcServer(server)
     val t = new Thread(() => {
-      while (!done) {
+      while (!handle.done) {
         try {
           val sock = server.accept()
           val conn = new Thread(() => {
-            try {
-              val in = new BufferedReader(
-                new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-              val out = new PrintWriter(sock.getOutputStream, false)
-              val req = Option(in.readLine()).getOrElse("")
-              val name = if (req.startsWith("GET ")) req.substring(4).trim else ""
-              contracts.getOrElse(name, Seq.empty).foreach(out.println)
-              out.flush()
-            } catch { case _: Exception => () } // client went away
+            try answer(sock, contracts, handle)
+            catch { case _: Exception => () } // client went away
             finally { try sock.close() catch { case _: Exception => () } }
           }, "graft-rpc-serve-conn")
           conn.setDaemon(true)
           conn.start()
         } catch {
           case _: Exception =>
-            if (server.isClosed) done = true
-            else try Thread.sleep(100) catch { case _: InterruptedException => done = true }
+            if (server.isClosed) handle.done = true
+            else try Thread.sleep(100) catch { case _: InterruptedException => handle.done = true }
         }
       }
     }, "graft-rpc-serve")
     t.setDaemon(true)
     t.start()
-    (server.getLocalPort, () => { done = true; try server.close() catch { case _: Exception => () } })
+    handle
+  }
+
+  private def answer(sock: Socket, contracts: Map[String, RpcContract], handle: RpcServer): Unit = {
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val os = sock.getOutputStream
+    def writeLine(s: String): Unit = {
+      val b = (s + "\n").getBytes(StandardCharsets.UTF_8)
+      os.write(b)
+      handle.sent.addAndGet(b.length.toLong): Unit
+    }
+    val req = Option(in.readLine()).getOrElse("")
+    handle.requests.add(req)
+    val tokens = req.split(" ", 3)
+    if (tokens.length < 2 || tokens(0) != "GET") writeLine(s"ERR malformed request '$req'")
+    else {
+      val name = tokens(1)
+      val colsTok = if (tokens.length > 2) tokens(2).trim else "*"
+      contracts.get(name) match {
+        case None => writeLine("OK") // not our contract: zero rows
+        case Some(c) =>
+          if (colsTok == "-") { // row markers only (fully pruned scan)
+            writeLine("OK")
+            c.rows.foreach(_ => writeLine(""))
+          } else {
+            val want = if (colsTok == "*") c.columns else colsTok.split(",").toSeq
+            val idx = want.map(w => w -> c.columns.indexOf(w))
+            idx.find(_._2 < 0) match {
+              case Some((missing, _)) =>
+                writeLine(s"ERR unknown column '$missing' in contract '$name' " +
+                  s"(has: ${c.columns.mkString(", ")})")
+              case None =>
+                writeLine("OK")
+                val ix = idx.map(_._2).toArray
+                c.rows.foreach { r =>
+                  writeLine(ix.map(j => escapeField(r(j))).mkString("\t"))
+                }
+            }
+          }
+      }
+    }
+    os.flush()
   }
 }
 
@@ -138,11 +245,11 @@ private[sources] class RpcScanBuilder(full: StructType, options: CaseInsensitive
     // timestamp text the way every Spark text source does — in the
     // SESSION zone, not the executor JVM's default (which can differ)
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-    new RpcScan(full, required, eps, contract, tz)
+    new RpcScan(required, eps, contract, tz)
   }
 }
 
-private[sources] class RpcScan(full: StructType, required: StructType,
+private[sources] class RpcScan(required: StructType,
     endpoints: Seq[String], contract: String, timeZone: String) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -158,70 +265,97 @@ private[sources] class RpcScan(full: StructType, required: StructType,
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcReaderFactory(full, required, contract, timeZone)
+    new RpcReaderFactory(required, contract, timeZone)
 }
 
 private[sources] case class RpcInputPartition(host: String, port: Int) extends InputPartition
 
-private[sources] class RpcReaderFactory(full: StructType, required: StructType,
+private[sources] class RpcReaderFactory(required: StructType,
     contract: String, timeZone: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RpcInputPartition]
-    new RpcPartitionReader(p.host, p.port, full, required, contract, timeZone)
+    new RpcPartitionReader(p.host, p.port, required, contract, timeZone)
   }
 }
 
-private[sources] class RpcPartitionReader(host: String, port: Int, full: StructType,
+private[sources] class RpcPartitionReader(host: String, port: Int,
     required: StructType, contract: String, timeZone: String) extends PartitionReader[InternalRow] {
+  private def ctx = s"rpc $host:$port contract '$contract'"
+
   private val socket = {
     val s = new Socket()
     s.connect(new InetSocketAddress(host, port), 10000)
     s.setSoTimeout(60000)
     s
   }
+  @volatile private var eof = false
   private val in = {
-    val out = new PrintWriter(socket.getOutputStream, false)
-    out.print(s"GET $contract\n")
-    out.flush()
-    new BufferedReader(new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+    // the request carries the PROJECTED column list — pushdown to the
+    // service; "-" asks for row markers only (count-style scans)
+    val colsTok = if (required.fields.isEmpty) "-" else required.fields.map(_.name).mkString(",")
+    val os = socket.getOutputStream
+    os.write(s"GET $contract $colsTok\n".getBytes(StandardCharsets.UTF_8))
+    os.flush()
+    val r = new BufferedReader(new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
+    r.readLine() match {
+      case null => eof = true // legacy/empty service: no handshake, no rows
+      case "OK" => ()
+      case err if err.startsWith("ERR") =>
+        throw new IllegalArgumentException(s"$ctx: service refused: ${err.stripPrefix("ERR").trim}")
+      case other =>
+        throw new IllegalArgumentException(s"$ctx: unexpected status line '$other'")
+    }
+    r
   }
-  // pruned column -> wire field index (the service always sends the full
-  // contract row; pruning skips the parse, not the bytes)
-  private val wireIdx: Array[Int] = required.fields.map(f => full.fieldIndex(f.name))
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val line = in.readLine()
-    if (line == null) false
-    else { row = parse(line); true }
+    if (eof) false
+    else {
+      val line = in.readLine()
+      if (line == null) false
+      else { row = parse(line); true }
+    }
   }
 
-  private def parse(line: String): InternalRow = {
-    val parts = line.split("\t", -1)
-    val vals = new Array[Any](wireIdx.length)
-    var i = 0
-    while (i < wireIdx.length) {
-      val raw = parts(wireIdx(i))
-      vals(i) =
-        if (raw == "\\N") null
-        else required.fields(i).dataType match {
-          case LongType => raw.toLong
-          case IntegerType => raw.toInt
-          case DoubleType => raw.toDouble
-          case BooleanType => raw.toBoolean
-          case StringType => UTF8String.fromString(raw)
-          case TimestampType =>
-            // parse in the captured SESSION timezone (java.sql.Timestamp
-            // .valueOf would use the executor JVM's default zone)
-            val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-            DateTimeUtils.instantToMicros(
-              ldt.atZone(java.time.ZoneId.of(timeZone)).toInstant)
-          case dt => throw new IllegalArgumentException(
-            s"rpc source: unsupported field type $dt for '${required.fields(i).name}'")
-        }
-      i += 1
+  private def parse(line: String): InternalRow = try {
+    if (required.fields.isEmpty) new GenericInternalRow(0)
+    else {
+      val parts = line.split("\t", -1)
+      if (parts.length != required.fields.length) throw new IllegalArgumentException(
+        s"${parts.length} fields on the wire, schema has ${required.fields.length}")
+      val vals = new Array[Any](parts.length)
+      var i = 0
+      while (i < parts.length) {
+        val raw = parts(i)
+        vals(i) =
+          if (raw == "\\N") null
+          else {
+            val s = RpcSource.unescapeField(raw)
+            required.fields(i).dataType match {
+              case LongType => s.toLong
+              case IntegerType => s.toInt
+              case DoubleType => s.toDouble
+              case BooleanType => s.toBoolean
+              case StringType => UTF8String.fromString(s)
+              case TimestampType =>
+                // parse in the captured SESSION timezone (java.sql.Timestamp
+                // .valueOf would use the executor JVM's default zone)
+                val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+                DateTimeUtils.instantToMicros(
+                  ldt.atZone(java.time.ZoneId.of(timeZone)).toInstant)
+              case dt => throw new IllegalArgumentException(
+                s"unsupported field type $dt for '${required.fields(i).name}'")
+            }
+          }
+        i += 1
+      }
+      new GenericInternalRow(vals)
     }
-    new GenericInternalRow(vals)
+  } catch {
+    case e: Exception => throw new IllegalArgumentException(
+      s"$ctx: cannot parse wire line '$line' as (${required.fields.map(f =>
+        s"${f.name} ${f.dataType.simpleString}").mkString(", ")}): ${e.getMessage}", e)
   }
 
   override def get(): InternalRow = row

@@ -1,19 +1,25 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.sources.RpcSource
+import graft.sources.RpcSource.RpcContract
 
 /** RPC contract-dial source: an RPC-sourced frame must equal the batch
   * frame it mirrors (the `DSet.import` parity contract — reference
   * `DSetGenerics.fs:788-836`), across multiple endpoints, with nulls,
-  * and under column pruning.
+  * under column pruning — and the pruning must reach the SERVICE: the
+  * request carries the projected column list, so pruned columns never
+  * cross the wire.
   */
 class RpcSourceSpec extends SparkSuite {
   import spark.implicits._
 
   private val ddl = "id BIGINT, name STRING, score DOUBLE, ok BOOLEAN"
+
+  private def contract(rows: Seq[(Long, String, Double, Boolean)]): RpcContract =
+    RpcContract(Seq("id", "name", "score", "ok"),
+      rows.map { case (i, n, s, o) => Seq(i.toString, n, s.toString, o.toString) })
 
   test("rpc frame equals the batch frame it mirrors (multi-endpoint, parallel dial)") {
     val batch = Seq(
@@ -21,51 +27,121 @@ class RpcSourceSpec extends SparkSuite {
       (2L, "beta", -0.25, false),
       (3L, "gamma", 42.0, true),
       (4L, "delta", 0.0, false)).toDF("id", "name", "score", "ok")
-    def tsv(rows: Seq[(Long, String, Double, Boolean)]) =
-      rows.map { case (i, n, s, o) => s"$i\t$n\t$s\t$o" }
     // two shards, one contract name — each endpoint becomes one partition
-    val (p1, close1) = RpcSource.serve(0, Map("t" -> tsv(Seq((1L, "alpha", 1.5, true), (2L, "beta", -0.25, false)))))
-    val (p2, close2) = RpcSource.serve(0, Map("t" -> tsv(Seq((3L, "gamma", 42.0, true), (4L, "delta", 0.0, false)))))
+    val s1 = RpcSource.serve(0, Map("t" -> contract(Seq((1L, "alpha", 1.5, true), (2L, "beta", -0.25, false)))))
+    val s2 = RpcSource.serve(0, Map("t" -> contract(Seq((3L, "gamma", 42.0, true), (4L, "delta", 0.0, false)))))
     try {
-      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p1", s"localhost:$p2"), ddl, "t")
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${s1.port}", s"localhost:${s2.port}"), ddl, "t")
       assert(rpc.rdd.getNumPartitions == 2, "each endpoint must be its own input partition")
       // DDL schemas are nullable; compare names + types (batch toDF marks
       // primitive columns non-nullable)
       assert(rpc.schema.map(f => (f.name, f.dataType)) == batch.schema.map(f => (f.name, f.dataType)))
       assert(rpc.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
-    } finally { close1(); close2() }
+    } finally { s1.close(); s2.close() }
   }
 
   test("nulls, unknown contract, and repeated dials") {
-    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("1\t\\N\t\\N\t\\N")))
+    val srv = RpcSource.serve(0,
+      Map("t" -> RpcContract(Seq("id", "name", "score", "ok"), Seq(Seq("1", null, null, null)))))
     try {
-      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t")
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), ddl, "t")
       val r = rpc.collect()
       assert(r.length == 1 && r(0).getLong(0) == 1L && r(0).isNullAt(1) && r(0).isNullAt(2) && r(0).isNullAt(3))
       // a second action re-dials the same endpoint (server must answer again)
       assert(rpc.count() == 1L)
       // unknown contract = zero rows, not an error
-      assert(RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "nope").count() == 0L)
-    } finally close()
+      assert(RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), ddl, "nope").count() == 0L)
+    } finally srv.close()
   }
 
-  test("column pruning reaches the scan (readSchema = projected columns only)") {
-    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("7\tzeta\t3.5\ttrue")))
+  test("projection pushes to the service: pruned columns never cross the wire") {
+    // a fat column dominates the payload; a scan that projects it away
+    // must not pay for it on the wire
+    val fat = "x" * 4096
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "name", "blob"),
+      (1L to 50L).map(i => Seq(i.toString, s"n$i", fat)))))
     try {
-      val pruned = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t").select("name", "id")
+      val pruned = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, name STRING, blob STRING", "t").select("name", "id")
       val scans = pruned.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }
       assert(scans.nonEmpty)
       assert(scans.head.scan.readSchema().fieldNames.toSet == Set("id", "name"))
-      assert(pruned.collect().map(_.toSeq).toSeq == Seq(Seq("zeta", 7L)))
-    } finally close()
+      assert(pruned.collect().length == 50)
+      // the request named only the projected columns…
+      val reqs = srv.requests.toArray(Array.empty[String])
+      assert(reqs.nonEmpty && reqs.forall(_ == "GET t id,name"), reqs.mkString("; "))
+      // …and the payload stayed far below one fat field, let alone 50
+      assert(srv.bytesSent < fat.length, s"wire payload ${srv.bytesSent}")
+    } finally srv.close()
+  }
+
+  test("count(*) scan requests row markers only ('-' column list)") {
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "blob"),
+      (1L to 40L).map(i => Seq(i.toString, "y" * 1024)))))
+    try {
+      val n = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, blob STRING", "t").count()
+      assert(n == 40L)
+      val reqs = srv.requests.toArray(Array.empty[String])
+      assert(reqs.nonEmpty && reqs.forall(_ == "GET t -"), reqs.mkString("; "))
+      assert(srv.bytesSent < 200, s"wire payload ${srv.bytesSent}") // OK + 40 bare newlines
+    } finally srv.close()
+  }
+
+  test("framed fields: tabs, newlines, CRs, backslashes, and a literal \\N survive the wire") {
+    val tricky = Seq(
+      "tab\there", "line\nbreak", "cr\rhere", "back\\slash", "\\N",
+      "mix\t\\\n\r\\N end", "")
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "name"),
+      tricky.zipWithIndex.map { case (s, i) => Seq(i.toString, s) })))
+    try {
+      val got = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, name STRING", "t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      tricky.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == s, s"row $i: got '${got(i.toLong)}'")
+      }
+      // the escaped literal "\N" string is distinct from SQL NULL
+      assert(got(4L) == "\\N" && got.values.forall(_ != null))
+    } finally srv.close()
+  }
+
+  test("unknown projected column is refused with a clear error") {
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id"), Seq(Seq("1")))))
+    try {
+      val ex = intercept[Exception] {
+        RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), "id BIGINT, nope STRING", "t")
+          .collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      val msgs = causes(ex).flatMap(c => Option(c.getMessage))
+      assert(msgs.exists(m => m.contains("unknown column") && m.contains("nope")), msgs.mkString("; "))
+    } finally srv.close()
+  }
+
+  test("parse failures carry endpoint, contract, and the offending line") {
+    // serve text where the declared BIGINT column holds a word
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id"), Seq(Seq("notanumber")))))
+    try {
+      val ex = intercept[Exception] {
+        RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), "id BIGINT", "t").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      val msgs = causes(ex).flatMap(c => Option(c.getMessage))
+      assert(msgs.exists(m => m.contains(s"localhost:${srv.port}") &&
+        m.contains("contract 't'") && m.contains("notanumber")), msgs.mkString("; "))
+    } finally srv.close()
   }
 
   test("timestamp fields parse in the SESSION timezone, not the JVM default") {
-    val (p, close) = RpcSource.serve(0, Map("t" -> Seq("1\t2026-01-15 10:30:00.123")))
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "ts"),
+      Seq(Seq("1", "2026-01-15 10:30:00.123")))))
     try {
-      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:$p"), "id BIGINT, ts TIMESTAMP", "t")
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), "id BIGINT, ts TIMESTAMP", "t")
       val got = rpc.select(col("ts")).as[java.sql.Timestamp].collect()
       // expected instant computed in the session zone explicitly — the
       // assertion must hold even when the JVM default zone differs
@@ -74,30 +150,32 @@ class RpcSourceSpec extends SparkSuite {
         java.time.LocalDateTime.parse("2026-01-15T10:30:00.123")
           .atZone(java.time.ZoneId.of(tz)).toInstant)
       assert(got.toSeq == Seq(expected))
-    } finally close()
+    } finally srv.close()
   }
 
   test("wire roundtrip property: randomized rows (nulls included) survive serve -> scan") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
-    val cell = Gen.option(Gen.alphaNumStr.map(_.take(8)))
+    // strings drawn from a pool including every escape-relevant character
+    val cell = Gen.option(Gen.listOfN(8,
+      Gen.oneOf(('a' to 'e') ++ Seq('\t', '\n', '\r', '\\', 'N', ' '))).map(_.mkString))
     val rowGen = Gen.zip(Gen.chooseNum(0L, 1L << 40), cell,
       Gen.option(Gen.chooseNum(-1e6, 1e6)), Gen.option(Gen.oneOf(true, false)))
     val rowsGen = Gen.listOfN(25, rowGen)
     (0 until 4).foreach { i =>
       val rows = rowsGen.pureApply(Gen.Parameters.default, Seed(7L + i))
-      def f(o: Option[Any]) = o.map(_.toString).getOrElse("\\N")
-      val lines = rows.map { case (id, s, d, b) => s"$id\t${f(s)}\t${f(d)}\t${f(b)}" }
-      val (p, close) = RpcSource.serve(0, Map("t" -> lines))
+      def f(o: Option[Any]) = o.map(_.toString).orNull
+      val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "name", "score", "ok"),
+        rows.map { case (id, s, d, b) => Seq(id.toString, f(s), f(d), f(b)) })))
       try {
-        val got = RpcSource.readRpc(spark, Seq(s"localhost:$p"), ddl, "t")
+        val got = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), ddl, "t")
           .collect().map(r => (r.getLong(0),
             Option(r.get(1)).map(_.toString),
             Option(r.get(2)).map(_.asInstanceOf[Double]),
             Option(r.get(3)).map(_.asInstanceOf[Boolean]))).toSet
         // doubles roundtrip via toString exactly (shortest repr parses back)
         assert(got == rows.toSet, s"seed ${7 + i}")
-      } finally close()
+      } finally srv.close()
     }
   }
 
