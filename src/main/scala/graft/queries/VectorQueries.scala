@@ -46,6 +46,19 @@ object VectorQueries {
       Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
     },
 
+    // The SCALE operating point of the same ANN pipeline: bits = 10
+    // (the documented contract is bits ≈ log2(n/bucket), so larger
+    // corpora run wider keys), tables = 12 — this gate replays the
+    // bits=10 hyperplane stream in the oracle, putting the scale-bits
+    // contract itself under the driver hash instead of only under
+    // in-container probes. Fewer survivors than v3 by design (collision
+    // probability falls as p^bits): candidate RECALL at a given bits is
+    // spec'd in VectorSpec, this row pins exactness of the re-keyed path.
+    "v3b_ann_srp_scalebits" -> { (s, dir) =>
+      Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45,
+        bits = 10, tables = 12)
+    },
+
     // Embedding near-dup GROUP resolution: connected components over the
     // exact cosine pairs — each near-dup vector mapped to its cluster's
     // min id (the keep decision). BOUNDED exact verification gate
@@ -213,33 +226,38 @@ object VectorQueries {
        FROM c$iters c, $dims"""
   }
 
-  /** Shared CTE chain replaying [[graft.functions.SrpKeys]]: hyperplane
-    * stream (xorshift64* in HUGEINT), sign-bit bucket keys, candidate
-    * collisions — INCLUDING the `maxBucketSize = 1000` hot-bucket guard
+  /** CTE chain replaying [[graft.functions.SrpKeys]] at ANY
+    * (bits, tables) operating point: hyperplane stream (xorshift64* in
+    * HUGEINT, `tables*bits*dim` draws), sign-bit bucket keys (plane `p`
+    * → table `p // bits`, bit `p % bits`), candidate collisions —
+    * INCLUDING the `maxBucketSize = 1000` hot-bucket guard
     * (`bsz`/`WHERE s.n <= 1000`), so a fixture whose vectors cluster
     * into an oversized bucket drops it on BOTH sides instead of
-    * silently diverging. Used by the v3 (pairs), v6 (groups) and x1
-    * (hybrid) oracles.
+    * silently diverging. Used by the v3/v3b (pairs), v6 (groups) and x1
+    * (hybrid) oracles; v3b instantiates it at the SCALE parameterization
+    * (bits = 10), putting the documented bits ≈ log2(n/bucket) contract
+    * itself under the driver hash.
     */
-  private val srpReplayCte: String =
-    """rng(n, s) AS (
+  private def srpReplayCte(bits: Int, tables: Int, dim: Int = DIM): String = {
+    val draws = tables * bits * dim
+    s"""rng(n, s) AS (
            SELECT 0, 42::HUGEINT
            UNION ALL
            SELECT n + 1, xor(B, B >> 27) FROM (
              SELECT n, xor(A, (A * 33554432::HUGEINT) % 18446744073709551616::HUGEINT) AS B
-             FROM (SELECT n, s, xor(s, s >> 12) AS A FROM rng WHERE n < 4608))),
+             FROM (SELECT n, s, xor(s, s >> 12) AS A FROM rng WHERE n < $draws))),
          vals AS (
            SELECT n - 1 AS idx,
                   ((s * 2685821657736338717::HUGEINT) % 18446744073709551616::HUGEINT >> 11)::DOUBLE
                     / 9007199254740992.0 * 2.0 - 1.0 AS d
            FROM rng WHERE n >= 1),
          planes AS (
-           SELECT idx // 64 AS p, list(d ORDER BY idx) AS pl
-           FROM vals GROUP BY idx // 64),
+           SELECT idx // $dim AS p, list(d ORDER BY idx) AS pl
+           FROM vals GROUP BY idx // $dim),
          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          sb AS (
-           SELECT e.vec_id, pl.p // 6 AS t,
-                  CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % 6)) ELSE 0 END AS bit
+           SELECT e.vec_id, pl.p // $bits AS t,
+                  CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % $bits)) ELSE 0 END AS bit
            FROM ed e, planes pl),
          keys AS (SELECT vec_id, t, sum(bit) AS k FROM sb GROUP BY vec_id, t),
          bsz AS (SELECT t, k, count(*) AS n FROM keys GROUP BY t, k),
@@ -249,6 +267,7 @@ object VectorQueries {
            JOIN keys b ON a.t = b.t AND a.k = b.k AND a.vec_id < b.vec_id
            JOIN bsz s ON s.t = a.t AND s.k = a.k
            WHERE s.n <= 1000)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
@@ -305,7 +324,7 @@ object VectorQueries {
     // hyperplane replay (v3/v6's CTE) — the oracle runs the SAME ANN
     // candidate set the Spark plan does, cosine-verified.
     "x1_hybrid_dedup_groups" ->
-      s"""WITH RECURSIVE $srpReplayCte,
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
          sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, len(string_split(text,' ')) - 1),
@@ -339,7 +358,18 @@ object VectorQueries {
     // arithmetic, sign bits and bucket keys recomputed, colliding pairs
     // cosine-verified — byte-identical to SrpKeys + annCosinePairs.
     "v3_ann_srp_pairs" ->
-      s"""WITH RECURSIVE $srpReplayCte
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)}
+         SELECT c.id_a, c.id_b,
+                round(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+         FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
+         WHERE list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // v3's replay re-instantiated at the scale keying (bits=10): the
+    // 7680-draw hyperplane stream, 10-bit bucket keys, and the surviving
+    // collisions must all agree with SrpKeys at the re-sized parameters.
+    "v3b_ann_srp_scalebits" ->
+      s"""WITH RECURSIVE ${srpReplayCte(10, 12)}
          SELECT c.id_a, c.id_b,
                 round(list_dot_product(ea.v, eb.v)
                   / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
@@ -349,7 +379,7 @@ object VectorQueries {
     // v3's SRP replay composed with the recursive-CTE transitive closure
     // (the v5 shape) — the full ANN dedup-group pipeline in SQL.
     "v6_ann_dedup_groups" ->
-      s"""WITH RECURSIVE $srpReplayCte,
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
          pr AS (
            SELECT c.id_a AS da, c.id_b AS db
            FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
