@@ -24,6 +24,11 @@ object PipelineQueries {
     d.toString
   }
 
+  /** Staged file-source directory for sj1, one per data dir (the file
+    * source requires a directory; staged once, re-streamed per run).
+    */
+  private val streamStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Bound ports of the rp1 fixture service, one entry per data dir
     * (daemon accept threads live for the session — one pair total
     * instead of one pair per invocation).
@@ -102,6 +107,40 @@ object PipelineQueries {
         .filter(col("o_orderpriority") === "1-URGENT")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+
+    // Stream-stream interval join UNDER THE DRIVER HASH (the sq1/st1
+    // pattern): events stream from a staged file-source directory through
+    // Telemetry.intervalJoinStream (watermark-bounded state) into a
+    // memory sink; the emitted (error, click) pairs must equal the batch
+    // range-join oracle exactly — proving the watermarked streaming
+    // execution, not just the spec, matches batch semantics.
+    "sj1_interval_join_stream" -> { (s, dir) =>
+      val streamDir = streamStage.synchronized {
+        streamStage.getOrElseUpdate(dir, {
+          val d = tmpDir("sjoin-src")
+          java.nio.file.Files.copy(
+            java.nio.file.Paths.get(s"$dir/events.parquet"),
+            java.nio.file.Paths.get(d, "events.parquet"))
+          d
+        })
+      }
+      // stream with the RAW parquet schema (ts is INT64 nanos on disk);
+      // apply the same ns→µs conversion Tables.load does
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      def evStream = s.readStream.schema(rawSchema).parquet(streamDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val errors = evStream.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = evStream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val q = graft.streaming.Telemetry
+        .intervalJoinStream(errors, clicks, "user_id", "10 minutes", 300)
+        .select(col("l.event_id").as("event_id"), col("click_id"))
+        .writeStream.outputMode("append").format("memory").queryName("sj1_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("sj1_out")
     },
 
     // As-of join: each click matched to the user's most recent prior
@@ -255,6 +294,11 @@ object PipelineQueries {
     "pp1_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""",
+    "sj1_interval_join_stream" ->
+      """SELECT e.event_id, c.event_id AS click_id
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND c.ts >= e.ts - INTERVAL 300 SECONDS AND c.ts <= e.ts""",
     "qa1_asof_click_purchase" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
