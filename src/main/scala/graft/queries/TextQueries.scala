@@ -154,22 +154,33 @@ object TextQueries {
     // runs once per data dir and is memoized: bench warm-up + timed runs
     // re-read the SAME artifact instead of re-writing a temp dir per
     // invocation.
-    "d12_sketch_incremental_dedup" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val existing = docs.filter(col("doc_id") % 10 =!= 7)
-      val out = sketchDir.getOrElseUpdate(dir, {
+    "d12_sketch_incremental_dedup" -> { (s, dir) => sketchScreen(s, dir) }
+  )
+
+  /** d12's body, also the bench-only `d12_screen_steady` entry: screen
+    * the daily batch against the persisted sketch. The first call per
+    * data dir pays the sketch write (the correctness gate deliberately
+    * includes the parquet roundtrip); later calls measure pure
+    * steady-state screening — the shape a daily 100 TB batch runs.
+    */
+  def sketchScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 10 =!= 7)
+    // locked: getOrElseUpdate may run its default twice under
+    // contention, which would write the sketch into two temp dirs
+    val out = sketchDir.synchronized {
+      sketchDir.getOrElseUpdate(dir, {
         val d = java.nio.file.Files.createTempDirectory("graft-sketch-q")
-        d.toFile.deleteOnExit()
         Dedup.minhashSketch(existing, "doc_id", "text")
           .write.mode("overwrite").parquet(d.toString)
         d.toString
       })
-      Dedup.incrementalNearDupKeepWithSketch(
-        docs.filter(col("doc_id") % 10 === 7), s.read.parquet(out), existing,
-        "doc_id", "text")
-        .select(col("doc_id"), col("lang"))
     }
-  )
+    Dedup.incrementalNearDupKeepWithSketch(
+      docs.filter(col("doc_id") % 10 === 7), s.read.parquet(out), existing,
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+  }
 
   /** Materialized-sketch path per data dir (see d12). */
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
