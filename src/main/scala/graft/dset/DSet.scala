@@ -300,14 +300,18 @@ final class DSet[U](val ds: Dataset[U]) {
     *
     * The per-invocation state entry is freed on the driver JVM
     * (covers local mode); on a cluster an executor retains its entry
-    * (one state object per invocation) until JVM exit — the same
-    * lifetime the reference's node state has (`DSetGenerics.fs:464`
-    * keeps it for the job).
+    * until a LATER invocation's tasks land on it — each call ships the
+    * driver's released-id ring in its closure and tasks evict those
+    * holders first, so a long-lived session calling this repeatedly
+    * holds at most the in-flight invocation's state per executor (plus
+    * any ids released after the last call, bounded by the ring).
     */
   def foldWithCommonStatePerNode[S](initState: () => S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
     val invocation = java.util.UUID.randomUUID().toString
+    val releasedIds = NodeState.releasedSnapshot()
     try {
       val snapshots = ds.rdd.mapPartitions { it =>
+        NodeState.evict(releasedIds)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val holder = NodeState.holder(invocation, initState)
         if (holder.begin(pid)) {

@@ -77,6 +77,18 @@ private[dset] object NodeState {
 
   private val holders = TrieMap.empty[String, Holder[_]]
 
+  /** Invocation ids released on the driver, kept as a bounded ring.
+    * Executor JVMs cannot observe a driver-side `release` directly, so
+    * each later fold invocation ships a snapshot of this ring in its
+    * task closure and tasks [[evict]] retained holders for those ids —
+    * repeated `foldWithCommonStatePerNode` calls in a long-lived session
+    * clean up after their predecessors instead of accumulating one
+    * holder (full folded state) per invocation per executor until JVM
+    * exit.
+    */
+  private val released = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val maxReleased = 4096
+
   /** Creation is serialized on the registry: TrieMap's getOrElseUpdate
     * may evaluate the default more than once under contention, which
     * would run the user's `init()` twice — the contract is once per JVM.
@@ -85,5 +97,19 @@ private[dset] object NodeState {
     holders.getOrElseUpdate(invocation, new Holder(init)).asInstanceOf[Holder[S]]
   }
 
-  def release(invocation: String): Unit = holders.remove(invocation): Unit
+  def release(invocation: String): Unit = {
+    holders.remove(invocation): Unit
+    released.add(invocation): Unit
+    while (released.size > maxReleased) released.poll()
+  }
+
+  /** Driver-side snapshot of released ids, closure-shipped to tasks. */
+  def releasedSnapshot(): Array[String] = released.toArray(Array.empty[String])
+
+  /** Executor-side: drop holders whose invocation the driver released. */
+  def evict(releasedIds: Array[String]): Unit =
+    releasedIds.foreach(id => holders.remove(id))
+
+  /** Registry size — spec observability only. */
+  private[dset] def retained: Int = holders.size
 }

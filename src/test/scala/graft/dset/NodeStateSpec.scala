@@ -22,6 +22,23 @@ class NodeStateSpec extends AnyFunSuite {
     assert(count == 1L && started == Set(0, 1) && completed == Set(0))
   }
 
+  test("release frees the holder and marks the id for executor-side eviction") {
+    val before = NodeState.retained
+    NodeState.holder("inv-rel-1", () => 0L)
+    assert(NodeState.retained == before + 1)
+    NodeState.release("inv-rel-1")
+    assert(NodeState.retained == before, "release must free the local holder")
+    // a released id rides the snapshot into later invocations' closures…
+    assert(NodeState.releasedSnapshot().contains("inv-rel-1"))
+    // …and evict drops a holder an executor JVM still retains for it
+    // (simulated: re-create the holder as if this JVM never saw release)
+    NodeState.holder("inv-rel-1", () => 0L)
+    assert(NodeState.retained == before + 1)
+    NodeState.evict(NodeState.releasedSnapshot())
+    assert(NodeState.retained == before,
+      "evict must drop holders for driver-released invocations")
+  }
+
   test("snapshot bytes deserialize to the folded state") {
     val h = new NodeState.Holder[java.util.ArrayList[Int]](() => new java.util.ArrayList[Int]())
     assert(h.begin(3))
