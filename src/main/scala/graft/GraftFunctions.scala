@@ -27,7 +27,9 @@ object GraftFunctions {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
     e.eval(null) match {
-      case n: Number => n.intValue()
+      case n: Number if n.intValue() >= 1 => n.intValue()
+      case n: Number => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be >= 1, got ${n.intValue()}")
       case other => throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be an integer literal, got $other")
     }

@@ -148,6 +148,7 @@ object TextFunctions {
     */
   case class WordNGrams(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
 
@@ -256,6 +257,7 @@ object TextFunctions {
     */
   private[graft] case class TokenCountsScan(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"token_counts: n must be >= 1, got $n")
     import org.apache.spark.unsafe.types.UTF8String
 
     override def dataType: DataType =

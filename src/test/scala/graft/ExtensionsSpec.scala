@@ -42,6 +42,13 @@ class ExtensionsSpec extends SparkSuite {
       assert(ng == Map("x y" -> 2L, "y x" -> 1L))
       val rep = s2.sql("SELECT repetition_scan('a a b').n_words AS n").collect().head.getLong(0)
       assert(rep == 3L)
+      // literal args are range-validated at registration: n < 1 is a
+      // clear error, not a garbage {""->tokens+1} map
+      val bad = intercept[Exception](s2.sql("SELECT word_ngram_counts('a b', 0)").collect())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: causes(t.getCause)
+      assert(causes(bad).flatMap(c => Option(c.getMessage))
+        .exists(m => m.contains("must be >= 1")), bad.getMessage)
       val sd = s2.sql("SELECT segment_dedup('a b a').clean AS c").collect().head.getString(0)
       assert(sd == "a b")
       // and absent from a fresh session built WITHOUT the extension
