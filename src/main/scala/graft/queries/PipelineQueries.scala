@@ -134,12 +134,22 @@ object PipelineQueries {
         .select(col("user_id"), col("ts"), col("event_id"))
       val clicks = evStream.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
-      val q = graft.streaming.Telemetry
-        .intervalJoinStream(errors, clicks, "user_id", "10 minutes", 300)
-        .select(col("l.event_id").as("event_id"), col("click_id"))
-        .writeStream.outputMode("append").format("memory").queryName("sj1_out")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // A stream-stream join commits one state store per shuffle
+      // partition per side per micro-batch; at 32 partitions that fixed
+      // cost dwarfs the join itself at test scale (~5.5 s → ~2.9 s at 8,
+      // flat from sf0.001 to sf0.1 — pure machinery, not data).
+      // Partition count never changes join RESULTS, only state layout —
+      // a production deployment sizes it to rate × horizon instead.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Telemetry
+          .intervalJoinStream(errors, clicks, "user_id", "10 minutes", 300)
+          .select(col("l.event_id").as("event_id"), col("click_id"))
+          .writeStream.outputMode("append").format("memory").queryName("sj1_out")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("sj1_out")
     },
 
