@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Wire protocol (line-oriented, framed fields):
   * {{{
-  * request:  GET <contract> <col1,col2,...>\n   -- the projected columns,
-  *           in scan order; "-" when the scan needs only row COUNTS
-  *           (all columns pruned, e.g. count(*))
+  * request:  GET <contract> <col1,col2,...> [<filter>\t<filter>...]\n
+  *           -- the projected columns, in scan order; "-" when the scan
+  *           needs only row COUNTS (all columns pruned, e.g. count(*));
+  *           optional tab-separated filter conjuncts, each
+  *           "<op> <b64(col)> <b64(value)|->" with op one of
+  *           eq gt ge lt le isnull notnull (base64 of the UTF-8 text,
+  *           so any column name or literal survives the token format)
   * response: OK\n   then one row per line, fields tab-separated in the
   *           requested order, then close (EOF = end of scan); or
   *           ERR <message>\n   and close.
@@ -46,10 +50,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * data. Column pruning pushes THROUGH to the service
   * ([[SupportsPushDownRequiredColumns]] → the request's column list):
   * pruned columns never cross the wire, so a 100-column contract scanned
-  * for 2 columns pays a 2-column wire cost. Supported field types:
-  * BIGINT, INT, DOUBLE, BOOLEAN, STRING, TIMESTAMP (text, parsed in the
-  * session timezone). Parse failures carry host:port, contract, and the
-  * offending line.
+  * for 2 columns pays a 2-column wire cost. Filters push through too
+  * ([[SupportsPushDownFilters]] → the request's conjunct list) as a
+  * BEST-EFFORT row pre-filter: the service drops non-matching rows
+  * before they cross the wire, and Spark re-evaluates every pushed
+  * filter on what arrives (all filters stay residual — the same
+  * contract parquet row-group skipping has), so correctness never
+  * depends on the service's comparison semantics and a legacy service
+  * that ignores the conjuncts still answers correctly. Supported field
+  * types: BIGINT, INT, DOUBLE, BOOLEAN, STRING, TIMESTAMP (text, parsed
+  * in the session timezone). Parse failures carry host:port, contract,
+  * and the offending line.
   *
   * Usage:
   * {{{
@@ -122,6 +133,87 @@ object RpcSource {
       sb.toString
     }
 
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  private def unb64(s: String): Option[String] =
+    try Some(new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8))
+    catch { case _: IllegalArgumentException => None }
+
+  /** Encode one Spark source filter as a wire conjunct, or None when the
+    * shape isn't pushable (non-literal, nested column, timestamp — those
+    * stay Spark-side only). Literals go as their canonical `toString`;
+    * the serving side compares numerically when both sides parse as
+    * numbers, lexically otherwise — approximation is safe because every
+    * pushed filter is also re-evaluated by Spark (see class doc).
+    */
+  private[graft] def encodeFilter(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case _: String | _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float |
+           _: java.lang.Boolean => Some(b64(v.toString))
+      case _ => None
+    }
+    def simple(col: String): Boolean = !col.contains(".")
+    f match {
+      case EqualTo(c, v) if simple(c) => lit(v).map(s => s"eq ${b64(c)} $s")
+      case GreaterThan(c, v) if simple(c) => lit(v).map(s => s"gt ${b64(c)} $s")
+      case GreaterThanOrEqual(c, v) if simple(c) => lit(v).map(s => s"ge ${b64(c)} $s")
+      case LessThan(c, v) if simple(c) => lit(v).map(s => s"lt ${b64(c)} $s")
+      case LessThanOrEqual(c, v) if simple(c) => lit(v).map(s => s"le ${b64(c)} $s")
+      case IsNull(c) if simple(c) => Some(s"isnull ${b64(c)} -")
+      case IsNotNull(c) if simple(c) => Some(s"notnull ${b64(c)} -")
+      case _ => None
+    }
+  }
+
+  /** Serving side of [[encodeFilter]]: a row predicate over the
+    * contract's FULL column list (the filter column need not be
+    * projected — that is the point: the service tests it so it never
+    * crosses the wire). Unknown ops/columns or undecodable tokens make
+    * a conjunct vacuously true — the scanner re-filters, so best-effort
+    * is safe; a stored NULL satisfies only `isnull`.
+    */
+  private[graft] def rowPredicate(filterTok: String, columns: Seq[String]): Seq[String] => Boolean = {
+    val conjuncts: Seq[(String, Int, String)] = filterTok.split('\t').toSeq
+      .filter(_.nonEmpty)
+      .flatMap { c =>
+        c.split(" ", 3) match {
+          case Array(op, colB, valB) =>
+            unb64(colB).map(columns.indexOf).filter(_ >= 0).flatMap { ix =>
+              if (op == "isnull" || op == "notnull") Some((op, ix, ""))
+              else unb64(valB).map(v => (op, ix, v))
+            }
+          case _ => None
+        }
+      }
+    def num(s: String): Option[Double] =
+      try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+    row => conjuncts.forall { case (op, ix, v) =>
+      val cell = row(ix)
+      op match {
+        case "isnull" => cell == null
+        case "notnull" => cell != null
+        case _ if cell == null => false
+        case _ =>
+          val c = (num(cell), num(v)) match {
+            case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
+            case _ => cell.compareTo(v)
+          }
+          op match {
+            case "eq" => c == 0
+            case "gt" => c > 0
+            case "ge" => c >= 0
+            case "lt" => c < 0
+            case "le" => c <= 0
+            case _ => true // unknown op: vacuous, scanner re-filters
+          }
+      }
+    }
+  }
+
   /** Read a contract from live endpoints as a DataFrame (facade over the
     * DataSourceV2 — see class doc for the wire protocol).
     */
@@ -180,17 +272,19 @@ object RpcSource {
     }
     val req = Option(in.readLine()).getOrElse("")
     handle.requests.add(req)
-    val tokens = req.split(" ", 3)
+    val tokens = req.split(" ", 4)
     if (tokens.length < 2 || tokens(0) != "GET") writeLine(s"ERR malformed request '$req'")
     else {
       val name = tokens(1)
       val colsTok = if (tokens.length > 2) tokens(2).trim else "*"
+      val filterTok = if (tokens.length > 3) tokens(3) else ""
       contracts.get(name) match {
         case None => writeLine("OK") // not our contract: zero rows
         case Some(c) =>
+          val keep = rowPredicate(filterTok, c.columns)
           if (colsTok == "-") { // row markers only (fully pruned scan)
             writeLine("OK")
-            c.rows.foreach(_ => writeLine(""))
+            c.rows.foreach(r => if (keep(r)) writeLine(""))
           } else {
             val want = if (colsTok == "*") c.columns else colsTok.split(",").toSeq
             val idx = want.map(w => w -> c.columns.indexOf(w))
@@ -202,7 +296,7 @@ object RpcSource {
                 writeLine("OK")
                 val ix = idx.map(_._2).toArray
                 c.rows.foreach { r =>
-                  writeLine(ix.map(j => escapeField(r(j))).mkString("\t"))
+                  if (keep(r)) writeLine(ix.map(j => escapeField(r(j))).mkString("\t"))
                 }
             }
           }
@@ -233,9 +327,18 @@ private[sources] class RpcTable(tableSchema: StructType) extends Table with Supp
 }
 
 private[sources] class RpcScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(f => RpcSource.encodeFilter(f).isDefined)
+    // ALL filters stay residual: the service's pre-filter is best-effort
+    // (parquet's row-group-skip contract) — Spark re-evaluates on arrival
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def build(): Scan = {
     val eps = Option(options.get("endpoints")).getOrElse(
       throw new IllegalArgumentException("rpc source requires an 'endpoints' option"))
@@ -245,14 +348,18 @@ private[sources] class RpcScanBuilder(full: StructType, options: CaseInsensitive
     // timestamp text the way every Spark text source does — in the
     // SESSION zone, not the executor JVM's default (which can differ)
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-    new RpcScan(required, eps, contract, tz)
+    new RpcScan(required, eps, contract, tz,
+      pushed.toSeq.flatMap(RpcSource.encodeFilter))
   }
 }
 
 private[sources] class RpcScan(required: StructType,
-    endpoints: Seq[String], contract: String, timeZone: String) extends Scan with Batch {
+    endpoints: Seq[String], contract: String, timeZone: String,
+    wireFilters: Seq[String]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_rpc contract=$contract endpoints=${endpoints.size} filters=${wireFilters.size}"
   override def planInputPartitions(): Array[InputPartition] =
     endpoints.map { ep =>
       val i = ep.lastIndexOf(':')
@@ -265,21 +372,22 @@ private[sources] class RpcScan(required: StructType,
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new RpcReaderFactory(required, contract, timeZone)
+    new RpcReaderFactory(required, contract, timeZone, wireFilters)
 }
 
 private[sources] case class RpcInputPartition(host: String, port: Int) extends InputPartition
 
 private[sources] class RpcReaderFactory(required: StructType,
-    contract: String, timeZone: String) extends PartitionReaderFactory {
+    contract: String, timeZone: String, wireFilters: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RpcInputPartition]
-    new RpcPartitionReader(p.host, p.port, required, contract, timeZone)
+    new RpcPartitionReader(p.host, p.port, required, contract, timeZone, wireFilters)
   }
 }
 
 private[sources] class RpcPartitionReader(host: String, port: Int,
-    required: StructType, contract: String, timeZone: String) extends PartitionReader[InternalRow] {
+    required: StructType, contract: String, timeZone: String,
+    wireFilters: Seq[String]) extends PartitionReader[InternalRow] {
   private def ctx = s"rpc $host:$port contract '$contract'"
 
   private val socket = {
@@ -291,10 +399,12 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
   @volatile private var eof = false
   private val in = {
     // the request carries the PROJECTED column list — pushdown to the
-    // service; "-" asks for row markers only (count-style scans)
+    // service; "-" asks for row markers only (count-style scans) — and
+    // the pushed filter conjuncts (rows the service drops never cross)
     val colsTok = if (required.fields.isEmpty) "-" else required.fields.map(_.name).mkString(",")
+    val filterTok = if (wireFilters.isEmpty) "" else wireFilters.mkString(" ", "\t", "")
     val os = socket.getOutputStream
-    os.write(s"GET $contract $colsTok\n".getBytes(StandardCharsets.UTF_8))
+    os.write(s"GET $contract $colsTok$filterTok\n".getBytes(StandardCharsets.UTF_8))
     os.flush()
     val r = new BufferedReader(new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
     r.readLine() match {

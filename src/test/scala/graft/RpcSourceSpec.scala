@@ -77,6 +77,75 @@ class RpcSourceSpec extends SparkSuite {
     } finally srv.close()
   }
 
+  test("filters push to the service: dropped rows never cross the wire") {
+    val fat = "x" * 4096
+    // 50 rows, only 3 match score > 100 — the other 47 fat blobs must
+    // not be paid for on the wire
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "score", "blob"),
+      (1L to 50L).map(i => Seq(i.toString, (if (i <= 3) 1000.0 else i.toDouble).toString, fat)))))
+    try {
+      val df = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, score DOUBLE, blob STRING", "t")
+        .filter(col("score") > 100.0)
+        .select("id", "blob")
+      // the filter shows in the scan node's description as pushed…
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty && scans.head.scan.description().contains("filters="),
+        scans.map(_.scan.description()).mkString("; "))
+      assert(scans.head.scan.description().matches(".*filters=[1-9].*"),
+        scans.head.scan.description())
+      assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      // …the request carried filter conjuncts…
+      val reqs = srv.requests.toArray(Array.empty[String])
+      assert(reqs.nonEmpty && reqs.forall(_.matches("GET t [a-z,]+ .+")), reqs.mkString("; "))
+      // …and only the 3 matching fat rows crossed the wire
+      assert(srv.bytesSent < 5L * fat.length, s"wire payload ${srv.bytesSent}")
+    } finally srv.close()
+  }
+
+  test("pushed filters stay residual: a service that ignores them is still correct") {
+    // legacy-shaped service: answers the whole contract regardless of the
+    // filter token (simulated by a filter on a column the service does
+    // not have mapped — rowPredicate treats unknown columns as vacuous)
+    val keepAll = RpcSource.rowPredicate("eq bm90YWNvbA== MQ==", Seq("id", "name"))
+    assert(keepAll(Seq("1", "x")) && keepAll(Seq("2", null)))
+    // garbage conjuncts are vacuous too, never throw
+    val garbage = RpcSource.rowPredicate("zz !!notb64!! ?\teq onlytwo", Seq("id"))
+    assert(garbage(Seq("7")))
+    // end-to-end: Spark re-applies the filter on whatever arrives
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "name"),
+      (1L to 10L).map(i => Seq(i.toString, s"n$i")))))
+    try {
+      val got = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, name STRING", "t")
+        .filter(col("id") <= 4L && col("name") =!= "n2")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 4L))
+    } finally srv.close()
+  }
+
+  test("filter column need not be projected; numeric vs lexical compare is type-aware") {
+    // select name where id >= 10: id crosses the wire only because Spark
+    // keeps the residual; the serving side compares 9 < 10 NUMERICALLY
+    // (lexically "9" > "10" would wrongly pass row 9)
+    val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "name"),
+      (1L to 12L).map(i => Seq(i.toString, s"n$i")))))
+    try {
+      val got = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"),
+        "id BIGINT, name STRING", "t")
+        .filter(col("id") >= 10L).select("name")
+        .collect().map(_.getString(0)).toSet
+      assert(got == Set("n10", "n11", "n12"))
+      // and string comparisons stay lexical: null fails non-null ops
+      val p = RpcSource.rowPredicate(
+        RpcSource.encodeFilter(org.apache.spark.sql.sources.EqualTo("name", "n3")).get,
+        Seq("id", "name"))
+      assert(p(Seq("3", "n3")) && !p(Seq("4", "n4")) && !p(Seq("5", null)))
+    } finally srv.close()
+  }
+
   test("count(*) scan requests row markers only ('-' column list)") {
     val srv = RpcSource.serve(0, Map("t" -> RpcContract(Seq("id", "blob"),
       (1L to 40L).map(i => Seq(i.toString, "y" * 1024)))))
