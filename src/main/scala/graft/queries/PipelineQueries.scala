@@ -35,6 +35,30 @@ object PipelineQueries {
     */
   private val rpcFixture = scala.collection.concurrent.TrieMap.empty[String, Seq[Int]]
 
+  /** The rp1/rp2 two-shard fixture service, memoized per data dir:
+    * repeated invocations (verify + bench warm-ups, probe loops) re-dial
+    * the SAME endpoints instead of binding fresh ServerSockets each call.
+    * getOrElseUpdate may run its default twice under contention (the
+    * NodeState gotcha) — ServerSocket binds must be once, so lock. The
+    * served fixture is driver-collected ONLY because the test must stand
+    * up the service itself — a real deployment dials endpoints that
+    * already exist.
+    */
+  private def fixturePorts(s: SparkSession, dir: String): Seq[Int] =
+    rpcFixture.synchronized {
+      rpcFixture.getOrElseUpdate(dir, {
+        val rows = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+        val half = rows.length / 2
+        Seq(rows.take(half), rows.drop(half)).map { shard =>
+          graft.sources.RpcSource.serve(0, Map("docs" ->
+            graft.sources.RpcSource.RpcContract(Seq("doc_id", "lang", "n_chars"),
+              shard.toSeq.map(r =>
+                Seq(r.getLong(0).toString, r.getString(1), r.getLong(2).toString))))).port
+        }
+      })
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gap-based sessionization (batch form; the streaming twin is
     // Sessionize.sessionsStream, spec-verified against this one).
@@ -196,28 +220,26 @@ object PipelineQueries {
     // because the test must stand up the service itself — a real
     // deployment dials endpoints that already exist.
     "rp1_rpc_roundtrip" -> { (s, dir) =>
-      // the two-shard fixture service is memoized per data dir: repeated
-      // invocations (verify + bench warm-ups, probe loops) re-dial the
-      // SAME endpoints instead of binding fresh ServerSockets each call.
-      // getOrElseUpdate may run its default twice under contention (the
-      // NodeState gotcha) — ServerSocket binds must be once, so lock.
-      val Seq(p1, p2) = rpcFixture.synchronized {
-        rpcFixture.getOrElseUpdate(dir, {
-          val rows = Tables.load(s, dir, "documents")
-            .select(col("doc_id"), col("lang"), col("n_chars")).collect()
-          val half = rows.length / 2
-          Seq(rows.take(half), rows.drop(half)).map { shard =>
-            graft.sources.RpcSource.serve(0, Map("docs" ->
-              graft.sources.RpcSource.RpcContract(Seq("doc_id", "lang", "n_chars"),
-                shard.toSeq.map(r =>
-                  Seq(r.getLong(0).toString, r.getString(1), r.getLong(2).toString))))).port
-          }
-        })
-      }
+      val Seq(p1, p2) = fixturePorts(s, dir)
       graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
         "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // Filtered RPC dial UNDER THE DRIVER HASH: the predicate pushes to
+    // the service as a wire conjunct (rows the service drops never cross;
+    // RpcSourceSpec asserts the payload), Spark re-applies it as residual
+    // — so this row proves the pushed + re-evaluated path returns exactly
+    // the rows the parquet oracle selects. Same memoized fixture as rp1.
+    "rp2_rpc_filtered" -> { (s, dir) =>
+      val Seq(p1, p2) = fixturePorts(s, dir)
+      graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
+        "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs")
+        .filter(col("lang") === "en" && col("n_chars") >= 200L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
 
     // Facade zip alignment under the driver hash (reference mix/map2,
@@ -326,6 +348,10 @@ object PipelineQueries {
     "rp1_rpc_roundtrip" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
          FROM documents GROUP BY lang""",
+    "rp2_rpc_filtered" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars,
+              min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+         FROM documents WHERE lang = 'en' AND n_chars >= 200 GROUP BY lang""",
     "fx1_split_mix_zip" ->
       """SELECT doc_id, doc_id AS zip_id, n_chars, source FROM documents""",
     "fx2_bypass_branches" ->
