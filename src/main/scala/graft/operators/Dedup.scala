@@ -305,6 +305,77 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Serialized Bloom filter over a corpus's exact-dup key (xxhash64 of
+    * `keyCols`) — the persistable screening artifact for
+    * [[incrementalExactKeep]]: built ONCE over the existing corpus
+    * (distributed `stat.bloomFilter` — bit-array OR merges in a tree
+    * aggregate, no shuffle), saved with the corpus, reused by every
+    * daily batch. Sizing contract: ~1.2 GB at 10⁹ items / 1% fpp
+    * (bits ≈ 1.44 · n · log₂(1/fpp)); supply `expectedItems` from
+    * pipeline metadata in production — the `count()` fallback is one
+    * extra scan.
+    */
+  def exactKeyBloom(existing: DataFrame, keyCols: Seq[String],
+      expectedItems: Long = 0L, fpp: Double = 0.01): Array[Byte] = {
+    val hashed = existing.select(xxhash64(keyCols.map(col): _*).as("h"))
+    val n = math.max(if (expectedItems > 0) expectedItems else hashed.count(), 1L)
+    val bf = hashed.stat.bloomFilter("h", n, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Codegen'd Bloom membership probe ([[BloomFilterMightContain]] — the
+    * expression Spark's own runtime row-level filtering uses) of the
+    * xxhash64 of `keyCols` against a serialized [[exactKeyBloom]].
+    */
+  /** Spec-only handle on the probe column (candidate-count assertions). */
+  private[graft] def bloomProbeForTest(bloom: Array[Byte], keyCols: Seq[String]): Column =
+    bloomMightContain(bloom, keyCols)
+
+  private def bloomMightContain(bloom: Array[Byte], keyCols: Seq[String]): Column =
+    graftbridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloom,
+          org.apache.spark.sql.types.BinaryType),
+        graftbridge.expression(xxhash64(keyCols.map(col): _*))))
+
+  /** Bloom-pruned incremental EXACT dedup: keep the NEW-batch rows whose
+    * `keyCols` do not already occur in the existing corpus, screening
+    * with a pre-built [[exactKeyBloom]] so the join only ever sees Bloom
+    * candidates. The result is EXACT regardless of fpp or hash
+    * collisions: false positives are eliminated by the verification
+    * join on the real key columns, and a Bloom filter has no false
+    * negatives. (Null keys never match — SQL join equality — so a
+    * null-key row is always kept.)
+    *
+    * Scale (100 TB, the daily-batch steady state): the new batch is
+    * screened by a map-only codegen'd Bloom probe (no shuffle, no
+    * corpus access); the existing corpus pays ONE column-pruned scan
+    * semi-joined against the candidate keys — fpp bounds candidates to
+    * ~(true dups + fpp·|batch|), small enough that AQE broadcasts them
+    * (not forced: a pathological all-dup batch must not OOM the
+    * broadcast, same reasoning as [[nearDedupKeep]]) — and the final
+    * anti-join's right side is at most that candidate set. The corpus
+    * is never shuffled and never hashed twice.
+    */
+  def incrementalExactKeep(newDf: DataFrame, existing: DataFrame,
+      keyCols: Seq[String], bloom: Array[Byte]): DataFrame = {
+    val candKeys = newDf.filter(bloomMightContain(bloom, keyCols))
+      .select(keyCols.map(col): _*).distinct()
+    val dupKeys = existing.select(keyCols.map(col): _*)
+      .join(candKeys, keyCols, "left_semi").distinct()
+    newDf.join(dupKeys, keyCols, "left_anti")
+  }
+
+  /** [[incrementalExactKeep]] building the Bloom in place — the
+    * first-run convenience; steady state persists [[exactKeyBloom]].
+    */
+  def incrementalExactKeep(newDf: DataFrame, existing: DataFrame,
+      keyCols: Seq[String], expectedItems: Long, fpp: Double): DataFrame =
+    incrementalExactKeep(newDf, existing, keyCols,
+      exactKeyBloom(existing, keyCols, expectedItems, fpp))
+
   /** Cross-document repeated-line removal (CCNet-style boilerplate
     * stripping): lines occurring in more than `maxDocFrac` of documents
     * (nav bars, cookie banners, license headers) are deleted from every

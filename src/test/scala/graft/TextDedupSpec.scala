@@ -227,6 +227,45 @@ class TextDedupSpec extends SparkSuite {
     assert(kept.toSeq == Seq(102L, 103L, 104L))
   }
 
+  test("bloom incremental exact dedup: exact result even at extreme fpp; bloom bytes roundtrip") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null: String)).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "alpha"),  // exact dup of old 1 → dropped
+      (102L, "ALPHA"),  // case differs → kept (exact equality)
+      (103L, "delta"), (104L, "epsilon"),
+      (105L, null: String)).toDF("doc_id", "text") // null never joins → kept
+    // fpp = 0.5: roughly half the novel rows Bloom-collide — the
+    // verification join must still produce the exact answer
+    val bloom = Dedup.exactKeyBloom(old, Seq("text"), expectedItems = 4, fpp = 0.5)
+    val kept = Dedup.incrementalExactKeep(fresh, old, Seq("text"), bloom)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(102L, 103L, 104L, 105L))
+    // the serialized artifact is self-contained: a byte-copy screens the same
+    val kept2 = Dedup.incrementalExactKeep(fresh, old, Seq("text"), bloom.clone())
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == kept.toSeq)
+    // convenience overload (builds the bloom in place) agrees
+    val kept3 = Dedup.incrementalExactKeep(fresh, old, Seq("text"), 0L, 0.01)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept3.toSeq == kept.toSeq)
+  }
+
+  test("bloom screen prunes: a never-seen batch reaches the corpus join with zero candidates") {
+    import spark.implicits._
+    val old = (1L to 200L).map(i => (i, s"existing doc number $i")).toDF("doc_id", "text")
+    val fresh = (1001L to 1050L).map(i => (i, s"novel doc $i")).toDF("doc_id", "text")
+    val bloom = Dedup.exactKeyBloom(old, Seq("text"), expectedItems = 200, fpp = 0.001)
+    // at fpp=0.001 and 50 novel rows, P(any FP) ≈ 5% — assert the probe
+    // itself: candidate count is what the corpus-side semi join sees
+    val candidates = fresh.filter(graft.operators.Dedup
+      .bloomProbeForTest(bloom, Seq("text"))).count()
+    assert(candidates == 0L, s"expected zero Bloom candidates, got $candidates")
+    val kept = Dedup.incrementalExactKeep(fresh, old, Seq("text"), bloom).count()
+    assert(kept == 50L)
+  }
+
   test("persisted minhash sketch: parquet-roundtripped sketch screens identically to direct incremental") {
     val docsAll = Tables.load(spark, sf0001, "documents")
       .select(col("doc_id"), col("text"))
