@@ -109,7 +109,4 @@ private[dset] object NodeState {
   /** Executor-side: drop holders whose invocation the driver released. */
   def evict(releasedIds: Array[String]): Unit =
     releasedIds.foreach(id => holders.remove(id))
-
-  /** Registry size — spec observability only. */
-  private[dset] def retained: Int = holders.size
 }
