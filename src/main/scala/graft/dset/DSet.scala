@@ -635,6 +635,17 @@ object DSet {
     private def ds: Dataset[(K, V)] = dset.ds
     private def spark: SparkSession = dset.spark
 
+    /** The joins and key-addressed shuffles reference the pair columns as
+      * `_1`/`_2`; a Dataset decoded from NAMED source columns (e.g.
+      * `select(a, b).as[(K, V)]`) keeps those names, so normalize to the
+      * canonical tuple schema first (no-op when already canonical).
+      */
+    private def tup[A, B](d: Dataset[(A, B)]): Dataset[(A, B)] = {
+      val c = d.columns
+      if (c.length == 2 && c(0) == "_1" && c(1) == "_2") d
+      else d.toDF("_1", "_2").as(d.encoder)
+    }
+
     /** reference `DKV.fs:172-176` (`filterByKey`). */
     def filterByKey(f: K => Boolean): DSet[(K, V)] = new DSet(ds.filter(kv => f(kv._1)))
 
@@ -709,7 +720,7 @@ object DSet {
       * `repartitionNByKey`) — declarative, AQE-aware.
       */
     def repartitionNByKey(numPartitions: Int): DSet[(K, V)] =
-      new DSet(ds.repartition(numPartitions, org.apache.spark.sql.functions.col("_1")))
+      new DSet(tup(ds).repartition(numPartitions, org.apache.spark.sql.functions.col("_1")))
 
     /** Range-partitioned key sort — reference `binSortNByKey` with Spark's
       * sampled range partitioner supplying the bin function the reference
@@ -753,7 +764,7 @@ object DSet {
       * partitions; Catalyst aligns them itself.
       */
     def innerJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (V, V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
-      val l = ds; val r = other.ds
+      val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "inner")
           .map { case (a, b) => (a._1, f(a._2, b._2)) })
@@ -761,7 +772,7 @@ object DSet {
 
     /** reference `DKV.fs:211-220` (`leftOuterJoinByMergeAfterBinSortByKey`). */
     def leftOuterJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (V, Option[V1]) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
-      val l = ds; val r = other.ds
+      val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "left_outer")
           .map { case (a, b) => (a._1, f(a._2, Option(b).map(_._2))) })
@@ -769,7 +780,7 @@ object DSet {
 
     /** reference `DKV.fs:227-231` (`rightOuterJoinByMergeAfterBinSortByKey`). */
     def rightOuterJoinByMerge[V1, V2](other: DSet[(K, V1)])(f: (Option[V], V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
-      val l = ds; val r = other.ds
+      val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "right_outer")
           .map { case (a, b) => (b._1, f(Option(a).map(_._2), b._2)) })
@@ -782,7 +793,7 @@ object DSet {
       * `ConcurrentDictionary` build side.
       */
     def innerJoinByHash[V1, V2](other: DSet[(K, V1)])(f: (V, V1) => V2)(implicit e: Encoder[(K, V2)]): DSet[(K, V2)] = {
-      val l = ds; val r = org.apache.spark.sql.functions.broadcast(other.ds)
+      val l = tup(ds); val r = org.apache.spark.sql.functions.broadcast(tup(other.ds))
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "inner")
           .map { case (a, b) => (a._1, f(a._2, b._2)) })
@@ -792,13 +803,13 @@ object DSet {
       * reference, free in Spark (SURVEY §2.4 "no semi/anti joins").
       */
     def semiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
-      val l = ds; val r = other.ds
+      val l = tup(ds); val r = tup(other.ds)
       new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_semi").as[(K, V)])
     }
 
     /** Anti join: keep pairs whose key does NOT appear in `other`. */
     def antiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
-      val l = ds; val r = other.ds
+      val l = tup(ds); val r = tup(other.ds)
       new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_anti").as[(K, V)])
     }
   }

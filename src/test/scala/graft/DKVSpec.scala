@@ -118,6 +118,28 @@ class DKVSpec extends SparkSuite {
     }
   }
 
+  test("joins and keyed repartition work on NAMED-column datasets (non-tuple schema)") {
+    // a Dataset decoded from named source columns keeps those names; the
+    // positional _1/_2 addressing must normalize, not blow up (the fx9
+    // regression: .select(a, b).as[(K, V)] then innerJoinByHash)
+    import org.apache.spark.sql.functions.col
+    val left = new DSet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("named_k", "named_v")
+      .as[(Long, String)])
+    val right = new DSet(Seq((2L, 20), (3L, 30), (4L, 40)).toDF("other_k", "other_v")
+      .as[(Long, Int)])
+    assert(left.innerJoinByHash(right)((s, i) => s + i).toArray.sorted.toSeq ==
+      Seq((2L, "b20"), (3L, "c30")))
+    assert(left.innerJoinByMerge(right)((s, i) => s + i).toArray.sorted.toSeq ==
+      Seq((2L, "b20"), (3L, "c30")))
+    assert(left.leftOuterJoinByMerge(right)((s, i) => s + i.getOrElse(0)).toArray.sorted.toSeq ==
+      Seq((1L, "a0"), (2L, "b20"), (3L, "c30")))
+    assert(left.rightOuterJoinByMerge(right)((s, i) => s.getOrElse("?") + i).toArray.sorted.toSeq ==
+      Seq((2L, "b20"), (3L, "c30"), (4L, "?40")))
+    assert(left.semiJoinByKey(right).toArray.map(_._1).sorted.toSeq == Seq(2L, 3L))
+    assert(left.antiJoinByKey(right).toArray.map(_._1).sorted.toSeq == Seq(1L))
+    assert(left.repartitionNByKey(2).ds.filter(col("_1") === 1L).count() == 1L)
+  }
+
   test("broadcast hash join matches sorted-merge result") {
     val (l, r) = joinSides((24, 4, 16, 16, 4, 3))
     val smj = DSet.distribute(spark, l, 4)
