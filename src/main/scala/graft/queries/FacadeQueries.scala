@@ -87,6 +87,56 @@ object FacadeQueries {
         .select(col("qid"), col("neighbor"), round(col("cos_raw"), 6).as("sim"))
     },
 
+    // Async element map + DKV filter/value-map + right-outer merge join
+    // (reference asyncMap `DSetGenerics.fs:1055-1087`, filterByKey
+    // `DKV.fs:172-176`, parallelMapByValue `DKV.fs:185-198`,
+    // rightOuterJoinByMerge `DKV.fs:227-231`): order counts flow through
+    // the bounded-window async path (≡ map for a pure f — a dropped or
+    // duplicated element under the window fails the count), the customer
+    // side is key-filtered and value-mapped concurrently, and the
+    // right-outer join must emit EVERY even customer, 0-filled when no
+    // orders matched.
+    "fx8_async_kv_outer" -> { (s, dir) =>
+      import s.implicits._
+      import graft.dset.DSet.KVOps
+      val ordCnt = new DSet(Tables.load(s, dir, "orders").select(col("o_custkey")).as[Long])
+        .asyncMap(8)(k => (k, 1L))
+        .reduceByKey(_ + _)
+      val evenCust = new DSet(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")).as[(Long, String)])
+        .filterByKey(_ % 2 == 0)
+        .parallelMapByValue(4)(_.toLowerCase)
+      ordCnt.rightOuterJoinByMerge(evenCust)((cnt, seg) => (cnt.getOrElse(0L), seg))
+        .map(t => (t._1, t._2._1, t._2._2))
+        .ds.toDF("c_custkey", "n_orders", "segment")
+    },
+
+    // multicast + broadcast-hash join (reference multicast
+    // `DSetGenerics.fs:1315-1345`, innerJoinByHash declared at
+    // `DKV.fs:236-258`): the nation table is multicast as a broadcast
+    // variable and consulted per batch to label customer counts — an
+    // incomplete broadcast (missing nation) would throw, a stale one
+    // would mislabel and fail the hash; supplier counts reach the same
+    // labels through innerJoinByHash, and the final equi-join must agree
+    // with the oracle's two independent GROUP BYs.
+    "fx9_multicast_hashjoin" -> { (s, dir) =>
+      import s.implicits._
+      import graft.dset.DSet.KVOps
+      val natKv = new DSet(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).as[(Long, String)])
+      val bc = natKv.multicast()
+      val custCnt = new DSet(Tables.load(s, dir, "customer").select(col("c_nationkey")).as[Long])
+        .mapByCollection { arr => val m = bc.value.toMap; arr.map(k => (m(k), 1L)) }
+        .reduceByKey(_ + _)
+      val suppCnt = new DSet(Tables.load(s, dir, "supplier").select(col("s_nationkey")).as[Long])
+        .map(k => (k, 1L))
+        .reduceByKey(_ + _)
+        .innerJoinByHash(natKv)((cnt, name) => (name, cnt))
+        .map(_._2)
+      custCnt.ds.toDF("n_name", "n_cust")
+        .join(suppCnt.ds.toDF("n_name", "n_supp"), "n_name")
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -138,6 +188,21 @@ object FacadeQueries {
     "fx7_merge_binsort" ->
       """SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS rank,
            o_orderkey, o_totalprice
-         FROM orders"""
+         FROM orders""",
+    "fx8_async_kv_outer" ->
+      """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
+              lower(c_mktsegment) AS segment
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey) o
+           ON o.o_custkey = c_custkey
+         WHERE c_custkey % 2 = 0""",
+    "fx9_multicast_hashjoin" ->
+      """WITH c AS (
+           SELECT n_name, count(*)::BIGINT AS n_cust
+           FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name),
+         s AS (
+           SELECT n_name, count(*)::BIGINT AS n_supp
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name)
+         SELECT c.n_name, n_cust, n_supp FROM c JOIN s USING (n_name)"""
   )
 }
