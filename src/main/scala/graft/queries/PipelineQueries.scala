@@ -29,6 +29,9 @@ object PipelineQueries {
     */
   private val streamStage = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Staged doubled-events directory for sd1 (two copies per data dir). */
+  private val dedupStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Bound ports of the rp1 fixture service, one entry per data dir
     * (daemon accept threads live for the session — one pair total
     * instead of one pair per invocation).
@@ -175,6 +178,42 @@ object PipelineQueries {
         try q.processAllAvailable() finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("sj1_out")
+    },
+
+    // Streaming exactly-once dedup UNDER THE DRIVER HASH: the staged
+    // source dir holds TWO identical copies of events.parquet (the
+    // at-least-once delivery scenario dedupStream exists for);
+    // watermark-bounded dropDuplicates must collapse them to the
+    // original table exactly — one surviving duplicate doubles a count
+    // and fails the hash. Aggregated batch-side over the memory sink so
+    // the gate result is small and order-free.
+    "sd1_dedup_stream" -> { (s, dir) =>
+      val stage = dedupStage.synchronized {
+        dedupStage.getOrElseUpdate(dir, {
+          val d = tmpDir("sdedup-src")
+          Seq("a", "b").foreach { n =>
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(s"$dir/events.parquet"),
+              java.nio.file.Paths.get(d, s"$n.parquet"))
+          }
+          d
+        })
+      }
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(rawSchema).parquet(stage)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count (see sj1)
+      try {
+        val q = graft.streaming.Telemetry.dedupStream(ev, "event_id", "10 minutes")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.outputMode("append").format("memory").queryName("sd1_out")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("sd1_out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     },
 
     // As-of join: each click matched to the user's most recent prior
@@ -326,6 +365,11 @@ object PipelineQueries {
     "pp1_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""",
+    // doubled input collapsed by (event_id, ts) dedup = the original
+    // table, since event_id is unique in the fixture
+    "sd1_dedup_stream" ->
+      """SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
     "sj1_interval_join_stream" ->
       """SELECT e.event_id, c.event_id AS click_id
          FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
