@@ -137,6 +137,134 @@ object FacadeQueries {
         .join(suppCnt.ds.toDF("n_name", "n_supp"), "n_name")
     },
 
+    // Client pull → uneven scatter → position maps → store roundtrip
+    // (reference toSeq/DSetEnumerator `DSetGenerics.fs:385-390`,
+    // distributeUnevenN `DSetGenerics.fs:881-950`, mapi
+    // `DSetGenerics.fs:1041-1053`, asyncMapi `DSetGenerics.fs:1069-1087`,
+    // saveToHDD/loadSource `DSetGenerics.fs:367-378, 509-546`): the nation
+    // table is pulled to the client through the lazy enumerator, scattered
+    // back with caller-controlled uneven partition sizes (3, 7, 11,
+    // remainder), and every element tagged with its (partition, serial)
+    // position twice — once by mapi, once by the bounded-concurrency
+    // parallelMapi, which must preserve order and indices exactly — then
+    // roundtripped through the parquet store path. The oracle replays the
+    // slice bounds arithmetic; a dropped/duplicated element in the pull, a
+    // misplaced slice boundary, or an index reordered under concurrency
+    // all fail the hash.
+    "fx10_distribute_mapi_store" -> { (s, dir) =>
+      import s.implicits._
+      val nat = new DSet(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey")).as[(Int, String)])
+      val pulled = nat.toSeq.toSeq // client-side pull, order pinned above
+      val tagged = DSet.distributeUnevenN(s, pulled, 4)(pi => 3 + pi * 4)
+        .mapi((pi, ser, kv) => (kv._1, kv._2, pi, ser))
+        .parallelMapi(4)((pi2, ser2, t) => (t._1, t._2, t._3, t._4, pi2, ser2))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fx10").resolve("nations").toString
+      tagged.saveToName(tmp)
+      DSet.loadParquet[(Int, String, Int, Long, Int, Long)](s, tmp)
+        .ds.toDF("n_nationkey", "n_name", "part_id", "serial", "part_id2", "serial2")
+    },
+
+    // Salted grouping under REAL skew (reference groupByKey `DKV.fs:99-126`;
+    // salting is the brief's 100 TB skew mitigation): lineitem has ~3
+    // distinct return flags, so every key is a heavy hitter that would
+    // pin a single reducer. The two-phase salted path spreads each key
+    // over 8 reducers and must still reconstruct the EXACT full value
+    // list per key — count and quantized-quantity sum over the merged
+    // lists both land under the driver hash, so a value lost or
+    // duplicated between the salt phase and the merge phase fails.
+    // repartitionNByKey runs first: a misrouted pair would surface as a
+    // wrong group downstream.
+    "fx11_salted_skew_group" -> { (s, dir) =>
+      import s.implicits._
+      import graft.dset.DSet.KVOps
+      val pairs = new DSet(Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)])
+        .mapByValue(q => math.round(q * 100)) // quantize: Long sums commute
+        .repartitionNByKey(8)
+      pairs.groupByKeySalted(8)
+        .mapByValue(vs => (vs.length.toLong, vs.sum))
+        .map(t => (t._1, t._2._1, t._2._2))
+        .ds.toDF("l_returnflag", "n", "qty_c")
+    },
+
+    // Generation + mini-catalog family (reference initN
+    // `DSetGenerics.fs:674-705`, source/sourceN/sourceI
+    // `DSetGenerics.fs:706-787`, distributeN `DSetGenerics.fs:881-950`,
+    // tryFind `DSetGenerics.fs:1841-1857`): every generator the facade
+    // offers produces its deterministic slice — initN's per-partition
+    // sizes, sourceI's partition-indexed payloads, distributeN's content
+    // roundtrip, and the store→tryFind catalog listing. source/sourceN
+    // run one delegate per parallel slot, so their OUTPUT size depends on
+    // the session's parallelism; the gate normalizes by asserting each
+    // delegate ran exactly defaultParallelism times (ser=1 on success,
+    // -count on failure) — a lost or doubled delegate invocation lands a
+    // negative serial under the hash regardless of slot count.
+    "fx12_generation_catalog" -> { (s, _) =>
+      import s.implicits._
+      val dp = s.sparkContext.defaultParallelism.toLong
+      val gen1 = DSet.initN[(String, Int, Long)](s, 4)((_, pi) => (pi + 1) * 2)(
+        (pi, ser) => ("init", pi, ser))
+      val gen2 = DSet.sourceI[(String, Int, Long)](s, 5)(pi =>
+        (0 until pi).map(k => ("src_i", 10 + pi, k.toLong)))
+      val srcN = new DSet(DSet.sourceN(s, 3)(j => Seq(100 + j)).ds
+        .groupByKey(identity).count()
+        .map { case (k, c) => ("src_n", k, if (c == dp) 1L else -c) })
+      val srcOne = new DSet(DSet.source(s)(() => Seq(400)).ds
+        .groupByKey(identity).count()
+        .map { case (k, c) => ("src", k, if (c == dp) 1L else -c) })
+      val distN = DSet.distributeN(s, (0 until 7).map(i => ("dist_n", 200 + i, i.toLong)), 2)
+      val wh = java.nio.file.Files.createTempDirectory("graft-fx12").toString
+      DSet.distribute(s, Seq(1, 2, 3), 2).saveToName(wh + "/nations_v1")
+      DSet.distribute(s, Seq(4, 5), 1).saveToName(wh + "/nations_v2")
+      DSet.distribute(s, Seq(9), 1).saveToName(wh + "/orders_v1")
+      val found = DSet.distribute(s,
+        DSet.tryFind(wh, "^nations_").zipWithIndex.map { case (n, i) => ("find:" + n, 300 + i, 0L) }, 1)
+      gen1.merge(gen2, srcN, srcOne, distN, found).ds.toDF("tag", "k", "ser")
+    },
+
+    // Side-effecting action sinks (reference lazySaveToHDD
+    // `DSetGenerics.fs:549-581`, saveToHDDWithMonitor
+    // `DSetGenerics.fs:588-615`, execute/executeN
+    // `DSetGenerics.fs:951-995`, iter `DSetGenerics.fs:458-468`, reduce
+    // `DSetGenerics.fs:438-455`): each action's observable effect —
+    // rows flushed by the deferred sink, the monitor's rows_written
+    // metric, one marker file per (partition, call) from executeN, one
+    // per partition from execute, the accumulator total folded by iter,
+    // the reduce result — lands as a (action, value) row the oracle
+    // recomputes from the nation table. A sink that dropped rows, a
+    // monitor that missed the write, or an executeN that ran a partition
+    // twice all shift a value.
+    "fx13_action_sinks" -> { (s, dir) =>
+      import s.implicits._
+      val nat = new DSet(Tables.load(s, dir, "nation").select(col("n_nationkey")).as[Int])
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fx13").toString
+      val (cached, flush) = nat.lazySaveToName(tmp + "/lazy")
+      val cnt = cached.count() // first action warms the cache the thunk reuses
+      flush()
+      cached.ds.unpersist()
+      val lazyRows = DSet.loadParquet[Int](s, tmp + "/lazy").count()
+      val monRows = nat.saveToNameWithMonitor(tmp + "/mon")
+        .get("rows_written").map(_.toString.toLong).getOrElse(-1L)
+      val markers = new java.io.File(tmp, "markers"); markers.mkdirs()
+      val part4 = nat.repartitionN(4)
+      part4.executeN(2)((pi, i) => { new java.io.File(markers, s"m_${pi}_$i").createNewFile(); () })
+      val execDir = new java.io.File(tmp, "exec"); execDir.mkdirs()
+      part4.executeOnPartitions(pi => { new java.io.File(execDir, s"e_$pi").createNewFile(); () })
+      val acc = s.sparkContext.longAccumulator("fx13_iter")
+      nat.iter(k => acc.add(k.toLong))
+      val redMax = nat.reduce(_ max _).toLong
+      DSet.distribute(s, Seq(
+        ("count", cnt),
+        ("execute_partitions", execDir.listFiles().length.toLong),
+        ("executeN_markers", markers.listFiles().length.toLong),
+        ("iter_sum", acc.value.toLong),
+        ("lazy_rows", lazyRows),
+        ("monitor_rows", monRows),
+        ("reduce_max", redMax)), 1).ds.toDF("action", "v")
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -189,6 +317,48 @@ object FacadeQueries {
       """SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS rank,
            o_orderkey, o_totalprice
          FROM orders""",
+    "fx10_distribute_mapi_store" ->
+      """WITH ordered AS (
+           SELECT n_nationkey, n_name,
+             (row_number() OVER (ORDER BY n_nationkey) - 1) AS idx
+           FROM nation),
+         tagged AS (
+           SELECT n_nationkey, n_name,
+             CASE WHEN idx < 3 THEN 0 WHEN idx < 10 THEN 1
+                  WHEN idx < 21 THEN 2 ELSE 3 END AS p,
+             idx - CASE WHEN idx < 3 THEN 0 WHEN idx < 10 THEN 3
+                        WHEN idx < 21 THEN 10 ELSE 21 END AS ser
+           FROM ordered)
+         SELECT n_nationkey, n_name, p::INTEGER AS part_id, ser::BIGINT AS serial,
+           p::INTEGER AS part_id2, ser::BIGINT AS serial2
+         FROM tagged""",
+    "fx11_salted_skew_group" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+           sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c
+         FROM lineitem GROUP BY l_returnflag""",
+    "fx12_generation_catalog" ->
+      """SELECT 'init' AS tag, p.pi::INTEGER AS k, s.ser::BIGINT AS ser
+           FROM range(4) p(pi) CROSS JOIN range(8) s(ser)
+           WHERE s.ser < (p.pi + 1) * 2
+         UNION ALL
+         SELECT 'src_i', (10 + p.pi)::INTEGER, s.ser::BIGINT
+           FROM range(5) p(pi) CROSS JOIN range(5) s(ser)
+           WHERE s.ser < p.pi
+         UNION ALL
+         SELECT 'src_n', (100 + j.d)::INTEGER, 1::BIGINT FROM range(3) j(d)
+         UNION ALL SELECT 'src', 400::INTEGER, 1::BIGINT
+         UNION ALL
+         SELECT 'dist_n', (200 + i.i)::INTEGER, i.i::BIGINT FROM range(7) i(i)
+         UNION ALL SELECT 'find:nations_v1', 300::INTEGER, 0::BIGINT
+         UNION ALL SELECT 'find:nations_v2', 301::INTEGER, 0::BIGINT""",
+    "fx13_action_sinks" ->
+      """SELECT 'count' AS action, count(*)::BIGINT AS v FROM nation
+         UNION ALL SELECT 'execute_partitions', 4::BIGINT
+         UNION ALL SELECT 'executeN_markers', 8::BIGINT
+         UNION ALL SELECT 'iter_sum', sum(n_nationkey)::BIGINT FROM nation
+         UNION ALL SELECT 'lazy_rows', count(*)::BIGINT FROM nation
+         UNION ALL SELECT 'monitor_rows', count(*)::BIGINT FROM nation
+         UNION ALL SELECT 'reduce_max', max(n_nationkey)::BIGINT FROM nation""",
     "fx8_async_kv_outer" ->
       """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
               lower(c_mktsegment) AS segment
