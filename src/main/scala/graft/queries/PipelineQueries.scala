@@ -136,6 +136,33 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
     },
 
+    // Bucketed co-located join — the "pay the shuffle once at write
+    // time" pattern for a fact table that is joined on the same key
+    // repeatedly (the brief's bucketing technique; reference co-located
+    // binSortP joins, `DKV.fs:140-262`). Both sides are written
+    // pre-bucketed (8 buckets, sorted) on the join key, so the join
+    // reads co-located buckets and inserts NO exchange on either side —
+    // at 100 TB the fact table never re-shuffles for this join again.
+    // ScaleOpsSpec asserts the exchange-free plan; here the joined
+    // aggregate lands under the driver hash (quantized: Long sums
+    // commute).
+    "bj1_bucketed_join" -> { (s, dir) =>
+      val wh = tmpDir("bucketwh")
+      s.sql("DROP TABLE IF EXISTS graft_bj_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_bj_orders")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_bj_lineitem", "l_orderkey", 8, Some(s"$wh/lineitem"))
+      graft.sources.Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bj_orders", "o_orderkey", 8, Some(s"$wh/orders"))
+      s.table("graft_bj_lineitem")
+        .join(s.table("graft_bj_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_c"))
+    },
+
     // Stream-stream interval join UNDER THE DRIVER HASH (the sq1/st1
     // pattern): events stream from a staged file-source directory through
     // Telemetry.intervalJoinStream (watermark-bounded state) into a
@@ -365,6 +392,11 @@ object PipelineQueries {
     "pp1_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus""",
+    "bj1_bucketed_join" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+           sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     // doubled input collapsed by (event_id, ts) dedup = the original
     // table, since event_id is unique in the fixture
     "sd1_dedup_stream" ->

@@ -9,17 +9,19 @@ import org.apache.spark.sql.DataFrame
   *
   * Spark only supports bucketing through the catalog (`saveAsTable`);
   * two tables bucketed on the same key with the same bucket count join
-  * with zero Exchange nodes (asserted in BucketingSpec).
+  * with zero Exchange nodes (asserted in ScaleOpsSpec).
   */
 object Bucketing {
 
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
-    df.write
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def readTable(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
     spark.table(table)
