@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
-import graft.operators.{Decontaminate, Dedup, Packing, QualityFilters, Redact, Sampling, TfIdf}
+import graft.operators.{Decontaminate, Dedup, Packing, QualityFilters, Redact, Sampling, Sharding, TfIdf}
 
 /** Corpus-curation queries: deterministic sampling, sequence packing,
   * boilerplate removal, TF-IDF — the data-prep stages between dedup and
@@ -50,6 +50,23 @@ object CurationQueries {
         Tables.load(s, dir, "documents"), "doc_id", 0.2, SampleSeed)
       train.select(col("doc_id"), lit("train").as("split"))
         .unionByName(eval.select(col("doc_id"), lit("eval").as("split")))
+    },
+
+    // Deterministic training-order shuffle + shard export: the corpus is
+    // dealt into 4 shard directories in a replayable pseudorandom order
+    // (shard and pos are pure functions of (doc_id, seed)), written
+    // partitioned and read back — so the gate covers assignment, the
+    // one-exchange order window, AND the shard=K/ layout roundtrip. The
+    // oracle replays the splitmix64 chain, the mod-4 deal, and the
+    // (bucket, doc_id) rank; a row in the wrong shard, out of order, or
+    // lost in the write fails the hash.
+    "sh1_shard_export" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      Sharding.writeShards(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", 4, out, SampleSeed)
+      s.read.parquet(out).select(col("doc_id"), col("lang"),
+        col("shard").cast("int").as("shard"), col("pos"))
     },
 
     // GLOBAL sequence packing: one corpus-wide stream (no shard key) via
@@ -282,6 +299,12 @@ object CurationQueries {
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, CASE WHEN bucket < ${rateThr(0.2)} THEN 'eval' ELSE 'train' END AS split
           FROM h""",
+    "sh1_shard_export" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+          t AS (SELECT doc_id, lang, bucket, (bucket % 4)::INTEGER AS shard FROM h)
+          SELECT doc_id, lang, shard,
+            (row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id) - 1)::BIGINT AS pos
+          FROM t""",
     // Physical widths must match Spark exactly (the driver hashes dtypes):
     // TokenScan emits INTEGER n_tokens; the window sum() is HUGEINT in
     // DuckDB, so bin/offset are cast back to the BIGINT Packing emits.
