@@ -3,16 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.graftbridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.{SrpKeys, TextFunctions, VectorDot}
+import graft.functions.{HashBucket, SrpKeys, TextFunctions, VectorDot}
 import graft.operators.Dedup
 
 /** SQL surface for graft's custom Catalyst expressions: after
   * `GraftFunctions.register(spark)`, plain `spark.sql` text can call
   * `vec_dot`, `minhash_sig`, `srp_keys`, `word_shingle_hashes`,
   * `char_shingle_hashes`, `token_counts`, `word_ngram_counts`,
-  * `word_ngrams`, `repetition_scan`, `segment_dedup` — the engine's
+  * `word_ngrams`, `repetition_scan`, `segment_dedup`, `hash_bucket` — the engine's
   * extensions behave like built-ins for SQL users.
   */
 object GraftFunctions {
@@ -30,6 +30,25 @@ object GraftFunctions {
       case n: Number if n.intValue() >= 1 => n.intValue()
       case n: Number => throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be >= 1, got ${n.intValue()}")
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+    }
+  }
+
+  /** Long-literal argument with a lower bound (the [[intLit]] contract
+    * for long-valued parameters like bucket counts and seeds).
+    */
+  private def longLit(es: Seq[Expression], idx: Int, fn: String, arg: String,
+      min: Long = 1L): Long = {
+    if (es.length <= idx) throw new IllegalArgumentException(
+      s"$fn: missing argument '$arg' (expects ${idx + 1} arguments)")
+    val e = es(idx)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
+    e.eval(null) match {
+      case n: Number if n.longValue() >= min => n.longValue()
+      case n: Number => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be >= $min, got ${n.longValue()}")
       case other => throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be an integer literal, got $other")
     }
@@ -55,7 +74,13 @@ object GraftFunctions {
     "word_ngrams" -> (es =>
       TextFunctions.WordNGrams(es(0), intLit(es, 1, "word_ngrams", "n"))),
     "repetition_scan" -> (es => TextFunctions.RepetitionScan(es.head)),
-    "segment_dedup" -> (es => TextFunctions.SegmentDedup(es.head, ' ')))
+    "segment_dedup" -> (es => TextFunctions.SegmentDedup(es.head, ' ')),
+    // consistent-sampling primitive (splitmix64 → unsigned bucket):
+    // hash_bucket(id, buckets[, seed]) — SQL users get the same
+    // deterministic keep/shard decisions as the Sampling/Sharding ops
+    "hash_bucket" -> (es => HashBucket(Cast(es(0), LongType),
+      longLit(es, 1, "hash_bucket", "buckets"),
+      if (es.length > 2) longLit(es, 2, "hash_bucket", "seed", min = Long.MinValue) else 42L)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -145,6 +145,38 @@ object Multimodal {
       greatest(col("width") / 2, lit(1)).cast("int").as("thumb_w"),
       greatest(col("height") / 2, lit(1)).cast("int").as("thumb_h"))
 
+  /** REAL pixel resize (reference `samples/ImageResize`): nearest-neighbor
+    * integer-factor downsample through the actual codec — decode, raster
+    * transform (out(x,y) = in(x·factor, y·factor)), PNG re-encode — not
+    * metadata arithmetic ([[thumbnailMeta]] keeps the metadata-only
+    * shape). Narrow mapPartitions batch: shuffle-free, linear in pixels,
+    * the m7 gate replays the resampled raster arithmetically.
+    */
+  def resizeImages(images: Dataset[(Long, Array[Byte])], factor: Int = 2): Dataset[(Long, Array[Byte])] = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      imageIoInit
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"doc $id: ImageIO failed to decode ${bytes.length}-byte image")
+        val w = math.max(img.getWidth / factor, 1)
+        val h = math.max(img.getHeight / factor, 1)
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out.setRGB(x, y, img.getRGB(x * factor, y * factor)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }
+  }
+
   /** Content FEATURE EXTRACTION: normalized byte-value histogram of the
     * payload — a real (not stubbed) feature vector computable from any
     * binary column, standing in for a learned image embedding with the

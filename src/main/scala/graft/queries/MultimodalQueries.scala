@@ -75,6 +75,20 @@ object MultimodalQueries {
           col("checksum").as("pixel_sum"))
     },
 
+    // REAL resize (reference samples/ImageResize): PNG decode →
+    // nearest-neighbor half-scale raster → PNG re-encode → decode again.
+    // Both codec passes are real; the oracle replays the resampled
+    // raster (pixel (x,y) of the thumb = source pixel (2x, 2y)) purely
+    // arithmetically — a wrong sample offset, dropped row, or lossy
+    // re-encode fails the pixel sum.
+    "m7_png_resize" -> { (s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(
+          Multimodal.synthesizePngImages(Tables.load(s, dir, "documents"), "doc_id"), 2))
+        .toDF().select(col("doc_id"), col("width").as("thumb_w"),
+          col("height").as("thumb_h"), col("checksum").as("pixel_sum"))
+    },
+
     // Sliding-window telemetry stats (batch mode of the streaming
     // pipeline — the reference's per-cycle re-execution model).
     "st1_sliding_stats" -> { (s, dir) =>
@@ -137,6 +151,18 @@ object MultimodalQueries {
                 JOIN range(14) y(y) ON y.y < d.height)
          SELECT doc_id, width, height, sum(g)::BIGINT AS pixel_sum
          FROM px GROUP BY doc_id, width, height""",
+    "m7_png_resize" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 9)::INTEGER AS w,
+                      (8 + (doc_id // 9) % 7)::INTEGER AS h
+                    FROM documents),
+         px AS (SELECT d.doc_id, (d.w // 2)::INTEGER AS thumb_w,
+                  (d.h // 2)::INTEGER AS thumb_h,
+                  (d.doc_id * 31 + 2 * x.x * 7 + 2 * y.y * 13) % 256 AS g
+                FROM d
+                JOIN range(8) x(x) ON x.x < d.w // 2
+                JOIN range(7) y(y) ON y.y < d.h // 2)
+         SELECT doc_id, thumb_w, thumb_h, sum(g)::BIGINT AS pixel_sum
+         FROM px GROUP BY doc_id, thumb_w, thumb_h""",
     // Sliding 6h/3h windows = union of two 6h tumbling grids offset by 3h.
     "st1_sliding_stats" ->
       """WITH both_grids AS (

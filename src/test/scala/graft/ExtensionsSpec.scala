@@ -51,6 +51,18 @@ class ExtensionsSpec extends SparkSuite {
         .exists(m => m.contains("must be >= 1")), bad.getMessage)
       val sd = s2.sql("SELECT segment_dedup('a b a').clean AS c").collect().head.getString(0)
       assert(sd == "a b")
+      // hash_bucket from SQL = the Sampling/Sharding ops' exact bucket
+      // (same splitmix64 chain, same unsigned remainder, default seed 42)
+      val hb = s2.sql("SELECT hash_bucket(7, 1000000) AS b").collect().head.getLong(0)
+      val expected = graft.functions.HashBucket(
+        org.apache.spark.sql.catalyst.expressions.Literal(7L),
+        1000000L, 42L).eval(null).asInstanceOf[Long]
+      assert(hb == expected)
+      val hbSeeded = s2.sql("SELECT hash_bucket(7, 1000000, 99) AS b").collect().head.getLong(0)
+      assert(hbSeeded != hb, "seed must change the bucket for this id")
+      val badB = intercept[Exception](s2.sql("SELECT hash_bucket(7, 0)").collect())
+      assert(causes(badB).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("must be >=")), badB.getMessage)
       // and absent from a fresh session built WITHOUT the extension
       // (proves the extension did the work, not some global side effect;
       // deliberately NOT the shared suite session — other suites register

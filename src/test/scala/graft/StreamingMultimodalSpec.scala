@@ -67,6 +67,28 @@ class StreamingMultimodalSpec extends SparkSuite {
     assert(viaPng == viaBmp)
   }
 
+  test("resizeImages: nearest-neighbor half-scale, lossless re-encode, factor 1 is identity") {
+    val ids = Seq(0L, 1L, 17L, 499L)
+    val src = ids.map(id => (id, Multimodal.pngImageBytes(id))).toDS()
+    val thumbs = Multimodal.decodeImages(Multimodal.resizeImages(src, 2))
+      .collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id / 9) % 7).toInt
+      val d = thumbs(id)
+      assert(d.width == w / 2 && d.height == h / 2, s"doc $id thumb dims")
+      // thumb pixel (x,y) must be SOURCE pixel (2x,2y) — wrong offset or
+      // interpolation changes the sum
+      val expected = (for (y <- 0 until h / 2; x <- 0 until w / 2)
+        yield (id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256).sum
+      assert(d.checksum == expected, s"doc $id resampled pixel sum")
+    }
+    val same = Multimodal.decodeImages(Multimodal.resizeImages(src, 1))
+      .collect().map(d => d.doc_id -> d.checksum).toMap
+    val orig = Multimodal.decodeImages(src).collect().map(d => d.doc_id -> d.checksum).toMap
+    assert(same == orig, "factor 1 must preserve every pixel")
+  }
+
   test("frame sampling covers payload with stride") {
     val imgs = Multimodal.synthesizeImages(Tables.load(spark, sf0001, "documents").limit(10), "doc_id")
     val frames = Multimodal.sampleFrames(imgs, 16, 2).collect()
