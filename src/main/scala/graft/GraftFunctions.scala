@@ -20,23 +20,11 @@ object GraftFunctions {
   private def toDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
-  private def intLit(es: Seq[Expression], idx: Int, fn: String, arg: String): Int = {
-    if (es.length <= idx) throw new IllegalArgumentException(
-      s"$fn: missing argument '$arg' (expects ${idx + 1} arguments)")
-    val e = es(idx)
-    if (!e.foldable) throw new IllegalArgumentException(
-      s"$fn: argument '$arg' must be an integer literal, got ${e.sql}")
-    e.eval(null) match {
-      case n: Number if n.intValue() >= 1 => n.intValue()
-      case n: Number => throw new IllegalArgumentException(
-        s"$fn: argument '$arg' must be >= 1, got ${n.intValue()}")
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument '$arg' must be an integer literal, got $other")
-    }
-  }
+  private def intLit(es: Seq[Expression], idx: Int, fn: String, arg: String): Int =
+    longLit(es, idx, fn, arg).toInt
 
-  /** Long-literal argument with a lower bound (the [[intLit]] contract
-    * for long-valued parameters like bucket counts and seeds).
+  /** Literal integer argument with a lower bound — one validator for
+    * both SQL arg surfaces ([[intLit]] delegates).
     */
   private def longLit(es: Seq[Expression], idx: Int, fn: String, arg: String,
       min: Long = 1L): Long = {

@@ -17,10 +17,11 @@ import graft.functions.HashFunctions.hashBucket
   * Scale shape: shard assignment is the codegen'd splitmix64 scan
   * expression (uniform by construction — no skew mitigation needed);
   * ordering costs ONE hash exchange on the shard key. In [[writeShards]]
-  * the explicit `repartition(nShards, shard)` already satisfies the
-  * position window's clustered-distribution requirement, so Catalyst
-  * inserts no second exchange — the plan is Exchange → Sort → Window →
-  * per-task parquet write of its own shard directory.
+  * the explicit repartition (4×nShards hash slots — see
+  * [[shardedOrdered]] for why not exactly nShards) already satisfies
+  * the position window's clustered-distribution requirement, so
+  * Catalyst inserts no second exchange — the plan is Exchange → Sort →
+  * Window → per-task parquet write of the shard(s) it holds.
   */
 object Sharding {
 
@@ -43,13 +44,30 @@ object Sharding {
     * internally ordered by `pos` — the data-loader handoff layout.
     */
   def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
-      seed: Long = 42L): Unit = {
+      seed: Long = 42L): Unit =
+    shardedOrdered(df, idCol, nShards, seed)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** The pre-write plan (exposed for the plan-shape spec).
+    *
+    * Routing: hash partitioning on the shard VALUE with
+    * numPartitions == nShards collides shards onto tasks (murmur3 mod n
+    * is not a bijection on 0..n-1 — a 4-shard write typically lands on
+    * ~3 tasks, one carrying double data). Spreading over 4×nShards hash
+    * slots makes collisions rare while ~nShards slots stay occupied;
+    * empty slots cost nothing. `repartitionByRange` would route exactly
+    * but pays a boundary-sampling pass over the corpus first. Either
+    * way the explicit repartition satisfies the position window's
+    * clustered-distribution requirement — ONE exchange total
+    * (plan-asserted in ShardingSpec).
+    */
+  private[operators] def shardedOrdered(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("__bucket"), col(idCol))
     assigned(df, idCol, nShards, seed)
-      .repartition(nShards, col("shard"))
+      .repartition(nShards * 4, col("shard"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("__bucket")
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
 }

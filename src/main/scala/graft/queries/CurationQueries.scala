@@ -61,7 +61,7 @@ object CurationQueries {
     // (bucket, doc_id) rank; a row in the wrong shard, out of order, or
     // lost in the write fails the hash.
     "sh1_shard_export" -> { (s, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+      val out = QueryTmp.dir("shards")
       Sharding.writeShards(
         Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", 4, out, SampleSeed)

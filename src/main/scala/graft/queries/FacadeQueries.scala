@@ -160,7 +160,7 @@ object FacadeQueries {
       val tagged = DSet.distributeUnevenN(s, pulled, 4)(pi => 3 + pi * 4)
         .mapi((pi, ser, kv) => (kv._1, kv._2, pi, ser))
         .parallelMapi(4)((pi2, ser2, t) => (t._1, t._2, t._3, t._4, pi2, ser2))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fx10").resolve("nations").toString
+      val tmp = QueryTmp.dir("fx10") + "/nations"
       tagged.saveToName(tmp)
       DSet.loadParquet[(Int, String, Int, Long, Int, Long)](s, tmp)
         .ds.toDF("n_nationkey", "n_name", "part_id", "serial", "part_id2", "serial2")
@@ -215,7 +215,7 @@ object FacadeQueries {
         .groupByKey(identity).count()
         .map { case (k, c) => ("src", k, if (c == dp) 1L else -c) })
       val distN = DSet.distributeN(s, (0 until 7).map(i => ("dist_n", 200 + i, i.toLong)), 2)
-      val wh = java.nio.file.Files.createTempDirectory("graft-fx12").toString
+      val wh = QueryTmp.dir("fx12")
       DSet.distribute(s, Seq(1, 2, 3), 2).saveToName(wh + "/nations_v1")
       DSet.distribute(s, Seq(4, 5), 1).saveToName(wh + "/nations_v2")
       DSet.distribute(s, Seq(9), 1).saveToName(wh + "/orders_v1")
@@ -239,7 +239,7 @@ object FacadeQueries {
     "fx13_action_sinks" -> { (s, dir) =>
       import s.implicits._
       val nat = new DSet(Tables.load(s, dir, "nation").select(col("n_nationkey")).as[Int])
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fx13").toString
+      val tmp = QueryTmp.dir("fx13")
       val (cached, flush) = nat.lazySaveToName(tmp + "/lazy")
       val cnt = cached.count() // first action warms the cache the thunk reuses
       flush()
@@ -247,11 +247,18 @@ object FacadeQueries {
       val lazyRows = DSet.loadParquet[Int](s, tmp + "/lazy").count()
       val monRows = nat.saveToNameWithMonitor(tmp + "/mon")
         .get("rows_written").map(_.toString.toLong).getOrElse(-1L)
+      // UUID-suffixed markers: a (partition, call) that ran TWICE creates
+      // an extra file and pushes the count past the oracle's 8/4 (an
+      // idempotent fixed name would hide duplicate execution)
       val markers = new java.io.File(tmp, "markers"); markers.mkdirs()
       val part4 = nat.repartitionN(4)
-      part4.executeN(2)((pi, i) => { new java.io.File(markers, s"m_${pi}_$i").createNewFile(); () })
+      part4.executeN(2)((pi, i) => {
+        new java.io.File(markers, s"m_${pi}_${i}_${java.util.UUID.randomUUID}").createNewFile(); ()
+      })
       val execDir = new java.io.File(tmp, "exec"); execDir.mkdirs()
-      part4.executeOnPartitions(pi => { new java.io.File(execDir, s"e_$pi").createNewFile(); () })
+      part4.executeOnPartitions(pi => {
+        new java.io.File(execDir, s"e_${pi}_${java.util.UUID.randomUUID}").createNewFile(); ()
+      })
       val acc = s.sparkContext.longAccumulator("fx13_iter")
       nat.iter(k => acc.add(k.toLong))
       val redMax = nat.reduce(_ max _).toLong

@@ -11,18 +11,7 @@ import graft.streaming.Sessionize
 /** Sessionization + source-format roundtrip queries. */
 object PipelineQueries {
 
-  private def tmpDir(tag: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
-    // deleteOnExit never removes a non-empty directory — clean recursively
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(d.toFile)
-    }, s"graft-tmp-clean-$tag"))
-    d.toString
-  }
+  private def tmpDir(tag: String): String = QueryTmp.dir(tag)
 
   /** Staged file-source directory for sj1, one per data dir (the file
     * source requires a directory; staged once, re-streamed per run).
