@@ -45,14 +45,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to a
-    // real timestamp via integer division (ns beyond 2^53 would lose
-    // precision through a double).
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize the `ts` column to a session-zoned TIMESTAMP regardless of
+    * how the driver encoded it on disk. Type-driven, so it works on every
+    * encoding the testdata has shipped with (and on streaming frames):
+    *  - TIMESTAMP(NANOS) arrives as long under nanosAsLong → integer-divide
+    *    to µs (a double would lose precision beyond 2^53 ns) and convert;
+    *  - timestamp[us] without a zone arrives as TIMESTAMP_NTZ → cast under
+    *    the UTC session, matching the DuckDB oracle's reading;
+    *  - already-zoned TIMESTAMP passes through untouched.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.foldLeft(df) {
-      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
-        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case (acc, f) if f.name == "ts" && f.dataType == LongType =>
+        acc.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case (acc, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        acc.withColumn("ts", col("ts").cast(TimestampType))
       case (acc, _) => acc
     }
   }

@@ -22,8 +22,8 @@ object StreamingDedupExample {
     raw.write.mode("append").parquet(s"$dir/in")           // full duplicate
     raw.limit(100).write.mode("append").parquet(s"$dir/in") // partial triplicate
 
-    val stream = spark.readStream.schema(raw.schema).parquet(s"$dir/in")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(raw.schema).parquet(s"$dir/in"))
     val q = Telemetry.dedupStream(stream, "event_id", "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("deduped")
       .start()

@@ -162,17 +162,15 @@ object PipelineQueries {
       val streamDir = streamStage.synchronized {
         streamStage.getOrElseUpdate(dir, {
           val d = tmpDir("sjoin-src")
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(s"$dir/events.parquet"),
-            java.nio.file.Paths.get(d, "events.parquet"))
+          QueryTmp.stageParquet(s"$dir/events.parquet", d, "events.parquet")
           d
         })
       }
-      // stream with the RAW parquet schema (ts is INT64 nanos on disk);
-      // apply the same ns→µs conversion Tables.load does
+      // stream with the RAW parquet schema; normalize ts with the same
+      // type-driven branch Tables.load uses (the on-disk encoding has
+      // changed across driver regenerations — nanos-as-long, then µs NTZ)
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def evStream = s.readStream.schema(rawSchema).parquet(streamDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      def evStream = Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(streamDir))
       val errors = evStream.filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"), col("event_id"))
       val clicks = evStream.filter(col("event_type") === "click")
@@ -208,16 +206,13 @@ object PipelineQueries {
         dedupStage.getOrElseUpdate(dir, {
           val d = tmpDir("sdedup-src")
           Seq("a", "b").foreach { n =>
-            java.nio.file.Files.copy(
-              java.nio.file.Paths.get(s"$dir/events.parquet"),
-              java.nio.file.Paths.get(d, s"$n.parquet"))
+            QueryTmp.stageParquet(s"$dir/events.parquet", d, s"$n.parquet")
           }
           d
         })
       }
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = s.readStream.schema(rawSchema).parquet(stage)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val ev = Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(stage))
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count (see sj1)
       try {

@@ -6,7 +6,30 @@ package graft.queries
   * + 2 timed) — without the hook every run would strand parquet copies
   * in /tmp.
   */
-private[queries] object QueryTmp {
+private[graft] object QueryTmp {
+
+  /** Copy a parquet source into a staging dir, tolerating both layouts
+    * the driver has shipped: a single `.parquet` FILE (copied as-is) or a
+    * directory-shaped dataset (part-files copied flat, so the streaming
+    * file source lists them as individual inputs). `_`-prefixed and
+    * `.crc` bookkeeping files are skipped.
+    */
+  def stageParquet(src: String, dstDir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val s = Paths.get(src)
+    if (Files.isDirectory(s)) {
+      val it = Files.list(s)
+      try {
+        it.iterator().forEachRemaining { p =>
+          val fn = p.getFileName.toString
+          if (!fn.startsWith("_") && !fn.startsWith(".") && Files.isRegularFile(p))
+            Files.copy(p, Paths.get(dstDir, s"$name-$fn")): Unit
+        }
+      } finally it.close()
+    } else {
+      Files.copy(s, Paths.get(dstDir, name)): Unit
+    }
+  }
 
   def dir(tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")

@@ -183,8 +183,8 @@ class FacadeCoverageSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       streamDir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
       .select(col("user_id"), col("ts"), col("value")).as[Sessionize.SessionEvent]
     val q = Sessionize.sessionsStream(stream, 30, "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("sess")

@@ -118,8 +118,8 @@ class StreamingMultimodalSpec extends SparkSuite {
       .write.mode("overwrite").parquet(dupDir.toString + "/a")
     spark.read.parquet(s"$sf0001/events.parquet").limit(200)
       .write.mode("append").parquet(dupDir.toString + "/a")
-    val stream = spark.readStream.schema(rawSchema).parquet(dupDir.toString + "/a")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dupDir.toString + "/a"))
     val q = graft.streaming.Telemetry.dedupStream(stream, "event_id", "1 hour")
       .writeStream.outputMode("append").format("memory").queryName("dedup")
       .start()
@@ -143,12 +143,11 @@ class StreamingMultimodalSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       streamDir.resolve("events.parquet"))
-    // stream with the RAW parquet schema (ts is INT64 nanos on disk);
-    // apply the same ns→µs conversion Tables.load does
+    // stream with the RAW parquet schema; normalize ts with the same
+    // type-driven branch Tables.load uses
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
     val q = Telemetry.slidingStatsStream(stream, "6 hours", "3 hours", "10 minutes")
       .writeStream.outputMode("append").format("memory").queryName("tele")
       .trigger(Trigger.ProcessingTime("1 second"))
@@ -188,8 +187,8 @@ class StreamingMultimodalSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       streamDir.resolve("events.parquet"))
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    def evStream = spark.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def evStream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString))
     val errorsS = evStream.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id"))
     val clicksS = evStream.filter(col("event_type") === "click")
