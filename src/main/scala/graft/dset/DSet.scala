@@ -659,6 +659,12 @@ object DSet {
     def parallelMapByValue[V1](parallelism: Int = 8)(f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
       dset.parallelMap(parallelism)(kv => (kv._1, f(kv._2)))
 
+    /** Async-workflow alias of [[parallelMapByValue]] (reference
+      * `DKV.fs:185-189`, `asyncMapByValue`).
+      */
+    def asyncMapByValue[V1](parallelism: Int = 8)(f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
+      parallelMapByValue(parallelism)(f)
+
     /** 3-stage group-by-key — in Spark a declarative `groupByKey` whose
       * partial aggregation Catalyst handles (reference `DKV.fs:99-126`;
       * the reference shuffles full value lists, we get map-side combine

@@ -272,6 +272,58 @@ object FacadeQueries {
         ("reduce_max", redMax)), 1).ds.toDF("action", "v")
     },
 
+    // Residual facade operators under the driver hash (closing the last
+    // spec-only §2 rows): initS's uniform partition sizes (reference
+    // `DSetGenerics.fs:651-672`), identityOp pass-through
+    // (`DSetGenerics.fs:996-1004`), repartitionP / repartitionPByKey with
+    // EXACT user-partition-function semantics (`DSetGenerics.fs:1364-1388`,
+    // `DKV.fs:54-70`) — mapi captures the RUNTIME partition index after the
+    // shuffle, and the oracle recomputes `key mod n` arithmetically, so a
+    // row routed anywhere but partFunc(key) fails the hash —
+    // crossJoinChoose theta join (`DSetGenerics.fs:1670-1693`),
+    // asyncMapByValue (`DKV.fs:185-189`), cacheInMemory reuse across two
+    // sibling actions (`DSetGenerics.fs:1185-1234`), and the toArray
+    // client materialize (reference `localIter`, `DSetGenerics.fs:485-507`)
+    // re-distributed with client-side ranks.
+    "fx14_facade_residuals" -> { (s, dir) =>
+      import s.implicits._
+      import graft.dset.DSet.{CrossOps, KVOps}
+      val sup = new DSet(Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey")).as[Long]).identityOp.cacheInMemory()
+      // initS: 4 partitions × 25 rows each, positions deterministic
+      val gInit = DSet.initS[(String, Long, Long)](s, 4, 25)(
+        (pi, ser) => ("init_s", pi.toLong, ser))
+      // repartitionP: route by k mod 5, then read back the runtime
+      // partition index — must equal the partFunc value exactly
+      val gRepP = sup.repartitionP(5)(k => (k % 5).toInt)
+        .mapi((pi, _, k) => ("repart_p", k, pi.toLong))
+      // repartitionPByKey on (k, 2k) pairs routed by k mod 7
+      val gRepPK = sup.map(k => (k, k * 2))
+        .repartitionPByKey(7)(k => (k % 7).toInt)
+        .mapi((pi, _, kv) => ("repart_pk", kv._1, pi.toLong))
+      // asyncMapByValue triples the value concurrently, keys untouched
+      val gAsync = sup.map(k => (k, k * 2))
+        .asyncMapByValue(4)(_ * 3)
+        .map(kv => ("async_v", kv._1, kv._2))
+      // crossJoinChoose: bounded theta join a < b over two small slices
+      val loA = sup.filter(_ <= 10)
+      val loB = sup.filter(_ <= 14)
+      val gCross = loA.crossJoinChoose(loB)((a, b) =>
+        if (a < b) Some(("cross_lt", a, b)) else None)
+      // cacheInMemory reuse: two independent actions over the SAME cached
+      // evaluation — count and fold-sum — both land under the hash
+      val gCache = DSet.distribute(s, Seq(
+        ("cache_n", 0L, sup.count()),
+        ("cache_sum", 0L, sup.fold(0L)(_ + _, _ + _))), 1)
+      // toArray (localIter): client-side materialize, rank assigned on the
+      // client, re-distributed
+      val arr = sup.toArray.sorted
+      val gArr = DSet.distribute(s,
+        arr.toSeq.zipWithIndex.map { case (k, i) => ("to_array", i.toLong, k) }, 2)
+      gInit.merge(gRepP, gRepPK, gAsync, gCross, gCache, gArr)
+        .ds.toDF("tag", "k", "v")
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -366,6 +418,26 @@ object FacadeQueries {
          UNION ALL SELECT 'lazy_rows', count(*)::BIGINT FROM nation
          UNION ALL SELECT 'monitor_rows', count(*)::BIGINT FROM nation
          UNION ALL SELECT 'reduce_max', max(n_nationkey)::BIGINT FROM nation""",
+    "fx14_facade_residuals" ->
+      """SELECT 'init_s' AS tag, p.pi::BIGINT AS k, s.ser::BIGINT AS v
+           FROM range(4) p(pi) CROSS JOIN range(25) s(ser)
+         UNION ALL
+         SELECT 'repart_p', s_suppkey, (s_suppkey % 5)::BIGINT FROM supplier
+         UNION ALL
+         SELECT 'repart_pk', s_suppkey, (s_suppkey % 7)::BIGINT FROM supplier
+         UNION ALL
+         SELECT 'async_v', s_suppkey, (s_suppkey * 6)::BIGINT FROM supplier
+         UNION ALL
+         SELECT 'cross_lt', a.s_suppkey, b.s_suppkey
+           FROM supplier a CROSS JOIN supplier b
+           WHERE a.s_suppkey <= 10 AND b.s_suppkey <= 14 AND a.s_suppkey < b.s_suppkey
+         UNION ALL
+         SELECT 'cache_n', 0::BIGINT, count(*)::BIGINT FROM supplier
+         UNION ALL
+         SELECT 'cache_sum', 0::BIGINT, sum(s_suppkey)::BIGINT FROM supplier
+         UNION ALL
+         SELECT 'to_array', (row_number() OVER (ORDER BY s_suppkey) - 1)::BIGINT, s_suppkey
+           FROM supplier""",
     "fx8_async_kv_outer" ->
       """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
               lower(c_mktsegment) AS segment
