@@ -324,6 +324,32 @@ object FacadeQueries {
         .ds.toDF("tag", "k", "v")
     },
 
+    // foldWithCommonStatePerNode under the driver hash (reference
+    // `DSetGenerics.fs:392-433` with the node-shared state of
+    // `DSetGenerics.fs:410-411`): every task on a JVM folds into ONE
+    // shared histogram (per-returnflag count + quantized-quantity sum —
+    // Long adds, so the aggregate is order- and partitioning-insensitive),
+    // node states merge on the driver, and the result must equal a plain
+    // GROUP BY. An element folded twice (retry without the claim guard),
+    // dropped (lost snapshot), or a torn snapshot all shift a count/sum.
+    "fx15_node_state_fold" -> { (s, dir) =>
+      import s.implicits._
+      val li = new DSet(Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)])
+      val agg = li.foldWithCommonStatePerNode(() => Map.empty[String, (Long, Long)])(
+        (m, t) => {
+          val cur = m.getOrElse(t._1, (0L, 0L))
+          m.updated(t._1, (cur._1 + 1L, cur._2 + math.round(t._2 * 100)))
+        },
+        (a, b) => b.foldLeft(a) { case (acc, (k, v)) =>
+          val cur = acc.getOrElse(k, (0L, 0L))
+          acc.updated(k, (cur._1 + v._1, cur._2 + v._2))
+        })
+      DSet.distribute(s,
+        agg.toSeq.map { case (k, (n, sum)) => (k, n, sum) }.sortBy(_._1), 1)
+        .ds.toDF("l_returnflag", "n", "qty_c")
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -418,6 +444,10 @@ object FacadeQueries {
          UNION ALL SELECT 'lazy_rows', count(*)::BIGINT FROM nation
          UNION ALL SELECT 'monitor_rows', count(*)::BIGINT FROM nation
          UNION ALL SELECT 'reduce_max', max(n_nationkey)::BIGINT FROM nation""",
+    "fx15_node_state_fold" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+           sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c
+         FROM lineitem GROUP BY l_returnflag""",
     "fx14_facade_residuals" ->
       """SELECT 'init_s' AS tag, p.pi::BIGINT AS k, s.ser::BIGINT AS v
            FROM range(4) p(pi) CROSS JOIN range(25) s(ser)
