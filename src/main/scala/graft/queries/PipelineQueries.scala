@@ -292,6 +292,21 @@ object PipelineQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     },
 
+    // importN-parity dial (reference `DSetGenerics.fs:788-836`, the
+    // N-delegate-calls-per-node variant): the same two endpoints are
+    // each split into 3 input partitions via the slice protocol
+    // (server-acked post-filter row slicing; RpcSourceSpec also proves
+    // the client-side fallback against a legacy service). 6 tasks dial
+    // in parallel; the slices must be disjoint and exhaustive — a row
+    // duplicated across slices or lost between them shifts the counts.
+    "rp3_rpc_importn" -> { (s, dir) =>
+      val Seq(p1, p2) = fixturePorts(s, dir)
+      graft.sources.RpcSource.readRpc(s, Seq(s"localhost:$p1", s"localhost:$p2"),
+        "doc_id BIGINT, lang STRING, n_chars BIGINT", "docs", partitionsPerEndpoint = 3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     // Facade zip alignment under the driver hash (reference mix/map2,
     // `DSetGenerics.fs:1558-1643`): one cached parent forks into two
     // projections (split2) that zip back positionally (map2). Both ids
@@ -406,6 +421,9 @@ object PipelineQueries {
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
          SELECT vec_id, round(sqrt(list_dot_product(v, v)), 6) AS norm FROM ed""",
     "rp1_rpc_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY lang""",
+    "rp3_rpc_importn" ->
       """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
          FROM documents GROUP BY lang""",
     "rp2_rpc_filtered" ->

@@ -219,10 +219,21 @@ object RpcSource {
     */
   def readRpc(spark: SparkSession, endpoints: Seq[String], schemaDdl: String,
       contract: String): DataFrame =
+    readRpc(spark, endpoints, schemaDdl, contract, partitionsPerEndpoint = 1)
+
+  /** [[readRpc]] with N input partitions per endpoint (reference
+    * `importN`, `DSetGenerics.fs:788-836`): each endpoint's contract
+    * stream is split into `partitionsPerEndpoint` disjoint slices, one
+    * executor task each — a big shard behind one endpoint parallelizes
+    * without re-sharding the service.
+    */
+  def readRpc(spark: SparkSession, endpoints: Seq[String], schemaDdl: String,
+      contract: String, partitionsPerEndpoint: Int): DataFrame =
     spark.read.format(classOf[RpcDataSource].getName)
       .option("endpoints", endpoints.mkString(","))
       .option("contract", contract)
       .option("schema", schemaDdl)
+      .option("partitionsPerEndpoint", partitionsPerEndpoint.toString)
       .load()
 
   /** Minimal contract-answering service for demos/tests (the counterpart
@@ -261,6 +272,39 @@ object RpcSource {
     handle
   }
 
+  /** Parse the slice conjunct (`slice <b64("i/n")> -`) out of a filter
+    * token, if present and well-formed.
+    */
+  private[sources] def parseSlice(filterTok: String): Option[(Int, Int)] =
+    filterTok.split('\t').iterator.filter(_.nonEmpty)
+      .collectFirst { case c if c.startsWith(s"$SliceOp ") =>
+        c.split(" ", 3) match {
+          case Array(_, tok, _) => unb64(tok).flatMap { s =>
+            s.split("/") match {
+              case Array(i, n) =>
+                try {
+                  val (ii, nn) = (i.toInt, n.toInt)
+                  if (nn > 0 && ii >= 0 && ii < nn) Some((ii, nn)) else None
+                } catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }
+          case _ => None
+        }
+      }.flatten
+
+  /** Wire op for the partitions-per-endpoint slice request (reference
+    * `importN`, `DSetGenerics.fs:788-836` — N delegate calls per node,
+    * each producing its own partition). A legacy service treats the
+    * conjunct as vacuously true (unknown column in [[rowPredicate]]) and
+    * streams everything — the reader detects the missing `OK SLICE` ack
+    * and falls back to client-side slicing, so correctness never depends
+    * on the service generation.
+    */
+  private[sources] val SliceOp = "slice"
+
+  private[sources] def sliceConjunct(i: Int, n: Int): String = s"$SliceOp ${b64(s"$i/$n")} -"
+
   private def answer(sock: Socket, contracts: Map[String, RpcContract], handle: RpcServer): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
@@ -278,13 +322,20 @@ object RpcSource {
       val name = tokens(1)
       val colsTok = if (tokens.length > 2) tokens(2).trim else "*"
       val filterTok = if (tokens.length > 3) tokens(3) else ""
+      // slice partitions the POST-filter row stream; acknowledged in the
+      // status line so the reader knows server-side slicing happened
+      val slice = parseSlice(filterTok)
+      val ok = slice.map { case (i, n) => s"OK SLICE $i/$n" }.getOrElse("OK")
       contracts.get(name) match {
-        case None => writeLine("OK") // not our contract: zero rows
+        case None => writeLine(ok) // not our contract: zero rows
         case Some(c) =>
           val keep = rowPredicate(filterTok, c.columns)
+          var kept = 0L
+          def mine(r: Seq[String]): Boolean =
+            keep(r) && { val k = kept; kept += 1; slice.forall { case (i, n) => k % n == i } }
           if (colsTok == "-") { // row markers only (fully pruned scan)
-            writeLine("OK")
-            c.rows.foreach(r => if (keep(r)) writeLine(""))
+            writeLine(ok)
+            c.rows.foreach(r => if (mine(r)) writeLine(""))
           } else {
             val want = if (colsTok == "*") c.columns else colsTok.split(",").toSeq
             val idx = want.map(w => w -> c.columns.indexOf(w))
@@ -293,10 +344,10 @@ object RpcSource {
                 writeLine(s"ERR unknown column '$missing' in contract '$name' " +
                   s"(has: ${c.columns.mkString(", ")})")
               case None =>
-                writeLine("OK")
+                writeLine(ok)
                 val ix = idx.map(_._2).toArray
                 c.rows.foreach { r =>
-                  if (keep(r)) writeLine(ix.map(j => escapeField(r(j))).mkString("\t"))
+                  if (mine(r)) writeLine(ix.map(j => escapeField(r(j))).mkString("\t"))
                 }
             }
           }
@@ -344,29 +395,33 @@ private[sources] class RpcScanBuilder(full: StructType, options: CaseInsensitive
       throw new IllegalArgumentException("rpc source requires an 'endpoints' option"))
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     val contract = Option(options.get("contract")).getOrElse("")
+    val ppe = Option(options.get("partitionsPerEndpoint")).map(_.toInt).getOrElse(1)
+    require(ppe >= 1, s"partitionsPerEndpoint must be >= 1, got $ppe")
     // session timezone captured at plan time: executors must parse wire
     // timestamp text the way every Spark text source does — in the
     // SESSION zone, not the executor JVM's default (which can differ)
     val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
     new RpcScan(required, eps, contract, tz,
-      pushed.toSeq.flatMap(RpcSource.encodeFilter))
+      pushed.toSeq.flatMap(RpcSource.encodeFilter), ppe)
   }
 }
 
 private[sources] class RpcScan(required: StructType,
     endpoints: Seq[String], contract: String, timeZone: String,
-    wireFilters: Seq[String]) extends Scan with Batch {
+    wireFilters: Seq[String], partitionsPerEndpoint: Int = 1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_rpc contract=$contract endpoints=${endpoints.size} filters=${wireFilters.size}"
+    s"graft_rpc contract=$contract endpoints=${endpoints.size} " +
+      s"filters=${wireFilters.size} ppe=$partitionsPerEndpoint"
   override def planInputPartitions(): Array[InputPartition] =
-    endpoints.map { ep =>
+    endpoints.flatMap { ep =>
       val i = ep.lastIndexOf(':')
       val port = if (i > 0) scala.util.Try(ep.substring(i + 1).toInt).toOption else None
       port match {
         case Some(p) if p > 0 && p <= 65535 =>
-          RpcInputPartition(ep.substring(0, i), p): InputPartition
+          (0 until partitionsPerEndpoint).map(si =>
+            RpcInputPartition(ep.substring(0, i), p, si, partitionsPerEndpoint): InputPartition)
         case _ => throw new IllegalArgumentException(
           s"rpc source: malformed endpoint '$ep' — expected host:port")
       }
@@ -375,19 +430,22 @@ private[sources] class RpcScan(required: StructType,
     new RpcReaderFactory(required, contract, timeZone, wireFilters)
 }
 
-private[sources] case class RpcInputPartition(host: String, port: Int) extends InputPartition
+private[sources] case class RpcInputPartition(host: String, port: Int,
+    sliceIdx: Int = 0, sliceN: Int = 1) extends InputPartition
 
 private[sources] class RpcReaderFactory(required: StructType,
     contract: String, timeZone: String, wireFilters: Seq[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RpcInputPartition]
-    new RpcPartitionReader(p.host, p.port, required, contract, timeZone, wireFilters)
+    new RpcPartitionReader(p.host, p.port, required, contract, timeZone, wireFilters,
+      p.sliceIdx, p.sliceN)
   }
 }
 
 private[sources] class RpcPartitionReader(host: String, port: Int,
     required: StructType, contract: String, timeZone: String,
-    wireFilters: Seq[String]) extends PartitionReader[InternalRow] {
+    wireFilters: Seq[String], sliceIdx: Int = 0, sliceN: Int = 1)
+    extends PartitionReader[InternalRow] {
   private def ctx = s"rpc $host:$port contract '$contract'"
 
   private val socket = {
@@ -397,12 +455,18 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
     s
   }
   @volatile private var eof = false
+  // true once the service ACKED the slice request (`OK SLICE i/n`) — a
+  // legacy service streams every row and this reader slices client-side
+  @volatile private var serverSliced = false
   private val in = {
     // the request carries the PROJECTED column list — pushdown to the
-    // service; "-" asks for row markers only (count-style scans) — and
-    // the pushed filter conjuncts (rows the service drops never cross)
+    // service; "-" asks for row markers only (count-style scans) — the
+    // pushed filter conjuncts (rows the service drops never cross), and
+    // the slice conjunct when this endpoint is split into N partitions
     val colsTok = if (required.fields.isEmpty) "-" else required.fields.map(_.name).mkString(",")
-    val filterTok = if (wireFilters.isEmpty) "" else wireFilters.mkString(" ", "\t", "")
+    val conjuncts = wireFilters ++
+      (if (sliceN > 1) Seq(RpcSource.sliceConjunct(sliceIdx, sliceN)) else Nil)
+    val filterTok = if (conjuncts.isEmpty) "" else conjuncts.mkString(" ", "\t", "")
     val os = socket.getOutputStream
     os.write(s"GET $contract $colsTok$filterTok\n".getBytes(StandardCharsets.UTF_8))
     os.flush()
@@ -410,6 +474,7 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
     r.readLine() match {
       case null => eof = true // legacy/empty service: no handshake, no rows
       case "OK" => ()
+      case ok if ok.startsWith("OK SLICE ") => serverSliced = true
       case err if err.startsWith("ERR") =>
         throw new IllegalArgumentException(s"$ctx: service refused: ${err.stripPrefix("ERR").trim}")
       case other =>
@@ -418,11 +483,19 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
     r
   }
   private var row: InternalRow = _
+  private var arrived = 0L // client-side slice counter (legacy services)
 
   override def next(): Boolean = {
     if (eof) false
     else {
-      val line = in.readLine()
+      var line = in.readLine()
+      if (sliceN > 1 && !serverSliced) {
+        // legacy service: every arriving row is counted, this partition
+        // keeps arrival-index ≡ sliceIdx (mod sliceN) — same assignment
+        // a slicing service computes on its post-filter stream
+        while (line != null && arrived % sliceN != sliceIdx) { arrived += 1; line = in.readLine() }
+        if (line != null) arrived += 1
+      }
       if (line == null) false
       else { row = parse(line); true }
     }

@@ -248,6 +248,64 @@ class RpcSourceSpec extends SparkSuite {
     }
   }
 
+  test("partitionsPerEndpoint: N disjoint exhaustive slices per endpoint (importN parity)") {
+    val rows = (1L to 20L).map(i => (i, s"n$i", i * 0.5, i % 2 == 0))
+    val srv = RpcSource.serve(0, Map("t" -> contract(rows)))
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), ddl, "t",
+        partitionsPerEndpoint = 3)
+      assert(rpc.rdd.getNumPartitions == 3, "one endpoint split into 3 input partitions")
+      // disjoint + exhaustive: union of slices == the contract, exactly
+      assert(rpc.collect().map(_.getLong(0)).sorted.toSeq == (1L to 20L))
+      // the service acked and did the slicing: each request carries a
+      // slice conjunct, and total bytes sent ≈ one copy of the data
+      import scala.jdk.CollectionConverters._
+      val reqs = srv.requests.asScala.toSeq
+      assert(reqs.count(_.contains("slice ")) == 3, s"3 sliced dials, got: $reqs")
+    } finally srv.close()
+  }
+
+  test("partitionsPerEndpoint composes with pushed filters (slice is post-filter)") {
+    val rows = (1L to 30L).map(i => (i, s"n$i", i * 1.0, true))
+    val srv = RpcSource.serve(0, Map("t" -> contract(rows)))
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${srv.port}"), ddl, "t",
+        partitionsPerEndpoint = 4)
+        .filter(col("id") > 10L)
+      assert(rpc.collect().map(_.getLong(0)).sorted.toSeq == (11L to 30L))
+    } finally srv.close()
+  }
+
+  test("legacy service without slice support: reader slices client-side, exactly") {
+    // a minimal legacy responder: answers plain OK and streams EVERY row,
+    // ignoring all filter conjuncts (the pre-slice-protocol generation)
+    val rows = (1L to 17L).map(i => Seq(i.toString, s"n$i", (i * 0.5).toString, "true"))
+    val server = new java.net.ServerSocket(0)
+    @volatile var stop = false
+    val t = new Thread(() => {
+      while (!stop) {
+        try {
+          val sock = server.accept()
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+          in.readLine() // request, ignored beyond consuming it
+          val os = sock.getOutputStream
+          val payload = ("OK\n" + rows.map(_.mkString("\t")).mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          os.write(payload); os.flush(); sock.close()
+        } catch { case _: Exception => () }
+      }
+    }, "legacy-rpc-fixture")
+    t.setDaemon(true); t.start()
+    try {
+      val rpc = RpcSource.readRpc(spark, Seq(s"localhost:${server.getLocalPort}"), ddl, "t",
+        partitionsPerEndpoint = 3)
+      assert(rpc.rdd.getNumPartitions == 3)
+      assert(rpc.collect().map(_.getLong(0)).sorted.toSeq == (1L to 17L),
+        "client-side fallback must keep slices disjoint and exhaustive")
+    } finally { stop = true; server.close() }
+  }
+
   test("malformed endpoints fail with a clear validation error") {
     val ex = intercept[Exception] {
       RpcSource.readRpc(spark, Seq("localhost9000"), ddl, "t").collect()
