@@ -90,7 +90,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-2 after warm-up; failed queries report -1 and are excluded from total (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady entries"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-2 after warm-up; failed queries report -1 and are excluded from total (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady entries"}"""
+    println(line)
+    // Persist the full per-query map too — stdout tails get truncated in
+    // round artifacts, making totals unauditable; the file keeps every
+    // timing (SPARK_GRAFT_BENCH_OUT overrides the default location).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }
