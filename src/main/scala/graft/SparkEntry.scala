@@ -19,7 +19,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++ graft.queries.MultimodalQueries.queries ++
       graft.queries.PipelineQueries.queries ++ graft.queries.CurationQueries.queries ++
-      graft.queries.FacadeQueries.queries
+      graft.queries.FacadeQueries.queries ++ graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
@@ -28,5 +28,5 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++ graft.queries.MultimodalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++ graft.queries.CurationQueries.oracles ++
-      graft.queries.FacadeQueries.oracles
+      graft.queries.FacadeQueries.oracles ++ graft.queries.SketchQueries.oracles
 }

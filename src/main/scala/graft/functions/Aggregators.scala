@@ -70,6 +70,45 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[V]] = seqEnc
   }
 
+  /** Misra-Gries heavy-hitters summary: a bounded (≤ k entries) counter
+    * map whose partial aggregates merge correctly, so candidate
+    * generation runs as map-side combine with NO (key, item) shuffle —
+    * the shuffle carries ≤ k counters per group per partition. Guarantee:
+    * every item with true frequency > N/(k+1) survives to the candidate
+    * set (with under-counted estimates); the scale pattern is
+    * candidates → exact recount of candidates only (sk3), which at
+    * 100 TB replaces a full (group, item) aggregation with a bounded
+    * sketch pass plus a broadcast-filtered recount.
+    */
+  class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+    require(k > 0, s"MisraGriesAgg needs k > 0, got $k")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
+      m.get(x) match {
+        case Some(c) => m.updated(x, c + 1)
+        case None if m.size < k => m.updated(x, 1L)
+        case None => // decrement-all step: drop zeros, x is absorbed
+          m.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-th largest count from all, keep positives —
+        // the standard mergeable-summaries reduction to ≤ k entries
+        val thresh = sum.valuesIterator.toArray.sortBy(-_).apply(k)
+        sum.flatMap { case (t, c) => if (c > thresh) Some(t -> (c - thresh)) else None }
+      }
+    }
+    override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Per-group MinHash signature: element-wise min of row signatures —
     * a mergeable sketch aggregator (grouped near-dup sketching at scale).
     */
