@@ -260,6 +260,18 @@ final class DSet[U](val ds: Dataset[U]) {
     */
   def cacheInMemory(): DSet[U] = new DSet(ds.persist(StorageLevel.MEMORY_ONLY))
 
+  /** Cross-session variant of [[cacheInMemory]] — the reference's caches
+    * live in the CONTAINER and survive the driver session (reference
+    * `DSetGenerics.fs:1185-1234`, `cache.fs:294-477`; paper §4.9), which
+    * `persist()` cannot emulate. Attaches this DSet's plan to the
+    * plan-fingerprint-keyed parquet cache under `cacheDir`: the first
+    * session computes and publishes, any later session declaring the same
+    * plan re-attaches without recomputing. See
+    * [[graft.sources.PlanCache]].
+    */
+  def cacheAcrossSessions(cacheDir: String)(implicit e: Encoder[U]): DSet[U] =
+    new DSet(graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir).as[U])
+
   // ---- aggregations & actions (reference §2.6) ----
 
   /** Per-partition fold + cross-partition aggregation (reference

@@ -350,6 +350,44 @@ object FacadeQueries {
         .ds.toDF("l_returnflag", "n", "qty_c")
     },
 
+    // Cross-session container cache (reference `DSetGenerics.fs:
+    // 1185-1234`, `cache.fs:294-477`; paper §4.9): the reference's cached
+    // partitions live in the container and SURVIVE the driver session —
+    // a new client re-attaches instead of recomputing. Here the same
+    // declarative plan is attached through `cacheAcrossSessions` twice:
+    // cold from the building session (computes + publishes), then warm
+    // from a NEW SparkSession (fresh session state — the "new driver"
+    // analog) which must re-attach by plan fingerprint alone. The
+    // aggregate is computed from the WARM attach, so the output only
+    // matches the oracle if the published artifact holds the right rows;
+    // the contract booleans pin the miss→hit transition (a cache that
+    // recomputes every time, or one that hits on a never-written key,
+    // flips a boolean and fails the hash). The plan is Column-only —
+    // no typed lambdas — so its canonicalized fingerprint is identical
+    // across sessions.
+    "fx16_cross_session_cache" -> { (s, dir) =>
+      import graft.sources.PlanCache
+      val cacheDir = QueryTmp.dir("plancache")
+      def attach(sess: SparkSession) = {
+        import sess.implicits._
+        new DSet(Tables.load(sess, dir, "orders")
+          .select(col("o_orderstatus").as("status"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .as[(String, Long)])
+          .cacheAcrossSessions(cacheDir)
+      }
+      attach(s)
+      val coldMiss = PlanCache.lastOutcome == PlanCache.Miss
+      val s2 = s.newSession()
+      val warm = attach(s2)
+      val warmHit = PlanCache.lastOutcome == PlanCache.Hit
+      warm.ds.toDF("status", "cents")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("cold_miss", lit(coldMiss))
+        .withColumn("warm_hit", lit(warmHit))
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -468,6 +506,11 @@ object FacadeQueries {
          UNION ALL
          SELECT 'to_array', (row_number() OVER (ORDER BY s_suppkey) - 1)::BIGINT, s_suppkey
            FROM supplier""",
+    "fx16_cross_session_cache" ->
+      """SELECT o_orderstatus AS status, count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+           true AS cold_miss, true AS warm_hit
+         FROM orders GROUP BY o_orderstatus""",
     "fx8_async_kv_outer" ->
       """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
               lower(c_mktsegment) AS segment

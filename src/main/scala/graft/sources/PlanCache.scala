@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+
+/** Cross-session container cache — the Spark-native analog of the
+  * reference's container-resident partition caches (reference
+  * `src/CoreLib/DSetGenerics.fs:1185-1234` `cacheInMemory` attach,
+  * `src/CoreLib/cache.fs:294-477` `PartitionCacheEnumerable`; paper §4.9):
+  * there, cached partitions live in the remote container's `CacheTracker`
+  * and SURVIVE the driver session, so a new client re-attaches to them
+  * instead of recomputing. Spark's `persist()` dies with the
+  * `SparkContext`, so the surviving layer here is a parquet
+  * materialization keyed by a fingerprint of the ANALYZED CANONICALIZED
+  * logical plan plus the input file set: any session that declares the
+  * same computation over the same inputs derives the same key and
+  * re-attaches to the published result with a plain columnar scan
+  * (column-pruned, partition-parallel) instead of re-running the plan.
+  *
+  * Scale notes (100 TB): `cacheDir` would be a shared filesystem path
+  * (HDFS/DBFS); the publish step relies on atomic directory rename, which
+  * HDFS provides. On rename-less object stores the `_SUCCESS`-marker check
+  * below is still the commit point — writers targeting the same key write
+  * the same bytes, so a double publish is idempotent, not corrupt. The
+  * cached artifact is plain parquet: readers get predicate pushdown and
+  * column pruning ON TOP of the cache, which the reference's opaque
+  * serialized partition blobs cannot offer.
+  *
+  * Staleness contract (same as the reference's): the key covers the plan
+  * and the input FILE LIST, not file contents — an in-place overwrite of
+  * an input file requires an explicit [[invalidate]], exactly as a
+  * reference container cache survives until decached.
+  */
+object PlanCache {
+
+  sealed trait Outcome
+  case object Hit extends Outcome
+  case object Miss extends Outcome
+
+  /** Outcome of the most recent [[readThrough]] on this JVM — observable
+    * for specs and for the fx16 contract columns.
+    */
+  @volatile private var last: Outcome = Miss
+  def lastOutcome: Outcome = last
+
+  /** Session-independent cache key: SHA-256 over the canonicalized
+    * analyzed plan (expression IDs normalized, so two sessions building
+    * the same query agree), the sorted input file list (two same-shaped
+    * plans over different tables must not collide), and the result schema.
+    */
+  def fingerprint(df: DataFrame): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    def put(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
+    put(df.queryExecution.analyzed.canonicalized.treeString)
+    put(df.inputFiles.sorted.mkString("\n"))
+    put(df.schema.json)
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
+  /** Attach to the cross-session cache: if a published result for this
+    * plan exists under `cacheDir`, read it (no recompute — the reference's
+    * warm re-attach); otherwise compute once, publish atomically, and read
+    * the published copy so every consumer sees identical bytes.
+    */
+  def readThrough(df: DataFrame, cacheDir: String): DataFrame = {
+    val spark = df.sparkSession
+    val key = fingerprint(df)
+    Files.createDirectories(Paths.get(cacheDir))
+    val target = Paths.get(cacheDir, key)
+    if (isPublished(target)) last = Hit
+    else {
+      val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
+      df.write.parquet(tmp.toString)
+      publish(tmp, target)
+      last = Miss
+    }
+    spark.read.parquet(target.toString)
+  }
+
+  /** Explicit eviction (the reference's decache). Returns true if a
+    * published entry existed.
+    */
+  def invalidate(df: DataFrame, cacheDir: String): Boolean = {
+    val target = Paths.get(cacheDir, fingerprint(df))
+    val existed = isPublished(target)
+    if (Files.exists(target)) deleteTree(target)
+    existed
+  }
+
+  private def isPublished(target: Path): Boolean =
+    Files.exists(target.resolve("_SUCCESS"))
+
+  /** Atomic rename commit; on a concurrent publish keep the winner and
+    * discard our copy (both hold identical bytes by construction).
+    */
+  private def publish(tmp: Path, target: Path): Unit =
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e @ (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException) =>
+        deleteTree(tmp)
+        if (!isPublished(target)) throw e
+    }
+
+  private def deleteTree(p: Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(p.toFile)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.PlanCache
+
+/** Cross-session container cache (reference `DSetGenerics.fs:1185-1234`,
+  * `cache.fs:294-477`; paper §4.9): plan-fingerprint-keyed parquet
+  * materialization that survives the driver session.
+  */
+class PlanCacheSpec extends SparkSuite {
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def ordersAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  test("miss then hit, identical results, stable fingerprint across sessions") {
+    val cacheDir = tmpDir("pc")
+    val df = ordersAgg(spark, sf0001)
+    val cold = PlanCache.readThrough(df, cacheDir).collect().sortBy(_.getString(0))
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+
+    // a NEW session (fresh session state — the reference's new-driver
+    // analog) re-declares the same plan: fingerprint must agree and the
+    // attach must be a hit
+    val s2 = spark.newSession()
+    val df2 = ordersAgg(s2, sf0001)
+    assert(PlanCache.fingerprint(df) == PlanCache.fingerprint(df2))
+    val warm = PlanCache.readThrough(df2, cacheDir).collect().sortBy(_.getString(0))
+    assert(PlanCache.lastOutcome == PlanCache.Hit)
+    assert(cold.map(_.toString).toSeq == warm.map(_.toString).toSeq)
+  }
+
+  test("warm attach never recomputes: source deleted after publish") {
+    val cacheDir = tmpDir("pc")
+    val staged = tmpDir("pc-src")
+    Tables.load(spark, sf0001, "nation").write.mode("overwrite").parquet(s"$staged/nation")
+    val df = spark.read.parquet(s"$staged/nation")
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+    val cold = PlanCache.readThrough(df, cacheDir).collect()
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+    // remove the source — a recompute would now fail at scan time
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(Paths.get(staged).toFile)
+    val warm = PlanCache.readThrough(df, cacheDir).collect()
+    assert(PlanCache.lastOutcome == PlanCache.Hit)
+    assert(warm.map(_.toString).sorted.toSeq == cold.map(_.toString).sorted.toSeq)
+  }
+
+  test("different plans and different inputs get different keys") {
+    val a = ordersAgg(spark, sf0001)
+    val b = ordersAgg(spark, sf001) // same shape, different input files
+    val c = Tables.load(spark, sf0001, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(PlanCache.fingerprint(a) != PlanCache.fingerprint(b))
+    assert(PlanCache.fingerprint(a) != PlanCache.fingerprint(c))
+  }
+
+  test("invalidate evicts: next attach recomputes") {
+    val cacheDir = tmpDir("pc")
+    val df = ordersAgg(spark, sf0001)
+    PlanCache.readThrough(df, cacheDir).count()
+    assert(PlanCache.invalidate(df, cacheDir))
+    assert(!PlanCache.invalidate(df, cacheDir)) // already gone
+    PlanCache.readThrough(df, cacheDir).count()
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+  }
+
+  test("facade cacheAcrossSessions round-trips typed rows") {
+    val cacheDir = tmpDir("pc")
+    import spark.implicits._
+    val ds = new graft.dset.DSet(Tables.load(spark, sf0001, "nation")
+      .select(col("n_nationkey"), col("n_name")).as[(Long, String)])
+    val out = ds.cacheAcrossSessions(cacheDir)
+    assert(out.toSeq.toList.sorted == ds.toSeq.toList.sorted)
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+    val again = ds.cacheAcrossSessions(cacheDir)
+    assert(PlanCache.lastOutcome == PlanCache.Hit)
+    assert(again.toSeq.toList.sorted == ds.toSeq.toList.sorted)
+  }
+}
