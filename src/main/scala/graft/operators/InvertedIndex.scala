@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted token index over a document corpus — the retrieval side of
+  * curation recon: keyword search, contamination lookups ("which training
+  * docs contain this eval phrase's tokens"), boilerplate investigation —
+  * served from a materialized postings table instead of a full corpus
+  * scan per probe.
+  *
+  * Scale shape: build is one explode + distinct-per-doc pass, written
+  * once; every subsequent search is a FILTER ON THE TOKEN COLUMN of the
+  * postings table — parquet row-group stats (or a token-bucketed layout
+  * via [[graft.sources.Bucketing]] for repeated heavy use) prune to the
+  * probed tokens, so a k-token query reads O(df(token)) postings, not
+  * O(corpus) text. The AND-semantics group count shuffles only the
+  * matching postings.
+  */
+object InvertedIndex {
+
+  /** (token, doc_id) postings, one row per DISTINCT token per doc. */
+  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** Materialize postings to `path` (the cross-run artifact) and reopen. */
+  def materialize(docs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    build(docs, idCol, textCol).write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Doc ids containing ALL of `tokens` (AND search): filter postings to
+    * the probe set, count distinct probe tokens per doc, keep full
+    * matches.
+    */
+  def searchAll(postings: DataFrame, idCol: String, tokens: Seq[String]): DataFrame = {
+    require(tokens.nonEmpty, "searchAll needs at least one token")
+    postings.filter(col("token").isin(tokens: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("token")).as("__nt"))
+      .filter(col("__nt") === tokens.length)
+      .select(col(idCol))
+  }
+
+  /** Top-k tokens by document frequency (tiebreak token asc) — the
+    * deterministic probe-selection helper the ii1 gate uses. Driver
+    * collect of k rows is the intended boundary.
+    */
+  def topTokensByDf(postings: DataFrame, k: Int): Seq[String] =
+    postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
+  /** Convenience: build-or-attach via the cross-session plan cache. */
+  def attach(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, cacheDir: String): DataFrame =
+    graft.sources.PlanCache.readThrough(build(docs, idCol, textCol), cacheDir)
+}

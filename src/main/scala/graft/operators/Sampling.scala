@@ -87,4 +87,31 @@ object Sampling {
     val thr = lit((evalFrac * Buckets).round)
     (df.filter(bucket >= thr), df.filter(bucket < thr))
   }
+
+  /** EXACTLY-k deterministic sample per group (fixed-size eval slices,
+    * per-domain quotas): the k rows with the smallest splitmix64(id)
+    * per group, doc-id tiebreak. Same auditability as [[hashSample]] —
+    * membership is a pure function of (group's id set, seed, k) — but
+    * with a hard size guarantee rate-based sampling can't give.
+    *
+    * Scale shape: a bounded top-k heap per group via
+    * [[graft.functions.Aggregators.TopKAgg]] — partial aggregation trims
+    * to k BEFORE the shuffle, so the exchange carries ≤ k rows per
+    * (partition, group) instead of the full group a window row_number
+    * would sort. Returns (groupCol, idCol) pairs; join back for payloads.
+    */
+  def reservoirPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val topk = new graft.functions.Aggregators.TopKAgg[(Long, Long)](k, ord).toColumn
+    df.select(col(groupCol).cast("string"), hashBucket(col(idCol), Buckets, seed), col(idCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(topk)
+      .toDF(groupCol, "top")
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col("t._2").as(idCol), col(groupCol))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.tokenCount
-import graft.operators.{Decontaminate, Dedup, Packing, QualityFilters, Redact, Sampling, Sharding, TfIdf}
+import graft.operators.{Decontaminate, Dedup, Packing, QualityFilters, Redact, Sampling, Sharding, TfIdf, Upsert}
 
 /** Corpus-curation queries: deterministic sampling, sequence packing,
   * boilerplate removal, TF-IDF — the data-prep stages between dedup and
@@ -40,6 +40,36 @@ object CurationQueries {
       Sampling.stratifiedHashSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
         StratRates, defaultRate = 0.0, seed = SampleSeed)
         .select(col("doc_id"), col("lang"))
+    },
+
+    // EXACTLY-k deterministic sample per group (fixed-size eval slices /
+    // per-domain quotas): k smallest splitmix64(doc_id) per language,
+    // doc-id tiebreak — a hard size guarantee rate sampling can't give,
+    // via the bounded TopKAgg heap (≤ k rows per (partition, group)
+    // cross the shuffle; a window row_number would sort every row). The
+    // oracle replays the hash chain and the (bucket, doc_id) order.
+    "s4_reservoir_per_group" -> { (s, dir) =>
+      Sampling.reservoirPerGroup(Tables.load(s, dir, "documents"),
+        "doc_id", "lang", 5, SampleSeed)
+    },
+
+    // Keyed corpus upsert (MERGE): a batch of revisions (doc_id % 10 = 7,
+    // text amended) plus inserts (shifted ids) merged into the snapshot —
+    // replaced rows take the batch version, others survive, new keys
+    // insert. Per-lang counts + char/id sums pin all three outcomes: a
+    // doc kept twice shifts n, a missed replacement shifts chars, a lost
+    // insert shifts id_sum.
+    "mg1_corpus_upsert" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val revised = docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val fresh = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val merged = Upsert.upsertByKey(docs, revised.unionByName(fresh), "doc_id")
+      merged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
     },
 
     // Deterministic train/eval split: disjoint, complete, and stable
@@ -291,6 +321,24 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "s4_reservoir_per_group" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+          r AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+                FROM h)
+          SELECT doc_id, lang FROM r WHERE rn <= 5""",
+    "mg1_corpus_upsert" ->
+      """WITH batch AS (
+           SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 10 = 3),
+         merged AS (
+           SELECT d.doc_id, d.lang, d.text FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, lang, text FROM batch)
+         SELECT lang, count(*)::BIGINT AS n, sum(len(text))::BIGINT AS chars,
+           sum(doc_id)::BIGINT AS id_sum
+         FROM merged GROUP BY lang""",
     "s2_stratified_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang FROM h

@@ -25,6 +25,25 @@ object TextQueries {
   private val frStop = "('le','les','et','est','pour','dans','que','qui','pas','vous')"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inverted-index retrieval: postings (token, doc_id) materialized to
+    // parquet and REOPENED (the search must run off the artifact, not the
+    // corpus), probe tokens chosen deterministically from the index
+    // itself (top-2 doc-frequency, token-asc tiebreak — replayed by the
+    // oracle, so the gate survives testdata regeneration), then an
+    // AND-search: docs containing both probes. At scale every search is
+    // a token-column filter over the postings table — O(df) postings
+    // read, not O(corpus) text scanned.
+    "ii1_inverted_search" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("invidx")
+      val postings = InvertedIndex.materialize(docs, "doc_id", "text", s"$idxDir/postings")
+      val probes = InvertedIndex.topTokensByDf(postings, 2)
+      InvertedIndex.searchAll(postings, "doc_id", probes)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    },
+
     // Exact dedup on document text (all-distinct at test SFs — the
     // degenerate case — but the operator is the single-shuffle groupBy).
     "d1_exact_dedup_docs" -> { (s, dir) =>
@@ -208,6 +227,19 @@ object TextQueries {
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
+    "ii1_inverted_search" ->
+      """WITH p AS (
+           SELECT DISTINCT doc_id, u.t AS token FROM (
+             SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             FROM documents), UNNEST(ts) AS u(t)),
+         top2 AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS df FROM p GROUP BY token
+             ORDER BY df DESC, token ASC LIMIT 2)),
+         hits AS (
+           SELECT doc_id FROM p JOIN top2 USING (token)
+           GROUP BY doc_id HAVING count(DISTINCT token) = 2)
+         SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "d1_exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     "d2_exact_dedup_lineitem" ->

@@ -197,4 +197,48 @@ class CurationSpec extends SparkSuite {
     assert(got.contains((1L, "other", 1)) && got.contains((2L, "other", 1)))
     assert(got.contains((0L, "common", 2)), s"zero-idf term still ranked by tiebreak: $got")
   }
+
+  // ---- exact-k per-group sampling (s4) ----
+
+  test("reservoirPerGroup returns exactly k per group, deterministic, hash-ordered") {
+    val df = (0L until 3000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val got = Sampling.reservoirPerGroup(df, "id", "g", 7).as[(Long, String)].collect()
+    assert(got.count(_._2 == "a") == 7 && got.count(_._2 == "b") == 7)
+    // membership = the k smallest (bucket, id) per group — replay on the driver
+    val expected = (0L until 3000L).groupBy(i => if (i % 2 == 0) "a" else "b")
+      .flatMap { case (g, ids) =>
+        ids.map(i => (HashFunctions.bucketOf(i, Sampling.Buckets), i))
+          .sorted.take(7).map(t => (t._2, g))
+      }.toSet
+    assert(got.toSet == expected)
+    // independent of partitioning
+    val got32 = Sampling.reservoirPerGroup(df.repartition(32), "id", "g", 7)
+      .as[(Long, String)].collect().toSet
+    assert(got32 == expected)
+  }
+
+  test("reservoirPerGroup with k larger than the group keeps the whole group") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val got = Sampling.reservoirPerGroup(df, "id", "g", 10).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (3L, "b")))
+  }
+
+  // ---- keyed upsert (mg1) ----
+
+  test("upsertByKey replaces matched keys, keeps others, inserts new ones") {
+    import graft.operators.Upsert
+    val existing = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "v")
+    val batch = Seq((2L, "new2"), (9L, "new9")).toDF("id", "v")
+    val got = Upsert.upsertByKey(existing, batch, "id").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "old1"), (2L, "new2"), (3L, "old3"), (9L, "new9")))
+  }
+
+  test("upsertByKey aligns batch columns by name, not position") {
+    import graft.operators.Upsert
+    val existing = Seq((1L, "old1", 10L)).toDF("id", "v", "w")
+    val batch = Seq((99L, 1L, "new1")).toDF("w", "id", "v") // shuffled column order
+    val got = Upsert.upsertByKey(existing, batch, "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "new1", 99L)))
+  }
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class InvertedIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "red fox jumps"),
+    (1L, "red red dog"),
+    (2L, "blue fox"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("build emits one posting per distinct token per doc, empty tokens dropped") {
+    val got = InvertedIndex.build(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (0L, "red"), (0L, "fox"), (0L, "jumps"),
+      (1L, "red"), (1L, "dog"),
+      (2L, "blue"), (2L, "fox")))
+  }
+
+  test("searchAll is AND semantics; topTokensByDf is deterministic with tiebreak") {
+    val p = InvertedIndex.build(docs, "doc_id", "text")
+    assert(InvertedIndex.topTokensByDf(p, 2) == Seq("fox", "red")) // df 2 vs 2 tie → token asc
+    assert(InvertedIndex.searchAll(p, "doc_id", Seq("red", "fox"))
+      .as[Long].collect().toSet == Set(0L))
+    assert(InvertedIndex.searchAll(p, "doc_id", Seq("fox"))
+      .as[Long].collect().toSet == Set(0L, 2L))
+    assert(InvertedIndex.searchAll(p, "doc_id", Seq("missing")).count() == 0)
+  }
+
+  test("materialize roundtrips through parquet and searches off the artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
+    val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
+    assert(p.count() == 7)
+    assert(InvertedIndex.searchAll(p, "doc_id", Seq("red", "dog"))
+      .as[Long].collect().toSet == Set(1L))
+  }
+}
