@@ -241,4 +241,30 @@ class CurationSpec extends SparkSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "new1", 99L)))
   }
+
+  // ---- plan shapes (the 100 TB arguments, asserted) ----
+
+  test("reservoirPerGroup plan: heap partials before ONE exchange, no window sort") {
+    val df = (0L until 10000L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val out = Sampling.reservoirPerGroup(df, "id", "g", 3)
+    out.collect()
+    // AQE's toString prints Final AND Initial plan — count the final only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges <= 1, s"expected at most one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"typed heap agg expected:\n$plan")
+  }
+
+  test("upsertByKey takes the broadcast anti-join path for increment-sized batches") {
+    import graft.operators.Upsert
+    val existing = spark.range(0, 50000).select(col("id"), (col("id") * 2).as("v"))
+    val batch = spark.range(0, 100).select(col("id"), lit(-1L).as("v"))
+    val merged = Upsert.upsertByKey(existing, batch, "id")
+    assert(merged.count() == 50000)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$plan")
+  }
 }
