@@ -91,6 +91,27 @@ object ScaleProbe {
         }
         println(f"[probe] ${"km_fit_kmpp"}%-24s ${t}%6.2f s")
       }
+      // --phrase: the steady-state phrase search — positional index
+      // built ONCE (the ii2 gate pays the build + the t7-class probe
+      // selection every run by design; this measures the per-query
+      // price a repeatedly-probed index serves at)
+      if (args.contains("--phrase")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+        val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+        val postings = InvertedIndex.materializePositional(docs, "doc_id", "text", s"$dir/p")
+        val top = docs
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2)).as(Seq("g", "cd")))
+          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("g").asc).limit(1)
+          .collect()(0).getString(0)
+        val t = timed {
+          InvertedIndex.searchPhrase(postings, "doc_id", top.split(" ").toSeq)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"phrase_search_steady"}%-24s ${t}%6.2f s")
+      }
       // --kmfirst: the plain first-k-init fit, --only-compatible (the
       // default-extras km_fit below doesn't run at 100×)
       if (args.contains("--kmfirst")) {

@@ -45,6 +45,42 @@ object InvertedIndex {
       .select(col(idCol))
   }
 
+  /** Positional postings (token, doc_id, pos) over the empty-filtered
+    * token sequence — the phrase-query form of [[build]]. `pos` is the
+    * 0-based index in the filtered sequence, so adjacency (`pos + 1`)
+    * means "next word".
+    */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), " "), t => length(t) > 0))
+        .as(Seq("pos", "token")))
+
+  /** Materialize positional postings to `path` and reopen. */
+  def materializePositional(docs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    buildPositional(docs, idCol, textCol).write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Doc ids containing the exact phrase — `phrase` tokens adjacent in
+    * order. Each probe filters the postings to ONE token (O(df) rows
+    * read), then adjacency folds as equi-joins on (doc, pos offset):
+    * candidate count shrinks with every join, and the corpus text is
+    * never touched.
+    */
+  def searchPhrase(postings: DataFrame, idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "searchPhrase needs at least one token")
+    val first = postings.filter(col("token") === phrase.head)
+      .select(col(idCol), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        postings.filter(col("token") === w)
+          .select(col(idCol).as("__id2"), (col("pos") - i).as("__p2")),
+        col(idCol) === col("__id2") && col("pos") === col("__p2"))
+        .select(col(idCol), col("pos"))
+    }.select(col(idCol)).distinct()
+  }
+
   /** Top-k tokens by document frequency (tiebreak token asc) — the
     * deterministic probe-selection helper the ii1 gate uses. Driver
     * collect of k rows is the intended boundary.

@@ -44,6 +44,28 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Phrase search over the POSITIONAL index: the probe phrase is the
+    // corpus's top doc-frequency bigram (chosen via the narrow
+    // tokenGramCounts map expression and replayed by the oracle, so the
+    // gate survives testdata regeneration); the search filters postings
+    // to each probe token (O(df) rows) and folds adjacency equi-joins —
+    // the corpus text is never rescanned.
+    "ii2_phrase_search" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("posidx")
+      val postings = InvertedIndex.materializePositional(
+        docs, "doc_id", "text", s"$idxDir/postings")
+      val top = docs
+        .select(col("doc_id"), explode(tokenGramCounts(col("text"), 2)).as(Seq("g", "cd")))
+        .groupBy("g").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("g").asc).limit(1)
+        .collect()(0).getString(0)
+      InvertedIndex.searchPhrase(postings, "doc_id", top.split(" ").toSeq)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    },
+
     // Exact dedup on document text (all-distinct at test SFs — the
     // degenerate case — but the operator is the single-shuffle groupBy).
     "d1_exact_dedup_docs" -> { (s, dir) =>
@@ -227,6 +249,23 @@ object TextQueries {
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
+    "ii2_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         gr AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g
+                FROM tk WHERE len(ts) >= 2),
+         top1 AS (SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS n_docs FROM gr GROUP BY g
+                    ORDER BY n_docs DESC, g ASC LIMIT 1)),
+         w AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM top1),
+         pos AS (SELECT doc_id, ts[i] AS token, i AS pos
+                 FROM tk, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+         hits AS (SELECT DISTINCT p1.doc_id
+                  FROM pos p1 JOIN pos p2
+                    ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1, w
+                  WHERE p1.token = w.w1 AND p2.token = w.w2)
+         SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii1_inverted_search" ->
       """WITH p AS (
            SELECT DISTINCT doc_id, u.t AS token FROM (

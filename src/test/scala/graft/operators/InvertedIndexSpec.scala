@@ -33,6 +33,26 @@ class InvertedIndexSpec extends SparkSuite {
     assert(InvertedIndex.searchAll(p, "doc_id", Seq("missing")).count() == 0)
   }
 
+  test("buildPositional assigns 0-based positions over the filtered sequence") {
+    val one = Seq((7L, " red  fox ")).toDF("doc_id", "text") // extra spaces dropped
+    val got = InvertedIndex.buildPositional(one, "doc_id", "text")
+      .select("doc_id", "pos", "token").as[(Long, Int, String)].collect().toSet
+    assert(got == Set((7L, 0, "red"), (7L, 1, "fox")))
+  }
+
+  test("searchPhrase matches adjacency in order only") {
+    val p = InvertedIndex.buildPositional(docs, "doc_id", "text")
+    assert(InvertedIndex.searchPhrase(p, "doc_id", Seq("red", "fox"))
+      .as[Long].collect().toSet == Set(0L)) // doc 2 has fox but not "red fox"
+    assert(InvertedIndex.searchPhrase(p, "doc_id", Seq("fox", "red")).count() == 0)
+    assert(InvertedIndex.searchPhrase(p, "doc_id", Seq("red", "red"))
+      .as[Long].collect().toSet == Set(1L)) // repeated-token phrase
+    assert(InvertedIndex.searchPhrase(p, "doc_id", Seq("red", "fox", "jumps"))
+      .as[Long].collect().toSet == Set(0L)) // 3-token fold
+    assert(InvertedIndex.searchPhrase(p, "doc_id", Seq("blue"))
+      .as[Long].collect().toSet == Set(2L)) // single token degenerates to lookup
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
