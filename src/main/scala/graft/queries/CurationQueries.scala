@@ -42,6 +42,27 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Distribution-drift monitor: Jensen-Shannon divergence between
+    // unigram token distributions of two slice pairs — the
+    // deterministic train/eval split (expect near-zero: the splitmix
+    // hash is language-blind) and en-vs-de (expect large: disjoint
+    // vocabularies). Each side is the f3 vocab pass (narrow tokenCounts
+    // map + vocab-sized agg); nothing corpus-sized shuffles. The oracle
+    // replays the split, the vocab join, and the JS arithmetic in ln
+    // parity (round-4, the f3 precedent).
+    "dr1_corpus_drift" -> { (s, dir) =>
+      import graft.operators.Drift
+      val docs = Tables.load(s, dir, "documents")
+      val (train, eval) = Sampling.trainEvalSplit(docs, "doc_id", 0.2, SampleSeed)
+      val split = Drift.tokenJsDivergence(train, eval, "text")
+        .withColumn("pair", lit("train_vs_eval"))
+      val langs = Drift.tokenJsDivergence(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") === "de"), "text")
+        .withColumn("pair", lit("en_vs_de"))
+      split.unionByName(langs)
+        .select(col("pair"), col("n_tokens_a"), col("n_tokens_b"), col("js_nats"))
+    },
+
     // EXACTLY-k deterministic sample per group (fixed-size eval slices /
     // per-domain quotas): k smallest splitmix64(doc_id) per language,
     // doc-id tiebreak — a hard size guarantee rate sampling can't give,
@@ -321,6 +342,40 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "dr1_corpus_drift" -> {
+      def jsCte(aSrc: String, bSrc: String, tag: String) =
+        s"""${tag}_ta AS (
+             SELECT u.t AS token, count(*) AS ca FROM (
+               SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $aSrc),
+               UNNEST(ts) AS u(t) GROUP BY u.t),
+           ${tag}_tb AS (
+             SELECT u.t AS token, count(*) AS cb FROM (
+               SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $bSrc),
+               UNNEST(ts) AS u(t) GROUP BY u.t),
+           ${tag}_j AS (
+             SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+             FROM ${tag}_ta FULL OUTER JOIN ${tag}_tb USING (token)),
+           ${tag}_tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ${tag}_j),
+           ${tag}_terms AS (
+             SELECT na, nb, ca::DOUBLE / na AS p, cb::DOUBLE / nb AS q,
+               (ca::DOUBLE / na + cb::DOUBLE / nb) / 2 AS m
+             FROM ${tag}_j, ${tag}_tot),
+           ${tag}_agg AS (
+             SELECT first(na)::BIGINT AS n_tokens_a, first(nb)::BIGINT AS n_tokens_b,
+               round((sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+                    + sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)) / 2, 4) AS js_nats
+             FROM ${tag}_terms)"""
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+         tr AS (SELECT text FROM h WHERE bucket >= ${rateThr(0.2)}),
+         ev AS (SELECT text FROM h WHERE bucket < ${rateThr(0.2)}),
+         den AS (SELECT text FROM documents WHERE lang = 'en'),
+         dde AS (SELECT text FROM documents WHERE lang = 'de'),
+         ${jsCte("tr", "ev", "s")},
+         ${jsCte("den", "dde", "l")}
+         SELECT 'train_vs_eval' AS pair, n_tokens_a, n_tokens_b, js_nats FROM s_agg
+         UNION ALL
+         SELECT 'en_vs_de', n_tokens_a, n_tokens_b, js_nats FROM l_agg"""
+    },
     "s4_reservoir_per_group" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
           r AS (SELECT doc_id, lang,
