@@ -42,4 +42,96 @@ object Quantize {
                 .cast("int"))))
       .drop("mns", "mxs")
   }
+
+  /** Product quantization (the PQ in IVF-PQ): the vector splits into `m`
+    * contiguous subspaces of dim/m dimensions, each subspace gets its own
+    * k-centroid codebook (the deterministic quantized Lloyd's fit of
+    * [[KMeans.fit]], first-k init — oracle-replayable), and a vector's
+    * code is its nearest-centroid index per subspace: m·log2(k) bits per
+    * vector instead of dim·32. Returns the per-subspace models and the
+    * codes frame (idCol, sub_idx, code).
+    *
+    * Scale shape: each subspace fit is the km_fit workload on a NARROW
+    * slice (broadcast centroids + integer partial sums per partition per
+    * iteration; nothing corpus-sized shuffles), and encoding is one
+    * map-side pass per subspace over the sliced column — the codes union
+    * is scan-stage work. Codebooks are m·k·(dim/m) scalars — driver-side
+    * by construction.
+    */
+  def productQuantize(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int): (Seq[KMeans.Model], DataFrame) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    def sub(si: Int) =
+      df.select(col(idCol), slice(col(vecCol), si * d + 1, d).as("__sub"))
+    val models = (0 until m).map(si => KMeans.fit(sub(si), idCol, "__sub", k, iters))
+    val codes = (0 until m).map { si =>
+      KMeans.assign(sub(si), idCol, "__sub", models(si))
+        .select(col(idCol), lit(si).as("sub_idx"), col("cluster").cast("int").as("code"))
+    }.reduce(_ unionByName _)
+    (models, codes)
+  }
+
+  /** Codebook export rows (sub_idx, cluster, dim_idx, value) — the
+    * artifact ADC scoring and the oracle replay read back.
+    */
+  def pqCodebook(spark: org.apache.spark.sql.SparkSession,
+      models: Seq[KMeans.Model]): DataFrame = {
+    import spark.implicits._
+    models.zipWithIndex.flatMap { case (model, si) =>
+      model.centroids.toSeq.zipWithIndex.flatMap { case (c, ci) =>
+        c.toSeq.zipWithIndex.map { case (v, di) => (si, ci, di, v) }
+      }
+    }.toDF("sub_idx", "cluster", "dim_idx", "value")
+  }
+
+  /** ADC (asymmetric distance) kNN over PQ codes — the PQ search path:
+    * each query precomputes an m·k lookup table of exact
+    * subspace-to-centroid distances (queries stay full-precision, hence
+    * "asymmetric"), and a corpus vector's approximate distance is m
+    * table lookups summed — no corpus vector is ever decoded.
+    *
+    * Scale shape: the corpus side is the CODES table (m small ints per
+    * vector — 4×–100× smaller than the vectors), grouped once into
+    * per-vector code arrays; the per-query LUTs (queries × m × k
+    * doubles) broadcast, and scoring + the fold are map-side. The only
+    * corpus-sized movement is the one codes groupBy — amortized across
+    * every query batch that follows. All folds run in fixed ascending
+    * order so the DuckDB oracle replays the float arithmetic exactly.
+    */
+  def pqAdcKnn(queryVecs: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = codebook.groupBy(col("sub_idx"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("value")))),
+        s => s("value")).as("centroid"))
+    val q = queryVecs.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("qid"), col("sub_idx"), col("cluster"),
+        aggregate(
+          zip_with(
+            slice(col("qv"), col("sub_idx") * size(col("centroid")) + 1, size(col("centroid"))),
+            col("centroid"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("ld"))
+    // (sub_idx, cluster)-ordered flat LUT per query: index si·k + c
+    val lutWide = lut.groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("cluster"), col("ld")))),
+        s => s("ld")).as("lut"))
+    val codesWide = codes.groupBy(col(idCol).cast("long").as("neighbor"))
+      .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
+        s => s("code")).as("cds"))
+    val scored = codesWide.crossJoin(broadcast(lutWide))
+      .filter(col("neighbor") =!= col("qid"))
+      .select(col("qid"), col("neighbor"),
+        round(
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+            (acc, si) => acc + element_at(col("lut"),
+              (si * k + element_at(col("cds"), (si + 1).cast("int")) + 1).cast("int"))),
+          6).as("adc_dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist").asc, col("neighbor").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+  }
 }

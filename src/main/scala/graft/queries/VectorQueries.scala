@@ -15,7 +15,71 @@ object VectorQueries {
 
   private val DIM = 64
 
+  /** pq family parameters: 4 subspaces × 16 dims, 8 centroids each,
+    * 3 quantized-Lloyd's iterations (first-k init — oracle-replayable).
+    */
+  private val PqM = 4
+  private val PqK = 8
+  private val PqIters = 3
+
+  /** One PQ fit per data dir, shared by pq0/pq1 (the sketchDir pattern —
+    * the fit is the model artifact, re-deriving it per query would time
+    * the fit thrice and cache-miss the oracle's read-back contract).
+    */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.KMeans.Model]]
+  private def pqFit(s: SparkSession, dir: String): Seq[graft.operators.KMeans.Model] =
+    pqModels.synchronized {
+      pqModels.getOrElseUpdate(dir,
+        graft.operators.Quantize.productQuantize(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", PqM, PqK, PqIters)._1)
+    }
+
+  /** (vec_id, sub_idx, code) assignments from the cached fit — pq1's
+    * output and pq2's corpus side.
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    val models = pqFit(s, dir)
+    val e = Tables.load(s, dir, "embeddings")
+    val d = DIM / PqM
+    (0 until PqM).map { si =>
+      graft.operators.KMeans.assign(
+        e.select(col("vec_id"), slice(col("embedding"), si * d + 1, d).as("__sub")),
+        "vec_id", "__sub", models(si))
+        .select(col("vec_id"), lit(si).as("sub_idx"), col("cluster").cast("int").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Product-quantization codebooks (the PQ in IVF-PQ): per-subspace
+    // k-means over contiguous 16-dim slices. The oracle replays all four
+    // quantized Lloyd's fits (km0's arithmetic, sliced) — any divergence
+    // in init, assignment ties, integer centroid updates, or empty-
+    // cluster carry fails the hash.
+    "pq0_codebooks" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Quantize.pqCodebook(s, pqFit(s, dir))
+        .select(col("sub_idx"), col("cluster"), col("dim_idx"), col("value"))
+    },
+
+    // PQ codes: nearest codebook centroid per subspace per vector —
+    // m·log2(k) = 12 bits per 64-dim vector. The oracle reads the pq0
+    // export back (__OUT__, the km1 pattern) and replays assignment in
+    // the same double arithmetic and tie order.
+    "pq1_pq_codes" -> { (s, dir) => pqCodes(s, dir) },
+
+    // ADC kNN over the PQ codes — the PQ search path: full-precision
+    // query × codebook lookup tables (m·k doubles, broadcast), corpus
+    // distance = m table lookups folded in fixed order; no corpus
+    // vector is decoded. Oracle replays LUT + lookup-fold + rank from
+    // the pq0/pq1 exports.
+    "pq2_adc_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.Quantize.pqAdcKnn(
+        e.filter(col("vec_id") < 20), pqCodes(s, dir),
+        graft.operators.Quantize.pqCodebook(s, pqFit(s, dir)),
+        "vec_id", "embedding", PqM, PqK, topK = 5)
+    },
     // Exact brute-force top-5 neighbors for the first 20 vectors.
     "v1_knn_bruteforce" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -176,6 +240,71 @@ object VectorQueries {
     * lowest cluster id on both sides (strict `<` vs `row_number` ordered
     * by (d, cluster)); empty clusters carry the previous centroid.
     */
+  /** pq0 oracle: km0's quantized-Lloyd's replay, once per subspace over
+    * the 1-based slice `embedding[off+1 : off+d]`, CTEs tag-prefixed,
+    * finals unioned with sub_idx. Same bit-exactness argument as km0
+    * (integer sums, truncating centroid divide, dim-ascending IEEE
+    * distance folds, (d, cluster) tie order, empty-cluster carry).
+    */
+  private def pqOracleSql(m: Int, k: Int, d: Int, iters: Int, scale: Long): String = {
+    val S = s"$scale.0"
+    val dims = s"(SELECT unnest(range(1, ${d + 1})) AS r) t"
+    def subChain(si: Int): String = {
+      val tg = s"p$si"
+      val off = si * d
+      def iterBlock(i: Int): String = {
+        val prev = s"${tg}c${i - 1}"
+        s"""${tg}dist$i AS (
+             SELECT e.vec_id, c.cluster,
+               list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+                 j -> (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S)
+                    * (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S))),
+                 (x, y) -> x + y) AS d
+             FROM ${tg}ed e CROSS JOIN $prev c),
+           ${tg}a$i AS (
+             SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+               FROM ${tg}dist$i) WHERE rn = 1),
+           ${tg}n$i AS (SELECT cluster, count(*) AS cnt FROM ${tg}a$i GROUP BY cluster),
+           ${tg}s$i AS (
+             SELECT a.cluster, q.dim_idx, sum(q.q) AS sq
+             FROM ${tg}a$i a JOIN ${tg}eq q USING (vec_id) GROUP BY a.cluster, q.dim_idx),
+           ${tg}c$i AS (
+             SELECT g.cluster,
+               list(CASE WHEN n.cnt IS NULL THEN p.cq[g.dim_idx]
+                         ELSE (2 * s.sq + n.cnt) // (2 * n.cnt) END ORDER BY g.dim_idx) AS cq
+             FROM ${tg}grid g
+             JOIN $prev p ON p.cluster = g.cluster
+             LEFT JOIN ${tg}s$i s ON s.cluster = g.cluster AND s.dim_idx = g.dim_idx
+             LEFT JOIN ${tg}n$i n ON n.cluster = g.cluster
+             GROUP BY g.cluster)"""
+      }
+      s"""${tg}ed AS (
+           SELECT vec_id,
+                  list_transform(embedding[${off + 1}:${off + d}],
+                    x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         ${tg}eq AS (
+           SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
+           FROM ${tg}ed, $dims),
+         ${tg}grid AS (
+           SELECT c.cluster, t.r AS dim_idx
+           FROM (SELECT unnest(range(0, $k)) AS cluster) c, $dims),
+         ${tg}c0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
+           FROM (SELECT vec_id, qv FROM ${tg}ed ORDER BY vec_id LIMIT $k)),
+         ${(1 to iters).map(iterBlock).mkString(",\n")}"""
+    }
+    val chains = (0 until m).map(subChain).mkString(",\n")
+    val finals = (0 until m).map { si =>
+      s"""SELECT $si::INTEGER AS sub_idx, c.cluster::INTEGER AS cluster,
+            (t.r - 1)::INTEGER AS dim_idx, c.cq[t.r]::DOUBLE / $S AS value
+          FROM p${si}c$iters c, $dims"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH $chains\n$finals"
+  }
+
   private def km0OracleSql(k: Int, dim: Int, iters: Int, scale: Long): String = {
     val S = s"$scale.0"
     val dims = s"(SELECT unnest(range(1, ${dim + 1})) AS r) t"
@@ -271,6 +400,56 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
+    "pq0_codebooks" -> pqOracleSql(PqM, PqK, DIM / PqM, PqIters, graft.operators.KMeans.QuantScale),
+    // assignment replay from the pq0 export (km1's pattern, per
+    // subspace): same double arithmetic (slice cast, dim-ascending
+    // fold) and (d, cluster) tie order as Model.nearest.
+    "pq1_pq_codes" ->
+      s"""WITH cb AS (
+            SELECT sub_idx, cluster, list(value ORDER BY dim_idx) AS centroid
+            FROM read_parquet('__OUT__/pq0_codebooks/*.parquet') GROUP BY sub_idx, cluster),
+          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          sub AS (
+            SELECT vec_id, s.si::INTEGER AS sub_idx,
+                   v[s.si * ${DIM / PqM} + 1 : s.si * ${DIM / PqM} + ${DIM / PqM}] AS sv
+            FROM ed, (SELECT unnest(range(0, $PqM)) AS si) s),
+          dist AS (
+            SELECT vec_id, sub_idx, cluster,
+              list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM / PqM + 1}),
+                i -> (sv[i] - centroid[i]) * (sv[i] - centroid[i]))), (x, y) -> x + y) AS d
+            FROM sub JOIN cb USING (sub_idx)),
+          a AS (
+            SELECT vec_id, sub_idx, cluster,
+              row_number() OVER (PARTITION BY vec_id, sub_idx ORDER BY d ASC, cluster ASC) AS rn
+            FROM dist)
+          SELECT vec_id, sub_idx, cluster::INTEGER AS code FROM a WHERE rn = 1""",
+    "pq2_adc_knn" -> {
+      val d = DIM / PqM
+      s"""WITH cb AS (
+            SELECT sub_idx, cluster, list(value ORDER BY dim_idx) AS centroid
+            FROM read_parquet('__OUT__/pq0_codebooks/*.parquet') GROUP BY sub_idx, cluster),
+          q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+                FROM embeddings WHERE vec_id < 20),
+          lut AS (
+            SELECT qid, sub_idx, cluster,
+              list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+                i -> (qv[sub_idx * $d + i] - centroid[i]) * (qv[sub_idx * $d + i] - centroid[i]))),
+                (x, y) -> x + y) AS ld
+            FROM q CROSS JOIN cb),
+          lutw AS (SELECT qid, list(ld ORDER BY sub_idx, cluster) AS lut FROM lut GROUP BY qid),
+          cw AS (SELECT vec_id AS neighbor, list(code ORDER BY sub_idx) AS cds
+                 FROM read_parquet('__OUT__/pq1_pq_codes/*.parquet') GROUP BY vec_id),
+          sc AS (
+            SELECT qid, neighbor,
+              round(list_reduce(list_prepend(0.0, list_transform(range(0, $PqM),
+                si -> lut[si * $PqK + cds[si + 1] + 1])), (x, y) -> x + y), 6) AS adc_dist
+            FROM cw CROSS JOIN lutw WHERE neighbor <> qid),
+          r AS (
+            SELECT qid, neighbor, adc_dist,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, neighbor ASC) AS rn
+            FROM sc)
+          SELECT qid, neighbor, adc_dist, rn::INTEGER AS rn FROM r WHERE rn <= 5"""
+    },
     "vq1_quantize_int8" ->
       """WITH ex AS (SELECT vec_id, (u.i - 1)::INTEGER AS dim_idx, embedding[u.i]::DOUBLE AS v
                      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
