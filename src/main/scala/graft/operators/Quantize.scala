@@ -100,15 +100,17 @@ object Quantize {
     * every query batch that follows. All folds run in fixed ascending
     * order so the DuckDB oracle replays the float arithmetic exactly.
     */
-  def pqAdcKnn(queryVecs: DataFrame, codes: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, m: Int, k: Int, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (qid, lut) per query: the m·k subspace-to-centroid distances,
+    * (sub_idx, cluster)-ordered flat so a lookup is index si·k + code.
+    */
+  private def lutWideOf(queryVecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
     val cb = codebook.groupBy(col("sub_idx"), col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("dim_idx"), col("value")))),
         s => s("value")).as("centroid"))
-    val q = queryVecs.select(col(idCol).cast("long").as("qid"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val lut = q.crossJoin(broadcast(cb))
+    queryVecs.select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cb))
       .select(col("qid"), col("sub_idx"), col("cluster"),
         aggregate(
           zip_with(
@@ -116,21 +118,63 @@ object Quantize {
             col("centroid"),
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x).as("ld"))
-    // (sub_idx, cluster)-ordered flat LUT per query: index si·k + c
-    val lutWide = lut.groupBy(col("qid"))
+      .groupBy(col("qid"))
       .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("cluster"), col("ld")))),
         s => s("ld")).as("lut"))
-    val codesWide = codes.groupBy(col(idCol).cast("long").as("neighbor"))
+  }
+
+  /** (neighbor, cds): each vector's m codes as a sub_idx-ordered array. */
+  private def codesWideOf(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol).cast("long").as("neighbor"))
       .agg(transform(array_sort(collect_list(struct(col("sub_idx"), col("code")))),
         s => s("code")).as("cds"))
-    val scored = codesWide.crossJoin(broadcast(lutWide))
+
+  /** adc_dist column: m LUT lookups folded in ascending-subspace order
+    * (deterministic IEEE sequence — oracle-replayable), rounded 6.
+    */
+  private def adcDist(m: Int, k: Int) =
+    round(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, si) => acc + element_at(col("lut"),
+          (si * k + element_at(col("cds"), (si + 1).cast("int")) + 1).cast("int"))),
+      6).as("adc_dist")
+
+  def pqAdcKnn(queryVecs: DataFrame, codes: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = codesWideOf(codes, idCol)
+      .crossJoin(broadcast(lutWideOf(queryVecs, idCol, vecCol, codebook)))
       .filter(col("neighbor") =!= col("qid"))
-      .select(col("qid"), col("neighbor"),
-        round(
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-            (acc, si) => acc + element_at(col("lut"),
-              (si * k + element_at(col("cds"), (si + 1).cast("int")) + 1).cast("int"))),
-          6).as("adc_dist"))
+      .select(col("qid"), col("neighbor"), adcDist(m, k))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist").asc, col("neighbor").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+  }
+
+  /** Full IVF-PQ search: the coarse k-means model routes each query to
+    * its `nprobe` nearest cells ([[KMeans.Model.probes]]) and only the
+    * code arrays of vectors IN those cells are ADC-scored — ~nprobe/k
+    * of the codes table per query, with the vectors themselves never
+    * decoded. The composition every production ANN stack runs
+    * (coarse quantizer + PQ residual scoring, here PQ on raw slices).
+    */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model, nprobe: Int,
+      codes: DataFrame, codebook: DataFrame, m: Int, k: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(coarse)
+    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
+    val probesU = udf((v: Seq[Double]) => bc.value.probes(v.toArray, nprobe))
+    val corpusCells = corpus.select(col(idCol).cast("long").as("neighbor"),
+        nearestU(col(vecCol).cast("array<double>")).as("cell"))
+    val queryCells = queries.select(col(idCol).cast("long").as("qid"),
+        explode(probesU(col(vecCol).cast("array<double>"))).as("cell"))
+      .join(lutWideOf(queries, idCol, vecCol, codebook), "qid")
+    val scored = codesWideOf(codes, idCol)
+      .join(corpusCells, "neighbor")
+      .join(broadcast(queryCells), "cell")
+      .filter(col("neighbor") =!= col("qid"))
+      .select(col("qid"), col("neighbor"), adcDist(m, k))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist").asc, col("neighbor").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
   }

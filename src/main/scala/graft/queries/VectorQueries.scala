@@ -80,6 +80,20 @@ object VectorQueries {
         graft.operators.Quantize.pqCodebook(s, pqFit(s, dir)),
         "vec_id", "embedding", PqM, PqK, topK = 5)
     },
+
+    // Full IVF-PQ: the km0 coarse quantizer routes each query to 3
+    // probe cells, and ONLY those cells' code arrays are ADC-scored —
+    // ~nprobe/k of the codes table per query, vectors never decoded.
+    // Oracle composes the km2 cell/probe replay (km0 export) with the
+    // pq2 LUT/fold replay (pq0/pq1 exports).
+    "pq3_ivfpq_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val coarse = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding", 8, 5)
+      graft.operators.Quantize.ivfPqKnn(
+        e.filter(col("vec_id") < 20), e, "vec_id", "embedding", coarse, nprobe = 3,
+        pqCodes(s, dir), graft.operators.Quantize.pqCodebook(s, pqFit(s, dir)),
+        PqM, PqK, topK = 5)
+    },
     // Exact brute-force top-5 neighbors for the first 20 vectors.
     "v1_knn_bruteforce" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -444,6 +458,51 @@ object VectorQueries {
               round(list_reduce(list_prepend(0.0, list_transform(range(0, $PqM),
                 si -> lut[si * $PqK + cds[si + 1] + 1])), (x, y) -> x + y), 6) AS adc_dist
             FROM cw CROSS JOIN lutw WHERE neighbor <> qid),
+          r AS (
+            SELECT qid, neighbor, adc_dist,
+              row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, neighbor ASC) AS rn
+            FROM sc)
+          SELECT qid, neighbor, adc_dist, rn::INTEGER AS rn FROM r WHERE rn <= 5"""
+    },
+    "pq3_ivfpq_knn" -> {
+      val d = DIM / PqM
+      s"""WITH c AS (
+            SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+            FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
+          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          cdist AS (
+            SELECT e.vec_id, e.v, c.cluster,
+              list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+                i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+            FROM ed e CROSS JOIN c),
+          ranked_cells AS (
+            SELECT vec_id, v, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+            FROM cdist),
+          cells AS (SELECT vec_id, cluster AS cell FROM ranked_cells WHERE rn = 1),
+          probes AS (SELECT vec_id AS qid, cluster AS cell
+                     FROM ranked_cells WHERE vec_id < 20 AND rn <= 3),
+          cb AS (
+            SELECT sub_idx, cluster, list(value ORDER BY dim_idx) AS centroid
+            FROM read_parquet('__OUT__/pq0_codebooks/*.parquet') GROUP BY sub_idx, cluster),
+          q AS (SELECT vec_id AS qid, v AS qv FROM ed WHERE vec_id < 20),
+          lut AS (
+            SELECT qid, sub_idx, cluster,
+              list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+                i -> (qv[sub_idx * $d + i] - centroid[i]) * (qv[sub_idx * $d + i] - centroid[i]))),
+                (x, y) -> x + y) AS ld
+            FROM q CROSS JOIN cb),
+          lutw AS (SELECT qid, list(ld ORDER BY sub_idx, cluster) AS lut FROM lut GROUP BY qid),
+          cw AS (SELECT vec_id AS neighbor, list(code ORDER BY sub_idx) AS cds
+                 FROM read_parquet('__OUT__/pq1_pq_codes/*.parquet') GROUP BY vec_id),
+          cand AS (
+            SELECT p.qid, cl.vec_id AS neighbor
+            FROM probes p JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid),
+          sc AS (
+            SELECT cand.qid, cand.neighbor,
+              round(list_reduce(list_prepend(0.0, list_transform(range(0, $PqM),
+                si -> lut[si * $PqK + cds[si + 1] + 1])), (x, y) -> x + y), 6) AS adc_dist
+            FROM cand JOIN cw ON cw.neighbor = cand.neighbor JOIN lutw ON lutw.qid = cand.qid),
           r AS (
             SELECT qid, neighbor, adc_dist,
               row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, neighbor ASC) AS rn

@@ -100,6 +100,31 @@ class VectorSpec extends SparkSuite {
       codes2.as[(Long, Int, Int)].collect().toSet)
   }
 
+  test("ivfPqKnn restricts scoring to probed cells; distances agree with full ADC") {
+    import graft.operators.{KMeans, Quantize}
+    val (models, codes) = Quantize.productQuantize(emb, "vec_id", "embedding", 4, 8, 3)
+    val cb = Quantize.pqCodebook(spark, models)
+    val coarse = KMeans.fit(emb, "vec_id", "embedding", 8, 5)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Quantize.ivfPqKnn(queries, emb, "vec_id", "embedding", coarse, 3,
+      codes, cb, 4, 8, 5)
+      .select("qid", "neighbor", "adc_dist").as[(Long, Long, Double)].collect()
+    assert(ivf.groupBy(_._1).forall(_._2.length == 5))
+    // every returned neighbor lives in one of its query's 3 probe cells
+    val cells = KMeans.assign(emb, "vec_id", "embedding", coarse)
+      .as[(Long, Int)].collect().toMap
+    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(ivf.forall { case (q, n, _) =>
+      coarse.probes(qvecs(q), 3).contains(cells(n))
+    })
+    // distances equal the exhaustive ADC for the same pairs
+    val full = Quantize.pqAdcKnn(queries, codes, cb, "vec_id", "embedding", 4, 8, Int.MaxValue)
+      .select("qid", "neighbor", "adc_dist").as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    assert(ivf.forall { case (q, n, d) => full((q, n)) == d })
+  }
+
   test("pqAdcKnn: 5 ranked neighbors per query, meaningful recall vs exact") {
     import graft.operators.Quantize
     // finer codes than the gate (8 subspaces x 16 centroids = 32 bits)
