@@ -66,11 +66,28 @@ object Quantize {
     def sub(si: Int) =
       df.select(col(idCol), slice(col(vecCol), si * d + 1, d).as("__sub"))
     val models = (0 until m).map(si => KMeans.fit(sub(si), idCol, "__sub", k, iters))
-    val codes = (0 until m).map { si =>
-      KMeans.assign(sub(si), idCol, "__sub", models(si))
-        .select(col(idCol), lit(si).as("sub_idx"), col("cluster").cast("int").as("code"))
-    }.reduce(_ unionByName _)
-    (models, codes)
+    (models, pqEncode(df, idCol, vecCol, models))
+  }
+
+  /** One-pass PQ encode: every subspace's nearest-centroid index from a
+    * SINGLE corpus scan (an m-way union of per-subspace assigns would
+    * scan the vectors m times). Same arithmetic as [[KMeans.assign]]
+    * per slice — `Model.nearest` on the double view, first-minimum tie
+    * order.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      models: Seq[KMeans.Model]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(models.toArray)
+    val codesU = udf((v: Seq[Double]) => {
+      val ms = bc.value
+      val d = v.length / ms.length
+      val arr = v.toArray
+      ms.indices.map(si => ms(si).nearest(java.util.Arrays.copyOfRange(arr, si * d, si * d + d)))
+    })
+    df.select(col(idCol), posexplode(codesU(col(vecCol).cast("array<double>")))
+        .as(Seq("sub_idx", "code")))
+      .select(col(idCol), col("sub_idx").cast("int").as("sub_idx"),
+        col("code").cast("int").as("code"))
   }
 
   /** Codebook export rows (sub_idx, cluster, dim_idx, value) — the

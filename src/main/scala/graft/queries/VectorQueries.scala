@@ -38,17 +38,9 @@ object VectorQueries {
   /** (vec_id, sub_idx, code) assignments from the cached fit — pq1's
     * output and pq2's corpus side.
     */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
-    val models = pqFit(s, dir)
-    val e = Tables.load(s, dir, "embeddings")
-    val d = DIM / PqM
-    (0 until PqM).map { si =>
-      graft.operators.KMeans.assign(
-        e.select(col("vec_id"), slice(col("embedding"), si * d + 1, d).as("__sub")),
-        "vec_id", "__sub", models(si))
-        .select(col("vec_id"), lit(si).as("sub_idx"), col("cluster").cast("int").as("code"))
-    }.reduce(_ unionByName _)
-  }
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.pqEncode(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding", pqFit(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Product-quantization codebooks (the PQ in IVF-PQ): per-subspace
