@@ -75,6 +75,27 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.lastOutcome == PlanCache.Miss)
   }
 
+  test("concurrent cold attaches race safely: one winner, identical reads") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cacheDir = tmpDir("pc")
+    val df = ordersAgg(spark, sf0001)
+    val expected = df.collect().map(_.toString).sorted.toSeq
+    val results = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        PlanCache.readThrough(df, cacheDir).collect().map(_.toString).sorted.toSeq
+      })), 2.minutes)
+    assert(results.forall(_ == expected))
+    // exactly one published entry, no stranded tmp dirs
+    val entries = java.nio.file.Files.list(java.nio.file.Paths.get(cacheDir))
+      .iterator()
+    val names = scala.collection.mutable.ListBuffer.empty[String]
+    entries.forEachRemaining(p => names += p.getFileName.toString)
+    assert(names.count(!_.startsWith(".tmp-")) == 1, s"entries: $names")
+    assert(!names.exists(_.startsWith(".tmp-")), s"stranded tmp dirs: $names")
+  }
+
   test("facade cacheAcrossSessions round-trips typed rows") {
     val cacheDir = tmpDir("pc")
     import spark.implicits._
