@@ -32,6 +32,16 @@ object InvertedIndex {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Incremental maintenance: tokenize ONLY the new batch and append its
+    * postings to the existing artifact — the index twin of the d10/d13
+    * incremental-dedup shape (the corpus is never re-tokenized). Caller
+    * contract: batch doc ids are new (run the batch through
+    * [[Upsert.upsertByKey]] / dedup first), matching every append-only
+    * postings store.
+    */
+  def appendTo(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    build(docs, idCol, textCol).write.mode("append").parquet(path)
+
   /** Doc ids containing ALL of `tokens` (AND search): filter postings to
     * the probe set, count distinct probe tokens per doc, keep full
     * matches.

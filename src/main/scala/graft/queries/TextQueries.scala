@@ -44,6 +44,26 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Incrementally-maintained index: the corpus index is built WITHOUT
+    // the daily batch (doc_id % 10 = 7), then only the batch is
+    // tokenized and appended — the index twin of the d10/d13
+    // incremental shape. The same ii1 search runs off the appended
+    // artifact against the FULL-corpus oracle, so a lost append, a
+    // double append, or a stale probe selection all fail the hash.
+    "ii3_index_append" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val path = s"${QueryTmp.dir("invidx3")}/postings"
+      InvertedIndex.build(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+        .write.parquet(path)
+      InvertedIndex.appendTo(docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+      val postings = s.read.parquet(path)
+      val probes = InvertedIndex.topTokensByDf(postings, 2)
+      InvertedIndex.searchAll(postings, "doc_id", probes)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    },
+
     // Phrase search over the POSITIONAL index: the probe phrase is the
     // corpus's top doc-frequency bigram (chosen via the narrow
     // tokenGramCounts map expression and replayed by the oracle, so the
@@ -249,6 +269,19 @@ object TextQueries {
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
+    "ii3_index_append" ->
+      """WITH p AS (
+           SELECT DISTINCT doc_id, u.t AS token FROM (
+             SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             FROM documents), UNNEST(ts) AS u(t)),
+         top2 AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS df FROM p GROUP BY token
+             ORDER BY df DESC, token ASC LIMIT 2)),
+         hits AS (
+           SELECT doc_id FROM p JOIN top2 USING (token)
+           GROUP BY doc_id HAVING count(DISTINCT token) = 2)
+         SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii2_phrase_search" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                      FROM documents),

@@ -53,6 +53,18 @@ class InvertedIndexSpec extends SparkSuite {
       .as[Long].collect().toSet == Set(2L)) // single token degenerates to lookup
   }
 
+  test("appendTo: incrementally-appended index equals scratch rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ii-app").toString
+    val existing = docs.filter(col("doc_id") < 2)
+    val batch = docs.filter(col("doc_id") >= 2)
+    InvertedIndex.build(existing, "doc_id", "text").write.parquet(s"$dir/p")
+    InvertedIndex.appendTo(batch, "doc_id", "text", s"$dir/p")
+    val appended = spark.read.parquet(s"$dir/p").as[(Long, String)].collect().toSet
+    val scratch = InvertedIndex.build(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(appended == scratch)
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
