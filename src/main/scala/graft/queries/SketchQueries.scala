@@ -19,6 +19,9 @@ import graft.functions.Aggregators
   */
 object SketchQueries {
 
+  /** 4-file staging copy per data dir for the sk4 stream (sd1 pattern). */
+  private val sk4Stage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cardinality estimation: HLL++ (`approx_count_distinct`) vs exact.
     // At scale the approx path is one narrow scan with tiny mergeable
@@ -60,6 +63,53 @@ object SketchQueries {
             .as("approx_ok"))
     },
 
+    // Streaming twin of sk3: the corpus arrives as 4 micro-batches
+    // (maxFilesPerTrigger=1 over a 4-file staging copy) and the
+    // Misra-Gries sketches MERGE INCREMENTALLY in streaming state
+    // (complete-mode agg) — the mergeable-summary property under real
+    // micro-batch order. Final candidates are exactly recounted on the
+    // batch corpus and the exact top-3 per lang lands under the same
+    // oracle as sk3: a sketch state that dropped a true heavy hitter
+    // across batch boundaries would lose a top-3 row and fail the hash.
+    "sk4_heavy_hitters_stream" -> { (s, dir) =>
+      val stage = sk4Stage.synchronized {
+        sk4Stage.getOrElseUpdate(dir, {
+          val d = java.nio.file.Files.createTempDirectory("graft-sk4").toString
+          Tables.load(s, dir, "documents").select(col("lang"), col("text"))
+            .repartition(4).write.mode("overwrite").parquet(d)
+          d
+        })
+      }
+      val schema = s.read.parquet(stage).schema
+      val mg = udaf(new Aggregators.MisraGriesAgg(256),
+        org.apache.spark.sql.Encoders.STRING)
+      val toksStream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = toksStream.groupBy(col("lang")).agg(mg(col("token")).as("cands"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("sk4_out").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val cands = s.table("sk4_out")
+        .select(col("lang"), explode(col("cands")).as("token"))
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val exact = toks.join(broadcast(cands), Seq("lang", "token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n").desc, col("token").asc)
+      exact.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("lang"), col("token"), col("n"))
+    },
+
     // Heavy hitters, candidate-then-verify: a Misra-Gries sketch (≤ k
     // counters per group, map-side combined — the shuffle carries
     // sketches, never (lang, token) pairs) proposes candidates; only
@@ -89,6 +139,17 @@ object SketchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sk4_heavy_hitters_stream" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         counts AS (
+           SELECT lang, token, count(*)::BIGINT AS n FROM toks
+           WHERE token <> '' GROUP BY lang, token),
+         ranked AS (
+           SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+           FROM counts)
+         SELECT lang, token, n FROM ranked WHERE rn <= 3""",
     "sk1_approx_distinct" ->
       """SELECT lang, count(DISTINCT text)::BIGINT AS exact_n, true AS approx_ok
          FROM documents GROUP BY lang""",

@@ -54,6 +54,15 @@ class SketchesSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("streaming heavy hitters (sk4) equals the batch path (sk3)") {
+    val batch = SparkEntry.queries("sk3_heavy_hitters")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = SparkEntry.queries("sk4_heavy_hitters_stream")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"micro-batch-merged MG state diverged from the batch sketch: $streamed vs $batch")
+  }
+
   test("sk1/sk2 approx bounds hold (the gate booleans are all true)") {
     val sk1 = SparkEntry.queries("sk1_approx_distinct")(spark, sf0001).collect()
     assert(sk1.nonEmpty && sk1.forall(_.getBoolean(2)), "HLL estimate out of bound")
