@@ -439,6 +439,20 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** Canonical text normalization — the preprocessing step ahead of
+    * exact dedup / fingerprinting so trivially-different copies ("The
+    * Cat." vs "the cat") collapse: lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed. Pure Column expressions
+    * (codegen'd, scan-stage, zero shuffles); the regexes are
+    * char-class-only so Java and the DuckDB oracle agree exactly.
+    * Unicode canonicalization (NFC) is deliberately out: ICU-version
+    * parity across engines is not testable here.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   // ---- language identification (token-profile heuristic) ----
 
   /** Per-language stopword profiles. Deliberately small and fixed: the

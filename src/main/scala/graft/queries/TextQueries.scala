@@ -86,6 +86,17 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Canonical text normalization (lowercase, punctuation → space,
+    // whitespace collapse) — the scan-stage preprocessing ahead of
+    // exact dedup / fingerprinting; pure codegen Column expressions,
+    // char-class-only regexes so the oracle replays them exactly.
+    "t8_normalize" -> { (s, dir) =>
+      val n = normalizeText(col("text"))
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"), n.as("norm_text"),
+        length(col("text")).as("n_before"), length(n).as("n_after"))
+    },
+
     // Exact dedup on document text (all-distinct at test SFs — the
     // degenerate case — but the operator is the single-shuffle groupBy).
     "d1_exact_dedup_docs" -> { (s, dir) =>
@@ -269,6 +280,14 @@ object TextQueries {
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
+    "t8_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm_text,
+           len(text)::INTEGER AS n_before,
+           len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')))::INTEGER AS n_after
+         FROM documents""",
     "ii3_index_append" ->
       """WITH p AS (
            SELECT DISTINCT doc_id, u.t AS token FROM (

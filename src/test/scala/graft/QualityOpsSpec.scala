@@ -145,4 +145,13 @@ class QualityOpsSpec extends SparkSuite {
       .agg(min("c"), max("c")).as[(Int, Int)].collect().head
     assert(codes._1 == -128 && codes._2 == 127)
   }
+
+  test("normalizeText: case folds, strips punctuation, collapses whitespace") {
+    import graft.functions.TextFunctions.normalizeText
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val got = Seq("  The CAT, sat!  on--the mat. ", "", "...", "a1 B2")
+      .toDF("text").select(normalizeText(col("text"))).as[String].collect().toSeq
+    assert(got == Seq("the cat sat on the mat", "", "", "a1 b2"))
+  }
 }
