@@ -42,6 +42,25 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Data-quality admission checks (the dbt-test / expectations niche):
+    // key uniqueness, null bound, referential integrity, value range,
+    // and row-count floor over the warehouse tables, one (check_name,
+    // metric, ok) row each in ONE unioned plan. Every check is a
+    // map-side-combined aggregate; the FK check's parent key set rides
+    // an AQE-broadcast left join. The oracle replays each aggregate.
+    "dq1_quality_checks" -> { (s, dir) =>
+      import graft.operators.Expect
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val docs = Tables.load(s, dir, "documents")
+      Expect.suite(Seq(
+        Expect.uniqueKey(orders, "o_orderkey"),
+        Expect.notNull(docs, "text"),
+        Expect.foreignKey(lineitem, "l_orderkey", orders, "o_orderkey"),
+        Expect.inRange(lineitem, "l_quantity", 1.0, 50.0),
+        Expect.rowCountAtLeast(docs, 1)))
+    },
+
     // Distribution-drift monitor: Jensen-Shannon divergence between
     // unigram token distributions of two slice pairs — the
     // deterministic train/eval split (expect near-zero: the splitmix
@@ -342,6 +361,27 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "dq1_quality_checks" ->
+      """SELECT 'unique:o_orderkey' AS check_name,
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric,
+           (count(*) - count(DISTINCT o_orderkey)) = 0 AS ok FROM orders
+         UNION ALL
+         SELECT 'not_null:text',
+           (count(*) FILTER (WHERE text IS NULL))::BIGINT,
+           count(*) FILTER (WHERE text IS NULL) <= count(*) * 0.0 FROM documents
+         UNION ALL
+         SELECT 'fk:l_orderkey->o_orderkey',
+           (count(*) FILTER (WHERE o.o_orderkey IS NULL))::BIGINT,
+           count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0
+         FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'range:l_quantity[1.0,50.0]',
+           (count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0))::BIGINT,
+           count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0) = 0
+         FROM lineitem
+         UNION ALL
+         SELECT 'rows>=1', count(*)::BIGINT, count(*) >= 1 FROM documents""",
     "dr1_corpus_drift" -> {
       def jsCte(aSrc: String, bSrc: String, tag: String) =
         s"""${tag}_ta AS (
