@@ -60,6 +60,45 @@ object PipelineQueries {
         gapMinutes = 30)
     },
 
+    // Small-file compaction: a fragmented copy (64 micro-files — the
+    // layout incremental appends and streaming sinks leave) compacts to
+    // ~1 MiB files via a shuffle-free coalesce rewrite with an atomic
+    // directory swap. The aggregate off the compacted dataset must
+    // equal the original table (content fidelity) and the contract
+    // boolean pins file-count reduction — a lost or doubled row during
+    // the rewrite fails the hash.
+    "cp1_compact" -> { (s, dir) =>
+      import graft.sources.Compact
+      val stage = tmpDir("compact") + "/docs"
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(64).write.parquet(stage)
+      val before = Compact.dataFileCount(stage)
+      val after = Compact.compact(s, stage, targetBytes = 1L << 20)
+      s.read.parquet(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("compacted", lit(after < before && after >= 1))
+    },
+
+    // Schema evolution: half the table written with the v1 schema
+    // (doc_id, lang), the other half appended with v2 (+ n_chars);
+    // mergeSchema reads both generations, v1 rows surface NULL for the
+    // new column. The per-lang aggregate pins row fidelity, the null
+    // count pins which generation each row came from.
+    "se1_schema_evolution" -> { (s, dir) =>
+      val stage = tmpDir("schevo") + "/docs"
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.parquet(stage)
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(stage)
+      s.read.option("mergeSchema", "true").parquet(stage)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_v2"),
+          count(when(col("n_chars").isNull, 1)).as("n_v1_rows"))
+    },
+
     // CSV sink → source roundtrip; the aggregate must match the original
     // parquet data (proves schema + value fidelity through the format).
     "cs1_csv_roundtrip" -> { (s, dir) =>
@@ -362,6 +401,15 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cp1_compact" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+           true AS compacted
+         FROM documents GROUP BY lang""",
+    "se1_schema_evolution" ->
+      """SELECT lang, count(*)::BIGINT AS n,
+           sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)::BIGINT AS chars_v2,
+           (count(*) FILTER (WHERE doc_id % 2 = 0))::BIGINT AS n_v1_rows
+         FROM documents GROUP BY lang""",
     "sq1_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,

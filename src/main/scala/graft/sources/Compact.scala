@@ -1,0 +1,62 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the housekeeping a continuously-appended
+  * dataset needs (incremental appends like `InvertedIndex.appendTo` or
+  * streaming sinks leave micro-batch-sized files; thousands of tiny
+  * files tax the scan planner and the namenode): rewrite a parquet
+  * directory into ~`targetBytes` files, swapping atomically so readers
+  * see either the old layout or the new one.
+  *
+  * Scale shape: one full read + one exchange-free write when shrinking
+  * (coalesce — partitions merge map-side, no shuffle); the swap is two
+  * directory renames. At 100 TB this runs per-partition-directory (per
+  * day / per shard), never over the whole dataset at once.
+  */
+object Compact {
+
+  /** Bytes of data files under a parquet dir (bookkeeping excluded). */
+  def dataBytes(path: String): Long = listDataFiles(path).map(Files.size).sum
+
+  /** Number of parquet data files under the dir. */
+  def dataFileCount(path: String): Int = listDataFiles(path).length
+
+  /** Rewrite `path` into ceil(bytes/targetBytes) files via coalesce (no
+    * shuffle). Returns the new data-file count.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val n = math.max(1, math.ceil(dataBytes(path).toDouble / targetBytes).toInt)
+    val tmp = Paths.get(path + s".compact-${java.util.UUID.randomUUID()}")
+    spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
+    val old = Paths.get(path + s".old-${java.util.UUID.randomUUID()}")
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
+    dataFileCount(path)
+  }
+
+  private def listDataFiles(path: String): Seq[Path] = {
+    val it = Files.list(Paths.get(path))
+    try {
+      val b = Seq.newBuilder[Path]
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith("."))
+          b += p
+      }
+      b.result()
+    } finally it.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(p.toFile)
+  }
+}
