@@ -42,6 +42,34 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Dataset snapshot versioning — the reproducibility contract: the
+    // corpus commits as v1, mg1's upsert commits as v2, and BOTH
+    // versions are read back PINNED (not latest) and aggregated with a
+    // version tag. Immutable versions + an atomically-renamed _latest
+    // pointer; a v2 commit that touched v1's files, or a pinned read
+    // that resolved to the wrong version, shifts a v1 row and fails
+    // the hash.
+    "tv1_snapshot_versions" -> { (s, dir) =>
+      import graft.sources.Snapshots
+      val table = QueryTmp.dir("snap") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs, table)
+      val revised = docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val fresh = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val v2 = Snapshots.commit(
+        Upsert.upsertByKey(docs, revised.unionByName(fresh), "doc_id"), table)
+      def agg(df: DataFrame, v: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("version", lit(v))
+      agg(Snapshots.read(s, table, Some(v1)), 1)
+        .unionByName(agg(Snapshots.read(s, table, Some(v2)), 2))
+        .select(col("version"), col("lang"), col("n"), col("chars"), col("id_sum"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -361,6 +389,21 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "tv1_snapshot_versions" ->
+      """WITH batch AS (
+           SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 10 = 3),
+         merged AS (
+           SELECT d.doc_id, d.lang, d.text FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, lang, text FROM batch)
+         SELECT 1 AS version, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM merged GROUP BY lang""",
     "dq1_quality_checks" ->
       """SELECT 'unique:o_orderkey' AS check_name,
            (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric,

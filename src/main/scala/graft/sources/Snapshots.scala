@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned dataset snapshots — the reproducibility contract a
+  * training pipeline needs: every corpus revision (daily upsert, dedup
+  * pass, filter change) commits as an immutable version, and a training
+  * run pins the exact version it read, so the run is replayable after
+  * the corpus moves on. A minimal table-format core: data under
+  * `v=N/`, a `_latest` pointer published by atomic rename.
+  *
+  * Scale shape: a commit is one write of the new version's data (old
+  * versions are never rewritten or touched — immutability is what makes
+  * concurrent readers safe with zero coordination); reads open exactly
+  * one version directory. Combine with [[Compact]] per version dir and
+  * [[PlanCache]] for derived artifacts. Retention (dropping versions no
+  * run pins) is an explicit [[drop]], never implicit.
+  */
+object Snapshots {
+
+  /** Commit `df` as the next version; returns the new version number.
+    * The `_latest` pointer is published by atomic rename, so a reader
+    * sees either the previous version or the new one, never a partial.
+    */
+  def commit(df: DataFrame, tableDir: String): Int = {
+    Files.createDirectories(Paths.get(tableDir))
+    val v = latestVersion(tableDir).getOrElse(0) + 1
+    df.write.parquet(s"$tableDir/v=$v")
+    val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tableDir, "_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Read a pinned version, or the latest when `version` is None. */
+  def read(spark: SparkSession, tableDir: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(tableDir))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
+    spark.read.parquet(s"$tableDir/v=$v")
+  }
+
+  /** Highest committed version, if any. */
+  def latestVersion(tableDir: String): Option[Int] = {
+    val p = Paths.get(tableDir, "_latest")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
+    else None
+  }
+
+  /** Explicit retention: delete one version's data (never the latest). */
+  def drop(tableDir: String, version: Int): Boolean = {
+    require(!latestVersion(tableDir).contains(version), "refusing to drop the latest version")
+    val p = Paths.get(tableDir, s"v=$version")
+    val existed = Files.exists(p)
+    if (existed) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    existed
+  }
+}
