@@ -99,6 +99,12 @@ object ScaleProbe {
         import graft.operators.InvertedIndex
         val docs = Tables.load(spark, sfDir, "documents")
         val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(new java.io.File(dir))
+        }, "graft-phrase-clean"))
         val postings = InvertedIndex.materializePositional(docs, "doc_id", "text", s"$dir/p")
         val top = docs
           .select(col("doc_id"),

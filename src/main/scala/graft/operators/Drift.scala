@@ -32,8 +32,11 @@ object Drift {
     */
   def tokenJsDivergence(a: DataFrame, b: DataFrame, textCol: String,
       scale: Int = 4): DataFrame = {
-    val va = vocab(a, textCol)
-    val vb = vocab(b, textCol)
+    // eager localCheckpoint: the joined frame feeds BOTH the totals agg
+    // and the term computation — without it one action would tokenize
+    // and vocab-aggregate each corpus twice
+    val va = vocab(a, textCol).localCheckpoint()
+    val vb = vocab(b, textCol).localCheckpoint()
     val joined = va.withColumnRenamed("cnt", "ca")
       .join(vb.withColumnRenamed("cnt", "cb"), Seq("token"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Inverted token index over a document corpus — the retrieval side of
@@ -48,10 +48,11 @@ object InvertedIndex {
     */
   def searchAll(postings: DataFrame, idCol: String, tokens: Seq[String]): DataFrame = {
     require(tokens.nonEmpty, "searchAll needs at least one token")
-    postings.filter(col("token").isin(tokens: _*))
+    val probe = tokens.distinct // duplicate probes must not raise the match bar
+    postings.filter(col("token").isin(probe: _*))
       .groupBy(col(idCol))
       .agg(count_distinct(col("token")).as("__nt"))
-      .filter(col("__nt") === tokens.length)
+      .filter(col("__nt") === probe.length)
       .select(col(idCol))
   }
 
@@ -104,7 +105,7 @@ object InvertedIndex {
       .toSeq
 
   /** Convenience: build-or-attach via the cross-session plan cache. */
-  def attach(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, cacheDir: String): DataFrame =
+  def attach(docs: DataFrame, idCol: String, textCol: String,
+      cacheDir: String): DataFrame =
     graft.sources.PlanCache.readThrough(build(docs, idCol, textCol), cacheDir)
 }

@@ -368,20 +368,18 @@ object FacadeQueries {
     "fx16_cross_session_cache" -> { (s, dir) =>
       import graft.sources.PlanCache
       val cacheDir = QueryTmp.dir("plancache")
-      def attach(sess: SparkSession) = {
-        import sess.implicits._
-        new DSet(Tables.load(sess, dir, "orders")
+      def plan(sess: SparkSession) =
+        Tables.load(sess, dir, "orders")
           .select(col("o_orderstatus").as("status"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-          .as[(String, Long)])
-          .cacheAcrossSessions(cacheDir)
-      }
-      attach(s)
-      val coldMiss = PlanCache.lastOutcome == PlanCache.Miss
+      // race-free outcome API — lastOutcome is JVM-global and another
+      // concurrent PlanCache user would clobber it between attach and read
+      val (_, first) = PlanCache.readThroughWithOutcome(plan(s), cacheDir)
+      val coldMiss = first == PlanCache.Miss
       val s2 = s.newSession()
-      val warm = attach(s2)
-      val warmHit = PlanCache.lastOutcome == PlanCache.Hit
-      warm.ds.toDF("status", "cents")
+      val (warmDf, second) = PlanCache.readThroughWithOutcome(plan(s2), cacheDir)
+      val warmHit = second == PlanCache.Hit
+      warmDf.toDF("status", "cents")
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("cold_miss", lit(coldMiss))

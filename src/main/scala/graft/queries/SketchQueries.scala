@@ -74,7 +74,7 @@ object SketchQueries {
     "sk4_heavy_hitters_stream" -> { (s, dir) =>
       val stage = sk4Stage.synchronized {
         sk4Stage.getOrElseUpdate(dir, {
-          val d = java.nio.file.Files.createTempDirectory("graft-sk4").toString
+          val d = QueryTmp.dir("sk4stage")
           Tables.load(s, dir, "documents").select(col("lang"), col("text"))
             .repartition(4).write.mode("overwrite").parquet(d)
           d

@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
   * dataset needs (incremental appends like `InvertedIndex.appendTo` or
   * streaming sinks leave micro-batch-sized files; thousands of tiny
   * files tax the scan planner and the namenode): rewrite a parquet
-  * directory into ~`targetBytes` files, swapping atomically so readers
-  * see either the old layout or the new one.
+  * directory into ~`targetBytes` files, then swap via two renames with
+  * rollback on failure. The swap is NOT a single atomic operation: a
+  * reader racing the swap can observe a brief path-missing window (one
+  * rename wide) — schedule compaction when the directory is not being
+  * actively read, or layer [[Snapshots]] on top, whose pointer publish
+  * IS atomic and makes version data immutable.
   *
   * Scale shape: one full read + one exchange-free write when shrinking
   * (coalesce — partitions merge map-side, no shuffle); the swap is two
@@ -34,7 +38,14 @@ object Compact {
     spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
     val old = Paths.get(path + s".old-${java.util.UUID.randomUUID()}")
     Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: Throwable =>
+        // roll the original back so `path` never stays missing
+        Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        deleteTree(tmp)
+        throw e
+    }
     deleteTree(old)
     dataFileCount(path)
   }
@@ -52,11 +63,5 @@ object Compact {
     } finally it.close()
   }
 
-  private def deleteTree(p: Path): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(p.toFile)
-  }
+  private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 }

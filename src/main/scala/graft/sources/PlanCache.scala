@@ -39,8 +39,10 @@ object PlanCache {
   case object Hit extends Outcome
   case object Miss extends Outcome
 
-  /** Outcome of the most recent [[readThrough]] on this JVM — observable
-    * for specs and for the fx16 contract columns.
+  /** Outcome of the most recent [[readThrough]] on this JVM. Convenience
+    * for sequential callers — under concurrency use
+    * [[readThroughWithOutcome]], which returns the outcome instead of
+    * racing on this global.
     */
   @volatile private var last: Outcome = Miss
   def lastOutcome: Outcome = last
@@ -53,6 +55,15 @@ object PlanCache {
   def fingerprint(df: DataFrame): String = {
     val md = MessageDigest.getInstance("SHA-256")
     def put(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
+    // BOTH serializations are hashed, because each elides what the other
+    // keeps: treeString truncates expression arguments past
+    // spark.sql.debug.maxToStringFields (two plans differing only in a
+    // long isin list would share a key), while toJSON keeps every field
+    // but renders opaque objects (typed-op lambdas) as null (two
+    // different lambdas would share a key). Together: complete fields +
+    // lambda identity. Typed-lambda plans remain JVM-stable only, as
+    // documented; Column-only plans are stable across sessions.
+    put(df.queryExecution.analyzed.canonicalized.toJSON)
     put(df.queryExecution.analyzed.canonicalized.treeString)
     put(df.inputFiles.sorted.mkString("\n"))
     put(df.schema.json)
@@ -64,19 +75,27 @@ object PlanCache {
     * warm re-attach); otherwise compute once, publish atomically, and read
     * the published copy so every consumer sees identical bytes.
     */
-  def readThrough(df: DataFrame, cacheDir: String): DataFrame = {
+  def readThrough(df: DataFrame, cacheDir: String): DataFrame =
+    readThroughWithOutcome(df, cacheDir)._1
+
+  /** [[readThrough]] plus this call's outcome (race-free, unlike
+    * [[lastOutcome]]).
+    */
+  def readThroughWithOutcome(df: DataFrame, cacheDir: String): (DataFrame, Outcome) = {
     val spark = df.sparkSession
     val key = fingerprint(df)
     Files.createDirectories(Paths.get(cacheDir))
     val target = Paths.get(cacheDir, key)
-    if (isPublished(target)) last = Hit
-    else {
-      val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
-      df.write.parquet(tmp.toString)
-      publish(tmp, target)
-      last = Miss
-    }
-    spark.read.parquet(target.toString)
+    val outcome =
+      if (isPublished(target)) Hit
+      else {
+        val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
+        df.write.parquet(tmp.toString)
+        publish(tmp, target)
+        Miss
+      }
+    last = outcome
+    (spark.read.parquet(target.toString), outcome)
   }
 
   /** Explicit eviction (the reference's decache). Returns true if a
@@ -103,11 +122,5 @@ object PlanCache {
         if (!isPublished(target)) throw e
     }
 
-  private def deleteTree(p: Path): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    rm(p.toFile)
-  }
+  private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 }

@@ -298,7 +298,13 @@ object RpcSource {
     * each producing its own partition). A legacy service treats the
     * conjunct as vacuously true (unknown column in [[rowPredicate]]) and
     * streams everything — the reader detects the missing `OK SLICE` ack
-    * and falls back to client-side slicing, so correctness never depends
+    * and falls back to client-side slicing. CAVEAT for the fallback:
+    * client-side slicing keeps every N-th row by arrival index across N
+    * INDEPENDENT connections, so it is only correct against services
+    * whose enumeration order is deterministic per contract (true of the
+    * reference's delegate semantics and this repo's fixture); a legacy
+    * service with nondeterministic row order must use
+    * partitionsPerEndpoint = 1 or upgrade to the acking protocol, so correctness never depends
     * on the service generation.
     */
   private[sources] val SliceOp = "slice"

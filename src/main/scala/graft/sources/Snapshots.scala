@@ -27,13 +27,48 @@ object Snapshots {
     */
   def commit(df: DataFrame, tableDir: String): Int = {
     Files.createDirectories(Paths.get(tableDir))
-    val v = latestVersion(tableDir).getOrElse(0) + 1
-    df.write.parquet(s"$tableDir/v=$v")
+    // write to a private tmp dir first, so a crashed commit never leaves
+    // a partial (or orphaned complete) v=N directory to collide with
+    val data = Paths.get(tableDir, s".commit-${java.util.UUID.randomUUID()}")
+    df.write.parquet(data.toString)
+    // claim the next version by atomic rename; on a concurrent (or
+    // orphaned-crash) collision, advance and retry — maxVersionDir, not
+    // _latest, drives the numbering, so a commit that died before its
+    // pointer publish cannot wedge the table
+    var v = math.max(latestVersion(tableDir).getOrElse(0), maxVersionDir(tableDir)) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.move(data, Paths.get(tableDir, s"v=$v"), StandardCopyOption.ATOMIC_MOVE)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case _: java.nio.file.FileSystemException
+            if Files.exists(Paths.get(tableDir, s"v=$v")) => v += 1
+      }
+    }
     val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(tableDir, "_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // publish unless a concurrent committer already published a newer one
+    if (!latestVersion(tableDir).exists(_ > v))
+      Files.move(tmp, Paths.get(tableDir, "_latest"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    else Files.delete(tmp)
     v
+  }
+
+  /** Highest v=N directory present (claimed versions, published or not). */
+  private def maxVersionDir(tableDir: String): Int = {
+    val it = Files.list(Paths.get(tableDir))
+    try {
+      var mx = 0
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (fn.startsWith("v="))
+          scala.util.Try(fn.stripPrefix("v=").toInt).foreach(n => mx = math.max(mx, n))
+      }
+      mx
+    } finally it.close()
   }
 
   /** Read a pinned version, or the latest when `version` is None. */
@@ -56,13 +91,7 @@ object Snapshots {
     require(!latestVersion(tableDir).contains(version), "refusing to drop the latest version")
     val p = Paths.get(tableDir, s"v=$version")
     val existed = Files.exists(p)
-    if (existed) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }
+    if (existed) FsUtil.deleteTree(p)
     existed
   }
 }

@@ -31,6 +31,9 @@ class InvertedIndexSpec extends SparkSuite {
     assert(InvertedIndex.searchAll(p, "doc_id", Seq("fox"))
       .as[Long].collect().toSet == Set(0L, 2L))
     assert(InvertedIndex.searchAll(p, "doc_id", Seq("missing")).count() == 0)
+    // duplicate probes must not raise the AND bar
+    assert(InvertedIndex.searchAll(p, "doc_id", Seq("red", "red"))
+      .as[Long].collect().toSet == Set(0L, 1L))
   }
 
   test("buildPositional assigns 0-based positions over the filtered sequence") {
