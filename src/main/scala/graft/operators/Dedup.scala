@@ -333,7 +333,7 @@ object Dedup {
   private[graft] def bloomProbeForTest(bloom: Array[Byte], keyCols: Seq[String]): Column =
     bloomMightContain(bloom, keyCols)
 
-  private def bloomMightContain(bloom: Array[Byte], keyCols: Seq[String]): Column =
+  private[graft] def bloomMightContain(bloom: Array[Byte], keyCols: Seq[String]): Column =
     graftbridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.catalyst.expressions.Literal(bloom,

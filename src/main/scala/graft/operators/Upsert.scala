@@ -27,4 +27,24 @@ object Upsert {
     existing
       .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(batch.select(existing.columns.map(col).toSeq: _*))
+
+  /** The 100 TB tier of [[upsertByKey]]: a Bloom filter over the BATCH
+    * keys (increment-sized, built once) pre-prunes the corpus in the
+    * scan stage — rows whose key cannot be in the batch (`might_contain`
+    * false) pass straight through without ever reaching the anti-join;
+    * only Bloom candidates (true replacements + fpp·corpus false
+    * positives) pay the join. Same d13 machinery, replace direction.
+    * Result is EXACT (the anti-join re-checks candidates); the Bloom
+    * only decides who gets joined.
+    */
+  def upsertByKeyBloom(existing: DataFrame, batch: DataFrame, keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = Dedup.exactKeyBloom(batch, Seq(keyCol), fpp = fpp)
+    val probe = Dedup.bloomMightContain(bloom, Seq(keyCol))
+    existing.filter(!probe)
+      .unionByName(
+        existing.filter(probe)
+          .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti"))
+      .unionByName(batch.select(existing.columns.map(col).toSeq: _*))
+  }
 }

@@ -140,6 +140,26 @@ object CurationQueries {
         sum(col("doc_id")).as("id_sum"))
     },
 
+    // mg1's 100 TB tier: the same upsert through the Bloom-pruned path —
+    // corpus rows that cannot match the batch (codegen might_contain
+    // false) bypass the anti-join entirely; candidates are exactly
+    // re-checked, so the result is identical to mg1 and lands under the
+    // same oracle. A Bloom that wrongly excluded a replacement (false
+    // negative — impossible by construction) or a pass-through that
+    // leaked a replaced row shifts chars/n and fails the hash.
+    "mg2_corpus_upsert_bloom" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val revised = docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val fresh = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val merged = Upsert.upsertByKeyBloom(docs, revised.unionByName(fresh), "doc_id")
+      merged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+    },
+
     // Deterministic train/eval split: disjoint, complete, and stable
     // under corpus growth (a doc's side never changes as rows arrive) —
     // the hash property d9's decontamination assumes.
@@ -466,6 +486,18 @@ object CurationQueries {
                 FROM h)
           SELECT doc_id, lang FROM r WHERE rn <= 5""",
     "mg1_corpus_upsert" ->
+      """WITH batch AS (
+           SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 10000000, lang, text FROM documents WHERE doc_id % 10 = 3),
+         merged AS (
+           SELECT d.doc_id, d.lang, d.text FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = d.doc_id)
+           UNION ALL SELECT doc_id, lang, text FROM batch)
+         SELECT lang, count(*)::BIGINT AS n, sum(len(text))::BIGINT AS chars,
+           sum(doc_id)::BIGINT AS id_sum
+         FROM merged GROUP BY lang""",
+    "mg2_corpus_upsert_bloom" ->
       """WITH batch AS (
            SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7
            UNION ALL

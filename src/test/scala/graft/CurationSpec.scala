@@ -242,6 +242,18 @@ class CurationSpec extends SparkSuite {
     assert(got == Set((1L, "new1", 99L)))
   }
 
+  test("upsertByKeyBloom equals the plain upsert (Bloom only routes, never decides)") {
+    import graft.operators.Upsert
+    val existing = (0L until 5000L).map(i => (i, s"old$i")).toDF("id", "v")
+    val batch = ((0L until 50L).map(i => (i * 100, s"new${i * 100}")) ++
+      Seq((999999L, "insert"))).toDF("id", "v")
+    val plain = Upsert.upsertByKey(existing, batch, "id")
+      .as[(Long, String)].collect().toSet
+    val bloomed = Upsert.upsertByKeyBloom(existing, batch, "id", fpp = 0.2)
+      .as[(Long, String)].collect().toSet // high fpp: force false positives through the join
+    assert(bloomed == plain)
+  }
+
   // ---- plan shapes (the 100 TB arguments, asserted) ----
 
   test("reservoirPerGroup plan: heap partials before ONE exchange, no window sort") {
