@@ -43,7 +43,7 @@ final class BinPartitioner(n: Int) extends Partitioner {
   * Key-value (`DKV`) operators live in [[DSet.KVOps]]; import
   * `graft.dset.DSet._` to enable them on any `DSet[(K, V)]`.
   */
-final class DSet[U](val ds: Dataset[U]) {
+final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   def spark: SparkSession = ds.sparkSession
 
   // ---- per-element narrow transformations (reference §2.2) ----
@@ -79,13 +79,21 @@ final class DSet[U](val ds: Dataset[U]) {
     DSet.fromRDD(spark, rdd2)
   }
 
-  /** Batch-at-a-time map over whole partitions — closest Spark analog of
-    * the reference's per-collection batches (reference
-    * `DSetGenerics.fs:1127-1137`, `mapByCollection`; batches are ≤
-    * `SerializationLimit` arrays, paper §4.2).
+  /** Batch-at-a-time map (reference `DSetGenerics.fs:1127-1137`,
+    * `mapByCollection`; batches are ≤ `SerializationLimit` arrays, paper
+    * §4.2). Consumes the [[rowsReorg]] batch-size hint: with a hint of n
+    * each call of `f` sees ≤ n consecutive rows (`it.grouped(n)` — bounded
+    * per-task allocation, no whole-partition materialization); without a
+    * hint the whole partition arrives as one array, matching the
+    * reference's default of one collection per partition blob.
     */
-  def mapByCollection[U1: Encoder](f: Array[U] => Array[U1])(implicit ct: ClassTag[U]): DSet[U1] =
-    new DSet(ds.mapPartitions(it => if (it.isEmpty) Iterator.empty else f(it.toArray).iterator))
+  def mapByCollection[U1: Encoder](f: Array[U] => Array[U1])(implicit ct: ClassTag[U]): DSet[U1] = {
+    val n = batchHint
+    new DSet(ds.mapPartitions { it =>
+      if (n <= 0) { if (it.isEmpty) Iterator.empty else f(it.toArray).iterator }
+      else it.grouped(n).flatMap(g => f(g.toArray))
+    })
+  }
 
   /** Concurrent map with bounded intra-partition parallelism, preserving
     * element order — reproduces `asyncMap`/`parallelMap`
@@ -137,11 +145,28 @@ final class DSet[U](val ds: Dataset[U]) {
     DSet.fromRDD(spark, rdd2)
   }
 
-  /** Re-batch collections to n rows — a no-op on Spark, whose batching is
-    * internal to whole-stage codegen (reference `DSetGenerics.fs:1161-1182`,
-    * `rowsReorg`/`rowsSplit`/`rowsMergeAll`; SURVEY §2.5 "no-op in Spark").
+  /** Re-batch the collections downstream batch consumers observe to ≤ n
+    * rows (reference `DSetGenerics.fs:1161-1182`,
+    * `rowsReorg`/`rowsSplit`/`rowsMergeAll`; paper §4.2's
+    * ≤`SerializationLimit` collections). Spark's row flow is internal to
+    * whole-stage codegen, so per-element operators are unaffected; the hint
+    * is recorded on the DSet and consumed by [[mapByCollection]], the one
+    * operator whose user function observes batch boundaries — exactly the
+    * reference pattern `rowsReorg(n) |> mapByCollection f` (test pattern
+    * reference `tests/CoreLib/DSet.fs:489-533`). `n <= 0` restores the
+    * default whole-partition batch.
     */
-  def rowsReorg(n: Int): DSet[U] = this
+  def rowsReorg(n: Int): DSet[U] = new DSet(ds, n)
+
+  /** One row per collection (reference `DSetGenerics.fs:1161-1182`,
+    * `rowsSplit`).
+    */
+  def rowsSplit: DSet[U] = rowsReorg(1)
+
+  /** Merge all rows of a partition into one collection (reference
+    * `DSetGenerics.fs:1161-1182`, `rowsMergeAll`) — the facade default.
+    */
+  def rowsMergeAll: DSet[U] = rowsReorg(-1)
 
   /** Set intra-partition parallel degree — superseded by executor-core
     * scheduling in Spark (reference `DSetGenerics.fs:1139-1158`,

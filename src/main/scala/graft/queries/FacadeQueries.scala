@@ -386,6 +386,31 @@ object FacadeQueries {
         .withColumn("warm_hit", lit(warmHit))
     },
 
+    // rowsReorg(n) batch boundaries under the driver hash (reference
+    // `DSetGenerics.fs:1161-1182` rowsReorg/rowsSplit/rowsMergeAll; test
+    // pattern `tests/CoreLib/DSet.fs:489-533`; paper §4.2's
+    // ≤SerializationLimit collections): four generated partitions of known
+    // uneven sizes flow through mapByCollection under FOUR different
+    // re-batching hints — n=9, n=25, rowsSplit (1), and rowsMergeAll
+    // (whole partition) — and every row carries the length of the batch
+    // it arrived in. The oracle recomputes each row's batch size
+    // arithmetically from (serial, hint, partition size): batch b holds
+    // min(n, size - b*n) rows, so a batch that crossed a partition
+    // boundary, split at the wrong serial, or materialized the whole
+    // partition despite the hint fails the hash.
+    "fx17_rows_reorg_batches" -> { (s, _) =>
+      import s.implicits._
+      val gen = DSet.initN[(Int, Long)](s, 4)((_, pi) => 40 + pi * 7)((pi, ser) => (pi, ser))
+      def tagged(tag: String, d: DSet[(Int, Long)]) =
+        d.mapByCollection(arr => arr.map(t => (tag, t._1, t._2, arr.length)))
+      tagged("n9", gen.rowsReorg(9))
+        .merge(
+          tagged("n25", gen.rowsReorg(25)),
+          tagged("split", gen.rowsSplit),
+          tagged("merge", gen.rowsMergeAll))
+        .ds.toDF("tag", "part_id", "ser", "batch_n")
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -509,6 +534,18 @@ object FacadeQueries {
            sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
            true AS cold_miss, true AS warm_hit
          FROM orders GROUP BY o_orderstatus""",
+    "fx17_rows_reorg_batches" ->
+      """WITH gen AS (
+           SELECT p.pi::INTEGER AS part_id, s.ser::BIGINT AS ser,
+                  (40 + p.pi * 7) AS psize
+           FROM range(4) p(pi) CROSS JOIN range(61) s(ser)
+           WHERE s.ser < 40 + p.pi * 7)
+         SELECT 'n9' AS tag, part_id, ser,
+                least(9, psize - (ser // 9) * 9)::INTEGER AS batch_n FROM gen
+         UNION ALL SELECT 'n25', part_id, ser,
+                least(25, psize - (ser // 25) * 25)::INTEGER FROM gen
+         UNION ALL SELECT 'split', part_id, ser, 1::INTEGER FROM gen
+         UNION ALL SELECT 'merge', part_id, ser, psize::INTEGER FROM gen""",
     "fx8_async_kv_outer" ->
       """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
               lower(c_mktsegment) AS segment

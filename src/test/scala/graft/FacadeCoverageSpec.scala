@@ -40,10 +40,22 @@ class FacadeCoverageSpec extends SparkSuite {
     assert(got.forall(_ == 0) && got.length == 40)
   }
 
-  test("rowsReorg / reorgWDegree are documented no-ops") {
-    val d = DSet.distribute(spark, 1 to 10)
-    assert(d.rowsReorg(5).count() == 10)
-    assert(d.reorgWDegree(4).count() == 10)
+  test("rowsReorg(n) re-batches what mapByCollection observes, preserving content") {
+    val d = DSet.initS[Int](spark, 2, 23)((pi, s) => pi * 23 + s.toInt)
+    // every batch f sees is ≤ n rows, and the LAST batch of a partition
+    // carries the remainder (23 = 2*9 + 5)
+    val sizes = d.rowsReorg(9).mapByCollection(arr => Array(arr.length)).toArray
+    assert(sizes.forall(_ <= 9))
+    assert(sizes.sorted.toSeq == Seq(5, 5, 9, 9, 9, 9))
+    // content is untouched: same elements, nothing dropped or duplicated
+    val roundtrip = d.rowsReorg(7).mapByCollection(identity[Array[Int]]).toArray
+    assert(roundtrip.sorted.toSeq == (0 until 46))
+    // rowsSplit → singleton batches; rowsMergeAll → whole partition
+    assert(d.rowsSplit.mapByCollection(arr => Array(arr.length)).toArray.forall(_ == 1))
+    assert(d.rowsMergeAll.mapByCollection(arr => Array(arr.length)).toArray.toSeq == Seq(23, 23))
+    // n <= 0 restores the whole-partition default
+    assert(d.rowsReorg(9).rowsReorg(-1).mapByCollection(arr => Array(arr.length)).toArray.toSeq == Seq(23, 23))
+    assert(d.reorgWDegree(4).count() == 46)
   }
 
   test("mix3 / map3 zip three same-shape dsets") {
