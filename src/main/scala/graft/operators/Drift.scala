@@ -40,19 +40,26 @@ object Drift {
     val joined = va.withColumnRenamed("cnt", "ca")
       .join(vb.withColumnRenamed("cnt", "cb"), Seq("token"), "full_outer")
       .na.fill(0L, Seq("ca", "cb"))
-    // per-side totals (two scalars) cross-joined back — a one-row
-    // broadcast, so the term computation stays a single vocab-sized pass
-    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    joined.crossJoin(totals)
-      .select(col("na"), col("nb"),
-        (col("ca") / col("na")).as("p"),
-        (col("cb") / col("nb")).as("q"))
-      .select(col("na"), col("nb"), col("p"), col("q"),
-        ((col("p") + col("q")) / 2.0).as("m"))
-      .agg(first(col("na")).as("n_tokens_a"), first(col("nb")).as("n_tokens_b"),
+    // per-side totals: two bounded scalars pulled to the driver (the
+    // vocabs are checkpointed, so this extra vocab-sized action is cheap)
+    // and folded back as literals — one fewer join than a crossJoin(totals)
+    // plan, and it lets an empty side fail LOUDLY instead of silently
+    // nulling js_nats (p = ca/0 is null in Spark but inf/NaN in DuckDB —
+    // divergent oracle semantics on the edge)
+    val totalsRow = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")).collect()(0)
+    val na = if (totalsRow.isNullAt(0)) 0L else totalsRow.getLong(0)
+    val nb = if (totalsRow.isNullAt(1)) 0L else totalsRow.getLong(1)
+    require(na > 0 && nb > 0,
+      s"tokenJsDivergence: both slices need at least one token (a=$na, b=$nb) — " +
+        "JS divergence over an empty distribution is undefined")
+    joined
+      .select((col("ca") / na.toDouble).as("p"), (col("cb") / nb.toDouble).as("q"))
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2.0).as("m"))
+      .agg(
         round(
           (sum(when(col("p") > 0, col("p") * log(col("p") / col("m"))).otherwise(0.0)) +
             sum(when(col("q") > 0, col("q") * log(col("q") / col("m"))).otherwise(0.0))) / 2.0,
           scale).as("js_nats"))
+      .select(lit(na).as("n_tokens_a"), lit(nb).as("n_tokens_b"), col("js_nats"))
   }
 }

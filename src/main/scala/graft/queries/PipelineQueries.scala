@@ -208,29 +208,30 @@ object PipelineQueries {
       // stream with the RAW parquet schema; normalize ts with the same
       // type-driven branch Tables.load uses (the on-disk encoding has
       // changed across driver regenerations — nanos-as-long, then µs NTZ)
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      def evStream = Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(streamDir))
-      val errors = evStream.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val clicks = evStream.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
       // A stream-stream join commits one state store per shuffle
       // partition per side per micro-batch; at 32 partitions that fixed
       // cost dwarfs the join itself at test scale (~5.5 s → ~2.9 s at 8,
       // flat from sf0.001 to sf0.1 — pure machinery, not data).
       // Partition count never changes join RESULTS, only state layout —
       // a production deployment sizes it to rate × horizon instead.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.Telemetry
-          .intervalJoinStream(errors, clicks, "user_id", "10 minutes", 300)
-          .select(col("l.event_id").as("event_id"), col("click_id"))
-          .writeStream.outputMode("append").format("memory").queryName("sj1_out")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("sj1_out")
+      // The sizing lives on a DEDICATED session (shared SparkContext,
+      // private conf + catalog) so no concurrent query on the shared
+      // session ever observes a temporarily mutated value.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
+      def evStream = Tables.normalizeTs(ss.readStream.schema(rawSchema).parquet(streamDir))
+      val errors = evStream.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = evStream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val q = graft.streaming.Telemetry
+        .intervalJoinStream(errors, clicks, "user_id", "10 minutes", 300)
+        .select(col("l.event_id").as("event_id"), col("click_id"))
+        .writeStream.outputMode("append").format("memory").queryName("sj1_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table("sj1_out")
     },
 
     // Streaming exactly-once dedup UNDER THE DRIVER HASH: the staged
@@ -250,18 +251,17 @@ object PipelineQueries {
           d
         })
       }
-      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val ev = Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(stage))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store count (see sj1)
-      try {
-        val q = graft.streaming.Telemetry.dedupStream(ev, "event_id", "10 minutes")
-          .select(col("event_id"), col("event_type"), col("value"))
-          .writeStream.outputMode("append").format("memory").queryName("sd1_out")
-          .start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table("sd1_out")
+      // dedicated session for the 8-partition state-store sizing (see sj1)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val rawSchema = ss.read.parquet(s"$dir/events.parquet").schema
+      val ev = Tables.normalizeTs(ss.readStream.schema(rawSchema).parquet(stage))
+      val q = graft.streaming.Telemetry.dedupStream(ev, "event_id", "10 minutes")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream.outputMode("append").format("memory").queryName("sd1_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table("sd1_out")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     },

@@ -80,24 +80,25 @@ object SketchQueries {
           d
         })
       }
-      val schema = s.read.parquet(stage).schema
+      // dedicated session for the 8-partition streaming-state sizing —
+      // never mutate the shared session conf (sessions share the
+      // SparkContext; conf + memory-sink catalog entry stay private)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val schema = ss.read.parquet(stage).schema
       val mg = udaf(new Aggregators.MisraGriesAgg(256),
         org.apache.spark.sql.Encoders.STRING)
-      val toksStream = s.readStream.schema(schema)
+      val toksStream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(stage)
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = toksStream.groupBy(col("lang")).agg(mg(col("token")).as("cands"))
-          .writeStream.outputMode("complete").format("memory")
-          .queryName("sk4_out").start()
-        try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      val cands = s.table("sk4_out")
+      val q = toksStream.groupBy(col("lang")).agg(mg(col("token")).as("cands"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("sk4_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val cands = ss.table("sk4_out")
         .select(col("lang"), explode(col("cands")).as("token"))
-      val toks = Tables.load(s, dir, "documents")
+      val toks = Tables.load(ss, dir, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
       val exact = toks.join(broadcast(cands), Seq("lang", "token"))
