@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * incremental dedup family ([[Dedup.incrementalNearDupKeep]],
   * [[Dedup.incrementalExactKeep]]): rows whose key appears in the batch
   * take the batch version; all other existing rows survive; batch-only
-  * keys insert.
+  * keys insert. Keys are composite (`Seq[String]`) — real corpora key on
+  * (source, doc_id), not a single column; single-column overloads remain
+  * for the common case.
   *
   * Scale shape: one key-partitioned anti-join (the batch side is the
   * daily increment — orders of magnitude smaller than the corpus, so AQE
@@ -23,28 +25,39 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  def upsertByKey(existing: DataFrame, batch: DataFrame, keyCol: String): DataFrame =
+  def upsertByKey(existing: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame =
     existing
-      .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(batch.select(existing.columns.map(col).toSeq: _*))
+
+  def upsertByKey(existing: DataFrame, batch: DataFrame, keyCol: String): DataFrame =
+    upsertByKey(existing, batch, Seq(keyCol))
 
   /** The 100 TB tier of [[upsertByKey]]: a Bloom filter over the BATCH
     * keys (increment-sized, built once) pre-prunes the corpus in the
     * scan stage — rows whose key cannot be in the batch (`might_contain`
-    * false) pass straight through without ever reaching the anti-join;
-    * only Bloom candidates (true replacements + fpp·corpus false
-    * positives) pay the join. Same d13 machinery, replace direction.
-    * Result is EXACT (the anti-join re-checks candidates); the Bloom
-    * only decides who gets joined.
+    * of the composite-key xxhash64 false) pass straight through without
+    * ever reaching the anti-join; only Bloom candidates (true
+    * replacements + fpp·corpus false positives) pay the join. Same d13
+    * machinery, replace direction. Result is EXACT (the anti-join
+    * re-checks candidates on the real key columns); the Bloom only
+    * decides who gets joined.
     */
-  def upsertByKeyBloom(existing: DataFrame, batch: DataFrame, keyCol: String,
-      fpp: Double = 0.01): DataFrame = {
-    val bloom = Dedup.exactKeyBloom(batch, Seq(keyCol), fpp = fpp)
-    val probe = Dedup.bloomMightContain(bloom, Seq(keyCol))
+  def upsertByKeyBloom(existing: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      fpp: Double): DataFrame = {
+    val bloom = Dedup.exactKeyBloom(batch, keyCols, fpp = fpp)
+    val probe = Dedup.bloomMightContain(bloom, keyCols)
     existing.filter(!probe)
       .unionByName(
         existing.filter(probe)
-          .join(batch.select(col(keyCol)), Seq(keyCol), "left_anti"))
+          .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti"))
       .unionByName(batch.select(existing.columns.map(col).toSeq: _*))
   }
+
+  def upsertByKeyBloom(existing: DataFrame, batch: DataFrame, keyCols: Seq[String]): DataFrame =
+    upsertByKeyBloom(existing, batch, keyCols, 0.01)
+
+  def upsertByKeyBloom(existing: DataFrame, batch: DataFrame, keyCol: String,
+      fpp: Double = 0.01): DataFrame =
+    upsertByKeyBloom(existing, batch, Seq(keyCol), fpp)
 }

@@ -73,20 +73,23 @@ object CurationQueries {
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
-    // metric, ok) row each in ONE unioned plan. Every check is a
-    // map-side-combined aggregate; the FK check's parent key set rides
-    // an AQE-broadcast left join. The oracle replays each aggregate.
+    // metric, ok) row each. Scan checks against the SAME table fuse into
+    // ONE multi-aggregate pass (checkTable) — one scan per checked table,
+    // not one per check; only the FK check genuinely joins two tables
+    // (parent key set rides an AQE-broadcast left join). The oracle
+    // replays each aggregate.
     "dq1_quality_checks" -> { (s, dir) =>
       import graft.operators.Expect
       val orders = Tables.load(s, dir, "orders")
       val lineitem = Tables.load(s, dir, "lineitem")
       val docs = Tables.load(s, dir, "documents")
       Expect.suite(Seq(
-        Expect.uniqueKey(orders, "o_orderkey"),
-        Expect.notNull(docs, "text"),
+        Expect.checkTable(orders, Seq(Expect.UniqueKey("o_orderkey"))),
+        Expect.checkTable(docs,
+          Seq(Expect.NotNull("text"), Expect.RowCountAtLeast(1))),
         Expect.foreignKey(lineitem, "l_orderkey", orders, "o_orderkey"),
-        Expect.inRange(lineitem, "l_quantity", 1.0, 50.0),
-        Expect.rowCountAtLeast(docs, 1)))
+        Expect.checkTable(lineitem,
+          Seq(Expect.InRange("l_quantity", 1.0, 50.0)))))
     },
 
     // Distribution-drift monitor: Jensen-Shannon divergence between
@@ -155,6 +158,32 @@ object CurationQueries {
         .withColumn("doc_id", col("doc_id") + 10000000L)
       val merged = Upsert.upsertByKeyBloom(docs, revised.unionByName(fresh), "doc_id")
       merged.groupBy(col("lang")).agg(
+        count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+    },
+
+    // Composite-key upsert: real corpora key on (source, doc_id), not a
+    // single column. The batch carries BOTH a true revision (same
+    // composite key, amended text — must replace) and a cross-source
+    // probe (same doc_id, FLIPPED source — a single-column join would
+    // wrongly replace; the composite key makes it an insert). Runs
+    // through the Bloom tier so the composite xxhash64 probe is gated
+    // too; per-(lang, source) counts + char/id sums pin every outcome.
+    "mg3_composite_upsert" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("source",
+          when(col("doc_id") % 2 === 0, lit("web")).otherwise(lit("book")))
+      val revised = docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+      val crossSrc = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("source",
+          when(col("source") === "web", lit("book")).otherwise(lit("web")))
+        .withColumn("text", concat(col("text"), lit(" alt")))
+      val merged = Upsert.upsertByKeyBloom(
+        docs, revised.unionByName(crossSrc), Seq("source", "doc_id"))
+      merged.groupBy(col("lang"), col("source")).agg(
         count(lit(1)).as("n"),
         sum(length(col("text"))).as("chars"),
         sum(col("doc_id")).as("id_sum"))
@@ -509,6 +538,26 @@ object CurationQueries {
          SELECT lang, count(*)::BIGINT AS n, sum(len(text))::BIGINT AS chars,
            sum(doc_id)::BIGINT AS id_sum
          FROM merged GROUP BY lang""",
+    "mg3_composite_upsert" ->
+      """WITH d AS (
+           SELECT doc_id, lang, text,
+             CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'book' END AS source
+           FROM documents),
+         batch AS (
+           SELECT doc_id, lang, text || ' v2' AS text, source FROM d WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id, lang, text || ' alt' AS text,
+             CASE WHEN source = 'web' THEN 'book' ELSE 'web' END AS source
+           FROM d WHERE doc_id % 10 = 3),
+         merged AS (
+           SELECT x.doc_id, x.lang, x.text, x.source FROM d x
+           WHERE NOT EXISTS (
+             SELECT 1 FROM batch b
+             WHERE b.doc_id = x.doc_id AND b.source = x.source)
+           UNION ALL SELECT doc_id, lang, text, source FROM batch)
+         SELECT lang, source, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM merged GROUP BY lang, source""",
     "s2_stratified_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang FROM h

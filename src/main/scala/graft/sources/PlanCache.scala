@@ -47,10 +47,19 @@ object PlanCache {
   @volatile private var last: Outcome = Miss
   def lastOutcome: Outcome = last
 
+  private val JvmIdRx = "\"jvmId\":\"[0-9a-fA-F-]{36}\"".r
+
   /** Session-independent cache key: SHA-256 over the canonicalized
     * analyzed plan (expression IDs normalized, so two sessions building
     * the same query agree), the sorted input file list (two same-shaped
-    * plans over different tables must not collide), and the result schema.
+    * plans over different tables must not collide), the result schema,
+    * and — for plans over literal in-memory data — the local rows
+    * themselves.
+    *
+    * Key stability is guarded by PlanCacheSpec's golden-key case: a Spark
+    * upgrade (or a refactor here) that rotates the canonicalized-plan
+    * serialization turns a silent fleet-wide cache miss into a named
+    * test failure with an explicit migration note.
     */
   def fingerprint(df: DataFrame): String = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -63,10 +72,35 @@ object PlanCache {
     // different lambdas would share a key). Together: complete fields +
     // lambda identity. Typed-lambda plans remain JVM-stable only, as
     // documented; Column-only plans are stable across sessions.
-    put(df.queryExecution.analyzed.canonicalized.toJSON)
-    put(df.queryExecution.analyzed.canonicalized.treeString)
+    val analyzed = df.queryExecution.analyzed
+    // toJSON serializes ExprId with its per-JVM jvmId UUID even after
+    // canonicalization normalizes the numeric ids — left in, every key
+    // would rotate per driver JVM and cross-process reattach (the whole
+    // point of this cache) would always miss. Normalize them out; the
+    // numeric ids the canonicalizer assigned carry the identity.
+    put(JvmIdRx.replaceAllIn(analyzed.canonicalized.toJSON, "\"jvmId\":\"0\""))
+    put(analyzed.canonicalized.treeString)
     put(df.inputFiles.sorted.mkString("\n"))
     put(df.schema.json)
+    // In-memory leaves are invisible to all three of the above: toJSON
+    // renders LocalRelation rows as null, treeString truncates them, and
+    // inputFiles is empty — two different literal datasets of the same
+    // shape would otherwise silently share a key and serve each other's
+    // rows. Hash LocalRelation row contents (driver-resident by
+    // definition, so linear and local); RDD-backed leaves have opaque
+    // contents, so their key is the JVM-unique rdd id — same-JVM reuse
+    // stays valid, a new JVM misses and recomputes (safe, never stale).
+    analyzed.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        put(s"local-relation:${lr.data.length}")
+        val types = lr.output.map(_.dataType)
+        lr.data.foreach(r => put(r.toSeq(types).map(String.valueOf).mkString("")))
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        put(s"logical-rdd:${l.rdd.id}")
+      case e: org.apache.spark.sql.execution.ExternalRDD[_] =>
+        put(s"external-rdd:${e.rdd.id}")
+      case _ => ()
+    }
     md.digest().map("%02x".format(_)).mkString.take(32)
   }
 
@@ -85,6 +119,7 @@ object PlanCache {
     val spark = df.sparkSession
     val key = fingerprint(df)
     Files.createDirectories(Paths.get(cacheDir))
+    sweepStaleTmp(Paths.get(cacheDir))
     val target = Paths.get(cacheDir, key)
     val outcome =
       if (isPublished(target)) Hit
@@ -105,7 +140,35 @@ object PlanCache {
     val target = Paths.get(cacheDir, fingerprint(df))
     val existed = isPublished(target)
     if (Files.exists(target)) deleteTree(target)
+    sweepStaleTmp(target.getParent)
     existed
+  }
+
+  /** Age before an unpublished `.tmp-*` staging dir is considered the
+    * debris of a crashed writer and reclaimed. Generous: a healthy writer
+    * publishes (atomic rename) as soon as its parquet write finishes, and
+    * the rename refreshes nothing under tmp — only a writer that died
+    * mid-write leaves one this old.
+    */
+  private val TmpGraceMs = 6 * 60 * 60 * 1000L
+
+  /** Reclaim staging dirs stranded by crashed writers (a writer that dies
+    * mid `df.write.parquet(tmp)` leaves `.tmp-<key>-<uuid>` forever;
+    * repeated crashes would otherwise accumulate unbounded orphan data).
+    * Runs on every attach/invalidate — one directory listing.
+    */
+  private def sweepStaleTmp(cacheDir: Path, graceMs: Long = TmpGraceMs): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    val stream = Files.newDirectoryStream(cacheDir, ".tmp-*")
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff) deleteTree(p)
+        } catch { case _: java.io.IOException => () } // concurrent publish/delete won the race
+      }
+    } finally stream.close()
   }
 
   private def isPublished(target: Path): Boolean =

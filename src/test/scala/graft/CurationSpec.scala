@@ -254,6 +254,24 @@ class CurationSpec extends SparkSuite {
     assert(bloomed == plain)
   }
 
+  test("composite-key upsert joins on BOTH columns: same id, new source inserts") {
+    import graft.operators.Upsert
+    val existing = Seq(("web", 1L, "w1"), ("book", 1L, "b1"), ("web", 2L, "w2"))
+      .toDF("source", "id", "v")
+    val batch = Seq(
+      ("web", 1L, "w1-v2"),  // true revision: composite key matches
+      ("book", 2L, "b2")     // same id as web/2 but new source: MUST insert
+    ).toDF("source", "id", "v")
+    val expected = Set(
+      ("web", 1L, "w1-v2"), ("book", 1L, "b1"), ("web", 2L, "w2"), ("book", 2L, "b2"))
+    val plain = Upsert.upsertByKey(existing, batch, Seq("source", "id"))
+      .as[(String, Long, String)].collect().toSet
+    assert(plain == expected)
+    val bloomed = Upsert.upsertByKeyBloom(existing, batch, Seq("source", "id"), 0.2)
+      .as[(String, Long, String)].collect().toSet
+    assert(bloomed == expected)
+  }
+
   // ---- plan shapes (the 100 TB arguments, asserted) ----
 
   test("reservoirPerGroup plan: heap partials before ONE exchange, no window sort") {

@@ -96,6 +96,63 @@ class PlanCacheSpec extends SparkSuite {
     assert(!names.exists(_.startsWith(".tmp-")), s"stranded tmp dirs: $names")
   }
 
+  test("golden key: fingerprint of a fixed Column-only plan is stable") {
+    // GOLDEN VALUE — committed on purpose. If this fails after a Spark
+    // upgrade (or a fingerprint() refactor), every published cache entry
+    // in every cacheDir silently misses under the new keys: a fleet-wide
+    // performance cliff invisible to correctness gates. Migration: bump
+    // the golden value AND document that existing caches must be warmed
+    // anew (or re-keyed) at rollout.
+    val df = localFixture(spark)
+    assert(PlanCache.fingerprint(df) == "5e83b09c22d251e8fb29c6c8ab7f10d3",
+      "fingerprint rotated — cross-version cache keys no longer match; " +
+        "see migration note in this test")
+  }
+
+  test("same local data in a new session derives the same key; different data differs") {
+    // two sessions, same literal rows → same key (cross-session reattach
+    // holds for local data too)
+    val s2 = spark.newSession()
+    assert(PlanCache.fingerprint(localFixture(spark)) == PlanCache.fingerprint(localFixture(s2)))
+    // same schema, same row count, different values → MUST differ (a
+    // collision would serve one dataset's cached rows for the other)
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val b = Seq((1L, "x"), (2L, "z")).toDF("k", "s")
+    assert(PlanCache.fingerprint(a.select(col("k"), upper(col("s")).as("u"))) !=
+      PlanCache.fingerprint(b.select(col("k"), upper(col("s")).as("u"))))
+    // and the cached rows round-trip correctly per dataset
+    val cacheDir = tmpDir("pc-local")
+    val ra = PlanCache.readThrough(a, cacheDir).collect().map(_.toString).sorted.toSeq
+    val rb = PlanCache.readThrough(b, cacheDir).collect().map(_.toString).sorted.toSeq
+    assert(ra != rb)
+    assert(rb.exists(_.contains("z")))
+  }
+
+  test("stale tmp staging dirs from crashed writers are swept on attach") {
+    val cacheDir = tmpDir("pc-sweep")
+    val stale = Paths.get(cacheDir, ".tmp-deadbeef-crashed")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("part-00000.parquet"), "debris")
+    // age it past the grace period
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 8 * 60 * 60 * 1000L)
+    Files.setLastModifiedTime(stale, old)
+    // a fresh tmp-looking dir must survive (could be a live writer)
+    val fresh = Paths.get(cacheDir, ".tmp-deadbeef-live")
+    Files.createDirectories(fresh)
+    PlanCache.readThrough(ordersAgg(spark, sf0001), cacheDir).count()
+    assert(!Files.exists(stale), "stale tmp dir not reclaimed")
+    assert(Files.exists(fresh), "live tmp dir must not be reclaimed")
+  }
+
+  private def localFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "s")
+      .select(col("k"), upper(col("s")).as("u"))
+      .filter(col("k") > 0)
+  }
+
   test("facade cacheAcrossSessions round-trips typed rows") {
     val cacheDir = tmpDir("pc")
     import spark.implicits._

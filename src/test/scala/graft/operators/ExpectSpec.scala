@@ -36,4 +36,26 @@ class ExpectSpec extends SparkSuite {
     assert(got.count() == 3)
     assert(got.filter(col("ok") === false).count() == 0)
   }
+
+  test("checkTable fuses all scan checks into ONE scan of the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    Seq((1L, "a", 5.0), (2L, "b", 7.0), (3L, null: String, 99.0))
+      .toDF("id", "s", "v").write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val fused = Expect.checkTable(t, Seq(
+      Expect.UniqueKey("id"),
+      Expect.NotNull("s", maxFrac = 0.5),
+      Expect.InRange("v", 0.0, 10.0),
+      Expect.RowCountAtLeast(2)))
+    // exactly one parquet scan in the physical plan despite four checks
+    val scans = fused.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.length == 1, fused.queryExecution.sparkPlan.toString)
+    val byName = fused.collect().map(r => (r.getString(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byName("unique:id") == (0L, true))
+    assert(byName("not_null:s") == (1L, true)) // 1 null of 3 ≤ 0.5
+    assert(byName("range:v[0.0,10.0]") == (1L, false))
+    assert(byName("rows>=2") == (3L, true))
+  }
 }
