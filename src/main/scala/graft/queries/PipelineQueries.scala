@@ -80,6 +80,25 @@ object PipelineQueries {
         .withColumn("compacted", lit(after < before && after >= 1))
     },
 
+    // cp1's live-table tier: the fragmented table is a Snapshots version
+    // and compaction lands in a NEW version behind the atomic _latest
+    // pointer — no in-place swap, no path-missing window, pinned readers
+    // untouched. Content fidelity under the hash; the contract boolean
+    // pins version advance + file-count reduction.
+    "cp2_compact_version" -> { (s, dir) =>
+      import graft.sources.{Compact, Snapshots}
+      val table = tmpDir("compactv") + "/docs"
+      Snapshots.commit(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+          .repartition(64), table)
+      val before = Compact.dataFileCount(s"$table/v=1")
+      val (newV, after) = Compact.compactVersion(s, table, targetBytes = 1L << 20)
+      Snapshots.read(s, table)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .withColumn("compacted", lit(newV == 2 && after < before && after >= 1))
+    },
+
     // Schema evolution: half the table written with the v1 schema
     // (doc_id, lang), the other half appended with v2 (+ n_chars);
     // mergeSchema reads both generations, v1 rows surface NULL for the
@@ -402,6 +421,10 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "cp1_compact" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
+           true AS compacted
+         FROM documents GROUP BY lang""",
+    "cp2_compact_version" ->
       """SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS chars,
            true AS compacted
          FROM documents GROUP BY lang""",

@@ -8,17 +8,22 @@ import org.apache.spark.sql.SparkSession
   * dataset needs (incremental appends like `InvertedIndex.appendTo` or
   * streaming sinks leave micro-batch-sized files; thousands of tiny
   * files tax the scan planner and the namenode): rewrite a parquet
-  * directory into ~`targetBytes` files, then swap via two renames with
-  * rollback on failure. The swap is NOT a single atomic operation: a
-  * reader racing the swap can observe a brief path-missing window (one
-  * rename wide) — schedule compaction when the directory is not being
-  * actively read, or layer [[Snapshots]] on top, whose pointer publish
-  * IS atomic and makes version data immutable.
+  * directory into ~`targetBytes` files.
+  *
+  * Two entry points. [[compactVersion]] is the DEFAULT for live tables:
+  * it compacts a [[Snapshots]] table's latest version into a NEW version
+  * behind the atomic `_latest` pointer — concurrent readers see the old
+  * version or the new one, never a missing path, and pinned readers are
+  * untouched (version data is immutable). Plain [[compact]] is the
+  * quiesced-directory tool: it swaps IN PLACE via two renames with
+  * rollback on failure, and a reader racing the swap can observe a brief
+  * path-missing window (one rename wide) — use it only on directories
+  * nothing is actively reading.
   *
   * Scale shape: one full read + one exchange-free write when shrinking
-  * (coalesce — partitions merge map-side, no shuffle); the swap is two
-  * directory renames. At 100 TB this runs per-partition-directory (per
-  * day / per shard), never over the whole dataset at once.
+  * (coalesce — partitions merge map-side, no shuffle); the publish is
+  * rename-only. At 100 TB this runs per-partition-directory (per day /
+  * per shard), never over the whole dataset at once.
   */
 object Compact {
 
@@ -48,6 +53,23 @@ object Compact {
     }
     deleteTree(old)
     dataFileCount(path)
+  }
+
+  /** Compact a [[Snapshots]] table's latest version into a NEW snapshot
+    * version: read `v=latest`, rewrite at ~`targetBytes` files, commit as
+    * `v=latest+1` (atomic pointer publish — no path-missing window, old
+    * versions untouched for pinned readers). Returns (newVersion,
+    * dataFileCount). Retention of the fat predecessor stays an explicit
+    * `Snapshots.drop`, as for any other version.
+    */
+  def compactVersion(spark: SparkSession, tableDir: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val v = Snapshots.latestVersion(tableDir)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
+    val src = s"$tableDir/v=$v"
+    val n = math.max(1, math.ceil(dataBytes(src).toDouble / targetBytes).toInt)
+    val newV = Snapshots.commit(spark.read.parquet(src).coalesce(n), tableDir)
+    (newV, dataFileCount(s"$tableDir/v=$newV"))
   }
 
   private def listDataFiles(path: String): Seq[Path] = {

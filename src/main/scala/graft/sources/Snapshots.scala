@@ -47,14 +47,50 @@ object Snapshots {
             if Files.exists(Paths.get(tableDir, s"v=$v")) => v += 1
       }
     }
-    val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    // publish unless a concurrent committer already published a newer one
-    if (!latestVersion(tableDir).exists(_ > v))
-      Files.move(tmp, Paths.get(tableDir, "_latest"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    else Files.delete(tmp)
+    publishLatest(tableDir, v)
     v
+  }
+
+  /** How long an abandoned `._latest.lock` (a committer that crashed
+    * inside the pointer critical section — a handful of filesystem ops)
+    * survives before another committer reclaims it.
+    */
+  private val LockGraceMs = 60000L
+
+  /** Publish `_latest = v` unless a version ≥ v is already published.
+    * The check and the rename happen under a lock file (atomic
+    * create-if-absent), because check-then-act with REPLACE_EXISTING
+    * alone loses a race: committer A (v=1) can pass the "no newer" check
+    * before B (v=2) publishes, then overwrite B's pointer — `_latest`
+    * pointing at an OLDER version than a completed commit breaks the
+    * "latest follows commits" contract. A lock holder that crashes is
+    * reclaimed after [[LockGraceMs]].
+    */
+  private def publishLatest(tableDir: String, v: Int): Unit = {
+    val lock = Paths.get(tableDir, "._latest.lock")
+    while (true) {
+      val acquired =
+        try { Files.createFile(lock); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (acquired) {
+        try {
+          if (!latestVersion(tableDir).exists(_ >= v)) {
+            val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
+            Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp, Paths.get(tableDir, "_latest"),
+              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          }
+          return
+        } finally Files.deleteIfExists(lock)
+      } else {
+        try {
+          if (Files.getLastModifiedTime(lock).toMillis <
+              System.currentTimeMillis() - LockGraceMs)
+            Files.deleteIfExists(lock) // crashed holder — reclaim
+        } catch { case _: java.io.IOException => () } // holder released first
+        Thread.sleep(2)
+      }
+    }
   }
 
   /** Highest v=N directory present (claimed versions, published or not). */

@@ -29,4 +29,32 @@ class CompactSpec extends SparkSuite {
     assert(after >= 2 && after <= 8, s"expected a handful of files, got $after")
     assert(spark.read.parquet(dir).count() == 20000)
   }
+
+  test("compactVersion publishes a NEW snapshot version; a concurrent reader never sees a missing path") {
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft-compactv").toString + "/t"
+    val expected = (0L until 5000L).map(i => (i, s"row$i")).toSet
+    Snapshots.commit(expected.toSeq.toDF("id", "s").repartition(32), table)
+    val before = Compact.dataFileCount(s"$table/v=1")
+    assert(before >= 16)
+    // concurrent reader hammers the table while compaction runs: every
+    // read must resolve a complete version — old or new, never missing
+    @volatile var stop = false
+    @volatile var readerFailure: Option[Throwable] = None
+    val reader = new Thread(() => {
+      try while (!stop) {
+        assert(Snapshots.read(spark, table).count() == 5000)
+      } catch { case t: Throwable => readerFailure = Some(t) }
+    })
+    reader.start()
+    try {
+      val (newV, files) = Compact.compactVersion(spark, table, targetBytes = 64L << 20)
+      assert(newV == 2 && files < before && files >= 1)
+    } finally { stop = true; reader.join() }
+    assert(readerFailure.isEmpty, s"reader failed during compaction: $readerFailure")
+    // new version carries identical content; old version untouched for pins
+    assert(Snapshots.read(spark, table).as[(Long, String)].collect().toSet == expected)
+    assert(Snapshots.read(spark, table, Some(1)).as[(Long, String)].collect().toSet == expected)
+    assert(Compact.dataFileCount(s"$table/v=1") == before)
+  }
 }

@@ -21,6 +21,25 @@ class SnapshotsSpec extends SparkSuite {
       Set((1L, "a2"), (3L, "c")))
   }
 
+  test("concurrent commits: _latest always lands on the max committed version") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-race").toString + "/t"
+    // 8 committers race; the lock-serialized pointer publish must leave
+    // _latest at the highest claimed version — the check-then-act race
+    // (an older committer overwriting a newer pointer) would land lower
+    val vs = Await.result(
+      Future.sequence((1 to 8).map(i => Future {
+        Snapshots.commit(Seq(i.toLong).toDF("id"), table)
+      })), 2.minutes)
+    assert(vs.sorted == (1 to 8), s"claimed versions: $vs")
+    assert(Snapshots.latestVersion(table).contains(8))
+    // no stranded lock
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table, "._latest.lock")))
+  }
+
   test("drop refuses the latest version, removes pinned history on request") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
     Snapshots.commit(Seq(1L).toDF("id"), table)
