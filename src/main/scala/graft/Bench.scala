@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, explode, lit}
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR (default sf0.1), printing ONE JSON line.
@@ -35,22 +36,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up once (plan compile + codegen + JIT), then min of 2 timed
-    // runs — single timed runs showed ±2× GC/AQE noise on the heavier
-    // queries, and steady-state throughput is what's graded. A query
-    // that throws records the sentinel -1 (and lands in "errors"): a
-    // fast failure must not masquerade as a speedup in the published
+    // warm-up once (plan compile + codegen + JIT), then 3 timed runs —
+    // single timed runs showed ±2× GC/AQE noise on the heavier queries,
+    // and steady-state throughput is what's graded. Both the MIN (the
+    // graded number, "queries") and the MEDIAN ("queries_med") are
+    // recorded per query: the min–median spread is the session-noise
+    // envelope, so a future cross-round drift adjudication is mechanical
+    // (a real regression moves BOTH; noise moves only the median). A
+    // query that throws records the sentinel -1 (and lands in "errors"):
+    // a fast failure must not masquerade as a speedup in the published
     // totals.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    def bench(name: String)(run: => Unit): Double = {
+    def bench(name: String)(run: => Unit): (Double, Double) = {
       var failed = false
       try run catch { case _: Throwable => failed = true } // warm-up
-      val t = (1 to 2).map { _ =>
+      val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      if (failed) { errors += name; -1.0 } else t
+      }.sorted
+      if (failed) { errors += name; (-1.0, -1.0) } else (ts(0), ts(1))
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -84,13 +89,47 @@ object Bench {
            GROUP BY o_orderpriority"""))
     }
 
+    // Steady-state index retrieval / append (bench-only): the ii2/ii3
+    // gates re-materialize the index every run BY DESIGN (the oracle must
+    // replay the build), so their gate timings measure the rebuild. These
+    // twins time what a steady-state deployment pays: phrase search over
+    // a PRE-BUILT positional index (O(df) postings filtered + adjacency
+    // folds — the corpus text never rescanned), and an append that
+    // tokenizes ONLY the daily batch (each timed append adds identical
+    // parquet files; append cost is batch-sized, independent of index
+    // size, so repeat-timing is sound).
+    val iiBase = java.nio.file.Files.createTempDirectory("graft-bench-ii").toString
+    val docsT = Tables.load(spark, sfDir, "documents")
+    val posIdx = graft.operators.InvertedIndex.materializePositional(
+      docsT, "doc_id", "text", s"$iiBase/pos")
+    val phrase = docsT
+      .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
+        .as(Seq("g", "cd")))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("g").asc)
+      .limit(1).collect()(0).getString(0).split(" ").toSeq
+    val ii2Steady = bench("ii2_search_steady") {
+      exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
+    }
+    graft.operators.InvertedIndex.build(
+      docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+      .write.parquet(s"$iiBase/flat")
+    val ii3Steady = bench("ii3_append_steady") {
+      graft.operators.InvertedIndex.appendTo(
+        docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
+    }
+
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
-      ("bj1_join_steady" -> bj1Steady)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
+      ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
+      ("ii3_append_steady" -> ii3Steady)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val qsMed = all.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = all.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-2 after warm-up; failed queries report -1 and are excluded from total (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady entries"}"""
+    val total = all.map(_._2._1).filter(_ >= 0).sum
+    val totalMed = all.map(_._2._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"total_med":$totalMed,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-3 after warm-up (queries=min, queries_med=median: the min-median spread is the session-noise envelope); failed queries report -1 and are excluded from totals (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady, ii2_search_steady, ii3_append_steady entries"}"""
     println(line)
     // Persist the full per-query map too — stdout tails get truncated in
     // round artifacts, making totals unauditable; the file keeps every

@@ -21,6 +21,11 @@ object PipelineQueries {
   /** Staged doubled-events directory for sd1 (two copies per data dir). */
   private val dedupStage = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** st2's JSON wire-form staging dir per data dir (same role as
+    * [[dedupStage]]).
+    */
+  private val liveStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Bound ports of the rp1 fixture service, one entry per data dir
     * (daemon accept threads live for the session — one pair total
     * instead of one pair per invocation).
@@ -285,6 +290,48 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     },
 
+    // Live-ingest UNDER THE DRIVER HASH (reference `DSet.import` of a
+    // running service, `DSetGenerics.fs:788-836`; paper §3.5/§6.2): the
+    // events table goes to the WIRE — one JSON object per line,
+    // LiveIngest's contract format — lands in a drop directory as TWO
+    // copies (the at-least-once delivery live producers exhibit), streams
+    // back in one-file micro-batches through the exactly-once dedup, and
+    // the hourly telemetry rollup of the sink must equal the batch oracle
+    // over the original table. One hash covers wire-schema parse (µs
+    // timestamp roundtrip through JSON), incremental file listing,
+    // duplicate collapse, and rollup parity. The live mid-query producer
+    // interleaving is LiveIngestSpec's job; the gate stages the files up
+    // front so the oracle compare is deterministic.
+    "st2_live_ingest" -> { (s, dir) =>
+      val stage = liveStage.synchronized {
+        liveStage.getOrElseUpdate(dir, {
+          val d = tmpDir("live-ingest")
+          val lines = Tables.load(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+            .toJSON.collect()
+          Seq("a", "b").foreach { n =>
+            val staged = java.nio.file.Files.createTempFile("live-stage", ".json")
+            java.nio.file.Files.write(staged, lines.mkString("\n").getBytes("UTF-8"))
+            java.nio.file.Files.move(staged, java.nio.file.Paths.get(d, s"$n.json"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          d
+        })
+      }
+      // dedicated session for the 8-partition streaming-state sizing (see sj1)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.LiveIngest.fromDirectory(ss, stage, maxFilesPerTrigger = 1)
+      val q = graft.streaming.Telemetry.dedupStream(stream, "event_id", "24 hours")
+        .select(col("event_type"), col("ts"), col("value"))
+        .writeStream.outputMode("append").format("memory").queryName("st2_out")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ss.table("st2_out")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    },
+
     // As-of join: each click matched to the user's most recent prior
     // purchase (operator the reference lacks; SURVEY §2.4).
     "qa1_asof_click_purchase" -> { (s, dir) =>
@@ -433,6 +480,10 @@ object PipelineQueries {
            sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)::BIGINT AS chars_v2,
            (count(*) FILTER (WHERE doc_id % 2 = 0))::BIGINT AS n_v1_rows
          FROM documents GROUP BY lang""",
+    "st2_live_ingest" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "sq1_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,
