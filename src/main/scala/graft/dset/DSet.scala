@@ -51,23 +51,34 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   /** No-op pass-through (reference `DSetGenerics.fs:996-1004`). */
   def identityOp: DSet[U] = this
 
+  // Narrow per-element ops carry the rowsReorg batch hint through: the
+  // hint is a MEMORY BOUND on what a downstream mapByCollection
+  // materializes per call, and `rowsReorg(n).filter(f).mapByCollection`
+  // silently reverting to whole-partition arrays would reintroduce the
+  // per-task OOM the hint exists to prevent. (Post-transformation batches
+  // are regrouped to ≤n from the surviving rows — the bound, not the
+  // original batch gaps, is the carried contract; the reference's own
+  // re-serialization re-batches collections between operators too,
+  // `cache.fs:342-375`.) Shuffling and RDD-bridging ops (mapi, mix,
+  // repartition*) reset the hint — re-apply rowsReorg after them.
+
   /** reference `DSetGenerics.fs:1006-1012` (`filter`). */
-  def filter(f: U => Boolean): DSet[U] = new DSet(ds.filter(f))
+  def filter(f: U => Boolean): DSet[U] = new DSet(ds.filter(f), batchHint)
 
   /** reference `DSetGenerics.fs:1029-1039` (`map`). */
-  def map[U1: Encoder](f: U => U1): DSet[U1] = new DSet(ds.map(f))
+  def map[U1: Encoder](f: U => U1): DSet[U1] = new DSet(ds.map(f), batchHint)
 
   /** Filter + map in one pass (reference `DSetGenerics.fs:1015-1027`,
     * `choose`).
     */
   def choose[U1: Encoder](f: U => Option[U1]): DSet[U1] =
-    new DSet(ds.flatMap(u => f(u)))
+    new DSet(ds.flatMap(u => f(u)), batchHint)
 
   /** flatMap — the reference names it `collect` after F# `Seq.collect`
     * (reference `DSetGenerics.fs:1248-1256`).
     */
   def collectSeq[U1: Encoder](f: U => IterableOnce[U1]): DSet[U1] =
-    new DSet(ds.flatMap(f))
+    new DSet(ds.flatMap(f), batchHint)
 
   /** Position-aware map: `f(partitionIndex, serialWithinPartition, elem)`
     * (reference `DSetGenerics.fs:1041-1053`, `mapi`).
@@ -92,7 +103,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     new DSet(ds.mapPartitions { it =>
       if (n <= 0) { if (it.isEmpty) Iterator.empty else f(it.toArray).iterator }
       else it.grouped(n).flatMap(g => f(g.toArray))
-    })
+    }, batchHint)
   }
 
   /** Concurrent map with bounded intra-partition parallelism, preserving
@@ -114,7 +125,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
         override def next(): U1 = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
       }
     }
-    new DSet(func)
+    new DSet(func, batchHint)
   }
 
   /** Alias of [[parallelMap]] — the reference's async-workflow variant

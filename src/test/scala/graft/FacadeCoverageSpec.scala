@@ -56,6 +56,13 @@ class FacadeCoverageSpec extends SparkSuite {
     // n <= 0 restores the whole-partition default
     assert(d.rowsReorg(9).rowsReorg(-1).mapByCollection(arr => Array(arr.length)).toArray.toSeq == Seq(23, 23))
     assert(d.reorgWDegree(4).count() == 46)
+    // the hint is a MEMORY BOUND that survives narrow composition: a
+    // filter/map between rowsReorg and the batch consumer must not
+    // silently revert to whole-partition arrays
+    val composed = d.rowsReorg(6).filter(_ % 2 == 0).map(_ + 1)
+      .mapByCollection(arr => Array(arr.length)).toArray
+    assert(composed.forall(_ <= 6), composed.toSeq.toString)
+    assert(composed.sum == 46 / 2)
   }
 
   test("mix3 / map3 zip three same-shape dsets") {
