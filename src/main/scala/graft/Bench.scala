@@ -98,26 +98,38 @@ object Bench {
     // tokenizes ONLY the daily batch (each timed append adds identical
     // parquet files; append cost is batch-sized, independent of index
     // size, so repeat-timing is sound).
-    val iiBase = java.nio.file.Files.createTempDirectory("graft-bench-ii").toString
-    val docsT = Tables.load(spark, sfDir, "documents")
-    val posIdx = graft.operators.InvertedIndex.materializePositional(
-      docsT, "doc_id", "text", s"$iiBase/pos")
-    val phrase = docsT
-      .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
-        .as(Seq("g", "cd")))
-      .groupBy("g").agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("n_docs").desc, col("g").asc)
-      .limit(1).collect()(0).getString(0).split(" ").toSeq
-    val ii2Steady = bench("ii2_search_steady") {
-      exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
-    }
-    graft.operators.InvertedIndex.build(
-      docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
-      .write.parquet(s"$iiBase/flat")
-    val ii3Steady = bench("ii3_append_steady") {
-      graft.operators.InvertedIndex.appendTo(
-        docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
-    }
+    // Fixture setup runs inside the same fail-soft contract as bench():
+    // a broken index build must record -1 for the twins and keep the
+    // JSON line + every already-timed query, not abort the whole run.
+    // QueryTmp.dir registers shutdown cleanup for the staged index.
+    val (ii2Steady, ii3Steady) =
+      try {
+        val iiBase = graft.queries.QueryTmp.dir("bench-ii")
+        val docsT = Tables.load(spark, sfDir, "documents")
+        val posIdx = graft.operators.InvertedIndex.materializePositional(
+          docsT, "doc_id", "text", s"$iiBase/pos")
+        val phrase = docsT
+          .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
+            .as(Seq("g", "cd")))
+          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("g").asc)
+          .limit(1).collect()(0).getString(0).split(" ").toSeq
+        val s2 = bench("ii2_search_steady") {
+          exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
+        }
+        graft.operators.InvertedIndex.build(
+          docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+          .write.parquet(s"$iiBase/flat")
+        val s3 = bench("ii3_append_steady") {
+          graft.operators.InvertedIndex.appendTo(
+            docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
+        }
+        (s2, s3)
+      } catch {
+        case _: Throwable =>
+          errors += "ii2_search_steady"; errors += "ii3_append_steady"
+          ((-1.0, -1.0), (-1.0, -1.0))
+      }
 
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+

@@ -191,7 +191,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * `merge`; Spark `union` is also a partition concat — no shuffle).
     */
   def merge(others: DSet[U]*): DSet[U] =
-    new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)))
+    new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)), batchHint)
 
   /** Zip two same-shape DSets into tuple rows (reference
     * `DSetGenerics.fs:1594-1643`, `mix`; requires identical partition
@@ -230,7 +230,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * analog is a cached parent reused across the DAG).
     */
   def bypass(n: Int = 2): Seq[DSet[U]] = {
-    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK), batchHint)
     Seq.fill(n)(cached)
   }
 
@@ -239,19 +239,19 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     */
   def split2[A: Encoder, B: Encoder](fa: U => A, fb: U => B): (DSet[A], DSet[B]) = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    (new DSet(cached.map(fa)), new DSet(cached.map(fb)))
+    (new DSet(cached.map(fa), batchHint), new DSet(cached.map(fb), batchHint))
   }
 
   /** 3-way projection split (reference `DSetGenerics.fs:1772-1835`, `split3`). */
   def split3[A: Encoder, B: Encoder, C: Encoder](fa: U => A, fb: U => B, fc: U => C): (DSet[A], DSet[B], DSet[C]) = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    (new DSet(cached.map(fa)), new DSet(cached.map(fb)), new DSet(cached.map(fc)))
+    (new DSet(cached.map(fa), batchHint), new DSet(cached.map(fb), batchHint), new DSet(cached.map(fc), batchHint))
   }
 
   /** 4-way projection split (reference `DSetGenerics.fs:1772-1835`, `split4`). */
   def split4[A: Encoder, B: Encoder, C: Encoder, D: Encoder](fa: U => A, fb: U => B, fc: U => C, fd: U => D): (DSet[A], DSet[B], DSet[C], DSet[D]) = {
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    (new DSet(cached.map(fa)), new DSet(cached.map(fb)), new DSet(cached.map(fc)), new DSet(cached.map(fd)))
+    (new DSet(cached.map(fa), batchHint), new DSet(cached.map(fb), batchHint), new DSet(cached.map(fc), batchHint), new DSet(cached.map(fd), batchHint))
   }
 
   /** Replicate the whole DSet to every executor (reference
@@ -294,7 +294,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   /** Attach an in-memory cache (reference `DSetGenerics.fs:1185-1234`,
     * `cacheInMemory`; `PartitionCacheEnumerable`, `cache.fs:294-477`).
     */
-  def cacheInMemory(): DSet[U] = new DSet(ds.persist(StorageLevel.MEMORY_ONLY))
+  def cacheInMemory(): DSet[U] = new DSet(ds.persist(StorageLevel.MEMORY_ONLY), batchHint)
 
   /** Cross-session variant of [[cacheInMemory]] — the reference's caches
     * live in the CONTAINER and survive the driver session (reference
@@ -512,7 +512,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * two writes).
     */
   def lazySaveToName(path: String): (DSet[U], () => Unit) = {
-    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK))
+    val cached = new DSet(ds.persist(StorageLevel.MEMORY_AND_DISK), batchHint)
     (cached, () => cached.saveToName(path))
   }
 

@@ -78,7 +78,12 @@ object PipelineQueries {
       Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
         .repartition(64).write.parquet(stage)
       val before = Compact.dataFileCount(stage)
-      val after = Compact.compact(s, stage, targetBytes = 1L << 20)
+      // target scaled to the data so the contract boolean holds at ANY
+      // SF: ceil(bytes/target) ≤ 8 < the 64 staged fragments (a fixed
+      // 1 MiB target flips `compacted` to false once the projection
+      // exceeds 64 MiB — a data-size artifact, not a compaction bug)
+      val after = Compact.compact(s, stage,
+        targetBytes = math.max(1L << 20, Compact.dataBytes(stage) / 8))
       s.read.parquet(stage)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
@@ -97,7 +102,9 @@ object PipelineQueries {
         Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
           .repartition(64), table)
       val before = Compact.dataFileCount(s"$table/v=1")
-      val (newV, after) = Compact.compactVersion(s, table, targetBytes = 1L << 20)
+      // data-scaled target: see cp1
+      val (newV, after) = Compact.compactVersion(s, table,
+        targetBytes = math.max(1L << 20, Compact.dataBytes(s"$table/v=1") / 8))
       Snapshots.read(s, table)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))

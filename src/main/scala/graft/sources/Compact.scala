@@ -57,19 +57,30 @@ object Compact {
 
   /** Compact a [[Snapshots]] table's latest version into a NEW snapshot
     * version: read `v=latest`, rewrite at ~`targetBytes` files, commit as
-    * `v=latest+1` (atomic pointer publish — no path-missing window, old
-    * versions untouched for pinned readers). Returns (newVersion,
-    * dataFileCount). Retention of the fat predecessor stays an explicit
+    * the next version (atomic pointer publish — no path-missing window,
+    * old versions untouched for pinned readers). Returns (newVersion,
+    * dataFileCount). Publishes through `Snapshots.commitIfLatest` — a
+    * data commit landing between the base read and the publish would
+    * otherwise be silently shadowed by this rewrite of OLDER content;
+    * on a lost race the rewrite is discarded and retried against the new
+    * base. Retention of the fat predecessor stays an explicit
     * `Snapshots.drop`, as for any other version.
     */
   def compactVersion(spark: SparkSession, tableDir: String, targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val v = Snapshots.latestVersion(tableDir)
-      .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
-    val src = s"$tableDir/v=$v"
-    val n = math.max(1, math.ceil(dataBytes(src).toDouble / targetBytes).toInt)
-    val newV = Snapshots.commit(spark.read.parquet(src).coalesce(n), tableDir)
-    (newV, dataFileCount(s"$tableDir/v=$newV"))
+    var attempts = 0
+    while (attempts < 5) {
+      val v = Snapshots.latestVersion(tableDir)
+        .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
+      val src = s"$tableDir/v=$v"
+      val n = math.max(1, math.ceil(dataBytes(src).toDouble / targetBytes).toInt)
+      Snapshots.commitIfLatest(spark.read.parquet(src).coalesce(n), tableDir, v) match {
+        case Some(newV) => return (newV, dataFileCount(s"$tableDir/v=$newV"))
+        case None       => attempts += 1 // base moved — re-read and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactVersion: lost the publish race $attempts times under concurrent commits on $tableDir")
   }
 
   private def listDataFiles(path: String): Seq[Path] = {

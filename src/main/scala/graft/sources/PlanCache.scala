@@ -94,7 +94,16 @@ object PlanCache {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         put(s"local-relation:${lr.data.length}")
         val types = lr.output.map(_.dataType)
-        lr.data.foreach(r => put(r.toSeq(types).map(String.valueOf).mkString("")))
+        // each field hashed separately (the 0-byte terminator in put()
+        // delimits them) with nulls encoded distinctly from the string
+        // "null" — a single concatenated string would let ("ab","c") and
+        // ("a","bc") collide and serve each other's cached rows
+        lr.data.foreach { r =>
+          r.toSeq(types).foreach {
+            case null => md.update(1.toByte); md.update(0.toByte)
+            case v    => put(v.toString)
+          }
+        }
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         put(s"logical-rdd:${l.rdd.id}")
       case e: org.apache.spark.sql.execution.ExternalRDD[_] =>
@@ -158,6 +167,7 @@ object PlanCache {
     * Runs on every attach/invalidate — one directory listing.
     */
   private def sweepStaleTmp(cacheDir: Path, graceMs: Long = TmpGraceMs): Unit = {
+    if (!Files.isDirectory(cacheDir)) return // never-written cacheDir: nothing to sweep
     val cutoff = System.currentTimeMillis() - graceMs
     val stream = Files.newDirectoryStream(cacheDir, ".tmp-*")
     try {

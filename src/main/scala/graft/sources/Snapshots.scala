@@ -26,6 +26,35 @@ object Snapshots {
     * sees either the previous version or the new one, never a partial.
     */
   def commit(df: DataFrame, tableDir: String): Int = {
+    val v = claimVersion(df, tableDir)
+    publishLatest(tableDir, v)
+    v
+  }
+
+  /** Commit `df` as the next version ONLY IF `_latest` still points at
+    * `expectedBase` when the pointer is published — the compare-and-swap
+    * a read-modify-write maintenance job needs (e.g.
+    * [[Compact.compactVersion]]: read latest, rewrite, publish). Without
+    * it, a commit landing between the read and the publish is silently
+    * shadowed by a rewrite of OLDER data. The version directory is
+    * claimed and written first; under the pointer lock the base is
+    * re-checked — if another commit moved `_latest`, the claimed
+    * directory is discarded and None returned (re-read the new base and
+    * retry).
+    */
+  def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int): Option[Int] = {
+    val v = claimVersion(df, tableDir)
+    val published = withPointerLock(tableDir) {
+      if (latestVersion(tableDir).contains(expectedBase)) {
+        writePointer(tableDir, v); true
+      } else false
+    }
+    if (published) Some(v)
+    else { FsUtil.deleteTree(Paths.get(tableDir, s"v=$v")); None }
+  }
+
+  /** Write `df` under the next free `v=N` directory (no pointer publish). */
+  private def claimVersion(df: DataFrame, tableDir: String): Int = {
     Files.createDirectories(Paths.get(tableDir))
     // write to a private tmp dir first, so a crashed commit never leaves
     // a partial (or orphaned complete) v=N directory to collide with
@@ -47,50 +76,51 @@ object Snapshots {
             if Files.exists(Paths.get(tableDir, s"v=$v")) => v += 1
       }
     }
-    publishLatest(tableDir, v)
     v
   }
 
-  /** How long an abandoned `._latest.lock` (a committer that crashed
-    * inside the pointer critical section — a handful of filesystem ops)
-    * survives before another committer reclaims it.
-    */
-  private val LockGraceMs = 60000L
-
   /** Publish `_latest = v` unless a version ≥ v is already published.
-    * The check and the rename happen under a lock file (atomic
-    * create-if-absent), because check-then-act with REPLACE_EXISTING
-    * alone loses a race: committer A (v=1) can pass the "no newer" check
-    * before B (v=2) publishes, then overwrite B's pointer — `_latest`
-    * pointing at an OLDER version than a completed commit breaks the
-    * "latest follows commits" contract. A lock holder that crashes is
-    * reclaimed after [[LockGraceMs]].
+    * The check and the rename happen under an OS advisory lock on a
+    * persistent `._latest.lock` file, because check-then-act with
+    * REPLACE_EXISTING alone loses a race: committer A (v=1) can pass the
+    * "no newer" check before B (v=2) publishes, then overwrite B's
+    * pointer — `_latest` pointing at an OLDER version than a completed
+    * commit breaks the "latest follows commits" contract. The lock file
+    * is a mutex inode that is never deleted (delete-by-name reclaim is a
+    * TOCTOU that can steal a live holder's lock); a crashed holder's OS
+    * lock releases automatically, so no grace-period heuristics.
+    * Deployment note: `FileLock` covers local/NFS filesystems; on HDFS
+    * the pointer publish would use the store's own atomic primitive
+    * (rename-without-replace loops) instead.
     */
-  private def publishLatest(tableDir: String, v: Int): Unit = {
-    val lock = Paths.get(tableDir, "._latest.lock")
-    while (true) {
-      val acquired =
-        try { Files.createFile(lock); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      if (acquired) {
-        try {
-          if (!latestVersion(tableDir).exists(_ >= v)) {
-            val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
-            Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-            Files.move(tmp, Paths.get(tableDir, "_latest"),
-              StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          }
-          return
-        } finally Files.deleteIfExists(lock)
-      } else {
-        try {
-          if (Files.getLastModifiedTime(lock).toMillis <
-              System.currentTimeMillis() - LockGraceMs)
-            Files.deleteIfExists(lock) // crashed holder — reclaim
-        } catch { case _: java.io.IOException => () } // holder released first
-        Thread.sleep(2)
-      }
+  private def publishLatest(tableDir: String, v: Int): Unit =
+    withPointerLock(tableDir) {
+      if (!latestVersion(tableDir).exists(_ >= v)) writePointer(tableDir, v)
     }
+
+  /** Run `body` holding the table's pointer lock. */
+  private def withPointerLock[A](tableDir: String)(body: => A): A = {
+    val lockPath = Paths.get(tableDir, "._latest.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        // tryLock (not lock()): same-JVM contention surfaces as either a
+        // null return or OverlappingFileLockException depending on timing
+        try lock = ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => () }
+        if (lock == null) Thread.sleep(2)
+      }
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
+  private def writePointer(tableDir: String, v: Int): Unit = {
+    val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tableDir, "_latest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Highest v=N directory present (claimed versions, published or not). */

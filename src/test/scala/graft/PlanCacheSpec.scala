@@ -104,7 +104,10 @@ class PlanCacheSpec extends SparkSuite {
     // the golden value AND document that existing caches must be warmed
     // anew (or re-keyed) at rollout.
     val df = localFixture(spark)
-    assert(PlanCache.fingerprint(df) == "5e83b09c22d251e8fb29c6c8ab7f10d3",
+    // (rotated once within r10 — pre-release — when local-data hashing
+    // gained per-field boundaries; no deployed caches existed under the
+    // earlier keys)
+    assert(PlanCache.fingerprint(df) == "e2f2beef28af73e5e4ed00149b85992d",
       "fingerprint rotated — cross-version cache keys no longer match; " +
         "see migration note in this test")
   }
@@ -127,6 +130,20 @@ class PlanCacheSpec extends SparkSuite {
     val rb = PlanCache.readThrough(b, cacheDir).collect().map(_.toString).sorted.toSeq
     assert(ra != rb)
     assert(rb.exists(_.contains("z")))
+    // field boundaries are part of the key: ("ab","c") vs ("a","bc")
+    // concatenate to the same bytes, and a SQL NULL is not the string
+    // "null" — each must key separately
+    val shiftA = Seq(("ab", "c")).toDF("x", "y")
+    val shiftB = Seq(("a", "bc")).toDF("x", "y")
+    assert(PlanCache.fingerprint(shiftA) != PlanCache.fingerprint(shiftB))
+    val nullV = Seq((1L, null: String)).toDF("k", "s")
+    val litV = Seq((1L, "null")).toDF("k", "s")
+    assert(PlanCache.fingerprint(nullV) != PlanCache.fingerprint(litV))
+  }
+
+  test("invalidate on a never-written cacheDir returns false (no sweep crash)") {
+    val df = ordersAgg(spark, sf0001)
+    assert(!PlanCache.invalidate(df, tmpDir("pc-empty") + "/never-created"))
   }
 
   test("stale tmp staging dirs from crashed writers are swept on attach") {

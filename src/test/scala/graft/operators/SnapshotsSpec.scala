@@ -35,9 +35,25 @@ class SnapshotsSpec extends SparkSuite {
       })), 2.minutes)
     assert(vs.sorted == (1 to 8), s"claimed versions: $vs")
     assert(Snapshots.latestVersion(table).contains(8))
-    // no stranded lock
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(table, "._latest.lock")))
+    // the lock file persists by design (a mutex inode, never deleted —
+    // delete-by-name reclaim is a TOCTOU); a fresh commit must still
+    // acquire it cleanly
+    assert(Snapshots.commit(Seq(0L).toDF("id"), table) == 9)
+    assert(Snapshots.latestVersion(table).contains(9))
+  }
+
+  test("commitIfLatest publishes only when the base is unmoved (CAS for read-modify-write)") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-cas").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), table) // v=1
+    // base unmoved: CAS succeeds
+    assert(Snapshots.commitIfLatest(Seq(2L).toDF("id"), table, expectedBase = 1).contains(2))
+    assert(Snapshots.latestVersion(table).contains(2))
+    // base moved (now 2, expected 1): CAS refuses, pointer untouched,
+    // claimed directory discarded
+    assert(Snapshots.commitIfLatest(Seq(99L).toDF("id"), table, expectedBase = 1).isEmpty)
+    assert(Snapshots.latestVersion(table).contains(2))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table, "v=3")))
+    assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(2L))
   }
 
   test("drop refuses the latest version, removes pinned history on request") {
