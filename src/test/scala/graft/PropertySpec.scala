@@ -24,6 +24,21 @@ class PropertySpec extends SparkSuite {
 
   private val smallInts = Gen.listOfN(80, Gen.chooseNum(-1000, 1000))
 
+  test("rowsReorg(n): mapByCollection sees ≤n-row batches, content and order intact") {
+    forAllSeeded(Gen.zip(smallInts, Gen.chooseNum(1, 25), Gen.chooseNum(1, 5))) {
+      case (xs, n, parts) =>
+        val d = DSet.distribute(spark, xs, parts).rowsReorg(n)
+        // every batch bounded by the hint
+        val sizes = d.mapByCollection(arr => Array(arr.length)).toArray
+        assert(sizes.forall(s => s >= 1 && s <= n), s"n=$n sizes=${sizes.toSeq}")
+        // identity through batches preserves the partition-order stream
+        val round = d.mapByCollection(identity[Array[Int]])
+        val perPart = round.ds.rdd.glom().collect().map(_.toSeq)
+        val orig = DSet.distribute(spark, xs, parts).ds.rdd.glom().collect().map(_.toSeq)
+        assert(perPart.toSeq == orig.toSeq)
+    }
+  }
+
   test("repartitionP preserves the multiset for any partition function") {
     forAllSeeded(Gen.zip(smallInts, Gen.chooseNum(1, 7))) { case (xs, parts) =>
       val got = DSet.distribute(spark, xs, 3).repartitionP(parts)(u => u % parts).toArray
