@@ -34,20 +34,30 @@ object Compact {
   def dataFileCount(path: String): Int = listDataFiles(path).length
 
   /** Rewrite `path` into ceil(bytes/targetBytes) files via coalesce (no
-    * shuffle). Returns the new data-file count.
+    * shuffle). Returns the new data-file count. Flat parquet directories
+    * only: a `partitionBy` layout keeps its data files under `col=value/`
+    * subdirectories that this rewrite would silently flatten (and the
+    * byte accounting would miss entirely) — compact each partition
+    * directory instead, which is also the right unit at 100 TB.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    require(!hasPartitionDirs(path),
+      s"$path has a partitioned (col=value) layout — compact each partition directory")
     val n = math.max(1, math.ceil(dataBytes(path).toDouble / targetBytes).toInt)
     val tmp = Paths.get(path + s".compact-${java.util.UUID.randomUUID()}")
-    spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
+    try spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
+    catch { case e: Throwable => deleteTree(tmp); throw e }
     val old = Paths.get(path + s".old-${java.util.UUID.randomUUID()}")
-    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable => deleteTree(tmp); throw e } // rewrite discarded, path untouched
     try Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: Throwable =>
-        // roll the original back so `path` never stays missing
-        Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        // roll the original back so `path` never stays missing; a failed
+        // rollback must not MASK the root cause — suppress it instead
+        try Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        catch { case rb: Throwable => e.addSuppressed(rb) }
         deleteTree(tmp)
         throw e
     }
@@ -74,6 +84,10 @@ object Compact {
         .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
       val src = s"$tableDir/v=$v"
       val n = math.max(1, math.ceil(dataBytes(src).toDouble / targetBytes).toInt)
+      // already at (or under) the target layout: a scheduled compaction
+      // on a compacted table must not re-read the corpus and accrete a
+      // redundant version per run
+      if (dataFileCount(src) <= n) return (v, dataFileCount(src))
       Snapshots.commitIfLatest(spark.read.parquet(src).coalesce(n), tableDir, v) match {
         case Some(newV) => return (newV, dataFileCount(s"$tableDir/v=$newV"))
         case None       => attempts += 1 // base moved — re-read and retry
@@ -81,6 +95,19 @@ object Compact {
     }
     throw new IllegalStateException(
       s"compactVersion: lost the publish race $attempts times under concurrent commits on $tableDir")
+  }
+
+  /** True if the directory uses a hive-style `col=value/` partition layout. */
+  private def hasPartitionDirs(path: String): Boolean = {
+    val it = Files.list(Paths.get(path))
+    try {
+      var found = false
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (Files.isDirectory(p) && fn.contains("=") && !fn.startsWith(".")) found = true
+      }
+      found
+    } finally it.close()
   }
 
   private def listDataFiles(path: String): Seq[Path] = {

@@ -15,4 +15,39 @@ private[graft] object FsUtil {
     }
     rm(p.toFile)
   }
+
+  /** Newest modification time anywhere in the tree. The TOP directory's
+    * mtime is NOT enough to decide liveness: Spark's committer creates
+    * the staging dir once at job start and then writes task files deep
+    * under `_temporary/...` — a long-running healthy write keeps its
+    * leaves fresh while the top dir looks ancient.
+    */
+  def newestMtimeMs(p: Path): Long = {
+    val f = p.toFile
+    val own = f.lastModified()
+    Option(f.listFiles())
+      .map(_.foldLeft(own)((mx, c) => math.max(mx, newestMtimeMs(c.toPath))))
+      .getOrElse(own)
+  }
+
+  /** Reclaim staging debris: delete direct children of `dir` matching
+    * `glob` whose ENTIRE tree has been untouched for `graceMs` (see
+    * [[newestMtimeMs]] — only a writer that truly died leaves a tree
+    * this quiet). Missing `dir` is a no-op; per-entry races with
+    * concurrent publish/delete are tolerated.
+    */
+  def sweepStale(dir: Path, glob: String, graceMs: Long): Unit = {
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    val stream = java.nio.file.Files.newDirectoryStream(dir, glob)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        try {
+          if (newestMtimeMs(p) < cutoff) deleteTree(p)
+        } catch { case _: java.io.IOException => () }
+      }
+    } finally stream.close()
+  }
 }

@@ -90,24 +90,51 @@ object PlanCache {
     // definition, so linear and local); RDD-backed leaves have opaque
     // contents, so their key is the JVM-unique rdd id — same-JVM reuse
     // stays valid, a new JVM misses and recomputes (safe, never stale).
-    analyzed.foreach {
+    // Every value is hashed LENGTH-PREFIXED ("<len>:<bytes>"), never
+    // delimiter-separated: with bare separators a 0x00 inside a string
+    // value acts as a field boundary, letting ("a\u0000b","c") and
+    // ("a","b\u0000c") — or a "\u0001" value and SQL NULL — share a key
+    // and serve each other's cached rows. Binary/array/map/struct values
+    // hash by CONTENT via the Catalyst→Scala converter (Array[Byte]
+    // toString is a JVM identity string — per-process, which would
+    // defeat the cross-session keys this cache exists for).
+    def putField(v: Any): Unit = v match {
+      case null => put("-1:")
+      case b: Array[Byte] =>
+        put(s"bin${b.length}:"); md.update(b); md.update(0.toByte)
+      case seq: scala.collection.Seq[_] =>
+        put(s"seq${seq.length}:"); seq.foreach(putField)
+      case m: scala.collection.Map[_, _] =>
+        put(s"map${m.size}:")
+        m.toSeq.map { case (k, mv) => (String.valueOf(k), mv) }
+          .sortBy(_._1).foreach { case (k, mv) => putField(k); putField(mv) }
+      case row: org.apache.spark.sql.Row =>
+        put(s"row${row.length}:"); row.toSeq.foreach(putField)
+      case other =>
+        val str = other.toString; put(s"${str.length}:$str")
+    }
+    // Subquery expressions hold their own plans, invisible to a plain
+    // foreach (and their scans are absent from df.inputFiles) — two
+    // queries differing only in subquery data must not share a key, so
+    // the walk covers them, including their file-relation leaves.
+    analyzed.foreachWithSubqueries {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         put(s"local-relation:${lr.data.length}")
-        val types = lr.output.map(_.dataType)
-        // each field hashed separately (the 0-byte terminator in put()
-        // delimits them) with nulls encoded distinctly from the string
-        // "null" — a single concatenated string would let ("ab","c") and
-        // ("a","bc") collide and serve each other's cached rows
-        lr.data.foreach { r =>
-          r.toSeq(types).foreach {
-            case null => md.update(1.toByte); md.update(0.toByte)
-            case v    => put(v.toString)
-          }
+        val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(lr.schema)
+        lr.data.foreach { ir =>
+          toScala(ir).asInstanceOf[org.apache.spark.sql.Row].toSeq.foreach(putField)
         }
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         put(s"logical-rdd:${l.rdd.id}")
       case e: org.apache.spark.sql.execution.ExternalRDD[_] =>
         put(s"external-rdd:${e.rdd.id}")
+      case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        rel.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            put("files:"); fs.location.inputFiles.sorted.foreach(f => put(s"${f.length}:$f"))
+          case _ => ()
+        }
       case _ => ()
     }
     md.digest().map("%02x".format(_)).mkString.take(32)
@@ -153,47 +180,48 @@ object PlanCache {
     existed
   }
 
-  /** Age before an unpublished `.tmp-*` staging dir is considered the
-    * debris of a crashed writer and reclaimed. Generous: a healthy writer
-    * publishes (atomic rename) as soon as its parquet write finishes, and
-    * the rename refreshes nothing under tmp — only a writer that died
-    * mid-write leaves one this old.
+  /** Age before a `.tmp-*` staging dir with NO recent writes anywhere in
+    * its tree is considered the debris of a crashed writer and reclaimed
+    * (a live long-running parquet write keeps refreshing task files deep
+    * under `_temporary/...` even while the top dir's mtime stays at job
+    * start — FsUtil.newestMtimeMs checks the whole tree, so only a truly
+    * dead writer's dir goes quiet for this long).
     */
   private val TmpGraceMs = 6 * 60 * 60 * 1000L
 
   /** Reclaim staging dirs stranded by crashed writers (a writer that dies
     * mid `df.write.parquet(tmp)` leaves `.tmp-<key>-<uuid>` forever;
     * repeated crashes would otherwise accumulate unbounded orphan data).
-    * Runs on every attach/invalidate — one directory listing.
+    * Runs on every attach/invalidate — one directory listing plus a walk
+    * of any candidate older than the grace.
     */
-  private def sweepStaleTmp(cacheDir: Path, graceMs: Long = TmpGraceMs): Unit = {
-    if (!Files.isDirectory(cacheDir)) return // never-written cacheDir: nothing to sweep
-    val cutoff = System.currentTimeMillis() - graceMs
-    val stream = Files.newDirectoryStream(cacheDir, ".tmp-*")
-    try {
-      val it = stream.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        try {
-          if (Files.getLastModifiedTime(p).toMillis < cutoff) deleteTree(p)
-        } catch { case _: java.io.IOException => () } // concurrent publish/delete won the race
-      }
-    } finally stream.close()
-  }
+  private def sweepStaleTmp(cacheDir: Path, graceMs: Long = TmpGraceMs): Unit =
+    FsUtil.sweepStale(cacheDir, ".tmp-*", graceMs)
 
   private def isPublished(target: Path): Boolean =
     Files.exists(target.resolve("_SUCCESS"))
 
   /** Atomic rename commit; on a concurrent publish keep the winner and
-    * discard our copy (both hold identical bytes by construction).
+    * discard our copy (both hold identical bytes by construction). A
+    * target that EXISTS but is not published (no `_SUCCESS` — the corpse
+    * of a crash mid-invalidate, or an invalidate racing a publish) is a
+    * dead end no future attach could ever recover from if left in place:
+    * reclaim it and retry the rename instead of discarding our good copy
+    * and wedging the key forever.
     */
-  private def publish(tmp: Path, target: Path): Unit =
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e @ (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException) =>
-        deleteTree(tmp)
-        if (!isPublished(target)) throw e
+  private def publish(tmp: Path, target: Path): Unit = {
+    var attempts = 0
+    while (attempts < 3) {
+      try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); return }
+      catch {
+        case e @ (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException) =>
+          if (isPublished(target)) { deleteTree(tmp); return } // winner holds identical bytes
+          deleteTree(target) // unpublished corpse — reclaim and retry
+          attempts += 1
+          if (attempts >= 3) { deleteTree(tmp); throw e }
+      }
     }
+  }
 
   private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 }

@@ -53,9 +53,21 @@ object Snapshots {
     else { FsUtil.deleteTree(Paths.get(tableDir, s"v=$v")); None }
   }
 
+  /** How long an abandoned `.commit-*` / `._latest-*` staging artifact
+    * (a committer that died mid-write) survives before reclaim; liveness
+    * is judged by the newest mtime in the TREE (see FsUtil.newestMtimeMs),
+    * so a long-running healthy write is never swept.
+    */
+  private val CommitGraceMs = 6 * 60 * 60 * 1000L
+
   /** Write `df` under the next free `v=N` directory (no pointer publish). */
   private def claimVersion(df: DataFrame, tableDir: String): Int = {
     Files.createDirectories(Paths.get(tableDir))
+    // reclaim staging debris from crashed committers — the same sweep
+    // PlanCache runs for its .tmp-* dirs; without it crash-retry loops
+    // accumulate unbounded orphan data under tableDir
+    FsUtil.sweepStale(Paths.get(tableDir), ".commit-*", CommitGraceMs)
+    FsUtil.sweepStale(Paths.get(tableDir), "._latest-*", CommitGraceMs)
     // write to a private tmp dir first, so a crashed commit never leaves
     // a partial (or orphaned complete) v=N directory to collide with
     val data = Paths.get(tableDir, s".commit-${java.util.UUID.randomUUID()}")
@@ -152,9 +164,19 @@ object Snapshots {
     else None
   }
 
-  /** Explicit retention: delete one version's data (never the latest). */
-  def drop(tableDir: String, version: Int): Boolean = {
-    require(!latestVersion(tableDir).contains(version), "refusing to drop the latest version")
+  /** Explicit retention: delete one version's data — only versions
+    * STRICTLY BELOW the published latest. Run under the pointer lock:
+    * without it, a version that is claimed (v=N directory in place) but
+    * not yet pointer-published could be dropped, after which the
+    * in-flight committer publishes `_latest` pointing at a deleted
+    * directory and every latest read fails. Below-latest versions can
+    * never be re-published (the pointer only moves forward), so deleting
+    * them under the lock is safe.
+    */
+  def drop(tableDir: String, version: Int): Boolean = withPointerLock(tableDir) {
+    require(latestVersion(tableDir).exists(_ > version),
+      s"refusing to drop v=$version: not strictly below the published latest " +
+        s"(${latestVersion(tableDir)}) — it is the live pointer target or an in-flight claim")
     val p = Paths.get(tableDir, s"v=$version")
     val existed = Files.exists(p)
     if (existed) FsUtil.deleteTree(p)

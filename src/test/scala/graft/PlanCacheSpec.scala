@@ -107,7 +107,7 @@ class PlanCacheSpec extends SparkSuite {
     // (rotated once within r10 — pre-release — when local-data hashing
     // gained per-field boundaries; no deployed caches existed under the
     // earlier keys)
-    assert(PlanCache.fingerprint(df) == "e2f2beef28af73e5e4ed00149b85992d",
+    assert(PlanCache.fingerprint(df) == "06ed7ed1a8436d5647bc61f55a79cf15",
       "fingerprint rotated — cross-version cache keys no longer match; " +
         "see migration note in this test")
   }
@@ -146,14 +146,69 @@ class PlanCacheSpec extends SparkSuite {
     assert(!PlanCache.invalidate(df, tmpDir("pc-empty") + "/never-created"))
   }
 
+  test("field hashing is injection-proof and value-based") {
+    import spark.implicits._
+    // a 0x00 inside a value must not act as a field boundary
+    val injA = Seq(("a\u0000b", "c")).toDF("x", "y")
+    val injB = Seq(("a", "b\u0000c")).toDF("x", "y")
+    assert(PlanCache.fingerprint(injA) != PlanCache.fingerprint(injB))
+    // a "\u0001" value must not collide with SQL NULL
+    val soh = Seq((1L, "\u0001")).toDF("k", "s")
+    val nul = Seq((1L, null: String)).toDF("k", "s")
+    assert(PlanCache.fingerprint(soh) != PlanCache.fingerprint(nul))
+    // binary columns key by CONTENT: the same literal bytes built twice
+    // derive the same key (a JVM identity toString would differ), and
+    // different bytes differ
+    def binDf(b: Array[Byte]) = Seq(Tuple1(b)).toDF("b")
+    assert(PlanCache.fingerprint(binDf(Array[Byte](1, 2, 3))) ==
+      PlanCache.fingerprint(binDf(Array[Byte](1, 2, 3))))
+    assert(PlanCache.fingerprint(binDf(Array[Byte](1, 2, 3))) !=
+      PlanCache.fingerprint(binDf(Array[Byte](1, 2, 4))))
+    // array columns likewise
+    def arrDf(a: Seq[Long]) = Seq(Tuple1(a)).toDF("a")
+    assert(PlanCache.fingerprint(arrDf(Seq(1L, 2L))) == PlanCache.fingerprint(arrDf(Seq(1L, 2L))))
+    assert(PlanCache.fingerprint(arrDf(Seq(1L, 2L))) != PlanCache.fingerprint(arrDf(Seq(1L, 3L))))
+  }
+
+  test("subquery data is part of the key") {
+    import spark.implicits._
+    Seq(1L, 10L).toDF("k").createOrReplaceTempView("pc_sub_main")
+    Seq(5L).toDF("v").createOrReplaceTempView("pc_sub_lit")
+    val q1 = spark.sql(
+      "SELECT k FROM pc_sub_main WHERE k > (SELECT max(v) FROM pc_sub_lit)")
+    val f1 = PlanCache.fingerprint(q1)
+    // same main plan, different subquery literal rows → different key
+    Seq(7L).toDF("v").createOrReplaceTempView("pc_sub_lit")
+    val q2 = spark.sql(
+      "SELECT k FROM pc_sub_main WHERE k > (SELECT max(v) FROM pc_sub_lit)")
+    assert(f1 != PlanCache.fingerprint(q2))
+  }
+
+  test("a corpse target (no _SUCCESS) is reclaimed, not a permanent wedge") {
+    val cacheDir = tmpDir("pc-corpse")
+    val df = ordersAgg(spark, sf0001)
+    val rows = PlanCache.readThrough(df, cacheDir).collect().map(_.toString).sorted.toSeq
+    // simulate a crash mid-invalidate: the published dir survives but
+    // its _SUCCESS marker is gone
+    val target = Paths.get(cacheDir, PlanCache.fingerprint(df))
+    Files.delete(target.resolve("_SUCCESS"))
+    val (again, outcome) = PlanCache.readThroughWithOutcome(df, cacheDir)
+    assert(outcome == PlanCache.Miss) // recomputed and re-published
+    assert(again.collect().map(_.toString).sorted.toSeq == rows)
+    assert(Files.exists(target.resolve("_SUCCESS")), "key not re-published")
+  }
+
   test("stale tmp staging dirs from crashed writers are swept on attach") {
     val cacheDir = tmpDir("pc-sweep")
     val stale = Paths.get(cacheDir, ".tmp-deadbeef-crashed")
     Files.createDirectories(stale)
     Files.writeString(stale.resolve("part-00000.parquet"), "debris")
-    // age it past the grace period
+    // age the WHOLE tree past the grace period (liveness is judged by
+    // the newest mtime anywhere in the tree, so a live writer's deep
+    // task files protect it)
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 8 * 60 * 60 * 1000L)
+    Files.setLastModifiedTime(stale.resolve("part-00000.parquet"), old)
     Files.setLastModifiedTime(stale, old)
     // a fresh tmp-looking dir must survive (could be a live writer)
     val fresh = Paths.get(cacheDir, ".tmp-deadbeef-live")

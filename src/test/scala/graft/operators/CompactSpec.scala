@@ -30,6 +30,23 @@ class CompactSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("compact refuses a partitioned layout instead of silently flattening it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    (0L until 100L).map(i => (i, s"d${i % 3}")).toDF("id", "day")
+      .write.partitionBy("day").parquet(dir)
+    intercept[IllegalArgumentException](Compact.compact(spark, dir, 1L << 20))
+    assert(spark.read.parquet(dir).count() == 100) // untouched
+  }
+
+  test("compactVersion is a no-op when the layout already meets the target") {
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft-compactnoop").toString + "/t"
+    Snapshots.commit((0L until 100L).toDF("id").coalesce(1), table)
+    val (v1, n1) = Compact.compactVersion(spark, table, targetBytes = 64L << 20)
+    assert(v1 == 1 && n1 == 1) // already one file: no new version accreted
+    assert(Snapshots.latestVersion(table).contains(1))
+  }
+
   test("compactVersion publishes a NEW snapshot version; a concurrent reader never sees a missing path") {
     import graft.sources.Snapshots
     val table = java.nio.file.Files.createTempDirectory("graft-compactv").toString + "/t"
