@@ -85,7 +85,8 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     */
   def mapi[U1: Encoder: ClassTag](f: (Int, Long, U) => U1): DSet[U1] = {
     val rdd2 = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
-      it.zipWithIndex.map { case (u, i) => f(pi, i.toLong, u) }
+      var i = -1L // Long serial: Iterator.zipWithIndex is an Int that wraps past 2^31 rows
+      it.map { u => i += 1; f(pi, i, u) }
     }
     DSet.fromRDD(spark, rdd2)
   }
@@ -113,20 +114,8 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * `NumParallelExecution`, paper §4.9). Useful for IO-bound row work
     * (e.g. dialing an external service per element).
     */
-  def parallelMap[U1: Encoder](parallelism: Int = 8)(f: U => U1): DSet[U1] = {
-    val func = ds.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val window = math.max(parallelism, 1)
-      val queue = mutable.Queue.empty[Future[U1]]
-      new Iterator[U1] {
-        private def fill(): Unit =
-          while (queue.size < window && it.hasNext) { val u = it.next(); queue.enqueue(Future(f(u))) }
-        override def hasNext: Boolean = { fill(); queue.nonEmpty }
-        override def next(): U1 = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
-      }
-    }
-    new DSet(func, batchHint)
-  }
+  def parallelMap[U1: Encoder](parallelism: Int = 8)(f: U => U1): DSet[U1] =
+    new DSet(ds.mapPartitions(it => DSet.windowedMap(it, parallelism)(f)), batchHint)
 
   /** Alias of [[parallelMap]] — the reference's async-workflow variant
     * (reference `DSetGenerics.fs:1055-1087`).
@@ -139,18 +128,10 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * intra-partition parallelism, order preserved.
     */
   def parallelMapi[U1: Encoder: ClassTag](parallelism: Int = 8)(f: (Int, Long, U) => U1): DSet[U1] = {
-    val window = math.max(parallelism, 1)
     val rdd2 = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val queue = mutable.Queue.empty[Future[U1]]
-      val indexed = it.zipWithIndex
-      new Iterator[U1] {
-        private def fill(): Unit =
-          while (queue.size < window && indexed.hasNext) {
-            val (u, i) = indexed.next(); queue.enqueue(Future(f(pi, i.toLong, u)))
-          }
-        override def hasNext: Boolean = { fill(); queue.nonEmpty }
-        override def next(): U1 = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
+      var i = -1L // Long serial: Iterator.zipWithIndex is an Int that wraps past 2^31 rows
+      DSet.windowedMap(it.map { u => i += 1; (u, i) }, parallelism) {
+        case (u, serial) => f(pi, serial, u)
       }
     }
     DSet.fromRDD(spark, rdd2)
@@ -190,8 +171,15 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   /** Union by partition concatenation (reference `DSetGenerics.fs:1535-1556`,
     * `merge`; Spark `union` is also a partition concat — no shuffle).
     */
-  def merge(others: DSet[U]*): DSet[U] =
-    new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)), batchHint)
+  def merge(others: DSet[U]*): DSet[U] = {
+    // the union keeps every input's partitions, so the carried memory
+    // bound must be the TIGHTEST of the inputs' hints — taking only the
+    // receiver's would let small.merge(huge.rowsReorg(n)) materialize
+    // huge's partitions whole
+    val hints = (batchHint +: others.map(_.batchHint)).filter(_ > 0)
+    new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)),
+      if (hints.isEmpty) -1 else hints.min)
+  }
 
   /** Zip two same-shape DSets into tuple rows (reference
     * `DSetGenerics.fs:1594-1643`, `mix`; requires identical partition
@@ -311,12 +299,20 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   // ---- aggregations & actions (reference §2.6) ----
 
   /** Per-partition fold + cross-partition aggregation (reference
-    * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). State
-    * here is per-partition; for the reference's node-shared-state
-    * variant see [[foldWithCommonStatePerNode]].
+    * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). The
+    * init state seeds each partition EXACTLY ONCE — `treeAggregate`
+    * would re-inject it per partial and once more on the driver,
+    * silently inflating any non-neutral state (a pre-seeded map, an
+    * offset counter). Partials reduce pairwise on the driver: one `S`
+    * per partition, the same driver payload treeAggregate's final level
+    * carries.
     */
-  def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S =
-    ds.rdd.treeAggregate(state)(folder, aggr)
+  def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
+    val partials = ds.rdd
+      .mapPartitions(it => Iterator.single(it.foldLeft(state)(folder)))
+      .collect()
+    if (partials.isEmpty) state else partials.reduce(aggr)
+  }
 
   /** Node-shared-state fold (reference `DSetGenerics.fs:410-411, 464`,
     * `foldWithCommonStatePerNode`): every partition running in the same
@@ -371,7 +367,12 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
       }.collect()
       if (snapshots.isEmpty) initState()
       else {
-        val chosen = snapshots.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+        // ties on count happen when a task folds zero elements (empty
+        // partition, or a begin=false retry) — break toward the LATEST
+        // snapshot (largest completed set), not array order, or a stale
+        // tied snapshot spuriously reports its sibling as a dead partial
+        val chosen = snapshots.groupBy(_._1).values
+          .map(_.maxBy(sn => (sn._2, sn._5.size))).toSeq
         // the max-count snapshot is taken after its JVM's last fold, so
         // any started-but-not-completed partition there is a DEAD partial
         // attempt baked into the state — and a partition completed on two
@@ -526,16 +527,20 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     @volatile var captured: Map[String, Any] = Map.empty
+    // observation name unique per call: the listener bus is shared and
+    // async, so concurrent saves on one session would cross-capture each
+    // other's metrics under a fixed name
+    val obsName = s"graft_save_${java.util.UUID.randomUUID().toString.take(8)}"
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get("graft_save").foreach { r =>
+        qe.observedMetrics.get(obsName).foreach { r =>
           captured = r.schema.fieldNames.zip(r.toSeq).toMap
         }
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
     try {
-      val observed = ds.observe("graft_save",
+      val observed = ds.observe(obsName,
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("rows_written"))
       observed.write.mode("overwrite").parquet(path)
       val deadline = System.nanoTime() + 10000000000L // 10 s
@@ -552,6 +557,27 @@ object DSet {
     * the declared fan-out for negative hashes.
     */
   def salt(v: Any, parts: Int): Int = math.floorMod(v.hashCode(), parts)
+
+  /** Bounded-window concurrent map preserving element order — the one
+    * implementation behind parallelMap/parallelMapi (and their KV
+    * aliases). `blocking` marks each call for the global pool so
+    * IO-bound user functions get compensation threads instead of
+    * starving at the core count.
+    */
+  private[dset] def windowedMap[A, B](it: Iterator[A], parallelism: Int)(g: A => B): Iterator[B] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val window = math.max(parallelism, 1)
+    val queue = mutable.Queue.empty[Future[B]]
+    new Iterator[B] {
+      private def fill(): Unit =
+        while (queue.size < window && it.hasNext) {
+          val a = it.next()
+          queue.enqueue(Future(scala.concurrent.blocking(g(a))))
+        }
+      override def hasNext: Boolean = { fill(); queue.nonEmpty }
+      override def next(): B = { fill(); Await.result(queue.dequeue(), Duration.Inf) }
+    }
+  }
 
   def fromDataset[U](ds: Dataset[U]): DSet[U] = new DSet(ds)
 
@@ -745,7 +771,14 @@ object DSet {
     def groupByKeySalted(saltParts: Int)(implicit ek: Encoder[((K, Int), V)], eks: Encoder[(K, Int)],
         ekv: Encoder[((K, Int), Seq[V])], ek2: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
       new DSet(
-        ds.map(kv => ((kv._1, DSet.salt(kv._2, saltParts)), kv._2))
+        // per-ROW round-robin salt: deriving the salt from the value's
+        // hash gives a constant-valued heavy hitter (millions of (k, 1)
+        // counting pairs) ONE salt bucket — no spreading at all in the
+        // exact scenario salting exists for
+        ds.mapPartitions { it =>
+          var i = 0
+          it.map { kv => i += 1; ((kv._1, math.floorMod(i, saltParts)), kv._2) }
+        }
           .groupByKey(_._1)
           .mapGroups((ks, vs) => (ks, vs.map(_._2).toSeq))
           .groupByKey(_._1._1)

@@ -1,7 +1,5 @@
 package graft.dset
 
-import scala.collection.concurrent.TrieMap
-
 /** Per-JVM shared-state registry backing
   * [[DSet.foldWithCommonStatePerNode]] (reference
   * `DSetGenerics.fs:410-411, 464`: one mutable state object per NODE,
@@ -75,7 +73,7 @@ private[dset] object NodeState {
     try in.readObject().asInstanceOf[S] finally in.close()
   }
 
-  private val holders = TrieMap.empty[String, Holder[_]]
+  private val holders = new java.util.concurrent.ConcurrentHashMap[String, Holder[_]]()
 
   /** Invocation ids released on the driver, kept as a bounded ring.
     * Executor JVMs cannot observe a driver-side `release` directly, so
@@ -89,13 +87,14 @@ private[dset] object NodeState {
   private val released = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val maxReleased = 4096
 
-  /** Creation is serialized on the registry: TrieMap's getOrElseUpdate
-    * may evaluate the default more than once under contention, which
-    * would run the user's `init()` twice — the contract is once per JVM.
+  /** Creation runs the user's `init()` at most once per invocation per
+    * JVM via `computeIfAbsent` — which locks only the key's bin, not the
+    * registry: a slow initializer (model load) for one invocation must
+    * not stall task startup for every OTHER invocation on the executor,
+    * which a registry-wide synchronized block did.
     */
-  def holder[S](invocation: String, init: () => S): Holder[S] = holders.synchronized {
-    holders.getOrElseUpdate(invocation, new Holder(init)).asInstanceOf[Holder[S]]
-  }
+  def holder[S](invocation: String, init: () => S): Holder[S] =
+    holders.computeIfAbsent(invocation, _ => new Holder(init)).asInstanceOf[Holder[S]]
 
   def release(invocation: String): Unit = {
     holders.remove(invocation): Unit

@@ -65,6 +65,34 @@ class FacadeCoverageSpec extends SparkSuite {
     assert(composed.sum == 46 / 2)
   }
 
+  test("fold seeds a non-neutral init state exactly once per partition") {
+    // treeAggregate would re-inject the state per partial + once on the
+    // driver (9 injections here instead of 4) — 455, not 955
+    val got = DSet.distribute(spark, 1 to 10, 4).fold(100)(_ + _, _ + _)
+    assert(got == 55 + 4 * 100, s"state multi-applied: got $got")
+    // empty partitions still contribute exactly one state each (the
+    // per-partition contract), nothing more
+    assert(DSet.distribute(spark, Seq.empty[Int], 2).fold(7)(_ + _, _ + _) == 7 * 2)
+  }
+
+  test("foldWithCommonStatePerNode tolerates empty partitions (snapshot tie-break)") {
+    // partition 1 is empty: its task's snapshot TIES on fold count with
+    // the worker task's — a stale tie-break spuriously reported a dead
+    // partial on a fully successful job
+    val d = DSet.sourceI[Int](spark, 3)(pi => if (pi == 1) Seq.empty else Seq(pi * 10, pi * 10 + 1))
+    val got = d.foldWithCommonStatePerNode(() => 0L)((s, u) => s + u, _ + _)
+    assert(got == 0L + 1 + 20 + 21)
+  }
+
+  test("groupByKeySalted spreads a constant-valued heavy hitter and stays exact") {
+    import graft.dset.DSet.KVOps
+    val pairs = DSet.distribute(spark, (0 until 10000).map(_ => ("hot", 1L)) ++
+      Seq(("cold", 5L)), 8)
+    val got = pairs.groupByKeySalted(8).mapByValue(vs => (vs.length, vs.sum)).toArray.toMap
+    assert(got("hot") == ((10000, 10000L)))
+    assert(got("cold") == ((1, 5L)))
+  }
+
   test("mix3 / map3 zip three same-shape dsets") {
     val a = DSet.initS[Int](spark, 2, 5)((pi, s) => pi * 5 + s.toInt)
     val b = a.map(_ * 2)
