@@ -8,7 +8,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-import graft.functions.TextFunctions
 
 /** Deduplication operators for large-scale training-data pipelines —
   * engine-native additions beyond the reference's surface (the reference
@@ -106,6 +105,20 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String, maxIters: Int = 20): DataFrame = {
+    // ids must be integral: a silent cast("long") of string/UUID ids
+    // yields NULLs with ANSI off (components collapse to garbage and the
+    // downstream anti-join matches nothing — dedup quietly does NOTHING)
+    // or a runtime CAST_INVALID_INPUT with ANSI on. Fail loudly at the
+    // API instead; map non-numeric ids through xxhash64/zipWithUniqueId
+    // before calling.
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents: id column '$c' must be integral, got $dt — " +
+          "hash or re-key non-numeric ids first")
+    }
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -470,14 +483,20 @@ object Dedup {
 
   // ---- MinHash + LSH near-duplicate detection ----
 
-  /** Prime just above 2^32 for the universal-hash family
-    * `h_i(x) = (a_i * x + b_i) mod P` over 32-bit shingle hashes.
+  /** Constant in the PINNED seed-derivation stream below (historically
+    * the modulus of a universal-hash family this module no longer
+    * evaluates — see [[hashParams]]). Do not change: d3's oracle replays
+    * the exact per-hash seeds this derivation yields.
     */
   private val P = 4294967311L
 
-  /** Deterministic (a, b) parameter pairs from a seed (xorshift64*).
-    * `a` is capped below 2^31 so `a * h` (h < 2^32) stays under 2^63 —
-    * Spark 4 runs ANSI mode and faults on long overflow.
+  /** Deterministic per-hash parameter stream (xorshift64*). NOTE: no
+    * `(a·x+b) mod P` hash is computed anywhere — [[MinHashSig]] folds
+    * each (a, b) pair into ONE splitmix64 seed (`a ^ rotl(b, 17)`) and
+    * the actual per-shingle hashing is splitmix64(x ^ seed_j). The
+    * (a, b) shape and the P/2^31 caps survive ONLY because the derived
+    * seed values are pinned by the d3/d4/x1 oracles; tune the hash
+    * family in MinHashSig.mix, not here.
     */
   private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
     var s = seed
@@ -898,9 +917,17 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
+    // the 4-chunk pigeonhole guarantees a shared chunk only for Hamming
+    // distance <= 3: at 4, two sketches can differ by one bit in EVERY
+    // chunk and the pair silently never becomes a candidate
+    require(maxHamming <= 3,
+      s"simhashNearDupPairs: 4-chunk blocking covers maxHamming <= 3, got $maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
     val sketches = df
+      // null-tolerant like the MinHash path: a null id or text drops out
+      // instead of NPE-ing the typed map
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash64(text)) }

@@ -34,9 +34,11 @@ object KMeans {
 
   /** Fixed-point scale (2^20): quantization granularity ~1e-6, and
     * centroid values `cq/S` are exact in double (power-of-two divide).
-    * Overflow bound: |Σ qv| ≤ n_cluster · |v|max · S — with |v| ≤ 8
-    * that is safe past 10^12 rows per cluster; a corpus beyond that
-    * needs a second pre-scale pass, not a different algorithm.
+    * Overflow bound: the rounded mean computes `2·Σqv + n`, so the
+    * binding constraint is |2·Σ qv| < 2^63 with |Σ qv| ≤ n_cluster ·
+    * |v|max · S — at |v| ≤ 8 that is safe to ~5·10^11 rows per cluster;
+    * a corpus beyond that needs a second pre-scale pass, not a
+    * different algorithm.
     */
   val QuantScale: Long = 1L << 20
 
@@ -175,15 +177,20 @@ object KMeans {
     // deterministic re-layout is needed. The id key rides along for the
     // k-means|| init's deterministic sampling (8 bytes/row; unused by
     // the first-k path).
-    val qdata = df.select(col(idCol), col(vecCol)).rdd
+    val qdata = df.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull).rdd
       .map(r => (idKey(r.get(0)), quantize(toVec(r, 1), S)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      require(!qdata.isEmpty(), s"KMeans.fit: no non-null '$vecCol' vectors to fit")
       val dim = qdata.first()._2.length
       var cq: Array[Array[Long]] = init match {
         case InitFirstK =>
-          df.orderBy(col(idCol)).limit(k).select(col(vecCol))
+          val firstRows = df.filter(col(vecCol).isNotNull)
+            .orderBy(col(idCol)).limit(k).select(col(vecCol))
             .collect().map(r => quantize(toVec(r, 0), S))
+          // fewer distinct rows than k: cycle (the k-means|| init already
+          // does) instead of reading past the array in the assign loop
+          Array.tabulate(k)(i => firstRows(i % firstRows.length))
         case InitKMeansParallel(seed, rounds, oversample) =>
           initParallel(qdata, k, dim, S, seed, rounds, math.max(1, oversample) * k)
       }
@@ -370,14 +377,19 @@ object KMeans {
 
     // norms per row below the cell join — not per scored pair; ids pass
     // through untouched (any type)
+    // null vectors dropped (the routing UDFs would NPE); zero-norm rows
+    // dropped too — their cosine is NaN, which Spark ranks above every
+    // real neighbor
     val corpusCells = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
+      .filter(col("cv").isNotNull)
       .withColumn("cell", nearestU(col("cv")))
-      .withColumn("cn", VectorFunctions.vecNorm(col("cv")))
+      .withColumn("cn", VectorFunctions.vecNorm(col("cv"))).filter(col("cn") > 0)
 
     val queryCells = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+        .filter(col("qv").isNotNull)
         .withColumn("cell", explode(probesU(col("qv"))))
-        .withColumn("qn", VectorFunctions.vecNorm(col("qv"))))
+        .withColumn("qn", VectorFunctions.vecNorm(col("qv"))).filter(col("qn") > 0))
 
     val scored = corpusCells.join(queryCells, "cell")
       .filter(col("qid") =!= col("neighbor"))

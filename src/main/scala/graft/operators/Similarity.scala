@@ -30,12 +30,15 @@ object Similarity {
       k: Int): DataFrame = {
     // norms materialized per row below the join (broadcast build computes
     // qn once; corpus side once per row) — not per candidate pair
+    // zero-norm vectors are excluded on BOTH sides: cosine with a zero
+    // vector is 0/0 = NaN, which Spark orders ABOVE every real number —
+    // one all-zero corpus row would rank #1 for every query
     val q = broadcast(queries.select(col(qId).as("qid"), col(qVec).as("qv"))
-      .withColumn("qn", vecNorm(col("qv"))))
+      .withColumn("qn", vecNorm(col("qv"))).filter(col("qn") > 0))
     // spread only when the corpus arrives as fewer splits than cores —
     // at scale the scan's split count parallelizes the scoring for free
     val c = Dedup.spreadIfNarrow(corpus).select(col(cId).as("neighbor"), col(cVec).as("cv"))
-      .withColumn("cn", vecNorm(col("cv")))
+      .withColumn("cn", vecNorm(col("cv"))).filter(col("cn") > 0)
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("neighbor"))
       .withColumn("cos", cosineFromNorms(col("qv"), col("cv"), col("qn"), col("cn")))
@@ -53,10 +56,12 @@ object Similarity {
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     // spread the streamed (non-broadcast) side across cores when it
     // arrives as a single small split — identity at real split counts
+    // zero-norm rows dropped: their cosine is NaN, and NaN >= threshold
+    // is TRUE under Spark's NaN ordering — they would all emit as pairs
     val a = Dedup.spreadIfNarrow(df).select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", vecNorm(col("va")))
+      .withColumn("na", vecNorm(col("va"))).filter(col("na") > 0)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", vecNorm(col("vb")))
+      .withColumn("nb", vecNorm(col("vb"))).filter(col("nb") > 0)
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
@@ -99,11 +104,16 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
-    val cands = srpCandidatePairs(df, idCol, vecCol, dim, bits, tables, seed, maxBucketSize)
-    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-      .withColumn("na", vecNorm(col("va")))
-    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-      .withColumn("nb", vecNorm(col("vb")))
+    // one cached projection feeds the bucket pass AND both verification
+    // sides — without it an expensive upstream lineage evaluates three
+    // times per action (the d4 double-reference regression class);
+    // zero-norm rows dropped here too (NaN cosine passes >= threshold)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = srpCandidatePairs(base, "id", "v", dim, bits, tables, seed, maxBucketSize)
+    val va = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val vb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)

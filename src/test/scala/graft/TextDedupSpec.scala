@@ -11,6 +11,24 @@ class TextDedupSpec extends SparkSuite {
 
   private lazy val docs = Tables.load(spark, sf0001, "documents").cache()
 
+  test("simhash blocking refuses maxHamming > 3 and tolerates null text") {
+    import graft.operators.Dedup
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 4))
+    val withNull = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(withNull, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // null row dropped, no NPE
+  }
+
+  test("connectedComponents rejects non-integral id columns loudly") {
+    import graft.operators.Dedup
+    val strPairs = Seq(("a", "b")).toDF("x", "y")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(strPairs, "x", "y"))
+  }
+
   test("tokenCount / distinctTokenCount / avgTokenLen match Scala oracle") {
     val rows = docs.select(col("text"),
       TextFunctions.tokenCount(col("text")).as("n"),

@@ -10,6 +10,40 @@ class VectorSpec extends SparkSuite {
 
   private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
 
+  test("zero-norm vectors never rank or pair (NaN cosine guard)") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    // without the guard the all-zero row scores NaN, which Spark orders
+    // above every real cosine — it would be rank 1 for every query
+    val knn = Similarity.bruteForceKnn(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", 3).collect()
+    assert(!knn.map(_.getLong(1)).contains(3L), knn.mkString(","))
+    assert(knn.head.getLong(1) == 1L)
+    // pairs: NaN >= threshold is TRUE — zero rows must not emit pairs
+    val pairs = Similarity.exactCosinePairs(corpus, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    val ann = Similarity.annCosinePairs(corpus, "vec_id", "embedding",
+      dim = 2, threshold = 0.5, bits = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!ann.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("KMeans.fit with k greater than the row count cycles candidates") {
+    import graft.operators.KMeans
+    val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val model = KMeans.fit(tiny, "vec_id", "embedding", k = 5, maxIters = 2)
+    assert(model.centroids.length == 5) // no ArrayIndexOutOfBounds
+    // null vectors are dropped, not fatal
+    val withNull = Seq((1L, Array(1f, 0f)), (2L, null: Array[Float]))
+      .toDF("vec_id", "embedding")
+    assert(KMeans.fit(withNull, "vec_id", "embedding", 1, 1).centroids.nonEmpty)
+  }
+
   test("VectorDot matches Scala reference on real embeddings") {
     val rows = emb.limit(50)
       .select(col("embedding"), VectorFunctions.vecDot(col("embedding"), col("embedding")).as("dot"))
