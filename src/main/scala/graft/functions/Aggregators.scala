@@ -115,8 +115,13 @@ object Aggregators {
   class MinHashUnionAgg(numHashes: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
     override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+      // fail fast on a signature built with a different numHashes —
+      // silently leaving Long.MaxValue sentinels in the tail would make
+      // every short-signature group band-collide with every other
+      require(sig.length == numHashes,
+        s"MinHashUnionAgg($numHashes): row signature has ${sig.length} hashes")
       var i = 0
-      while (i < numHashes && i < sig.length) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }
+      while (i < numHashes) { if (sig(i) < b(i)) b(i) = sig(i); i += 1 }
       b
     }
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -56,8 +56,14 @@ case class HashBucket(child: Expression, buckets: Long, seed: Long)
 object HashFunctions {
 
   /** Deterministic bucket in `[0, buckets)` for a long id column. */
-  def hashBucket(id: Column, buckets: Long, seed: Long = 42L): Column =
+  def hashBucket(id: Column, buckets: Long, seed: Long = 42L): Column = {
+    // validate at construction: buckets=0 would surface as a per-row
+    // ArithmeticException deep inside executor tasks, and a negative
+    // value reinterprets as a huge unsigned divisor (near-identity
+    // bucketing — silently wrong sampling rates)
+    require(buckets > 0, s"hashBucket: buckets must be positive, got $buckets")
     graftbridge.column(HashBucket(graftbridge.expression(id.cast("long")), buckets, seed))
+  }
 
   /** JVM-side twin of [[HashBucket]] for tests/oracle builders. */
   def bucketOf(id: Long, buckets: Long, seed: Long = 42L): Long = {

@@ -380,7 +380,10 @@ object TextFunctions {
     * merge table refines WITHIN these pre-tokens, so this count is the
     * standard pre-tokenization upper-bound used for corpus budgeting.
     */
-  val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+"
+  // whitespace class spelled explicitly: Java's \s includes vertical tab
+  // (\x0B), RE2's (DuckDB's) does not — with \s in the pattern, any
+  // document containing a VT diverges from the oracle
+  val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 \\t\\n\\f\\r]+"
 
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
@@ -423,7 +426,10 @@ object TextFunctions {
     * otherwise generate a descending range).
     */
   def wordShingles(text: Column, n: Int): Column = {
-    val ts = split(text, " ")
+    // empty tokens filtered, per the module's tokenization contract —
+    // raw split on a double/leading/trailing space yields "" tokens,
+    // producing shingles the native WordNGrams path would never emit
+    val ts = filter(split(text, " "), t => t =!= "")
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), size(ts) - (n - 1)), i => array_join(slice(ts, i, lit(n)), " "))))

@@ -148,6 +148,11 @@ object VectorFunctions {
     * columns) paid seconds of analysis/codegen per run on the plan
     * alone.
     */
-  def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long = 42L): Column =
+  def srpKeys(vec: Column, dim: Int, bits: Int, tables: Int, seed: Long = 42L): Column = {
+    // 0 is the xorshift64* fixed point: every hyperplane would come out
+    // identical (-1, ..., -1) and the LSH silently degenerates to
+    // bucketing by the sign of the coordinate sum
+    require(seed != 0L, "srpKeys: seed must be non-zero (xorshift64* degenerates at 0)")
     graftbridge.column(SrpKeys(graftbridge.expression(vec.cast("array<double>")), dim, bits, tables, seed))
+  }
 }

@@ -3,26 +3,25 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Gap-based sessionization — the canonical custom-state streaming
-  * operator (`flatMapGroupsWithState`, the capability the reference's
-  * mutable-service `KVStore` pattern approximates; reference
-  * `ServiceLib/KVStore/KVSotre.fs:258-280`, paper §7).
+/** Gap-based sessionization — the canonical stateful streaming operator
+  * (the capability the reference's mutable-service `KVStore` pattern
+  * approximates; reference `ServiceLib/KVStore/KVSotre.fs:258-280`,
+  * paper §7).
   *
   * Two equivalent forms:
   *  - [[sessionsBatch]]: window functions (lag + running sum of
   *    gap-breaks) — one shuffle on user_id, SQL-replayable, used by the
   *    correctness oracle.
-  *  - [[sessionsStream]]: event-time-timeout keyed state — emits a
-  *    session when the watermark passes its gap. State per key is O(1)
-  *    (running aggregates only), so 10^9 concurrent users fit executor
-  *    memory at scale.
+  *  - [[sessionsStream]]: Spark's native `session_window` state-store
+  *    aggregation — emits a session when the watermark passes its close;
+  *    open-session state per key is O(1) running aggregates, so 10^9
+  *    concurrent users fit executor memory at scale, and the store's
+  *    window-merge handles out-of-order arrivals across micro-batches.
   */
 object Sessionize extends Serializable {
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
@@ -52,61 +51,36 @@ object Sessionize extends Serializable {
         col("n_events"), col("sum_value"))
   }
 
-  /** Microsecond precision helpers — `Timestamp.getTime` alone is
-    * millisecond-truncating, which would make streamed session bounds
-    * disagree with the batch form at µs precision.
-    */
-  private[streaming] def tsToMicros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-  private[streaming] def microsToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
-
-  /** Streaming sessionization with event-time timeout: a session closes
-    * (and is emitted) once the watermark passes `last event + gap`.
-    * State timestamps are microseconds (matching the batch form's
-    * `unix_micros` gap comparison exactly).
+  /** Streaming sessionization on Spark's native `session_window`
+    * aggregation: the state store MERGES overlapping per-event windows,
+    * which handles out-of-order arrivals ACROSS micro-batches correctly —
+    * an event above the watermark but older than the open session's start
+    * extends (or splits) the session exactly as the batch form would. A
+    * hand-rolled flatMapGroupsWithState keeping one (start, end) per key
+    * cannot: it absorbed any above-watermark older event into the open
+    * session without ever moving `start`, silently diverging from
+    * [[sessionsBatch]].
+    *
+    * Gap parity: the batch form keeps diff == gap in the SAME session
+    * (strict `>` split); `session_window` merges on window OVERLAP
+    * (diff < gapDuration), so the duration carries one extra microsecond
+    * — at µs timestamp granularity the two split conditions coincide.
+    * Append mode emits a session once the watermark passes its close.
     */
   def sessionsStream(events: Dataset[SessionEvent], gapMinutes: Int, watermark: String): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapUs = gapMinutes * 60 * 1000000L
-
-    def update(userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator.single(Session(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.sum))
-      } else {
-        val sorted = it.toSeq.sortBy(e => tsToMicros(e.ts))
-        var closed = List.empty[Session]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = tsToMicros(e.ts)
-          cur match {
-            case Some(s) if t - s.end <= gapUs =>
-              cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
-            case Some(s) =>
-              closed ::= Session(userId, microsToTs(s.start), microsToTs(s.end), s.n, s.sum)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
-        }
-        cur.foreach { s =>
-          state.update(s)
-          // timeout is wall-watermark domain (ms)
-          state.setTimeoutTimestamp(s.end / 1000 + gapUs / 1000)
-        }
-        closed.reverseIterator
-      }
-    }
-
-    events
+    events.toDF()
       .withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes 1 microsecond"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+      .as[Session]
   }
 }

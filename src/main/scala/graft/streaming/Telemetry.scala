@@ -40,9 +40,13 @@ object Telemetry {
   /** Streaming exactly-once event dedup: drop repeated ids within the
     * watermark horizon — the standard at-least-once → exactly-once
     * correction for event pipelines (state bounded by the watermark).
+    * `dropDuplicatesWithinWatermark(id)` — NOT `dropDuplicates(id, ts)`,
+    * which only collapses redeliveries that are byte-identical in ts: a
+    * retried event restamped 1 ms later (broker ingestion time) would
+    * pass straight through and double its downstream contribution.
     */
   def dedupStream(events: DataFrame, idCol: String, watermark: String): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(idCol, "ts")
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** Watermarked stream-stream interval join: left events matched to
     * right events with the same key whose timestamp falls in
@@ -69,14 +73,7 @@ object Telemetry {
     * emits a window once the watermark passes its end.
     */
   def slidingStatsStream(events: DataFrame, winDur: String, slideDur: String, watermark: String): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), winDur, slideDur), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"),
-        round(percentile(col("value"), lit(0.95)), 4).as("p95_value"))
-      .select(
-        col("window.start").as("win_start"),
-        col("event_type"), col("n_events"), col("sum_value"), col("p95_value"))
+    // ONE aggregation body for both forms — the exact-parity premise of
+    // this module; a second spelled-out copy could silently drift
+    slidingStats(events.withWatermark("ts", watermark), winDur, slideDur)
 }
