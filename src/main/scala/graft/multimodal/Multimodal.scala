@@ -34,9 +34,11 @@ object Multimodal {
     * replay the full binary roundtrip arithmetically.
     */
   def fakeImageBytes(id: Long): Array[Byte] = {
-    val width = (16 + (id * 7919) % 240).toInt
-    val height = (16 + (id * 104729) % 240).toInt
-    val payloadLen = (64 + id % 64).toInt
+    // floorMod: negative ids would bake negative dimensions into the
+    // header (identical to % for the non-negative ids the oracles replay)
+    val width = (16 + Math.floorMod(id * 7919, 240L)).toInt
+    val height = (16 + Math.floorMod(id * 104729, 240L)).toInt
+    val payloadLen = (64 + Math.floorMod(id, 64L)).toInt
     val buf = ByteBuffer.allocate(12 + payloadLen)
     buf.putInt(MAGIC).putInt(width).putInt(height)
     var i = 0
@@ -59,8 +61,10 @@ object Multimodal {
     * without being able to parse PNG itself.
     */
   def pngImageBytes(id: Long): Array[Byte] = {
-    val w = (8 + id % 9).toInt
-    val h = (8 + (id / 9) % 7).toInt
+    // floorMod: a negative id would yield a zero/negative dimension and
+    // BufferedImage throws (Scala % keeps the dividend's sign)
+    val w = (8 + Math.floorMod(id, 9L)).toInt
+    val h = (8 + Math.floorMod(id / 9, 7L)).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -124,6 +128,11 @@ object Multimodal {
       }
       DecodedImage(id, img.getWidth, img.getHeight, bytes.length, sum)
     } else {
+      // length check BEFORE getInt: a truncated blob would throw a bare
+      // BufferUnderflowException naming neither doc nor size — the
+      // contract is loud failure with the doc id
+      require(bytes.length >= 12,
+        s"doc $id: unrecognized image bytes (${bytes.length} bytes, no known signature)")
       val buf = ByteBuffer.wrap(bytes)
       val magic = buf.getInt()
       require(magic == MAGIC, s"doc $id: unrecognized image bytes (magic 0x${magic.toHexString})")
@@ -187,7 +196,8 @@ object Multimodal {
   def featurizeImages(images: Dataset[(Long, Array[Byte])], bins: Int = 16): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    require(256 % bins == 0, s"bins must divide 256: $bins")
+    require(bins >= 1 && 256 % bins == 0,
+      s"bins must be a positive divisor of 256: $bins") // 256 % -16 == 0 in Java
     val width = 256 / bins
     images.mapPartitions { it =>
       it.map { case (id, bytes) =>
@@ -209,12 +219,21 @@ object Multimodal {
   def sampleFrames(images: Dataset[(Long, Array[Byte])], frameSize: Int, stride: Int): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
+    require(frameSize >= 1, s"frameSize must be positive, got $frameSize")
+    require(stride >= 1, s"stride must be positive, got $stride")
     images.mapPartitions { it =>
       it.flatMap { case (id, bytes) =>
         val payload = bytes.drop(12)
         payload.grouped(frameSize).zipWithIndex
           .filter(_._2 % stride == 0)
-          .map { case (frame, idx) => (id, idx, frame.length, frame.map(_ & 0xFF).sum.toLong) }
+          .map { case (frame, idx) =>
+            // Long accumulator: an Int sum wraps negative past ~16.8 MB
+            // of 0xFF bytes — video-frame-sized payloads reach that
+            var fs = 0L
+            var i = 0
+            while (i < frame.length) { fs += (frame(i) & 0xFF); i += 1 }
+            (id, idx, frame.length, fs)
+          }
       }
     }.toDF("doc_id", "frame_idx", "frame_bytes", "frame_sum")
   }

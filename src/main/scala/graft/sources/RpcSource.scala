@@ -189,8 +189,30 @@ object RpcSource {
           case _ => None
         }
       }
-    def num(s: String): Option[Double] =
-      try Some(java.lang.Double.parseDouble(s)) catch { case _: NumberFormatException => None }
+    // The pre-drop must be EXACT under Spark's comparison semantics or
+    // conservatively keep: the scanner's residual re-filter can remove
+    // over-kept rows, but can never resurrect one the service dropped.
+    // - numerics compare as BigDecimal (a Double parse would round a
+    //   BIGINT beyond 2^53 and drop a matching row)
+    // - non-numerics compare as UTF-8 bytes (Spark's UTF8_BINARY; Java's
+    //   String.compareTo is UTF-16 order, which diverges on
+    //   supplementary characters)
+    // - a numeric/non-numeric mix (e.g. NaN literals) is KEPT — vacuous
+    //   true, the scanner decides
+    def dec(s: String): Option[java.math.BigDecimal] =
+      try Some(new java.math.BigDecimal(s)) catch { case _: NumberFormatException => None }
+    def utf8Compare(a: String, b: String): Int = {
+      val x = a.getBytes(StandardCharsets.UTF_8)
+      val y = b.getBytes(StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
     row => conjuncts.forall { case (op, ix, v) =>
       val cell = row(ix)
       op match {
@@ -198,17 +220,21 @@ object RpcSource {
         case "notnull" => cell != null
         case _ if cell == null => false
         case _ =>
-          val c = (num(cell), num(v)) match {
-            case (Some(a), Some(b)) => java.lang.Double.compare(a, b)
-            case _ => cell.compareTo(v)
+          val cmp: Option[Int] = (dec(cell), dec(v)) match {
+            case (Some(a), Some(b)) => Some(a.compareTo(b))
+            case (None, None)       => Some(utf8Compare(cell, v))
+            case _                  => None // mixed: keep, scanner re-filters
           }
-          op match {
-            case "eq" => c == 0
-            case "gt" => c > 0
-            case "ge" => c >= 0
-            case "lt" => c < 0
-            case "le" => c <= 0
-            case _ => true // unknown op: vacuous, scanner re-filters
+          cmp match {
+            case None => true
+            case Some(c) => op match {
+              case "eq" => c == 0
+              case "gt" => c > 0
+              case "ge" => c >= 0
+              case "lt" => c < 0
+              case "le" => c <= 0
+              case _ => true // unknown op: vacuous, scanner re-filters
+            }
           }
       }
     }
@@ -228,13 +254,25 @@ object RpcSource {
     * without re-sharding the service.
     */
   def readRpc(spark: SparkSession, endpoints: Seq[String], schemaDdl: String,
-      contract: String, partitionsPerEndpoint: Int): DataFrame =
+      contract: String, partitionsPerEndpoint: Int): DataFrame = {
+    // the line protocol frames on spaces/newlines and these tokens go on
+    // the wire UNescaped (filter literals are base64, identifiers are
+    // not): a contract or column name containing whitespace would
+    // silently desync the request — an unknown contract answers OK with
+    // zero rows by design, so the corruption would look like empty data
+    require(contract.nonEmpty && !contract.exists(_.isWhitespace),
+      s"readRpc: contract name must be non-empty with no whitespace, got '$contract'")
+    org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).fieldNames.foreach { f =>
+      require(!f.exists(_.isWhitespace) && !f.contains(","),
+        s"readRpc: column name '$f' would corrupt wire framing (whitespace/comma)")
+    }
     spark.read.format(classOf[RpcDataSource].getName)
       .option("endpoints", endpoints.mkString(","))
       .option("contract", contract)
       .option("schema", schemaDdl)
       .option("partitionsPerEndpoint", partitionsPerEndpoint.toString)
       .load()
+  }
 
   /** Minimal contract-answering service for demos/tests (the counterpart
     * of [[graft.streaming.LiveIngest.serveLines]], plus the handshake):
@@ -464,7 +502,7 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
   // true once the service ACKED the slice request (`OK SLICE i/n`) — a
   // legacy service streams every row and this reader slices client-side
   @volatile private var serverSliced = false
-  private val in = {
+  private val in = try {
     // the request carries the PROJECTED column list — pushdown to the
     // service; "-" asks for row markers only (count-style scans) — the
     // pushed filter conjuncts (rows the service drops never cross), and
@@ -487,6 +525,13 @@ private[sources] class RpcPartitionReader(host: String, port: Int,
         throw new IllegalArgumentException(s"$ctx: unexpected status line '$other'")
     }
     r
+  } catch {
+    // a handshake failure throws from the CONSTRUCTOR — Spark never gets
+    // a reader instance to close(), so the connected socket would leak
+    // (×4 task retries per failing partition)
+    case e: Throwable =>
+      try socket.close() catch { case _: Exception => () }
+      throw e
   }
   private var row: InternalRow = _
   private var arrived = 0L // client-side slice counter (legacy services)

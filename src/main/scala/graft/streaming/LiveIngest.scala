@@ -45,6 +45,10 @@ object LiveIngest {
       .option("port", port)
       .load()
       .select(from_json(col("value"), eventSchema).as("e"))
+      // a garbled line (partial write, non-JSON noise) parses to a NULL
+      // struct — dropped here, or it would splat to an all-NULL phantom
+      // event and silently skew every downstream aggregate
+      .filter(col("e").isNotNull)
       .select("e.*")
 
   /** Source events from a drop directory a live producer appends JSON
