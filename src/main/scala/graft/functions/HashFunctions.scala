@@ -53,6 +53,44 @@ case class HashBucket(child: Expression, buckets: Long, seed: Long)
     copy(child = newChild)
 }
 
+/** Full-width splitmix64 of a long id, with the sign bit flipped so
+  * SIGNED ascending order equals UNSIGNED ascending order of the raw
+  * hash — the total-order key for deterministic shuffles ([[HashBucket]]
+  * reduces to 10^6 buckets, far too coarse to order corpora beyond 10^6
+  * rows: id-ascending runs inside tied buckets would leak source/crawl
+  * order into the training order). The DuckDB oracle orders by the raw
+  * unsigned value in HUGEINT space — identical order.
+  */
+case class HashOrder64(child: Expression, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash_order64"
+
+  override def nullSafeEval(input: Any): Any = {
+    var z = input.asInstanceOf[Long] + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z ^ java.lang.Long.MIN_VALUE
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c + ${seed}L + 0x9E3779B97F4A7C15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |$z = $z ^ ($z >>> 31);
+         |${ev.value} = $z ^ java.lang.Long.MIN_VALUE;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashFunctions {
 
   /** Deterministic bucket in `[0, buckets)` for a long id column. */
@@ -63,6 +101,19 @@ object HashFunctions {
     // bucketing — silently wrong sampling rates)
     require(buckets > 0, s"hashBucket: buckets must be positive, got $buckets")
     graftbridge.column(HashBucket(graftbridge.expression(id.cast("long")), buckets, seed))
+  }
+
+  /** Unsigned-order-preserving full-width splitmix64 (see [[HashOrder64]]). */
+  def hashOrder64(id: Column, seed: Long = 42L): Column =
+    graftbridge.column(HashOrder64(graftbridge.expression(id.cast("long")), seed))
+
+  /** JVM-side twin of [[HashOrder64]] for tests/oracle builders. */
+  def orderOf(id: Long, seed: Long = 42L): Long = {
+    var z = id + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z ^ java.lang.Long.MIN_VALUE
   }
 
   /** JVM-side twin of [[HashBucket]] for tests/oracle builders. */

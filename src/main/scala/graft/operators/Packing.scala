@@ -21,6 +21,11 @@ object Packing {
   /** Per-group packing (the common sharded layout: one packing stream per
     * source/shard). One shuffle on `groupCol`; groups pack in parallel.
     * Output adds `bin` and `offset` to the input columns.
+    *
+    * `orderCol` must be a TOTAL order within each group (the p1/p2 gates
+    * order by a hash chain with an id tiebreak): rows tied on `orderCol`
+    * get layout-dependent prefix sums, which breaks the
+    * bitwise-identical / oracle-replay contract above.
     */
   def packChunks(df: DataFrame, groupCol: String, orderCol: String,
       tokenCol: String, capacity: Long): DataFrame = {
@@ -68,7 +73,8 @@ object Packing {
       .groupBy("__pid").agg(sum(col(tokenCol)).as("__ptotal"))
       // sum() is null when every token value in a partition is null —
       // treat as 0, matching the running-sum pass's null handling below
-      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) 0L else r.get(1).asInstanceOf[Number].longValue)).toMap
     val partOffsets = (0 until p).scanLeft(0L)((acc, i) => acc + partTotals.getOrElse(i, 0L))
     val tokIdx = ranged.schema.fieldIndex(tokenCol)
     val withStart = spark.createDataFrame(

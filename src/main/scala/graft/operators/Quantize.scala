@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** Adds a `codes` array<int> column of per-dimension int8 codes. */
-  def scalarQuantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def scalarQuantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
     val stats = df
       .select(posexplode(col(vecCol)).as(Seq("d", "v")))
       .groupBy("d")

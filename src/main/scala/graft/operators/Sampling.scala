@@ -67,13 +67,21 @@ object Sampling {
       weightCol: String, budgetPerStratum: Long, seed: Long = 42L): DataFrame = {
     val totals = df.groupBy(stratumCol)
       .agg(sum(col(weightCol).cast("long")).as("__stratum_total"))
+      .withColumnRenamed(stratumCol, "__stratum")
+    // budget·Buckets in DOUBLE: the Long product wraps negative past
+    // ~9.2e12 budget (realistic token budgets at 100 TB) and would
+    // silently drop every stratum; double is exact to 2^53, beyond which
+    // the rounding is a sub-ulp rate perturbation, not a sign flip
     val thr = least(
       lit(Buckets),
-      floor(lit((budgetPerStratum * Buckets).toDouble) / col("__stratum_total").cast("double"))
+      floor(lit(budgetPerStratum.toDouble * Buckets) / col("__stratum_total").cast("double"))
         .cast("long"))
-    df.join(broadcast(totals), stratumCol)
+    // null-safe stratum match: an equi-join would silently drop every
+    // null-stratum row (unattributed data) from the mix — null is a
+    // stratum like any other, exactly as the groupBy above treats it
+    df.join(broadcast(totals), col(stratumCol) <=> col("__stratum"))
       .filter(hashBucket(col(idCol), Buckets, seed) < thr)
-      .drop("__stratum_total")
+      .drop("__stratum", "__stratum_total")
   }
 
   /** Disjoint train/holdout split from one hash: rows below the eval

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashFunctions.hashBucket
+import graft.functions.HashFunctions.{hashBucket, hashOrder64}
 
 /** Deterministic training-order shuffle + shard export — the last step
   * of a curation pipeline before the data loader: the corpus is dealt
@@ -27,17 +27,24 @@ object Sharding {
 
   private def assigned(df: DataFrame, idCol: String, nShards: Int, seed: Long): DataFrame =
     df.withColumn("__bucket", hashBucket(col(idCol), Sampling.Buckets, seed))
+      // FULL-width hash for the training order: the 10^6-bucket reduction
+      // is fine for shard ROUTING but far too coarse to ORDER a corpus
+      // beyond 10^6 docs — ties would fall back to id-ascending runs,
+      // leaking sequential source/crawl id order into the training order
+      // at exactly the scale this module targets
+      .withColumn("__ord", hashOrder64(col(idCol), seed))
       .withColumn("shard", (col("__bucket") % nShards).cast("int"))
 
   /** (shard, pos) for every row: shard = splitmix64(id) mod nShards,
-    * pos = rank within its shard ordered by (hash, id) — id breaks
-    * bucket ties, so the training order is total and deterministic.
+    * pos = rank within its shard ordered by (full-width hash, id) — the
+    * 64-bit key makes the pseudorandom order collision-free in practice
+    * and the id tiebreak keeps it total and deterministic.
     */
   def shuffleToShards(df: DataFrame, idCol: String, nShards: Int, seed: Long = 42L): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("__bucket"), col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
     assigned(df, idCol, nShards, seed)
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .drop("__bucket")
+      .drop("__bucket", "__ord")
   }
 
   /** Write the shuffled corpus as `shard=K/` parquet directories, each
@@ -63,11 +70,11 @@ object Sharding {
     */
   private[operators] def shardedOrdered(df: DataFrame, idCol: String, nShards: Int,
       seed: Long): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("__bucket"), col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
     assigned(df, idCol, nShards, seed)
       .repartition(nShards * 4, col("shard"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
-      .drop("__bucket")
+      .drop("__bucket", "__ord")
       .sortWithinPartitions(col("shard"), col("pos"))
   }
 }

@@ -28,30 +28,46 @@ object TemporalJoins {
     val leftPayload = left.columns.filterNot(c => c == key || c == ts).toSeq
     // union schema: key, ts, side (right sorts before left on ts ties →
     // equal-timestamp right rows are visible to the left row), left
-    // payload (null on right rows), right payload (null on left rows)
+    // payload (null on right rows), and the right values as ONE struct.
+    // The struct is load-bearing: the backward-fill must carry the whole
+    // most-recent right ROW — per-column ignoreNulls fills would skip a
+    // genuinely-null right value (carrying a stale older one forward)
+    // and could even assemble different columns from different right
+    // rows. The struct is non-null for every right row even when all its
+    // fields are null, so ignoreNulls only skips the LEFT placeholders.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValCols.map(c => right.schema(c)).toArray)
     val lSel = left.select(
       (col(key) +: col(ts) +: lit(1).as("__side") +:
-        leftPayload.map(col)) ++
-        rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftPayload.map(col)) :+
+        lit(null).cast(rvType).as("__rvals"): _*)
     val rSel = right.select(
       (col(key) +: col(ts) +: lit(0).as("__side") +:
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightValCols.map(col): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c))) :+
+        struct(rightValCols.map(col): _*).as("__rvals"): _*)
+    // the value struct is the final sort key so right rows tied on
+    // (key, ts) order deterministically — "most recent" stays replayable
+    // across partitionings and retries
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"))
+      .orderBy(col(ts), col("__side"), col("__rvals"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lSel.union(rSel)
-      .select(
-        (col(key) +: col(ts) +: col("__side") +: leftPayload.map(col)) ++
-          rightValCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__filled", last(col("__rvals"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(
+        (col(key) +: col(ts) +: leftPayload.map(col)) ++
+          rightValCols.map(c => col(s"__filled.$c").as(c)): _*)
   }
 
   /** Range join: pairs with equal `key` and `right.ts` within
-    * `[left.ts - windowBefore, left.ts]`. The equality key makes Catalyst
+    * `[left.ts - windowBefore, left.ts]`; LEFT-OUTER — an unmatched left
+    * row survives with a null right side. The equality key makes Catalyst
     * plan a shuffled equi-join with the range as a post-condition (not a
     * cartesian product); at scale the shuffle is on `key` only.
+    *
+    * Output keeps BOTH sides' columns under the `l`/`r` aliases — `key`
+    * and `ts` appear twice, so reference them qualified
+    * (`col("l.ts")`/`col("r.ts")`); an unqualified select is ambiguous.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       windowBeforeSeconds: Long): DataFrame = {

@@ -349,7 +349,8 @@ object CurationQueries {
     s"""h0 AS (SELECT *, (($idExpr)::HUGEINT + $a) % $M AS z0 FROM $src),
         h1 AS (SELECT *, ${mulMod("xor(z0, z0 >> 30)", 0xBF58476D1CE4E5B9L)} AS z1 FROM h0),
         h2 AS (SELECT *, ${mulMod("xor(z1, z1 >> 27)", 0x94D049BB133111EBL)} AS z2 FROM h1),
-        h AS (SELECT *, xor(z2, z2 >> 31) % ${Sampling.Buckets} AS bucket FROM h2)"""
+        h AS (SELECT *, xor(z2, z2 >> 31) AS fullhash,
+                  xor(z2, z2 >> 31) % ${Sampling.Buckets} AS bucket FROM h2)"""
   }
 
   private def rateThr(rate: Double): Long = (rate * Sampling.Buckets).round
@@ -568,9 +569,9 @@ object CurationQueries {
           FROM h""",
     "sh1_shard_export" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
-          t AS (SELECT doc_id, lang, bucket, (bucket % 4)::INTEGER AS shard FROM h)
+          t AS (SELECT doc_id, lang, fullhash, (bucket % 4)::INTEGER AS shard FROM h)
           SELECT doc_id, lang, shard,
-            (row_number() OVER (PARTITION BY shard ORDER BY bucket, doc_id) - 1)::BIGINT AS pos
+            (row_number() OVER (PARTITION BY shard ORDER BY fullhash, doc_id) - 1)::BIGINT AS pos
           FROM t""",
     // Physical widths must match Spark exactly (the driver hashes dtypes):
     // TokenScan emits INTEGER n_tokens; the window sum() is HUGEINT in

@@ -229,7 +229,7 @@ object VectorQueries {
     // hash gate. floor-based double math replays bit-exactly in SQL.
     "vq1_quantize_int8" -> { (s, dir) =>
       graft.operators.Quantize.scalarQuantizeInt8(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
+        Tables.load(s, dir, "embeddings"), "embedding")
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim_idx", "code")))
     }
   )

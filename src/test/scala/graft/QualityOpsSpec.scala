@@ -129,7 +129,7 @@ class QualityOpsSpec extends SparkSuite {
       (0L, Array(0.0f, 5.0f, 1.0f)),
       (1L, Array(1.0f, 5.0f, 3.0f)),
       (2L, Array(2.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
-    val got = Quantize.scalarQuantizeInt8(df, "vec_id", "embedding")
+    val got = Quantize.scalarQuantizeInt8(df, "embedding")
       .select("vec_id", "codes").as[(Long, Seq[Int])].collect().sortBy(_._1)
     // dim0: range [0,2] → codes floor(v*127.5)-128 = -128, -1, 127
     // dim1: degenerate → 0; dim2: range [1,5] → floor((v-1)*63.75)-128
@@ -140,7 +140,7 @@ class QualityOpsSpec extends SparkSuite {
 
   test("scalarQuantizeInt8 codes stay in [-128, 127] and extremes hit both ends") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val codes = Quantize.scalarQuantizeInt8(e, "vec_id", "embedding")
+    val codes = Quantize.scalarQuantizeInt8(e, "embedding")
       .select(explode(col("codes")).as("c"))
       .agg(min("c"), max("c")).as[(Int, Int)].collect().head
     assert(codes._1 == -128 && codes._2 == 127)
