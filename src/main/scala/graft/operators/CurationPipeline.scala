@@ -24,17 +24,27 @@ object CurationPipeline {
   /** @param docs        corpus with id/text/stratum/shard columns
     * @param rates       per-stratum sampling rates (missing → drop)
     * @param capacity    context-window size in tokens (post-cleaning)
+    * @param delim       boilerplate unit separator — "\n" removes repeated
+    *                    LINES (the documented 5000-copy-page case); pass
+    *                    " " only for single-line corpora where the unit is
+    *                    the word (a word-level delim on multi-line text
+    *                    turns the stage into corpus-wide stopword deletion)
     * @return one row per surviving doc:
     *         (idCol, shardCol, stratumCol, n_kept, bin, offset)
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       stratumCol: String, shardCol: String,
       rates: Seq[(String, Double)], seed: Long,
-      maxDocFrac: Double = 0.5, capacity: Long = 128L): DataFrame = {
+      maxDocFrac: Double = 0.5, capacity: Long = 128L,
+      delim: String = "\n"): DataFrame = {
     val kept = Dedup.nearDedupKeep(docs, idCol, textCol)
-    val cleaned = Dedup.removeRepeatedLines(kept, idCol, textCol, " ", maxDocFrac)
+    val cleaned = Dedup.removeRepeatedLines(kept, idCol, textCol, delim, maxDocFrac)
+    // recover stratum/shard from `docs`, not `kept`: cleaned's id set
+    // equals kept's (removeRepeatedLines preserves cardinality), so the
+    // inner join yields identical rows either way — joining `kept` would
+    // re-execute the nearDedupKeep scan + anti-join subtree a fourth time
     val enriched = cleaned
-      .join(kept.select(col(idCol), col(stratumCol), col(shardCol)), idCol)
+      .join(docs.select(col(idCol), col(stratumCol), col(shardCol)), idCol)
       .filter(col("n_kept") >= 1)
     val sampled = Sampling.stratifiedHashSample(
       enriched.select(col(idCol), col(shardCol), col(stratumCol), col("n_kept")),

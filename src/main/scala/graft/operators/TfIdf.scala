@@ -35,7 +35,11 @@ object TfIdf {
         .as(Seq("term", "tf")))
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = df.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(docFreq, "term").crossJoin(n)
+    // broadcast the 1-row count frame explicitly: the Aggregate's size
+    // estimate propagates from its corpus-sized child, so without the
+    // hint the planner can pick CartesianProductExec for the corpus-sized
+    // left side (same pattern as QualityFilters.unigramLogProb)
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("__n") / col("df_t")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))

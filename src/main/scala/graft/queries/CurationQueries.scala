@@ -321,9 +321,13 @@ object CurationQueries {
     // MinHash closure, the drop-line accounting, the splitmix64 sampling
     // hash AND the packing cumsum in one SQL statement.
     "c1_curation_pipeline" -> { (s, dir) =>
+      // delim = " ": the synthetic documents table is single-line text,
+      // so the boilerplate unit is the word (the operator's default "\n"
+      // would find no repeated units in a corpus with no newlines)
       graft.operators.CurationPipeline.curate(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang", "source",
-        StratRates, SampleSeed, maxDocFrac = 0.5, capacity = PackCapacity)
+        StratRates, SampleSeed, maxDocFrac = 0.5, capacity = PackCapacity,
+        delim = " ")
     }
   )
 

@@ -15,7 +15,13 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
       path: Option[String] = None): Unit = {
-    val w = df.write
+    // repartition on the bucket column first: without it every write task
+    // emits one file per bucket it holds rows for — up to tasks×buckets
+    // small files (a 1000-task write with 256 buckets → 256k fragments),
+    // defeating the co-located-join benefit the table exists for. After
+    // the repartition each bucket's rows live in exactly one task.
+    val w = df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

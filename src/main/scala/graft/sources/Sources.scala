@@ -19,11 +19,33 @@ object Sources {
 
   /** CSV keeps a header; schema must be supplied on read (or inferred) —
     * prefer explicit schema at scale to avoid an inference pass.
+    *
+    * The write/read pair round-trips string data: the writer keeps
+    * leading/trailing whitespace (Spark's CSV writer trims by default)
+    * and the reader parses quoted embedded newlines (`multiLine`;
+    * without it a quoted "line1\nline2" value splits the record and
+    * PERMISSIVE mode silently yields corrupt rows). Caveat inherent to
+    * CSV: an empty string comes back as null (the format cannot
+    * distinguish them under a null-capable schema).
+    *
+    * `multiLine` makes a file non-splittable — one task per file — so
+    * for newline-free corpora at scale prefer [[readCsvSplittable]].
     */
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").option("multiLine", "true")
+      .schema(schema).csv(path)
+
+  /** Splittable CSV read for values known to be newline-free: each file
+    * splits into multiple tasks (the scale default when the data allows).
+    */
+  def readCsvSplittable(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =

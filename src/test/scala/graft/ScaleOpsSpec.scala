@@ -116,11 +116,33 @@ class ScaleOpsSpec extends SparkSuite {
         s"bucketed join still shuffles:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
       assert(joined.count() > 0)
+      // one data file per bucket: writeBucketed repartitions on the bucket
+      // column first, so a multi-task input cannot fan out into
+      // tasks×buckets small files (the fragment explosion that defeats
+      // the co-located-join benefit at scale)
+      val dataFiles = Option(new java.io.File("spark-warehouse/li_bucketed").listFiles())
+        .toSeq.flatten.filter(f => f.getName.endsWith(".parquet"))
+      assert(dataFiles.length <= 8,
+        s"expected ≤8 bucket files, got ${dataFiles.length}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
+  }
+
+  test("CSV write/read round-trips embedded newlines and padded whitespace") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString + "/t"
+    val src = Seq(
+      (1L, "line1\nline2", " padded "),
+      (2L, "plain", "x,with,commas"),
+      (3L, "quote\"inside", "\ttabbed")
+    ).toDF("id", "text", "extra")
+    graft.sources.Sources.writeCsv(src, out)
+    val back = graft.sources.Sources.readCsv(spark, out, src.schema)
+      .as[(Long, String, String)].collect().toSet
+    assert(back == src.as[(Long, String, String)].collect().toSet,
+      s"CSV round-trip mismatch: $back")
   }
 
   test("approx sketches track exact within tolerance (the 100 TB substitutes)") {
