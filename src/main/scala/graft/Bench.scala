@@ -108,12 +108,7 @@ object Bench {
         val docsT = Tables.load(spark, sfDir, "documents")
         val posIdx = graft.operators.InvertedIndex.materializePositional(
           docsT, "doc_id", "text", s"$iiBase/pos")
-        val phrase = docsT
-          .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
-            .as(Seq("g", "cd")))
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("n_docs").desc, col("g").asc)
-          .limit(1).collect()(0).getString(0).split(" ").toSeq
+        val phrase = graft.operators.InvertedIndex.topGramByDf(docsT, "text", 2)
         val s2 = bench("ii2_search_steady") {
           exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
         }

@@ -1,11 +1,27 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** Shared integral-only input contract for the hash expressions: a bare
+  * Cast would turn non-numeric ids into NULL (ANSI off) — every row
+  * silently hashing to nothing is the exact silent-NULL hazard the
+  * sampling ops exist to avoid — and would truncate fractional doubles
+  * without notice. Rejecting at analysis names the problem instead.
+  */
+private[functions] trait IntegralIdInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral id, got ${other.simpleString} — cast explicitly " +
+        "if the id is genuinely numeric text (and accept that unparsable values hash as NULL)")
+  }
+}
 
 /** splitmix64 finalizer over a long id, reduced to a bucket in
   * `[0, buckets)` by UNSIGNED remainder — the deterministic-sampling
@@ -24,13 +40,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * half of hash space differ — the oracle works in the unsigned domain.
   */
 case class HashBucket(child: Expression, buckets: Long, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with IntegralIdInput {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hash_bucket"
 
   override def nullSafeEval(input: Any): Any = {
-    var z = input.asInstanceOf[Long] + seed + 0x9E3779B97F4A7C15L
+    // Number.longValue: the integral input may arrive boxed as any of the
+    // four accepted widths (codegen widens implicitly in Java arithmetic)
+    var z = input.asInstanceOf[Number].longValue() + seed + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
@@ -62,13 +80,13 @@ case class HashBucket(child: Expression, buckets: Long, seed: Long)
   * unsigned value in HUGEINT space — identical order.
   */
 case class HashOrder64(child: Expression, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with IntegralIdInput {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hash_order64"
 
   override def nullSafeEval(input: Any): Any = {
-    var z = input.asInstanceOf[Long] + seed + 0x9E3779B97F4A7C15L
+    var z = input.asInstanceOf[Number].longValue() + seed + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
@@ -100,12 +118,14 @@ object HashFunctions {
     // value reinterprets as a huge unsigned divisor (near-identity
     // bucketing — silently wrong sampling rates)
     require(buckets > 0, s"hashBucket: buckets must be positive, got $buckets")
-    graftbridge.column(HashBucket(graftbridge.expression(id.cast("long")), buckets, seed))
+    // no defensive cast: the expression's integral-only type check fires
+    // at analysis for string/double ids (see IntegralIdInput)
+    graftbridge.column(HashBucket(graftbridge.expression(id), buckets, seed))
   }
 
   /** Unsigned-order-preserving full-width splitmix64 (see [[HashOrder64]]). */
   def hashOrder64(id: Column, seed: Long = 42L): Column =
-    graftbridge.column(HashOrder64(graftbridge.expression(id.cast("long")), seed))
+    graftbridge.column(HashOrder64(graftbridge.expression(id), seed))
 
   /** JVM-side twin of [[HashOrder64]] for tests/oracle builders. */
   def orderOf(id: Long, seed: Long = 42L): Long = {

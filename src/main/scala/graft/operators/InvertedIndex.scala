@@ -104,6 +104,26 @@ object InvertedIndex {
       .map(_.getString(0))
       .toSeq
 
+  /** The corpus's top document-frequency n-gram (ties broken gram asc),
+    * split into its tokens — the deterministic phrase-probe selector
+    * SHARED by the ii2 gate and the bench steady-state twin, so probe
+    * selection cannot silently de-synchronize between the gate's
+    * semantics and the steady-state measurement. Driver collect of one
+    * row is the intended boundary; fails loudly on a corpus with no
+    * n-token document instead of a bare ArrayIndexOutOfBounds.
+    */
+  def topGramByDf(docs: DataFrame, textCol: String, n: Int): Seq[String] = {
+    val rows = docs
+      .select(explode(graft.functions.TextFunctions.tokenGramCounts(col(textCol), n))
+        .as(Seq("g", "cd")))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("g").asc)
+      .limit(1).collect()
+    require(rows.nonEmpty,
+      s"topGramByDf: no document holds an $n-token gram (empty or too-short corpus)")
+    rows(0).getString(0).split(" ").toSeq
+  }
+
   /** Convenience: build-or-attach via the cross-session plan cache. */
   def attach(docs: DataFrame, idCol: String, textCol: String,
       cacheDir: String): DataFrame =

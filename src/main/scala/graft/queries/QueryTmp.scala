@@ -22,8 +22,16 @@ private[graft] object QueryTmp {
       try {
         it.iterator().forEachRemaining { p =>
           val fn = p.getFileName.toString
-          if (!fn.startsWith("_") && !fn.startsWith(".") && Files.isRegularFile(p))
+          if (!fn.startsWith("_") && !fn.startsWith(".")) {
+            // fail loudly on a partitioned layout (date=.../part-*) —
+            // silently skipping subdirectories would stage an EMPTY
+            // dataset and turn a layout change into a confusing
+            // hash mismatch (or a vacuous rows-only pass) downstream
+            if (Files.isDirectory(p)) throw new IllegalArgumentException(
+              s"stageParquet: $src contains subdirectory '$fn' — partitioned " +
+                "layouts are not supported by flat staging")
             Files.copy(p, Paths.get(dstDir, s"$name-$fn")): Unit
+          }
         }
       } finally it.close()
     } else {

@@ -76,12 +76,8 @@ object TextQueries {
       val idxDir = QueryTmp.dir("posidx")
       val postings = InvertedIndex.materializePositional(
         docs, "doc_id", "text", s"$idxDir/postings")
-      val top = docs
-        .select(col("doc_id"), explode(tokenGramCounts(col("text"), 2)).as(Seq("g", "cd")))
-        .groupBy("g").agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("g").asc).limit(1)
-        .collect()(0).getString(0)
-      InvertedIndex.searchPhrase(postings, "doc_id", top.split(" ").toSeq)
+      val top = InvertedIndex.topGramByDf(docs, "text", 2)
+      InvertedIndex.searchPhrase(postings, "doc_id", top)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"))
     },
@@ -264,10 +260,13 @@ object TextQueries {
     // contention, which would write the sketch into two temp dirs
     val out = sketchDir.synchronized {
       sketchDir.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("graft-sketch-q")
+        // QueryTmp.dir (not a raw createTempDirectory): registers the
+        // shutdown cleanup — otherwise every Bench/Verify run strands a
+        // full-corpus sketch parquet in /tmp
+        val d = QueryTmp.dir("sketch-q")
         Dedup.minhashSketch(existing, "doc_id", "text")
-          .write.mode("overwrite").parquet(d.toString)
-        d.toString
+          .write.mode("overwrite").parquet(d)
+        d
       })
     }
     Dedup.incrementalNearDupKeepWithSketch(

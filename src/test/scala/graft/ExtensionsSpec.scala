@@ -63,6 +63,26 @@ class ExtensionsSpec extends SparkSuite {
       val badB = intercept[Exception](s2.sql("SELECT hash_bucket(7, 0)").collect())
       assert(causes(badB).flatMap(c => Option(c.getMessage))
         .exists(_.contains("must be >=")), badB.getMessage)
+      // extra arguments are REJECTED, not silently dropped: minhash_sig
+      // hard-codes 64 hashes, so minhash_sig(text, 128) must fail loudly
+      // rather than return 64-long signatures a 128-band config then
+      // misreads
+      val extra = intercept[Exception](s2.sql("SELECT minhash_sig('a b c', 128)").collect())
+      assert(causes(extra).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("expects 1")), extra.getMessage)
+      val missing = intercept[Exception](s2.sql("SELECT vec_dot(array(1.0))").collect())
+      assert(causes(missing).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("expects 2")), missing.getMessage)
+      // non-integral ids fail analysis by name (a silent cast would hash
+      // every string id to NULL under ANSI-off)
+      val badId = intercept[Exception](s2.sql("SELECT hash_bucket('uuid-1', 10)").collect())
+      assert(causes(badId).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("integral")), badId.getMessage)
+      // a literal beyond Int range must fail the validator, not wrap to a
+      // small n that silently passes it
+      val wrap = intercept[Exception](s2.sql("SELECT word_ngrams('a b', 4294967297)").collect())
+      assert(causes(wrap).flatMap(c => Option(c.getMessage))
+        .exists(m => m.contains("<=") || m.contains(">=")), wrap.getMessage)
       // and absent from a fresh session built WITHOUT the extension
       // (proves the extension did the work, not some global side effect;
       // deliberately NOT the shared suite session — other suites register
