@@ -1,14 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, explode, lit}
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR (default sf0.1), printing ONE JSON line.
   *
   * Each query gets one warm-up execution (plan compilation + codegen +
-  * JIT) and one timed execution — the driver grades steady-state engine
-  * throughput, not JVM warm-up.
+  * JIT) then THREE timed executions; the published `queries` number is
+  * the min and `queries_med` the median — the driver grades steady-state
+  * engine throughput, not JVM warm-up (details at the `bench` helper).
   *
   * The timed action is a `noop`-format write, not `count()`: count lets
   * Catalyst prune projection-only plans down to a row count (a scan that
@@ -99,32 +100,39 @@ object Bench {
     // parquet files; append cost is batch-sized, independent of index
     // size, so repeat-timing is sound).
     // Fixture setup runs inside the same fail-soft contract as bench():
-    // a broken index build must record -1 for the twins and keep the
-    // JSON line + every already-timed query, not abort the whole run.
-    // QueryTmp.dir registers shutdown cleanup for the staged index.
-    val (ii2Steady, ii3Steady) =
-      try {
-        val iiBase = graft.queries.QueryTmp.dir("bench-ii")
-        val docsT = Tables.load(spark, sfDir, "documents")
-        val posIdx = graft.operators.InvertedIndex.materializePositional(
-          docsT, "doc_id", "text", s"$iiBase/pos")
-        val phrase = graft.operators.InvertedIndex.topGramByDf(docsT, "text", 2)
-        val s2 = bench("ii2_search_steady") {
-          exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
-        }
-        graft.operators.InvertedIndex.build(
-          docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
-          .write.parquet(s"$iiBase/flat")
-        val s3 = bench("ii3_append_steady") {
-          graft.operators.InvertedIndex.appendTo(
-            docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
-        }
-        (s2, s3)
-      } catch {
+    // a broken index build must record -1 for ITS twin and keep the JSON
+    // line + every already-timed query, not abort the whole run — and
+    // each twin's fixture is isolated, so an ii3 build failure cannot
+    // discard ii2's valid timing (or double-register an error bench()
+    // already recorded). QueryTmp.dir registers shutdown cleanup.
+    def fixtureBench(name: String)(setupAndBench: => (Double, Double)): (Double, Double) =
+      try setupAndBench
+      catch {
         case _: Throwable =>
-          errors += "ii2_search_steady"; errors += "ii3_append_steady"
-          ((-1.0, -1.0), (-1.0, -1.0))
+          if (!errors.contains(name)) errors += name
+          (-1.0, -1.0)
       }
+    val ii2Steady = fixtureBench("ii2_search_steady") {
+      val iiBase = graft.queries.QueryTmp.dir("bench-ii2")
+      val docsT = Tables.load(spark, sfDir, "documents")
+      val posIdx = graft.operators.InvertedIndex.materializePositional(
+        docsT, "doc_id", "text", s"$iiBase/pos")
+      val phrase = graft.operators.InvertedIndex.topGramByDf(docsT, "text", 2)
+      bench("ii2_search_steady") {
+        exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
+      }
+    }
+    val ii3Steady = fixtureBench("ii3_append_steady") {
+      val iiBase = graft.queries.QueryTmp.dir("bench-ii3")
+      val docsT = Tables.load(spark, sfDir, "documents")
+      graft.operators.InvertedIndex.build(
+        docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+        .write.parquet(s"$iiBase/flat")
+      bench("ii3_append_steady") {
+        graft.operators.InvertedIndex.appendTo(
+          docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
+      }
+    }
 
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
@@ -133,10 +141,20 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMed = all.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // minimal JSON string escaping: a data dir (or future query name)
+    // containing a quote/backslash/control char must not yield an
+    // unparseable line — that would break the grading pipeline for the
+    // whole run
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val errs = errors.map(jstr).mkString("[", ",", "]")
     val total = all.map(_._2._1).filter(_ >= 0).sum
     val totalMed = all.map(_._2._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"total_med":$totalMed,"errors":$errs,"sf":"$sfDir","note":"action=noop-write, timed=min-of-3 after warm-up (queries=min, queries_med=median: the min-median spread is the session-noise envelope); failed queries report -1 and are excluded from totals (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady, ii2_search_steady, ii3_append_steady entries"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"total_med":$totalMed,"errors":$errs,"sf":${jstr(sfDir)},"note":"action=noop-write, timed=min-of-3 after warm-up (queries=min, queries_med=median: the min-median spread is the session-noise envelope); failed queries report -1 and are excluded from totals (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady, ii2_search_steady, ii3_append_steady entries"}"""
     println(line)
     // Persist the full per-query map too — stdout tails get truncated in
     // round artifacts, making totals unauditable; the file keeps every

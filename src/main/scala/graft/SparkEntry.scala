@@ -14,8 +14,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q5_nation_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy val, not
+    * def: Bench/Explain look entries up in per-query loops, and a def
+    * would rebuild the 8-pack merged map on every lookup.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++ graft.queries.MultimodalQueries.queries ++
       graft.queries.PipelineQueries.queries ++ graft.queries.CurationQueries.queries ++
@@ -24,7 +27,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++ graft.queries.MultimodalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++ graft.queries.CurationQueries.oracles ++

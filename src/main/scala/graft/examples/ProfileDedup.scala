@@ -44,18 +44,22 @@ object ProfileDedup {
     println("[profile] bucket size histogram (n -> buckets):")
     buckets.filter(col("n") > 1).groupBy("n").count().orderBy(col("n").desc).limit(12)
       .collect().foreach(r => println(s"[profile]   size ${r.get(0)} x ${r.get(1)}"))
+    // diagnostic raw-pair count OUTSIDE the timed thunk: time() runs the
+    // thunk twice (warm + timed), so an embedded second action would both
+    // double-print the line and inflate this stage to ~2 pipeline
+    // executions while every other stage times one
+    val pairPipeline = spread
+      .select(col("id"), posexplode(Dedup.bandKeys(
+        Dedup.minhashSignature(Dedup.charShingleHashes(col("text"), 5), 64), 64, 16)))
+      .toDF("id", "band", "key")
+      .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+    println(s"[profile]   raw pair rows: ${pairPipeline.count()}")
     time("candidate pairs (distinct)") {
-      val b = spread
-        .select(col("id"), posexplode(Dedup.bandKeys(
-          Dedup.minhashSignature(Dedup.charShingleHashes(col("text"), 5), 64), 64, 16)))
-        .toDF("id", "band", "key")
-        .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
-        .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
-        .select(explode(col("ids")).as("a"), col("ids"))
-        .select(col("a"), explode(col("ids")).as("b"))
-        .filter(col("a") < col("b"))
-      println(s"[profile]   raw pair rows: ${b.count()}")
-      b.distinct().count()
+      pairPipeline.distinct().count()
     }
     time("full ngram near-dup") {
       Dedup.ngramJaccardNearDupPairs(docs, "doc_id", "text").count()

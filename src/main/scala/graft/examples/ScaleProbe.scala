@@ -27,7 +27,11 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // a leading flag must not be silently consumed as the data dir
+    // (`--hot-bucket` as sfDir dies much later with a confusing
+    // "Path does not exist: --hot-bucket/documents.parquet")
+    val sfDir = args.headOption.filter(!_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -49,7 +53,12 @@ object ScaleProbe {
       val t = (System.nanoTime() - t0) / 1e9
       println(s"[probe] hot_bucket guard: ${"%.2f".format(t)} s, metrics=${obs.get}")
     } else {
-      val names = args.drop(1).filter(!_.startsWith("--")) match {
+      // positional args are query names; the first is the data dir only
+      // when it actually was consumed as such above
+      val positional = args.filter(!_.startsWith("--")).toSeq
+      val nameArgs =
+        if (args.headOption.exists(!_.startsWith("--"))) positional.drop(1) else positional
+      val names = nameArgs match {
         case more if more.nonEmpty => more.toSeq
         // bare `--only [--srp=..]` means: nothing but the explicit probes
         case _ if args.contains("--only") => Seq.empty
@@ -98,22 +107,14 @@ object ScaleProbe {
       if (args.contains("--phrase")) {
         import graft.operators.InvertedIndex
         val docs = Tables.load(spark, sfDir, "documents")
-        val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(new java.io.File(dir))
-        }, "graft-phrase-clean"))
+        // QueryTmp.dir: the create-plus-shutdown-cleanup helper Bench
+        // already uses; probe selection via the SHARED topGramByDf so the
+        // measured phrase cannot de-synchronize from the ii2 gate's
+        val dir = graft.queries.QueryTmp.dir("probe-phrase")
         val postings = InvertedIndex.materializePositional(docs, "doc_id", "text", s"$dir/p")
-        val top = docs
-          .select(col("doc_id"),
-            explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2)).as(Seq("g", "cd")))
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("n_docs").desc, col("g").asc).limit(1)
-          .collect()(0).getString(0)
+        val top = InvertedIndex.topGramByDf(docs, "text", 2)
         val t = timed {
-          InvertedIndex.searchPhrase(postings, "doc_id", top.split(" ").toSeq)
+          InvertedIndex.searchPhrase(postings, "doc_id", top)
             .write.format("noop").mode("overwrite").save()
         }
         println(f"[probe] ${"phrase_search_steady"}%-24s ${t}%6.2f s")

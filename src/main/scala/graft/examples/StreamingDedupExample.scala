@@ -14,9 +14,10 @@ object StreamingDedupExample {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(8)
-    import java.nio.file.Files
 
-    val dir = Files.createTempDirectory("dedup-example").toString
+    // QueryTmp.dir registers the shutdown cleanup — a raw
+    // createTempDirectory would strand ~3x the events table per run
+    val dir = graft.queries.QueryTmp.dir("dedup-example")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.write.mode("overwrite").parquet(s"$dir/in")
     raw.write.mode("append").parquet(s"$dir/in")           // full duplicate
