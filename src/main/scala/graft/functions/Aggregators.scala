@@ -80,31 +80,55 @@ object Aggregators {
     * 100 TB replaces a full (group, item) aggregation with a bounded
     * sketch pass plus a broadcast-filtered recount.
     */
-  class MisraGriesAgg(k: Int) extends Aggregator[String, Map[String, Long], Seq[String]] {
+  class MisraGriesAgg(k: Int)
+      extends Aggregator[String, java.util.HashMap[String, Long], Seq[String]] {
     require(k > 0, s"MisraGriesAgg needs k > 0, got $k")
-    override def zero: Map[String, Long] = Map.empty
-    override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
-      m.get(x) match {
-        case Some(c) => m.updated(x, c + 1)
-        case None if m.size < k => m.updated(x, 1L)
-        case None => // decrement-all step: drop zeros, x is absorbed
-          m.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    // Mutable buffer mutated in place (the MinHashUnionAgg pattern;
+    // TypedImperativeAggregate keeps the object live per group and only
+    // serializes at shuffle/spill): the hit path — the overwhelmingly
+    // common case on a heavy-hitter stream — is one hash probe with no
+    // allocation, vs an immutable Map.updated per token. The
+    // decrement-all step is in-place O(k), and fires at most n/(k+1)
+    // times total (each firing consumes k+1 units of accumulated count),
+    // so the summary stays amortized O(1) per token.
+    override def zero: java.util.HashMap[String, Long] = new java.util.HashMap[String, Long]()
+    override def reduce(m: java.util.HashMap[String, Long], x: String): java.util.HashMap[String, Long] = {
+      val c = m.get(x) // 0L when absent (primitive Long unboxing of null → 0)
+      if (c > 0L || m.containsKey(x)) m.put(x, c + 1L)
+      else if (m.size < k) m.put(x, 1L)
+      else { // decrement-all step: drop zeros, x is absorbed
+        val it = m.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > 1L) e.setValue(e.getValue - 1L) else it.remove()
+        }
       }
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (acc, (t, c)) =>
-        acc.updated(t, acc.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
+      m
+    }
+    override def merge(a: java.util.HashMap[String, Long], b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+      b.forEach((t, c) => a.merge(t, c, (x: Long, y: Long) => x + y))
+      if (a.size > k) {
         // subtract the (k+1)-th largest count from all, keep positives —
         // the standard mergeable-summaries reduction to ≤ k entries
-        val thresh = sum.valuesIterator.toArray.sortBy(-_).apply(k)
-        sum.flatMap { case (t, c) => if (c > thresh) Some(t -> (c - thresh)) else None }
+        val counts = new Array[Long](a.size)
+        var i = 0
+        a.forEach((_, c) => { counts(i) = c; i += 1 })
+        java.util.Arrays.sort(counts)
+        val thresh = counts(counts.length - 1 - k)
+        val it = a.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > thresh) e.setValue(e.getValue - thresh) else it.remove()
+        }
       }
+      a
     }
-    override def finish(m: Map[String, Long]): Seq[String] = m.keys.toSeq.sorted
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def finish(m: java.util.HashMap[String, Long]): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      m.keySet().asScala.toSeq.sorted
+    }
+    override def bufferEncoder: Encoder[java.util.HashMap[String, Long]] =
+      Encoders.javaSerialization[java.util.HashMap[String, Long]]
     override def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }

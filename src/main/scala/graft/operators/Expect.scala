@@ -96,6 +96,10 @@ object Expect {
     * same-table checks into one [[checkTable]] frame first; use the union
     * only across distinct tables and for [[foreignKey]] joins.
     */
-  def suite(checks: Seq[DataFrame]): DataFrame =
+  def suite(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty,
+      "Expect.suite: empty expectation suite — a dynamically built check list " +
+        "filtered everything out")
     checks.reduce(_ unionByName _)
+  }
 }

@@ -77,7 +77,12 @@ object KMeans {
     */
   private val modelCache = scala.collection.concurrent.TrieMap.empty[(String, String, String, Int, Int, String), Model]
 
-  private def inputFingerprint(df: DataFrame): String = {
+  /** File-list + size + mtime fingerprint of a DataFrame's inputs —
+    * shared with other per-data-dir model caches (e.g. the PQ fit in
+    * VectorQueries) so an in-place re-stage of the data invalidates them
+    * the same way it invalidates [[fitCached]].
+    */
+  private[graft] def inputFingerprint(df: DataFrame): String = {
     val conf = df.sparkSession.sessionState.newHadoopConf()
     df.inputFiles.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)

@@ -32,7 +32,11 @@ object Packing {
     val w = Window.partitionBy(groupCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__start", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("bin", floor(col("__start") / capacity).cast("long"))
+      // integral DIV, not floor(a / b): Spark's `/` on longs is DOUBLE
+      // division, which rounds past 2^53 and can land a boundary row in
+      // the adjacent bin while the oracle's exact integer `//` doesn't —
+      // breaking the bitwise-replay contract at extreme corpus sizes
+      .withColumn("bin", expr(s"__start DIV ${capacity}L"))
       .withColumn("offset", col("__start") % capacity)
       .drop("__start")
   }
@@ -94,7 +98,7 @@ object Packing {
       },
       ranged.schema.add("__start", org.apache.spark.sql.types.LongType, nullable = false))
     withStart
-      .withColumn("bin", floor(col("__start") / capacity).cast("long"))
+      .withColumn("bin", expr(s"__start DIV ${capacity}L")) // integral (see packChunks)
       .withColumn("offset", col("__start") % capacity)
       .drop("__start")
   }

@@ -77,9 +77,15 @@ object FacadeQueries {
       val queriesSide = new DSet(emb.filter(col("vec_id") < 50).as[(Long, Array[Float])])
       val corpus = new DSet(emb)
       queriesSide.crossJoinFoldByElem(corpus)((-1L, -1L, -2.0)) { (st, q, c) =>
-        if (q._1 == c._1) (q._1, st._2, st._3)
+        // explicit zero-norm guard (same contract as Similarity's ops):
+        // a degenerate vector yields cos = 0/0 = NaN, which would skip
+        // only INCIDENTALLY (NaN > x is false) — make the exclusion a
+        // stated rule so the oracle can replay it (zero-norm query keeps
+        // the (-1, -2.0) sentinel; zero-norm corpus rows never selected)
+        val qn = dotD(q._2, q._2); val cn = dotD(c._2, c._2)
+        if (q._1 == c._1 || qn == 0.0 || cn == 0.0) (q._1, st._2, st._3)
         else {
-          val cos = dotD(q._2, c._2) / (math.sqrt(dotD(q._2, q._2)) * math.sqrt(dotD(c._2, c._2)))
+          val cos = dotD(q._2, c._2) / (math.sqrt(qn) * math.sqrt(cn))
           if (cos > st._3 || (cos == st._3 && c._1 < st._2)) (q._1, c._1, cos)
           else (q._1, st._2, st._3)
         }
@@ -446,6 +452,10 @@ object FacadeQueries {
       """SELECT word, count(*)::BIGINT AS cnt, count(*)::BIGINT AS n_grp FROM (
            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY word""",
+    // Replays the fold's zero-norm rule exactly: degenerate pairs are
+    // excluded from scoring, and a query whose candidates ALL dropped
+    // (or whose own norm is zero) keeps the fold's (-1, -2.0) sentinel
+    // via the LEFT JOIN + coalesce.
     "fx6_crossfold_knn" ->
       """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
          q AS (SELECT vec_id, v FROM ed WHERE vec_id < 50),
@@ -453,12 +463,17 @@ object FacadeQueries {
            SELECT q.vec_id AS qid, e.vec_id AS neighbor,
              list_dot_product(q.v, e.v)
                / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
-           FROM q JOIN ed e ON e.vec_id <> q.vec_id),
+           FROM q JOIN ed e ON e.vec_id <> q.vec_id
+             AND list_dot_product(q.v, q.v) > 0
+             AND list_dot_product(e.v, e.v) > 0),
          ranked AS (
            SELECT qid, neighbor, cos,
              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rn
-           FROM pairs)
-         SELECT qid, neighbor, round(cos, 6) AS sim FROM ranked WHERE rn = 1""",
+           FROM pairs),
+         best AS (SELECT qid, neighbor, cos FROM ranked WHERE rn = 1)
+         SELECT q.vec_id AS qid, coalesce(b.neighbor, -1) AS neighbor,
+                round(coalesce(b.cos, -2.0), 6) AS sim
+         FROM q LEFT JOIN best b ON b.qid = q.vec_id""",
     "fx7_merge_binsort" ->
       """SELECT (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS rank,
            o_orderkey, o_totalprice

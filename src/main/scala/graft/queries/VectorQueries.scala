@@ -27,12 +27,16 @@ object VectorQueries {
     * the fit thrice and cache-miss the oracle's read-back contract).
     */
   private val pqModels =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.KMeans.Model]]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[graft.operators.KMeans.Model]]
   private def pqFit(s: SparkSession, dir: String): Seq[graft.operators.KMeans.Model] =
     pqModels.synchronized {
-      pqModels.getOrElseUpdate(dir,
+      val emb = Tables.load(s, dir, "embeddings")
+      // key includes the input fingerprint (KMeans.fitCached's contract):
+      // keyed on dir alone, an in-place re-stage of the embeddings within
+      // one JVM would serve stale codebooks against fresh oracles
+      pqModels.getOrElseUpdate((dir, graft.operators.KMeans.inputFingerprint(emb)),
         graft.operators.Quantize.productQuantize(
-          Tables.load(s, dir, "embeddings"), "vec_id", "embedding", PqM, PqK, PqIters)._1)
+          emb, "vec_id", "embedding", PqM, PqK, PqIters)._1)
     }
 
   /** (vec_id, sub_idx, code) assignments from the cached fit — pq1's
@@ -252,57 +256,63 @@ object VectorQueries {
     * (integer sums, truncating centroid divide, dim-ascending IEEE
     * distance folds, (d, cluster) tie order, empty-cluster carry).
     */
+  /** ONE shared quantized-Lloyd's CTE chain (tag-prefixed names, slice
+    * `embedding[off+1 : off+d]`), instantiated by BOTH km0 (tag "", full
+    * width) and pq0 (one chain per subspace): any future fix to the
+    * replay arithmetic — tie order, empty-cluster carry, quantization
+    * rounding — lands once instead of drifting between the two oracles.
+    */
+  private def lloydChain(tg: String, off: Int, d: Int, k: Int, iters: Int, S: String): String = {
+    val dims = s"(SELECT unnest(range(1, ${d + 1})) AS r) t"
+    def iterBlock(i: Int): String = {
+      val prev = s"${tg}c${i - 1}"
+      s"""${tg}dist$i AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+               j -> (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S)
+                  * (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S))),
+               (x, y) -> x + y) AS d
+           FROM ${tg}ed e CROSS JOIN $prev c),
+         ${tg}a$i AS (
+           SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+             FROM ${tg}dist$i) WHERE rn = 1),
+         ${tg}n$i AS (SELECT cluster, count(*) AS cnt FROM ${tg}a$i GROUP BY cluster),
+         ${tg}s$i AS (
+           SELECT a.cluster, q.dim_idx, sum(q.q) AS sq
+           FROM ${tg}a$i a JOIN ${tg}eq q USING (vec_id) GROUP BY a.cluster, q.dim_idx),
+         ${tg}c$i AS (
+           SELECT g.cluster,
+             list(CASE WHEN n.cnt IS NULL THEN p.cq[g.dim_idx]
+                       ELSE (2 * s.sq + n.cnt) // (2 * n.cnt) END ORDER BY g.dim_idx) AS cq
+           FROM ${tg}grid g
+           JOIN $prev p ON p.cluster = g.cluster
+           LEFT JOIN ${tg}s$i s ON s.cluster = g.cluster AND s.dim_idx = g.dim_idx
+           LEFT JOIN ${tg}n$i n ON n.cluster = g.cluster
+           GROUP BY g.cluster)"""
+    }
+    s"""${tg}ed AS (
+         SELECT vec_id,
+                list_transform(embedding[${off + 1}:${off + d}],
+                  x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+       ${tg}eq AS (
+         SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
+         FROM ${tg}ed, $dims),
+       ${tg}grid AS (
+         SELECT c.cluster, t.r AS dim_idx
+         FROM (SELECT unnest(range(0, $k)) AS cluster) c, $dims),
+       ${tg}c0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
+         FROM (SELECT vec_id, qv FROM ${tg}ed ORDER BY vec_id LIMIT $k)),
+       ${(1 to iters).map(iterBlock).mkString(",\n")}"""
+  }
+
   private def pqOracleSql(m: Int, k: Int, d: Int, iters: Int, scale: Long): String = {
     val S = s"$scale.0"
     val dims = s"(SELECT unnest(range(1, ${d + 1})) AS r) t"
-    def subChain(si: Int): String = {
-      val tg = s"p$si"
-      val off = si * d
-      def iterBlock(i: Int): String = {
-        val prev = s"${tg}c${i - 1}"
-        s"""${tg}dist$i AS (
-             SELECT e.vec_id, c.cluster,
-               list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
-                 j -> (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S)
-                    * (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S))),
-                 (x, y) -> x + y) AS d
-             FROM ${tg}ed e CROSS JOIN $prev c),
-           ${tg}a$i AS (
-             SELECT vec_id, cluster FROM (
-               SELECT vec_id, cluster,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
-               FROM ${tg}dist$i) WHERE rn = 1),
-           ${tg}n$i AS (SELECT cluster, count(*) AS cnt FROM ${tg}a$i GROUP BY cluster),
-           ${tg}s$i AS (
-             SELECT a.cluster, q.dim_idx, sum(q.q) AS sq
-             FROM ${tg}a$i a JOIN ${tg}eq q USING (vec_id) GROUP BY a.cluster, q.dim_idx),
-           ${tg}c$i AS (
-             SELECT g.cluster,
-               list(CASE WHEN n.cnt IS NULL THEN p.cq[g.dim_idx]
-                         ELSE (2 * s.sq + n.cnt) // (2 * n.cnt) END ORDER BY g.dim_idx) AS cq
-             FROM ${tg}grid g
-             JOIN $prev p ON p.cluster = g.cluster
-             LEFT JOIN ${tg}s$i s ON s.cluster = g.cluster AND s.dim_idx = g.dim_idx
-             LEFT JOIN ${tg}n$i n ON n.cluster = g.cluster
-             GROUP BY g.cluster)"""
-      }
-      s"""${tg}ed AS (
-           SELECT vec_id,
-                  list_transform(embedding[${off + 1}:${off + d}],
-                    x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-         ${tg}eq AS (
-           SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
-           FROM ${tg}ed, $dims),
-         ${tg}grid AS (
-           SELECT c.cluster, t.r AS dim_idx
-           FROM (SELECT unnest(range(0, $k)) AS cluster) c, $dims),
-         ${tg}c0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
-           FROM (SELECT vec_id, qv FROM ${tg}ed ORDER BY vec_id LIMIT $k)),
-         ${(1 to iters).map(iterBlock).mkString(",\n")}"""
-    }
-    val chains = (0 until m).map(subChain).mkString(",\n")
+    val chains = (0 until m).map(si => lloydChain(s"p$si", si * d, d, k, iters, S)).mkString(",\n")
     val finals = (0 until m).map { si =>
       s"""SELECT $si::INTEGER AS sub_idx, c.cluster::INTEGER AS cluster,
             (t.r - 1)::INTEGER AS dim_idx, c.cq[t.r]::DOUBLE / $S AS value
@@ -314,48 +324,10 @@ object VectorQueries {
   private def km0OracleSql(k: Int, dim: Int, iters: Int, scale: Long): String = {
     val S = s"$scale.0"
     val dims = s"(SELECT unnest(range(1, ${dim + 1})) AS r) t"
-    def iterBlock(i: Int): String = {
-      val prev = s"c${i - 1}"
-      s"""dist$i AS (
-           SELECT e.vec_id, c.cluster,
-             list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
-               j -> (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S)
-                  * (e.qv[j]::DOUBLE / $S - c.cq[j]::DOUBLE / $S))),
-               (x, y) -> x + y) AS d
-           FROM ed e CROSS JOIN $prev c),
-         a$i AS (
-           SELECT vec_id, cluster FROM (
-             SELECT vec_id, cluster,
-               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
-             FROM dist$i) WHERE rn = 1),
-         n$i AS (SELECT cluster, count(*) AS cnt FROM a$i GROUP BY cluster),
-         s$i AS (
-           SELECT a.cluster, q.dim_idx, sum(q.q) AS sq
-           FROM a$i a JOIN eq q USING (vec_id) GROUP BY a.cluster, q.dim_idx),
-         c$i AS (
-           SELECT g.cluster,
-             list(CASE WHEN n.cnt IS NULL THEN p.cq[g.dim_idx]
-                       ELSE (2 * s.sq + n.cnt) // (2 * n.cnt) END ORDER BY g.dim_idx) AS cq
-           FROM grid g
-           JOIN $prev p ON p.cluster = g.cluster
-           LEFT JOIN s$i s ON s.cluster = g.cluster AND s.dim_idx = g.dim_idx
-           LEFT JOIN n$i n ON n.cluster = g.cluster
-           GROUP BY g.cluster)"""
-    }
-    s"""WITH ed AS (
-         SELECT vec_id,
-                list_transform(embedding, x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
-         FROM embeddings),
-       eq AS (
-         SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
-         FROM ed, $dims),
-       grid AS (
-         SELECT c.cluster, t.r AS dim_idx
-         FROM (SELECT unnest(range(0, $k)) AS cluster) c, $dims),
-       c0 AS (
-         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv AS cq
-         FROM (SELECT vec_id, qv FROM ed ORDER BY vec_id LIMIT $k)),
-       ${(1 to iters).map(iterBlock).mkString(",\n")}
+    // tag "" + full-width slice = the plain fit; the slice
+    // `embedding[1:dim]` is the whole list, so the shared chain replays
+    // identically to the previous unsliced form
+    s"""WITH ${lloydChain("", 0, dim, k, iters, S)}
        SELECT c.cluster::INTEGER AS cluster, (t.r - 1)::INTEGER AS dim_idx,
               c.cq[t.r]::DOUBLE / $S AS value
        FROM c$iters c, $dims"""
@@ -389,7 +361,9 @@ object VectorQueries {
          planes AS (
            SELECT idx // $dim AS p, list(d ORDER BY idx) AS pl
            FROM vals GROUP BY idx // $dim),
-         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         ed AS (SELECT * FROM (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+           WHERE list_dot_product(v, v) > 0),
          sb AS (
            SELECT e.vec_id, pl.p // $bits AS t,
                   CASE WHEN list_dot_product(e.v, pl.pl) > 0 THEN (1::BIGINT << (pl.p % $bits)) ELSE 0 END AS bit
@@ -512,8 +486,15 @@ object VectorQueries {
     // NB: embeddings are FLOAT lists; DuckDB's list_dot_product would
     // accumulate in float while Spark casts to double — cast to DOUBLE[]
     // first so both engines do the same double arithmetic.
+    // The zero-norm exclusion (list_dot_product(v, v) > 0) mirrors the
+    // Spark operators' guard on BOTH sides: without it one degenerate
+    // all-zero embedding in the fixture would make DuckDB rank a
+    // NaN-cosine row first (NaN sorts greatest) while Spark drops it —
+    // a latent hash mismatch the moment the testdata carries one.
     "v1_knn_bruteforce" ->
-      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      """WITH ed AS (SELECT * FROM (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+           WHERE list_dot_product(v, v) > 0),
          q AS (SELECT vec_id, v FROM ed WHERE vec_id < 20),
          pairs AS (
            SELECT q.vec_id AS qid, e.vec_id AS neighbor,
@@ -526,8 +507,10 @@ object VectorQueries {
            FROM pairs)
          SELECT qid, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim FROM ranked WHERE rank <= 5""",
     "v2_cosine_pairs" ->
-      """WITH ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-                     FROM embeddings WHERE vec_id < 1000)
+      """WITH ed AS (SELECT * FROM (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings WHERE vec_id < 1000)
+           WHERE list_dot_product(v, v) > 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
@@ -536,8 +519,10 @@ object VectorQueries {
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45""",
     "v5_embed_dedup_groups" ->
       """WITH RECURSIVE ed AS (
-           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-           FROM embeddings WHERE vec_id < 1000),
+           SELECT * FROM (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings WHERE vec_id < 1000)
+           WHERE list_dot_product(v, v) > 0),
          pr AS (
            SELECT a.vec_id AS da, b.vec_id AS db
            FROM ed a JOIN ed b ON a.vec_id < b.vec_id
@@ -652,7 +637,9 @@ object VectorQueries {
     "km2_ivf_knn" ->
       """WITH c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
                     FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
-         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         ed AS (SELECT * FROM (
+             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+           WHERE list_dot_product(v, v) > 0),
          dist AS (
            SELECT e.vec_id, e.v, c.cluster,
              list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),

@@ -42,11 +42,23 @@ private[graft] object FsUtil {
     val stream = java.nio.file.Files.newDirectoryStream(dir, glob)
     try {
       val it = stream.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        try {
-          if (newestMtimeMs(p) < cutoff) deleteTree(p)
-        } catch { case _: java.io.IOException => () }
+      var more = true
+      while (more) {
+        // hasNext/next themselves throw DirectoryIteratorException (a
+        // RuntimeException, not IOException) when a concurrent
+        // publish/delete breaks the listing mid-iteration — the sweep is
+        // best-effort, so stop quietly instead of aborting the caller's
+        // commit/claim
+        val next =
+          try { if (it.hasNext) Some(it.next()) else None }
+          catch { case _: java.nio.file.DirectoryIteratorException => None }
+        next match {
+          case Some(p) =>
+            try {
+              if (newestMtimeMs(p) < cutoff) deleteTree(p)
+            } catch { case _: java.io.IOException => () }
+          case None => more = false
+        }
       }
     } finally stream.close()
   }
