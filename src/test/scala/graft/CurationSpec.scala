@@ -61,6 +61,18 @@ class CurationSpec extends SparkSuite {
     assert(got.forall(_._3 < 128L))
   }
 
+  test("packChunks bin stays integer-exact past the 2^53 double boundary") {
+    // __start = 9007199254740999 (> 2^53): as a double it rounds UP to
+    // ...741000, so floor(start / 1000.0) = 9007199254741 — one bin past
+    // the exact integer quotient 9007199254740. The DIV formulation must
+    // agree with the oracle's exact integer `//`.
+    val docs = Seq((0L, "g", 9007199254740999L), (1L, "g", 5L)).toDF("id", "grp", "toks")
+    val got = Packing.packChunks(docs, "grp", "id", "toks", 1000L)
+      .select("id", "bin", "offset").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 9007199254740L, 999L)),
+      s"expected exact integer bin past 2^53, got ${got.toSeq}")
+  }
+
   test("packChunksGlobal equals the single-window formulation") {
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37) % 90)).toDF("id", "toks")
       .withColumn("grp", lit("all"))
