@@ -66,6 +66,10 @@ class DKVSpec extends SparkSuite {
   }
 
   // ---- join-geometry matrices (reference tests/CoreLib/DKV.fs:345-357) ----
+  // Tuple = (numBins, binSize, numBins1, numBins2, inBin1, inBin2) — the
+  // reference's exact case table; numBins is its partition count, used
+  // here as the distribute() fan-out so each geometry also exercises its
+  // declared parallelism.
   // Left DKV: keys 0..binSize*numBins1 kept when i % binSize < numElemsInBin1.
   // Right DKV: kept when j % binSize >= binSize - numElemsInBin2 (overlapping
   // tail bins) — includes empty-intersection geometries.
@@ -86,10 +90,13 @@ class DKVSpec extends SparkSuite {
     geometries.foreach { g =>
       val (l, r) = joinSides(g)
       val rm = r.toMap
-      val exp = l.collect { case (k, v) if rm.contains(k) => (k, s"$v|${rm(k)}") }.toSet
-      val got = DSet.distribute(spark, l, 4)
-        .innerJoinByMerge(DSet.distribute(spark, r, 4))((v, v1) => s"$v|$v1")
-        .toArray.toSet
+      // sorted-seq compare, not toSet: a join that emitted a matched pair
+      // twice would collapse under a set and pass vacuously (keys are
+      // unique by construction, so sort-by-key is a total order)
+      val exp = l.collect { case (k, v) if rm.contains(k) => (k, s"$v|${rm(k)}") }.sortBy(_._1)
+      val got = DSet.distribute(spark, l, g._1)
+        .innerJoinByMerge(DSet.distribute(spark, r, g._1))((v, v1) => s"$v|$v1")
+        .toArray.sortBy(_._1).toSeq
       assert(got == exp, s"geometry $g")
     }
   }
@@ -98,10 +105,10 @@ class DKVSpec extends SparkSuite {
     geometries.foreach { g =>
       val (l, r) = joinSides(g)
       val rm = r.toMap
-      val exp = l.map { case (k, v) => (k, s"$v|${rm.get(k).getOrElse("_")}") }.toSet
-      val got = DSet.distribute(spark, l, 4)
-        .leftOuterJoinByMerge(DSet.distribute(spark, r, 4))((v, o) => s"$v|${o.getOrElse("_")}")
-        .toArray.toSet
+      val exp = l.map { case (k, v) => (k, s"$v|${rm.get(k).getOrElse("_")}") }.sortBy(_._1)
+      val got = DSet.distribute(spark, l, g._1)
+        .leftOuterJoinByMerge(DSet.distribute(spark, r, g._1))((v, o) => s"$v|${o.getOrElse("_")}")
+        .toArray.sortBy(_._1).toSeq
       assert(got == exp, s"geometry $g")
     }
   }
@@ -110,10 +117,10 @@ class DKVSpec extends SparkSuite {
     geometries.foreach { g =>
       val (l, r) = joinSides(g)
       val lm = l.toMap
-      val exp = r.map { case (k, v1) => (k, s"${lm.get(k).getOrElse(-1L)}|$v1") }.toSet
-      val got = DSet.distribute(spark, l, 4)
-        .rightOuterJoinByMerge(DSet.distribute(spark, r, 4))((o, v1) => s"${o.getOrElse(-1L)}|$v1")
-        .toArray.toSet
+      val exp = r.map { case (k, v1) => (k, s"${lm.get(k).getOrElse(-1L)}|$v1") }.sortBy(_._1)
+      val got = DSet.distribute(spark, l, g._1)
+        .rightOuterJoinByMerge(DSet.distribute(spark, r, g._1))((o, v1) => s"${o.getOrElse(-1L)}|$v1")
+        .toArray.sortBy(_._1).toSeq
       assert(got == exp, s"geometry $g")
     }
   }

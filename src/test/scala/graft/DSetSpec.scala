@@ -9,6 +9,13 @@ object NodeFoldProbe {
   val inits = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** Counts upstream row evaluations (same JVM-sharing argument) — pins
+  * "cached parent evaluated once" contracts like bypass's.
+  */
+object EvalProbe {
+  val rows = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 /** Local-oracle differential tests for the DSet facade — the reference's
   * test pattern: compute expected locally with Scala collections, assert
   * the distributed result matches (reference `tests/CoreLib/DSet.fs:489-533`
@@ -63,8 +70,14 @@ class DSetSpec extends SparkSuite {
 
   test("parallelMap preserves order within partitions") {
     val d = DSet.initS[Int](spark, 2, 50)((pi, s) => pi * 50 + s.toInt)
-    val got = d.parallelMap(8)(i => i * 3).toArray.sorted
-    assert(got.toSeq == (0 until 100).map(_ * 3))
+    // assert UNSORTED per-partition sequences: sorting the output first
+    // would only check multiset content and pass even if the bounded
+    // window emitted in completion order
+    val parts = d.parallelMap(8)(i => i * 3).ds.rdd
+      .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.toSeq))
+      .collect().toMap
+    assert(parts(0) == (0 until 50).map(_ * 3), s"partition 0 order: ${parts(0)}")
+    assert(parts(1) == (50 until 100).map(_ * 3), s"partition 1 order: ${parts(1)}")
   }
 
   test("merge unions element multisets (partition concat)") {
@@ -85,8 +98,16 @@ class DSetSpec extends SparkSuite {
 
   test("bypass branches share one evaluation; split2 projects columns") {
     val d = nums(100, 4)
-    val Seq(b1, b2) = d.bypass(2)
+    // probe the upstream: each row increments once per EVALUATION, so two
+    // branches over an unshared parent would count 200 — the shared-
+    // evaluation contract is asserted, not assumed (counts alone would
+    // pass even if bypass dropped its persist)
+    EvalProbe.rows.set(0)
+    val probed = d.map { i => EvalProbe.rows.incrementAndGet(); i }
+    val Seq(b1, b2) = probed.bypass(2)
     assert(b1.count() == 100 && b2.map(_ * 2).count() == 100)
+    assert(EvalProbe.rows.get == 100,
+      s"upstream evaluated ${EvalProbe.rows.get} row-times for two branches — bypass must share ONE evaluation")
     val (evens, strs) = d.split2(_ * 2, _.toString)
     assert(evens.toArray.sum == (0 until 100).map(_ * 2).sum)
     assert(strs.count() == 100)

@@ -21,8 +21,13 @@ class LiveIngestSpec extends SparkSuite {
     Tables.load(spark, sf0001, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
   }
+  // serialized in ts order: the socket test's 10-minute watermark treats
+  // anything older than max-seen-ts minus the delay as late data, so an
+  // unordered wire feed (the driver owns the parquet row order and has
+  // re-encoded it across rounds) would silently drop rows and fail the
+  // parity assertion as if the operator were broken
   private lazy val eventLines: Seq[String] =
-    eventsBatch.toJSON.collect().toSeq
+    eventsBatch.orderBy(col("ts")).toJSON.collect().toSeq
 
   private def statsKeyed(df: org.apache.spark.sql.DataFrame) =
     df.collect()
@@ -80,13 +85,26 @@ class LiveIngestSpec extends SparkSuite {
     drop(0)
 
     val stream = LiveIngest.fromDirectory(spark, dir, maxFilesPerTrigger = 1)
-    val deduped = Telemetry.dedupStream(stream, "event_id", "24 hours")
+    // 90-day watermark (> the fixture's 30-day ts span): no row can be
+    // dropped as late whatever order the driver encoded the parquet in,
+    // and redelivered ids stay IN the dedup state for the whole run so
+    // the cross-batch redelivery below is genuinely deduped by state
+    val deduped = Telemetry.dedupStream(stream, "event_id", "90 days")
     val q = deduped
       .writeStream.outputMode("append").format("memory").queryName("live_drop")
       .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .start()
     val producer = new Thread(() => {
       (1 until chunks.size).foreach { i => Thread.sleep(700); drop(i) }
+      // REDELIVER chunk 0 as its own later file: with maxFilesPerTrigger=1
+      // the within-file duplicates above always land in one micro-batch,
+      // so only this cross-batch replay proves the KEYED STATE dedups
+      // across triggers (a per-batch-only distinct would re-emit these)
+      Thread.sleep(700)
+      val tmp = Files.createTempFile("live-drop-stage", ".json")
+      Files.write(tmp, chunks(0).mkString("\n").getBytes)
+      Files.move(tmp, java.nio.file.Paths.get(dir, "chunk_redelivery.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }, "graft-live-drop-producer")
     producer.start()
     try {

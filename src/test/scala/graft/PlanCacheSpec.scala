@@ -87,11 +87,12 @@ class PlanCacheSpec extends SparkSuite {
         PlanCache.readThrough(df, cacheDir).collect().map(_.toString).sorted.toSeq
       })), 2.minutes)
     assert(results.forall(_ == expected))
-    // exactly one published entry, no stranded tmp dirs
-    val entries = java.nio.file.Files.list(java.nio.file.Paths.get(cacheDir))
-      .iterator()
+    // exactly one published entry, no stranded tmp dirs (stream closed —
+    // Files.list holds an open directory handle until closed)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(cacheDir))
     val names = scala.collection.mutable.ListBuffer.empty[String]
-    entries.forEachRemaining(p => names += p.getFileName.toString)
+    try listing.iterator().forEachRemaining(p => names += p.getFileName.toString)
+    finally listing.close()
     assert(names.count(!_.startsWith(".tmp-")) == 1, s"entries: $names")
     assert(!names.exists(_.startsWith(".tmp-")), s"stranded tmp dirs: $names")
   }

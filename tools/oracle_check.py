@@ -23,14 +23,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
-
-
 def rows_key(row):
-    return tuple((str(type(v)), str(v)) for v in row)
+    # Floats sort by a rounded-repr key: raw str() of jitter within the
+    # comparison tolerance could order the two sides differently near a
+    # string-ordering boundary, mispairing rows and producing a spurious
+    # FAIL (queries round to 6dp, so 9dp here is strictly finer than the
+    # data while coarser than the 1e-9 tolerance).
+    def k(v):
+        if isinstance(v, float):
+            return (str(float), "nan" if math.isnan(v) else f"{v:.9e}")
+        return (str(type(v)), str(v))
+    return tuple(k(v) for v in row)
 
 
 def dtypes(con, sql):
@@ -71,6 +74,12 @@ def compare(name, got, exp, gtypes=None, etypes=None):
                 exact = approx = False
                 break
             if isinstance(gv, float) and isinstance(ev, float):
+                # NaN on BOTH sides is parity (NaN != NaN would otherwise
+                # fail a query whose results agree perfectly); note the
+                # driver hash may still treat NaN specially - prefer
+                # queries that never emit NaN.
+                if math.isnan(gv) and math.isnan(ev):
+                    continue
                 exact = False
                 if math.isclose(gv, ev, rel_tol=1e-9, abs_tol=1e-9):
                     continue
