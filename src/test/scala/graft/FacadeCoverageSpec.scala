@@ -244,5 +244,9 @@ class FacadeCoverageSpec extends SparkSuite {
     assert(streamed.nonEmpty, "no sessions closed")
     val missing = streamed -- batch
     assert(missing.isEmpty, s"streamed sessions absent from batch: ${missing.take(3)}")
+    // coverage lower bound (the sliding-stats pattern): subset + nonEmpty
+    // alone would pass a watermark regression that closes almost nothing
+    assert(streamed.size >= batch.size / 2,
+      s"too few sessions closed: ${streamed.size}/${batch.size}")
   }
 }

@@ -65,7 +65,6 @@ class ScaleOpsSpec extends SparkSuite {
   }
 
   test("TopKAgg equals window-function top-k per key") {
-    val orders = Tables.load(spark, sf0001, "orders")
     val windowed = SparkEntry.queries("q7_top_orders_per_cust")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val agg = SparkEntry.queries("qtopk_per_cust_agg")(spark, sf0001)
@@ -105,12 +104,15 @@ class ScaleOpsSpec extends SparkSuite {
     Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
     Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"), "o_bucketed", "l_orderkey", 8)
     // force the sort-merge path (tiny test tables would broadcast) to show
-    // bucketing removes the shuffle a big-big join would otherwise pay
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // bucketing removes the shuffle a big-big join would otherwise pay.
+    // Conf is set on a CHILD SESSION (shared SparkContext + catalog, own
+    // SQLConf) so a concurrently-running suite asserting broadcast plan
+    // shapes can never observe the -1 threshold.
+    val s2 = spark.newSession()
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = Bucketing.readTable(spark, "li_bucketed")
-        .join(Bucketing.readTable(spark, "o_bucketed"), "l_orderkey")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readTable(s2, "li_bucketed")
+        .join(Bucketing.readTable(s2, "o_bucketed"), "l_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
@@ -125,9 +127,9 @@ class ScaleOpsSpec extends SparkSuite {
       assert(dataFiles.length <= 8,
         s"expected ≤8 bucket files, got ${dataFiles.length}")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
   }
 
@@ -167,18 +169,18 @@ class ScaleOpsSpec extends SparkSuite {
     // one hot key holding ~98% of the left side — the shape salting
     // (KVOps.groupByKeySalted) fixes at plan time; here AQE must fix it
     // at RUNTIME by splitting the oversized shuffle partition
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevSkewThresh = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
-    val prevAdvisory = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    // child session: the -1 broadcast threshold and test-scale AQE
+    // thresholds must not leak into other suites' plan-shape assertions
+    val s2 = spark.newSession()
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       // test-scale thresholds (defaults are 256 MB — cluster-sized)
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-      val left = spark.range(100000)
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val left = s2.range(100000)
         .select(when(col("id") % 50 === 0, col("id") % 100).otherwise(lit(7L)).as("k"),
           col("id").as("payload"))
-      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val right = s2.range(100).select(col("id").as("k"), (col("id") * 2).as("rv"))
       val joined = left.join(right, "k")
       // collect() executes THIS DataFrame's QueryExecution (count() would
       // plan a separate one whose final adaptive plan we couldn't inspect)
@@ -186,11 +188,7 @@ class ScaleOpsSpec extends SparkSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"),
         s"AQE did not flag/split the skewed partition:\n$plan")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevSkewThresh)
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
-    }
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
   test("pp1 partitioned layout: equality filter prunes to one directory") {

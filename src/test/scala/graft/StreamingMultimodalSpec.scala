@@ -25,7 +25,14 @@ class StreamingMultimodalSpec extends SparkSuite {
     val ex = intercept[Exception] {
       Multimodal.decodeImages(bad).collect()
     }
-    assert(ex.getMessage.contains("unrecognized image bytes") || ex.getCause != null)
+    // assert on the root-cause CHAIN: Spark wraps executor failures in a
+    // SparkException whose cause is always non-null, so an `|| getCause
+    // != null` escape hatch would green-light ANY exception and never
+    // pin the diagnostic error contract
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => Option(c.getMessage).exists(_.contains("unrecognized image bytes"))),
+      s"expected 'unrecognized image bytes' in the cause chain, got: ${chain(ex).map(_.getMessage)}")
   }
 
   test("PNG decode: real ImageIO roundtrip recovers dims and exact pixels") {
@@ -110,14 +117,19 @@ class StreamingMultimodalSpec extends SparkSuite {
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
-    val batchDf = Tables.load(spark, sf0001, "events").limit(200)
-    // stage duplicated events: the same parquet twice in one source dir
+    // stage duplicated events: write the 200-row subset ONCE, then
+    // duplicate by FILE COPY — two independent limit(200) jobs carry no
+    // determinism guarantee and could stage different subsets (up to 400
+    // distinct ids), flaking the exact-200 assertion below
     val dupDir = java.nio.file.Files.createTempDirectory("dedup-stream")
     val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
     spark.read.parquet(s"$sf0001/events.parquet").limit(200)
       .write.mode("overwrite").parquet(dupDir.toString + "/a")
-    spark.read.parquet(s"$sf0001/events.parquet").limit(200)
-      .write.mode("append").parquet(dupDir.toString + "/a")
+    val aDir = new java.io.File(dupDir.toString + "/a")
+    aDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(aDir, "dup-" + f.getName).toPath)
+    }
     val stream = Tables.normalizeTs(
       spark.readStream.schema(rawSchema).parquet(dupDir.toString + "/a"))
     val q = graft.streaming.Telemetry.dedupStream(stream, "event_id", "1 hour")

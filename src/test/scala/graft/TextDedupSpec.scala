@@ -119,9 +119,12 @@ class TextDedupSpec extends SparkSuite {
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
     def shingles(t: String): Set[String] =
       t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    // one shingle set per doc, NOT inside the all-pairs loop (binding
+    // after the generators would re-tokenize ~2·C(n,2) times)
+    val sh = texts.map { case (id, t) => id -> shingles(t) }.toMap
     val truth = (for {
-      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
-      sa = shingles(ta); sb = shingles(tb)
+      (ia, _) <- texts; (ib, _) <- texts if ia < ib
+      sa = sh(ia); sb = sh(ib)
       if sa.nonEmpty && sb.nonEmpty
       j = sa.intersect(sb).size.toDouble / sa.union(sb).size
       if j >= 0.8

@@ -21,7 +21,9 @@ class VectorSpec extends SparkSuite {
     val knn = Similarity.bruteForceKnn(queries, corpus,
       "vec_id", "embedding", "vec_id", "embedding", 3).collect()
     assert(!knn.map(_.getLong(1)).contains(3L), knn.mkString(","))
-    assert(knn.head.getLong(1) == 1L)
+    // select BY RANK, not head: collect() order after the window filter
+    // is incidental, the rank column is the contract
+    assert(knn.filter(_.getInt(2) == 1).map(_.getLong(1)).toSeq == Seq(1L), knn.mkString(","))
     // pairs: NaN >= threshold is TRUE — zero rows must not emit pairs
     val pairs = Similarity.exactCosinePairs(corpus, "vec_id", "embedding", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
