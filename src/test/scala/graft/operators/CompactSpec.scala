@@ -16,6 +16,9 @@ class CompactSpec extends SparkSuite {
     assert(before >= 16)
     val after = Compact.compact(spark, dir, targetBytes = 64L << 20)
     assert(after < before && after >= 1)
+    // count + set: toSet alone would collapse a duplication regression
+    // (rewrite merging old and new trees) and still read as "exact"
+    assert(spark.read.parquet(dir).count() == 5000L)
     val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
     assert(got == (0L until 5000L).map(i => (i, s"row$i")).toSet)
   }

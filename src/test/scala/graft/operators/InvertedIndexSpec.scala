@@ -62,9 +62,12 @@ class InvertedIndexSpec extends SparkSuite {
     val batch = docs.filter(col("doc_id") >= 2)
     InvertedIndex.build(existing, "doc_id", "text").write.parquet(s"$dir/p")
     InvertedIndex.appendTo(batch, "doc_id", "text", s"$dir/p")
-    val appended = spark.read.parquet(s"$dir/p").as[(Long, String)].collect().toSet
+    // sorted-seq compare, not toSet: a double-append (or lost
+    // array_distinct) would duplicate (doc, token) rows in the artifact
+    // and collapse invisibly under set equality
+    val appended = spark.read.parquet(s"$dir/p").as[(Long, String)].collect().sorted.toSeq
     val scratch = InvertedIndex.build(docs, "doc_id", "text")
-      .as[(Long, String)].collect().toSet
+      .as[(Long, String)].collect().sorted.toSeq
     assert(appended == scratch)
   }
 

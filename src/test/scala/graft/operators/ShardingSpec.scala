@@ -59,5 +59,14 @@ class ShardingSpec extends SparkSuite {
     val persisted = back.select(col("doc_id"), col("shard").cast("long"), col("pos"))
       .as[(Long, Long, Long)].collect().toSet
     assert(persisted == logical)
+    // PHYSICAL row order inside each shard file must be pos-ascending —
+    // the documented data-loader handoff layout. Set equality above says
+    // nothing about it; read each shard dir alone (single file → scan
+    // preserves file order) and assert the sequence.
+    new java.io.File(out).listFiles().filter(_.isDirectory).foreach { d =>
+      val pos = spark.read.parquet(d.toString).select(col("pos"))
+        .as[Long].collect().toSeq
+      assert(pos == pos.sorted, s"${d.getName}: rows not pos-ordered in file")
+    }
   }
 }
