@@ -195,6 +195,18 @@ class CurationSpec extends SparkSuite {
 
   // ---- tf-idf ----
 
+  test("tfidfTopTerms broadcasts the 1-row corpus count (no cartesian plan)") {
+    // the Aggregate's size estimate propagates from its corpus-sized
+    // child, so without the explicit broadcast hint the planner can pick
+    // CartesianProductExec for the corpus-sized left side — catastrophic
+    // at the 100 TB design point
+    val plan = TfIdf.tfidfTopTerms(
+      Tables.load(spark, sf001, "documents"), "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ for the 1-row count:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in the tfidf plan:\n$plan")
+  }
+
   test("tfidfTopTerms ranks rare-but-frequent terms first with deterministic tiebreak") {
     val docs = Seq(
       (0L, "common rare rare"),
