@@ -140,6 +140,88 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Misra-Gries candidates contain every guaranteed heavy hitter on random streams") {
+    // random zipf-ish streams, random chunking into partials — the
+    // mergeable-summary guarantee (freq > N/(k+1) ⇒ candidate, ≤ k
+    // entries) must hold for EVERY split, not just the fixed fixture in
+    // SketchesSpec
+    val streamGen = Gen.zip(
+      Gen.listOfN(400, Gen.frequency(
+        (8, Gen.oneOf("hot1", "hot2", "hot3")),
+        (3, Gen.chooseNum(0, 40).map(i => s"mid$i")),
+        (5, Gen.chooseNum(0, 5000).map(i => s"tail$i")))),
+      Gen.chooseNum(4, 32),   // k
+      Gen.chooseNum(7, 120))  // chunk size
+    forAllSeeded(streamGen, n = 8) { case (stream, k, chunk) =>
+      val agg = new graft.functions.Aggregators.MisraGriesAgg(k)
+      val parts = stream.grouped(chunk).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val candidates = agg.finish(parts.reduce(agg.merge)).toSet
+      assert(candidates.size <= k, s"summary exceeded k=$k: ${candidates.size}")
+      val n = stream.size
+      val counts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val must = counts.filter(_._2 > n / (k + 1)).keys.toSet
+      assert(must.subsetOf(candidates),
+        s"k=$k chunk=$chunk lost heavy hitters: ${must -- candidates}")
+    }
+  }
+
+  test("packChunks equals the local prefix-sum layout for random token lists") {
+    val gen = Gen.zip(
+      Gen.listOfN(60, Gen.chooseNum(0L, 300L)), // token counts
+      Gen.chooseNum(1L, 128L))                  // capacity
+    forAllSeeded(gen, n = 8) { case (toks, cap) =>
+      val rows = toks.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+      val expected = {
+        var start = 0L
+        rows.map { case (id, _, t) =>
+          val r = (id, start / cap, start % cap); start += t; r
+        }.toSet
+      }
+      val got = graft.operators.Packing
+        .packChunks(rows.toDF("id", "grp", "toks"), "grp", "id", "toks", cap)
+        .select("id", "bin", "offset").as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"cap=$cap toks=$toks")
+    }
+  }
+
+  test("hashBucket / hashOrder64 expressions equal their JVM twins for random ids") {
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(
+      Gen.listOfN(50, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)),
+      Gen.chooseNum(1L, 1000000L),
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+    forAllSeeded(gen, n = 6) { case (ids, buckets, seed) =>
+      val df = ids.map(Tuple1(_)).toDF("id")
+      val got = df.select(col("id"),
+        graft.functions.HashFunctions.hashBucket(col("id"), buckets, seed).as("b"),
+        graft.functions.HashFunctions.hashOrder64(col("id"), seed).as("o"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      ids.foreach { id =>
+        assert(got(id)._1 == graft.functions.HashFunctions.bucketOf(id, buckets, seed))
+        assert(got(id)._2 == graft.functions.HashFunctions.orderOf(id, seed))
+      }
+    }
+  }
+
+  test("composite-key upsert equals a local map merge for random batches") {
+    val rowGen = Gen.zip(Gen.chooseNum(0, 8), Gen.oneOf("s1", "s2"), Gen.chooseNum(0, 999))
+    forAllSeeded(Gen.zip(Gen.listOfN(20, rowGen), Gen.listOfN(10, rowGen)), n = 6) {
+      case (baseRaw, batchRaw) =>
+        // keys unique per side (last wins locally, matching upsert's
+        // one-row-per-key input contract)
+        val base = baseRaw.map { case (a, b, v) => (a.toLong, b, v.toLong) }
+          .groupBy(r => (r._1, r._2)).values.map(_.last).toSeq
+        val batch = batchRaw.map { case (a, b, v) => (a.toLong, b, v.toLong) }
+          .groupBy(r => (r._1, r._2)).values.map(_.last).toSeq
+        val expected = (base.map(r => (r._1, r._2) -> r).toMap ++
+          batch.map(r => (r._1, r._2) -> r).toMap).values.toSet
+        val got = graft.operators.Upsert.upsertByKey(
+          base.toDF("id", "src", "v"), batch.toDF("id", "src", "v"), Seq("id", "src"))
+          .as[(Long, String, Long)].collect().toSet
+        assert(got == expected, s"base=$base batch=$batch")
+    }
+  }
+
   test("connectedComponents equals a local union-find on random graphs") {
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)).suchThat(p => p._1 != p._2))
