@@ -222,6 +222,30 @@ object PipelineQueries {
           sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_c"))
     },
 
+    // Z-order layout (the lakehouse OPTIMIZE ZORDER capability): the
+    // corpus is rewritten z-clustered on two quantized coordinates —
+    // ONE range shuffle on the Morton value, rows z-sorted per file so
+    // file AND row-group min-max stats stay tight on BOTH columns (a
+    // single-column sort gives the other column the full range in every
+    // file; filters on it then skip nothing). Hash-gated end-to-end:
+    // the artifact is read BACK and each row's z recomputed, so the
+    // write path, the codegen'd interleave, and the round-trip all sit
+    // under the driver hash; the oracle replays the bit interleave as
+    // a list_sum of shifted bits. LayoutSpec asserts the envelope
+    // tightness (the actual data-skipping property) and the loud
+    // out-of-range contract.
+    "zo1_zorder_layout" -> { (s, dir) =>
+      val out = tmpDir("zorder") + "/docs"
+      val coords = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(1024L)).as("a"),
+          least(col("n_chars"), lit(1023L)).as("b"))
+      graft.operators.Layout.zorderWrite(coords, "a", "b", bits = 10,
+        numFiles = 4, path = out)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("a"), col("b"),
+          graft.functions.ZOrderFunctions.zValue(col("a"), col("b"), 10).as("z"))
+    },
+
     // Stream-stream interval join UNDER THE DRIVER HASH (the sq1/st1
     // pattern): events stream from a staged file-source directory through
     // Telemetry.intervalJoinStream (watermark-bounded state) into a
@@ -525,6 +549,14 @@ object PipelineQueries {
            sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qty_c
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // bit-interleave replay: z = Σ_i ((a>>i)&1)·2^(2i) + ((b>>i)&1)·2^(2i+1)
+    "zo1_zorder_layout" ->
+      """WITH d AS (SELECT doc_id, doc_id % 1024 AS a, least(n_chars, 1023) AS b
+                    FROM documents)
+         SELECT doc_id, a, b,
+           list_sum(list_transform(range(0, 10),
+             i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))))::BIGINT AS z
+         FROM d""",
     // doubled input collapsed by (event_id, ts) dedup = the original
     // table, since event_id is unique in the fixture
     "sd1_dedup_stream" ->
