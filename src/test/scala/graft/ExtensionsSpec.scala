@@ -83,6 +83,9 @@ class ExtensionsSpec extends SparkSuite {
       val wrap = intercept[Exception](s2.sql("SELECT word_ngrams('a b', 4294967297)").collect())
       assert(causes(wrap).flatMap(c => Option(c.getMessage))
         .exists(m => m.contains("<=") || m.contains(">=")), wrap.getMessage)
+      // zvalue from SQL = the Layout op's exact Morton interleave
+      val zv = s2.sql("SELECT zvalue(5, 3, 4) AS z").collect().head.getLong(0)
+      assert(zv == graft.functions.ZOrderFunctions.zOf(5L, 3L, 4))
       // and absent from a fresh session built WITHOUT the extension
       // (proves the extension did the work, not some global side effect;
       // deliberately NOT the shared suite session — other suites register
