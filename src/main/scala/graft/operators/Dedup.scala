@@ -80,7 +80,13 @@ object Dedup {
       case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |
            _: Deduplicate | _: Intersect | _: Except | _: GlobalLimit |
            _: RepartitionOperation | _: MapGroups | _: CoGroup => true
-      case _ => false
+      // scalar/IN/EXISTS subqueries hide whole plans INSIDE expressions
+      // (LogicalPlan.exists does not descend into them): the .rdd probe
+      // would run the subquery's jobs once for the probe and again for
+      // the real query — the exact double execution the narrow-only
+      // probe exists to prevent
+      case p => p.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
     }
     if (wide) df
     else {
@@ -314,9 +320,15 @@ object Dedup {
     * of `keyCols`, with the group size. A single hash aggregation —
     * partial (map-side) combine makes this one shuffle of distinct keys.
     */
-  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    // idCol in keyCols would emit TWO columns named idCol (the group key
+    // plus the min-id aggregate) — every downstream col(idCol) reference
+    // then dies with AMBIGUOUS_REFERENCE far from the cause
+    require(!keyCols.contains(idCol),
+      s"exactDedup: idCol '$idCol' must not be one of keyCols $keyCols")
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+  }
 
   /** Serialized Bloom filter over a corpus's exact-dup key (xxhash64 of
     * `keyCols`) — the persistable screening artifact for
@@ -342,10 +354,6 @@ object Dedup {
     * expression Spark's own runtime row-level filtering uses) of the
     * xxhash64 of `keyCols` against a serialized [[exactKeyBloom]].
     */
-  /** Spec-only handle on the probe column (candidate-count assertions). */
-  private[graft] def bloomProbeForTest(bloom: Array[Byte], keyCols: Seq[String]): Column =
-    bloomMightContain(bloom, keyCols)
-
   private[graft] def bloomMightContain(bloom: Array[Byte], keyCols: Seq[String]): Column =
     graftbridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -392,7 +400,11 @@ object Dedup {
   /** Cross-document repeated-line removal (CCNet-style boilerplate
     * stripping): lines occurring in more than `maxDocFrac` of documents
     * (nav bars, cookie banners, license headers) are deleted from every
-    * document; line order is otherwise preserved. Output:
+    * document; line order is otherwise preserved. Empty segments (blank
+    * lines / runs of the delimiter) are ALWAYS dropped — the rebuild is
+    * also a whitespace normalization, by design: a blank line can never
+    * be boilerplate (it is excluded from doc frequency), and keeping it
+    * would make `n_kept` count padding rather than content. Output:
     * `(idCol, clean_text, n_kept)` — documents whose every line was
     * boilerplate survive with `clean_text = ""` so corpus cardinality is
     * stable through the operator.
@@ -454,12 +466,29 @@ object Dedup {
       StructField("n_kept", LongType, nullable = false)))
     override def prettyName: String = "remove_segments"
 
+    // the drops array is ONE broadcast value repeated for every row of
+    // the corpus; rebuilding the HashSet per row would make the
+    // "map-only" pass O(|drops|) per document. Memoized on reference
+    // identity (same-task rows share the backing ArrayData; a differing
+    // reference just rebuilds — correctness never depends on the hit).
+    @transient private var cachedDropsRef: AnyRef = _
+    @transient private var cachedDropSet: java.util.HashSet[String] = _
+
+    private def dropSetOf(arr: ArrayData): java.util.HashSet[String] = {
+      if (!(arr.asInstanceOf[AnyRef] eq cachedDropsRef)) {
+        val set = new java.util.HashSet[String](arr.numElements() * 2)
+        var i = 0
+        while (i < arr.numElements()) { set.add(arr.getUTF8String(i).toString); i += 1 }
+        cachedDropsRef = arr.asInstanceOf[AnyRef]
+        cachedDropSet = set
+      }
+      cachedDropSet
+    }
+
     override def nullSafeEval(t: Any, d: Any): Any = {
       val s = t.asInstanceOf[UTF8String].toString
       val arr = d.asInstanceOf[ArrayData]
-      val dropSet = new java.util.HashSet[String](arr.numElements() * 2)
-      var i = 0
-      while (i < arr.numElements()) { dropSet.add(arr.getUTF8String(i).toString); i += 1 }
+      val dropSet = dropSetOf(arr)
       val parts = s.split(java.util.regex.Pattern.quote(delim), -1)
       val sb = new java.lang.StringBuilder
       var n = 0L
@@ -496,10 +525,35 @@ object Dedup {
     * the actual per-shingle hashing is splitmix64(x ^ seed_j). The
     * (a, b) shape and the P/2^31 caps survive ONLY because the derived
     * seed values are pinned by the d3/d4/x1 oracles; tune the hash
-    * family in MinHashSig.mix, not here.
+    * family in [[splitmixFinal]], not here.
     */
+  /** splitmix64 finalizer — the ONE mixing function behind MinHash
+    * signatures and band keys (a second copy drifting would silently
+    * desynchronize band keys from the signatures they summarize).
+    */
+  private[operators] def splitmixFinal(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over a char range — the ONE token/shingle string hash
+    * (shared by ShingleHashes and the SimHash path).
+    */
+  private[operators] def fnvRange(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
-    var s = seed
+    // xorshift64's only fixpoint is 0: seed = 0 would freeze the state
+    // and derive k IDENTICAL hash functions — banded LSH silently
+    // collapses to one 1-row band. Substitute the golden-ratio constant
+    // (every nonzero seed, including the pinned default 42, is untouched).
+    var s = if (seed == 0L) 0x9E3779B97F4A7C15L else seed
     def next(): Long = {
       s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
       math.abs(s * 0x2545F4914F6CDD1DL)
@@ -522,15 +576,14 @@ object Dedup {
     */
   case class ShingleHashes(child: Expression, n: Int, word: Boolean)
       extends UnaryExpression with CodegenFallback {
+    // n = 0 would crash word mode (ends(-1)) mid-task and silently give
+    // char mode ONE constant empty shingle per doc — every doc pairwise
+    // "identical"; validate at construction like BandKeysExpr does
+    require(n >= 1, s"$prettyName: shingle width n must be >= 1, got $n")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = if (word) "word_shingle_hashes" else "char_shingle_hashes"
 
-    private def fnv(s: String, from: Int, until: Int): Long = {
-      var h = 0xcbf29ce484222325L
-      var i = from
-      while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-      h
-    }
+    private def fnv(s: String, from: Int, until: Int): Long = fnvRange(s, from, until)
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
@@ -647,16 +700,19 @@ object Dedup {
       case _                      => false
     }
 
-    private def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    private def mix(z0: Long): Long = splitmixFinal(z0)
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      // an empty shingle set would yield the all-MaxValue signature, and
+      // EVERY empty/too-short doc would then collide in every band — one
+      // giant O(bucket^2) false-candidate cluster for direct API users.
+      // The pipeline ops filter empties first (withShingleSets); direct
+      // callers must too, and a loud error beats a silent hot bucket.
+      if (n == 0) throw new IllegalArgumentException(
+        "minhash_sig: empty shingle set — filter docs shorter than the shingle " +
+          "width before signing (size(shingles) > 0)")
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
@@ -700,12 +756,7 @@ object Dedup {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_band_keys"
 
-    private def mix(z0: Long): Long = {
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    private def mix(z0: Long): Long = splitmixFinal(z0)
 
     override def nullSafeEval(input: Any): Any = {
       val sig = input.asInstanceOf[ArrayData]
@@ -871,12 +922,7 @@ object Dedup {
   // ---- SimHash near-duplicate detection ----
 
   /** FNV-1a 64-bit — deterministic token hash for SimHash. */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  def fnv1a64(s: String): Long = fnvRange(s, 0, s.length)
 
   /** 64-bit SimHash over whitespace tokens (term frequency weighted by
     * occurrence count through iteration).
@@ -922,6 +968,18 @@ object Dedup {
     // chunk and the pair silently never becomes a candidate
     require(maxHamming <= 3,
       s"simhashNearDupPairs: 4-chunk blocking covers maxHamming <= 3, got $maxHamming")
+    // same integral-id contract as connectedComponents: a silent
+    // cast("long") of string/UUID ids yields NULLs (ANSI off) that the
+    // typed map then rejects mid-job, or CAST_INVALID_INPUT (ANSI on),
+    // and numeric strings "7"/"07" would silently collapse
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"simhashNearDupPairs: id column '$idCol' must be integral, got $dt — " +
+          "hash or re-key non-numeric ids first")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val sketches = df

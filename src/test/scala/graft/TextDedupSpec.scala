@@ -281,7 +281,7 @@ class TextDedupSpec extends SparkSuite {
     // at fpp=0.001 and 50 novel rows, P(any FP) ≈ 5% — assert the probe
     // itself: candidate count is what the corpus-side semi join sees
     val candidates = fresh.filter(graft.operators.Dedup
-      .bloomProbeForTest(bloom, Seq("text"))).count()
+      .bloomMightContain(bloom, Seq("text"))).count()
     assert(candidates == 0L, s"expected zero Bloom candidates, got $candidates")
     val kept = Dedup.incrementalExactKeep(fresh, old, Seq("text"), bloom).count()
     assert(kept == 50L)
