@@ -45,15 +45,11 @@ case class HashBucket(child: Expression, buckets: Long, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hash_bucket"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
     // Number.longValue: the integral input may arrive boxed as any of the
     // four accepted widths (codegen widens implicitly in Java arithmetic)
-    var z = input.asInstanceOf[Number].longValue() + seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    java.lang.Long.remainderUnsigned(z, buckets)
-  }
+    java.lang.Long.remainderUnsigned(
+      HashFunctions.mix64(input.asInstanceOf[Number].longValue(), seed), buckets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -85,13 +81,8 @@ case class HashOrder64(child: Expression, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hash_order64"
 
-  override def nullSafeEval(input: Any): Any = {
-    var z = input.asInstanceOf[Number].longValue() + seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z ^ java.lang.Long.MIN_VALUE
-  }
+  override def nullSafeEval(input: Any): Any =
+    HashFunctions.mix64(input.asInstanceOf[Number].longValue(), seed) ^ java.lang.Long.MIN_VALUE
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -111,6 +102,17 @@ case class HashOrder64(child: Expression, seed: Long)
 
 object HashFunctions {
 
+  /** Seeded splitmix64 — the ONE JVM implementation behind both hash
+    * expressions' interpreted paths and the test/oracle twins (the
+    * codegen strings in doGenCode mirror it).
+    */
+  private[functions] def mix64(id: Long, seed: Long): Long = {
+    var z = id + seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic bucket in `[0, buckets)` for a long id column. */
   def hashBucket(id: Column, buckets: Long, seed: Long = 42L): Column = {
     // validate at construction: buckets=0 would surface as a per-row
@@ -128,20 +130,10 @@ object HashFunctions {
     graftbridge.column(HashOrder64(graftbridge.expression(id), seed))
 
   /** JVM-side twin of [[HashOrder64]] for tests/oracle builders. */
-  def orderOf(id: Long, seed: Long = 42L): Long = {
-    var z = id + seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z ^ java.lang.Long.MIN_VALUE
-  }
+  def orderOf(id: Long, seed: Long = 42L): Long =
+    mix64(id, seed) ^ java.lang.Long.MIN_VALUE
 
   /** JVM-side twin of [[HashBucket]] for tests/oracle builders. */
-  def bucketOf(id: Long, buckets: Long, seed: Long = 42L): Long = {
-    var z = id + seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    java.lang.Long.remainderUnsigned(z, buckets)
-  }
+  def bucketOf(id: Long, buckets: Long, seed: Long = 42L): Long =
+    java.lang.Long.remainderUnsigned(mix64(id, seed), buckets)
 }

@@ -47,23 +47,11 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  private def checkRange(v: Long, side: String): Unit =
-    if (v < 0L || v >= (1L << bits)) throw new IllegalArgumentException(
-      s"zvalue: $side coordinate $v outside [0, 2^$bits) — quantize wider domains first " +
-        "(a truncated coordinate would scatter the row to an unrelated curve position)")
-
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Number].longValue()
     val y = b.asInstanceOf[Number].longValue()
-    checkRange(x, "left"); checkRange(y, "right")
-    var z = 0L
-    var i = 0
-    while (i < bits) {
-      z |= ((x >> i) & 1L) << (2 * i)
-      z |= ((y >> i) & 1L) << (2 * i + 1)
-      i += 1
-    }
-    z
+    ZValue.rangeCheck(x, y, bits)
+    ZValue.interleave(x, y, bits)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,15 +77,31 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
 }
 
 object ZValue {
-  /** Called from generated code. */
+  /** Range guard shared by the interpreted path, the generated code, and
+    * the JVM twin.
+    */
   def rangeCheck(x: Long, y: Long, bits: Int): Unit = {
     val lim = 1L << bits
-    if (x < 0L || x >= lim) throw new IllegalArgumentException(
-      s"zvalue: left coordinate $x outside [0, 2^$bits) — quantize wider domains first " +
+    def fail(side: String, v: Long): Nothing = throw new IllegalArgumentException(
+      s"zvalue: $side coordinate $v outside [0, 2^$bits) — quantize wider domains first " +
         "(a truncated coordinate would scatter the row to an unrelated curve position)")
-    if (y < 0L || y >= lim) throw new IllegalArgumentException(
-      s"zvalue: right coordinate $y outside [0, 2^$bits) — quantize wider domains first " +
-        "(a truncated coordinate would scatter the row to an unrelated curve position)")
+    if (x < 0L || x >= lim) fail("left", x)
+    if (y < 0L || y >= lim) fail("right", y)
+  }
+
+  /** The Morton interleave itself — the one JVM implementation behind
+    * the interpreted path and [[ZOrderFunctions.zOf]] (the codegen
+    * string in doGenCode mirrors it).
+    */
+  def interleave(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
   }
 }
 
@@ -109,15 +113,8 @@ object ZOrderFunctions {
 
   /** JVM-side twin for tests/oracle builders. */
   def zOf(a: Long, b: Long, bits: Int): Long = {
-    require(bits >= 1 && bits <= 31)
-    require(a >= 0 && a < (1L << bits) && b >= 0 && b < (1L << bits))
-    var z = 0L
-    var i = 0
-    while (i < bits) {
-      z |= ((a >> i) & 1L) << (2 * i)
-      z |= ((b >> i) & 1L) << (2 * i + 1)
-      i += 1
-    }
-    z
+    require(bits >= 1 && bits <= 31, s"zOf: bits must be in [1, 31], got $bits")
+    ZValue.rangeCheck(a, b, bits)
+    ZValue.interleave(a, b, bits)
   }
 }
