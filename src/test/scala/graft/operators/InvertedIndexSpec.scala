@@ -14,6 +14,15 @@ class InvertedIndexSpec extends SparkSuite {
     (3L, "")
   ).toDF("doc_id", "text")
 
+  test("topGramByDf picks the top doc-frequency bigram; empty corpus fails loudly") {
+    // "red fox"=1(doc0) "fox jumps"=1 "red red"=1 "red dog"=1 "blue fox"=1 —
+    // DuckDB-style tie toward the lexicographically smallest gram
+    assert(InvertedIndex.topGramByDf(docs, "text", 2) == Seq("blue", "fox"))
+    val ex = intercept[IllegalArgumentException](
+      InvertedIndex.topGramByDf(Seq((9L, "one")).toDF("doc_id", "text"), "text", 2))
+    assert(ex.getMessage.contains("no document holds"), ex.getMessage)
+  }
+
   test("build emits one posting per distinct token per doc, empty tokens dropped") {
     val got = InvertedIndex.build(docs, "doc_id", "text")
       .as[(Long, String)].collect().toSet
