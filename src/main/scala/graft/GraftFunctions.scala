@@ -102,11 +102,12 @@ object GraftFunctions {
       HashBucket(es(0),
         longLit(es, 1, "hash_bucket", "buckets"),
         if (es.length > 2) longLit(es, 2, "hash_bucket", "seed", min = Long.MinValue) else 42L) }),
-    // Morton interleave for Z-order layouts: zvalue(a, b, bits) — same
-    // uncast-integral-inputs stance as hash_bucket (ZValue's own type
-    // check rejects non-integral coordinates at analysis)
-    "zvalue" -> (es => { arity(es, "zvalue", 3, 3)
-      graft.functions.ZValue(es(0), es(1), intLit(es, 2, "zvalue", "bits")) }))
+    // Morton interleave for Z-order layouts: zvalue(c1, ..., ck, bits),
+    // k >= 2 — same uncast-integral-inputs stance as hash_bucket
+    // (ZValue's own type check rejects non-integral coordinates at
+    // analysis; its require bounds k*bits <= 63)
+    "zvalue" -> (es => { arity(es, "zvalue", 3, 32)
+      graft.functions.ZValue(es.init.toSeq, intLit(es, es.length - 1, "zvalue", "bits")) }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

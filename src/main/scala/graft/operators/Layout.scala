@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.ZOrderFunctions.zValue
+import graft.functions.ZOrderFunctions.zValueN
 
 /** Multi-column data-skipping layout: Z-order the corpus before writing
   * so per-file AND per-row-group min-max statistics stay tight on BOTH
@@ -32,9 +32,16 @@ object Layout {
     * `[0, 2^bits)` — quantize wider domains first (see [[zorderedBy]]).
     */
   def zorderWrite(df: DataFrame, colA: String, colB: String, bits: Int,
+      numFiles: Int, path: String): Unit =
+    zorderWriteN(df, Seq(colA, colB), bits, numFiles, path)
+
+  /** k-column form — the `OPTIMIZE ZORDER BY a, b, c` surface. Bit i of
+    * column j lands at curve position i*k + j; `k * bits <= 63`.
+    */
+  def zorderWriteN(df: DataFrame, cols: Seq[String], bits: Int,
       numFiles: Int, path: String): Unit = {
     require(numFiles > 0, s"zorderWrite: numFiles must be positive, got $numFiles")
-    zorderedBy(df, col(colA), col(colB), bits, numFiles)
+    zorderedByN(df, cols.map(col), bits, numFiles)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -45,7 +52,12 @@ object Layout {
     */
   def zorderedBy(df: DataFrame, a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int, numFiles: Int): DataFrame =
-    df.withColumn("__z", zValue(a, b, bits))
+    zorderedByN(df, Seq(a, b), bits, numFiles)
+
+  /** k-column clustering plan — see [[zorderedBy]]. */
+  def zorderedByN(df: DataFrame, coords: Seq[org.apache.spark.sql.Column],
+      bits: Int, numFiles: Int): DataFrame =
+    df.withColumn("__z", zValueN(coords, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -26,6 +26,11 @@ object PipelineQueries {
     */
   private val liveStage = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** st3's chunked JSON drop dir per data dir: 4 single-copy chunks so
+    * maxFilesPerTrigger=1 yields 4 micro-batches = 4 snapshot versions.
+    */
+  private val snapStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Bound ports of the rp1 fixture service, one entry per data dir
     * (daemon accept threads live for the session — one pair total
     * instead of one pair per invocation).
@@ -246,6 +251,30 @@ object PipelineQueries {
           graft.functions.ZOrderFunctions.zValue(col("a"), col("b"), 10).as("z"))
     },
 
+    // N-column Z-order (the `OPTIMIZE ZORDER BY a, b, c` surface): same
+    // end-to-end hash gate as zo1 but with a THREE-column round-robin
+    // interleave (bit i of column j at curve position 3i+j, 8 bits each
+    // — 24 curve bits, signed order = curve order). The artifact is
+    // written via zorderWriteN, read BACK, and each row's z recomputed,
+    // so the k-ary codegen'd interleave and the round-trip both sit
+    // under the driver hash; the oracle replays the 3-way interleave as
+    // a list_sum of shifted bits. LayoutSpec holds the k=3 envelope
+    // comparison (all three columns tighter than a single-column sort).
+    "zo2_zorder_ncol" -> { (s, dir) =>
+      val out = tmpDir("zorder3") + "/docs"
+      val coords = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(256L)).as("a"),
+          least(col("n_chars"), lit(255L)).as("b"),
+          pmod(floor(col("doc_id") / lit(256L)).cast("long"), lit(256L)).as("c"))
+      graft.operators.Layout.zorderWriteN(coords, Seq("a", "b", "c"), bits = 8,
+        numFiles = 4, path = out)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("a"), col("b"), col("c"),
+          graft.functions.ZOrderFunctions.zValueN(
+            Seq(col("a"), col("b"), col("c")), 8).as("z"))
+    },
+
     // Stream-stream interval join UNDER THE DRIVER HASH (the sq1/st1
     // pattern): events stream from a staged file-source directory through
     // Telemetry.intervalJoinStream (watermark-bounded state) into a
@@ -387,6 +416,56 @@ object PipelineQueries {
         .agg(count(col("click_id")).as("n_clicks"))
     },
 
+    // Streaming sink into the versioned-table family (st2's durable
+    // half — the reference paper §6.2 loop closed: live ingest →
+    // snapshot versions → cp2 compaction → pinned readers). The staged
+    // drop dir streams in 4 one-file micro-batches through SnapshotSink;
+    // each batch commits one FULL-table Snapshots version (hard-link
+    // carry-forward, O(batch) bytes written), exactly-once by batch-id
+    // tag. Gate: the final version's rollup equals the batch oracle
+    // under the driver hash, plus contract booleans — one version per
+    // micro-batch landed, and a replayed batch tag (the crash-recovery
+    // path) committed NOTHING.
+    "st3_snapshot_sink" -> { (s, dir) =>
+      val stage = snapStage.synchronized {
+        snapStage.getOrElseUpdate(dir, {
+          val d = tmpDir("snap-sink-src")
+          val lines = Tables.load(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+            .toJSON.collect()
+          val per = math.max(1, lines.length / 4 + 1)
+          lines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+            val staged = java.nio.file.Files.createTempFile("snap-stage", ".json")
+            java.nio.file.Files.write(staged, chunk.mkString("\n").getBytes("UTF-8"))
+            java.nio.file.Files.move(staged, java.nio.file.Paths.get(d, f"chunk_$i%02d.json"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          d
+        })
+      }
+      // dedicated session for the 8-partition streaming-state sizing (see sj1)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val table = tmpDir("snap-sink-tbl") + "/events_tbl"
+      val ckpt = tmpDir("snap-sink-ckpt")
+      val q = graft.streaming.SnapshotSink.start(
+        graft.streaming.LiveIngest.fromDirectory(ss, stage, maxFilesPerTrigger = 1),
+        table, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      val snaps = graft.sources.Snapshots
+      val vLatest = snaps.latestVersion(table).getOrElse(0)
+      // crash-recovery replay: re-delivering an already-committed batch
+      // tag must return its version and move nothing
+      val replayed = snaps.commitAppend(snaps.read(ss, table), table, Some("batch-0"))
+      val replayNoop = replayed == snaps.taggedVersion(table, "batch-0").getOrElse(-1) &&
+        snaps.latestVersion(table).contains(vLatest)
+      snaps.read(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .withColumn("version_per_batch", lit(vLatest == 4))
+        .withColumn("replay_noop", lit(replayNoop))
+    },
+
     // Custom Catalyst expressions callable from plain SQL text (vec_dot
     // registered on the session) — the engine's SQL surface.
     "qsql_vec_norm" -> { (s, dir) =>
@@ -515,6 +594,14 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // the streamed-in snapshot table must equal the events table exactly;
+    // the contract booleans (4 versions = 4 micro-batches, replay no-op)
+    // are constants on the Spark side only if the sink behaved
+    "st3_snapshot_sink" ->
+      """SELECT event_type, count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS sum_value,
+           true AS version_per_batch, true AS replay_noop
+         FROM events GROUP BY event_type""",
     "sq1_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,
@@ -556,6 +643,16 @@ object PipelineQueries {
          SELECT doc_id, a, b,
            list_sum(list_transform(range(0, 10),
              i -> (((a >> i) & 1) << (2*i)) + (((b >> i) & 1) << (2*i+1))))::BIGINT AS z
+         FROM d""",
+    // 3-way round-robin replay: bit i of col j lands at position 3i+j
+    "zo2_zorder_ncol" ->
+      """WITH d AS (SELECT doc_id, doc_id % 256 AS a, least(n_chars, 255) AS b,
+                           (doc_id // 256) % 256 AS c
+                    FROM documents)
+         SELECT doc_id, a, b, c,
+           list_sum(list_transform(range(0, 8),
+             i -> (((a >> i) & 1) << (3*i)) + (((b >> i) & 1) << (3*i+1))
+                + (((c >> i) & 1) << (3*i+2))))::BIGINT AS z
          FROM d""",
     // doubled input collapsed by (event_id, ts) dedup = the original
     // table, since event_id is unique in the fixture

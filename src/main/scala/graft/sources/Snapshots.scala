@@ -53,6 +53,102 @@ object Snapshots {
     else { FsUtil.deleteTree(Paths.get(tableDir, s"v=$v")); None }
   }
 
+  /** Append-commit: the next version's data = the latest version's data
+    * files carried forward + `df`'s rows, published with the same CAS
+    * loop as [[commitIfLatest]] (a concurrent commit between the base
+    * read and the pointer publish discards the claim and retries against
+    * the new base — an append must never shadow it). This is the
+    * streaming-sink commit: each micro-batch is one version, and the
+    * version is the FULL table, so the pinned-reader contract is
+    * unchanged — one version directory is one consistent table state.
+    *
+    * Carry-forward is by hard link (copy fallback), so a commit costs
+    * O(batch bytes) data + O(existing files) metadata ops, NOT a table
+    * rewrite; POSIX link counting keeps shared bytes alive until the
+    * last version naming them is dropped. File counts grow per append —
+    * interleave [[Compact.compactVersion]] (cp2) to re-base onto few
+    * files, exactly the LSM compaction rhythm. Deployment note: on HDFS
+    * carry-forward would use the store's concat/rename or a
+    * manifest-of-files tier instead of links.
+    *
+    * `tag` is the idempotence handle (the streaming sink passes
+    * `batch-<id>`): if ANY existing version already carries `tag`, the
+    * commit is a replay (foreachBatch re-delivers the in-flight batch
+    * after recovery) and the already-committed version is returned
+    * without writing — exactly-once by batch-id idempotence.
+    */
+  def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None): Int = {
+    var committed: Option[Int] = None
+    while (committed.isEmpty) {
+      tag.flatMap(t => taggedVersion(tableDir, t)) match {
+        case Some(v) => return v
+        case None => ()
+      }
+      val base = latestVersion(tableDir)
+      val v = claimStaged(tableDir) { stage =>
+        df.write.parquet(stage.toString)
+        tag.foreach { t =>
+          Files.write(stage.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
+        }
+        base.foreach(b => carryForward(Paths.get(tableDir, s"v=$b"), stage))
+      }
+      val published = withPointerLock(tableDir) {
+        if (latestVersion(tableDir) == base) { writePointer(tableDir, v); true }
+        else false
+      }
+      if (published) committed = Some(v)
+      else FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
+    }
+    committed.get
+  }
+
+  private val TagFile = "_graft_tag"
+
+  /** The version carrying idempotence tag `t`, if any (scan is one
+    * directory listing — version counts are compaction-bounded).
+    */
+  def taggedVersion(tableDir: String, t: String): Option[Int] = {
+    if (!Files.isDirectory(Paths.get(tableDir))) return None
+    val it = Files.list(Paths.get(tableDir))
+    try {
+      var found: Option[Int] = None
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (found.isEmpty && fn.startsWith("v=")) {
+          val tf = p.resolve(TagFile)
+          if (Files.exists(tf) &&
+              new String(Files.readAllBytes(tf), StandardCharsets.UTF_8) == t)
+            found = scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+        }
+      }
+      found
+    } finally it.close()
+  }
+
+  /** Hard-link (copy fallback) every data file of `from` into `stage`.
+    * Hidden files (`_SUCCESS`, the tag, dot-files) stay behind — each
+    * version carries its own markers. Name collisions (astronomically
+    * unlikely: parquet part names embed a job UUID) get a base prefix
+    * rather than a silent overwrite.
+    */
+  private def carryForward(from: java.nio.file.Path, stage: java.nio.file.Path): Unit = {
+    val it = Files.list(from)
+    try {
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (!fn.startsWith("_") && !fn.startsWith(".")) {
+          var dst = stage.resolve(fn)
+          if (Files.exists(dst)) dst = stage.resolve(s"carry-${from.getFileName}-$fn")
+          try Files.createLink(dst, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
+          }
+        }
+      }
+    } finally it.close()
+  }
+
   /** How long an abandoned `.commit-*` / `._latest-*` staging artifact
     * (a committer that died mid-write) survives before reclaim; liveness
     * is judged by the newest mtime in the TREE (see FsUtil.newestMtimeMs),
@@ -61,7 +157,14 @@ object Snapshots {
   private val CommitGraceMs = 6 * 60 * 60 * 1000L
 
   /** Write `df` under the next free `v=N` directory (no pointer publish). */
-  private def claimVersion(df: DataFrame, tableDir: String): Int = {
+  private def claimVersion(df: DataFrame, tableDir: String): Int =
+    claimStaged(tableDir)(stage => df.write.parquet(stage.toString))
+
+  /** Stage-then-claim: `fill` populates a private tmp dir, which is then
+    * renamed to the next free `v=N` (no pointer publish) — the one
+    * claiming path behind [[commit]]/[[commitIfLatest]]/[[commitAppend]].
+    */
+  private def claimStaged(tableDir: String)(fill: java.nio.file.Path => Unit): Int = {
     Files.createDirectories(Paths.get(tableDir))
     // reclaim staging debris from crashed committers — the same sweep
     // PlanCache runs for its .tmp-* dirs; without it crash-retry loops
@@ -71,7 +174,7 @@ object Snapshots {
     // write to a private tmp dir first, so a crashed commit never leaves
     // a partial (or orphaned complete) v=N directory to collide with
     val data = Paths.get(tableDir, s".commit-${java.util.UUID.randomUUID()}")
-    df.write.parquet(data.toString)
+    fill(data)
     // claim the next version by atomic rename; on a concurrent (or
     // orphaned-crash) collision, advance and retry — maxVersionDir, not
     // _latest, drives the numbering, so a commit that died before its
@@ -110,19 +213,38 @@ object Snapshots {
       if (!latestVersion(tableDir).exists(_ >= v)) writePointer(tableDir, v)
     }
 
-  /** Run `body` holding the table's pointer lock. */
+  /** Upper bound on waiting for the pointer lock: pointer publishes are
+    * sub-millisecond, so minutes of contention means a wedged holder (an
+    * unkillable process, or an advisory-lock-unreliable NFS mount) — hang
+    * forever silently and every commit in the fleet wedges with it.
+    */
+  private val PointerLockTimeoutMs = 120 * 1000L
+
+  /** Run `body` holding the table's pointer lock. Bounded wait: a holder
+    * that outlives [[PointerLockTimeoutMs]] fails THIS caller loudly,
+    * naming the lock file — the lock is never stolen (delete/steal races
+    * are exactly what the persistent-inode design avoids).
+    */
   private def withPointerLock[A](tableDir: String)(body: => A): A = {
     val lockPath = Paths.get(tableDir, "._latest.lock")
     val ch = java.nio.channels.FileChannel.open(lockPath,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
     try {
+      val deadline = System.nanoTime() + PointerLockTimeoutMs * 1000000L
       var lock: java.nio.channels.FileLock = null
       while (lock == null) {
         // tryLock (not lock()): same-JVM contention surfaces as either a
         // null return or OverlappingFileLockException depending on timing
         try lock = ch.tryLock()
         catch { case _: java.nio.channels.OverlappingFileLockException => () }
-        if (lock == null) Thread.sleep(2)
+        if (lock == null) {
+          if (System.nanoTime() > deadline) throw new IllegalStateException(
+            s"snapshots: could not acquire pointer lock $lockPath within " +
+              s"${PointerLockTimeoutMs / 1000}s — another committer is wedged holding it " +
+              "(or the filesystem does not honor advisory FileLocks, e.g. some NFS mounts; " +
+              "on HDFS use the store's atomic rename primitive instead)")
+          Thread.sleep(2)
+        }
       }
       try body finally lock.release()
     } finally ch.close()

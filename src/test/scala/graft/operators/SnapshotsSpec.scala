@@ -56,6 +56,54 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("commitAppend: versions are full prefixes; tagged replay is a no-op; pins survive") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-app").toString + "/t"
+    val v1 = Snapshots.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table,
+      Some("batch-0"))
+    val v2 = Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), table, Some("batch-1"))
+    val v3 = Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "s"), table, Some("batch-2"))
+    assert((v1, v2, v3) == (1, 2, 3))
+    // each version is the FULL table as of its batch (carry-forward links)
+    def ids(v: Int) = Snapshots.read(spark, table, Some(v))
+      .select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L))
+    // a replayed batch id (foreachBatch crash-recovery) returns the
+    // already-committed version and writes NOTHING — exactly-once
+    val replay = Snapshots.commitAppend(Seq((99L, "X")).toDF("id", "s"), table,
+      Some("batch-1"))
+    assert(replay == v2)
+    assert(Snapshots.latestVersion(table).contains(3))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L))
+    // a pinned mid-stream version is untouched by later appends
+    assert(ids(1) == Set(1L, 2L))
+    // dropping an old version never corrupts newer ones (hard links keep
+    // shared bytes alive until the last name is gone)
+    assert(Snapshots.drop(table, 1))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("commitAppend retries across a concurrent commit instead of shadowing it") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-app-race").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), table) // v=1
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 appenders race from the same base; the CAS loop must serialize
+    // them so the final version holds ALL appended rows (a lost append
+    // would surface as a missing id)
+    Await.result(Future.sequence((2 to 5).map(i => Future {
+      Snapshots.commitAppend(Seq((i.toLong, s"r$i")).toDF("id", "s"), table,
+        Some(s"app-$i"))
+    })), 2.minutes)
+    // CAS-failed claims discard and re-claim HIGHER numbers, so the final
+    // version id may exceed 5 — the invariant is content, not numbering
+    assert(Snapshots.latestVersion(table).exists(_ >= 5))
+    assert(Snapshots.read(spark, table).select("id").as[Long].collect().toSet ==
+      (1L to 5L).toSet)
+  }
+
   test("drop refuses the latest version, removes pinned history on request") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
     Snapshots.commit(Seq(1L).toDF("id"), table)
