@@ -51,7 +51,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   /** No-op pass-through (reference `DSetGenerics.fs:996-1004`). */
   def identityOp: DSet[U] = this
 
-  // Narrow per-element ops carry the rowsReorg batch hint through: the
+  // EVERY transformation carries the rowsReorg batch hint through: the
   // hint is a MEMORY BOUND on what a downstream mapByCollection
   // materializes per call, and `rowsReorg(n).filter(f).mapByCollection`
   // silently reverting to whole-partition arrays would reintroduce the
@@ -60,7 +60,9 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   // original batch gaps, is the carried contract; the reference's own
   // re-serialization re-batches collections between operators too,
   // `cache.fs:342-375`.) Shuffling and RDD-bridging ops (mapi, mix,
-  // repartition*) reset the hint — re-apply rowsReorg after them.
+  // repartition*, binSort*) carry it too — the bound is per-call memory,
+  // not partition layout, so a shuffle does not invalidate it; multi-input
+  // ops (merge, mix*) carry the TIGHTEST of their inputs' hints.
 
   /** reference `DSetGenerics.fs:1006-1012` (`filter`). */
   def filter(f: U => Boolean): DSet[U] = new DSet(ds.filter(f), batchHint)
@@ -581,8 +583,20 @@ object DSet {
 
   def fromDataset[U](ds: Dataset[U]): DSet[U] = new DSet(ds)
 
-  def fromRDD[U: Encoder](spark: SparkSession, rdd: RDD[U]): DSet[U] =
-    new DSet(spark.createDataset(rdd))
+  /** RDD bridge; `hint` carries the caller's rowsReorg batch bound so the
+    * bridge is not a silent hint reset (the bound is per-call memory,
+    * independent of the RDD's partitioning).
+    */
+  def fromRDD[U: Encoder](spark: SparkSession, rdd: RDD[U], hint: Int = -1): DSet[U] =
+    new DSet(spark.createDataset(rdd), hint)
+
+  /** Tightest (smallest positive) of several batch hints — the carried
+    * bound for multi-input ops; -1 when none is set.
+    */
+  private[dset] def tightestHint(hints: Int*): Int = {
+    val pos = hints.filter(_ > 0)
+    if (pos.isEmpty) -1 else pos.min
+  }
 
   /** Client seq scattered across the cluster (reference
     * `DSetGenerics.fs:881-950`, `distribute`/`distributeN`).
