@@ -90,7 +90,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
       var i = -1L // Long serial: Iterator.zipWithIndex is an Int that wraps past 2^31 rows
       it.map { u => i += 1; f(pi, i, u) }
     }
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** Batch-at-a-time map (reference `DSetGenerics.fs:1127-1137`,
@@ -136,7 +136,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
         case (u, serial) => f(pi, serial, u)
       }
     }
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** Re-batch the collections downstream batch consumers observe to ≤ n
@@ -178,9 +178,8 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     // bound must be the TIGHTEST of the inputs' hints — taking only the
     // receiver's would let small.merge(huge.rowsReorg(n)) materialize
     // huge's partitions whole
-    val hints = (batchHint +: others.map(_.batchHint)).filter(_ > 0)
     new DSet(others.foldLeft(ds)((acc, o) => acc.union(o.ds)),
-      if (hints.isEmpty) -1 else hints.min)
+      DSet.tightestHint(batchHint +: others.map(_.batchHint): _*))
   }
 
   /** Zip two same-shape DSets into tuple rows (reference
@@ -188,32 +187,37 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * structure, as the reference's `MixFunctionWrapper` does).
     */
   def mix[U1](other: DSet[U1])(implicit e: Encoder[(U, U1)], ct: ClassTag[U], ct1: ClassTag[U1]): DSet[(U, U1)] =
-    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd))
+    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd), DSet.tightestHint(batchHint, other.batchHint))
 
   /** mix + elementwise apply (reference `DSetGenerics.fs:1558-1592`, `map2`). */
   def map2[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => U2)(implicit ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2]): DSet[U2] =
-    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd).map { case (a, b) => f(a, b) })
+    DSet.fromRDD(spark, ds.rdd.zip(other.ds.rdd).map { case (a, b) => f(a, b) },
+      DSet.tightestHint(batchHint, other.batchHint))
 
   /** 3-way zip (reference `DSetGenerics.fs:1594-1643`, `mix3`). */
   def mix3[U1, U2](o1: DSet[U1], o2: DSet[U2])(implicit e: Encoder[(U, U1, U2)], ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2]): DSet[(U, U1, U2)] =
-    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => (a, b, c) })
+    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => (a, b, c) },
+      DSet.tightestHint(batchHint, o1.batchHint, o2.batchHint))
 
   /** 3-way zip + apply (reference `DSetGenerics.fs:1558-1592`, `map3`). */
   def map3[U1, U2, U3: Encoder](o1: DSet[U1], o2: DSet[U2])(f: (U, U1, U2) => U3)(implicit
       ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3]): DSet[U3] =
-    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => f(a, b, c) })
+    DSet.fromRDD(spark, ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).map { case ((a, b), c) => f(a, b, c) },
+      DSet.tightestHint(batchHint, o1.batchHint, o2.batchHint))
 
   /** 4-way zip (reference `DSetGenerics.fs:1594-1643`, `mix4`). */
   def mix4[U1, U2, U3](o1: DSet[U1], o2: DSet[U2], o3: DSet[U3])(implicit
       e: Encoder[(U, U1, U2, U3)], ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3]): DSet[(U, U1, U2, U3)] =
     DSet.fromRDD(spark,
-      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => (a, b, c, d) })
+      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => (a, b, c, d) },
+      DSet.tightestHint(batchHint, o1.batchHint, o2.batchHint, o3.batchHint))
 
   /** 4-way zip + apply (reference `DSetGenerics.fs:1558-1592`, `map4`). */
   def map4[U1, U2, U3, U4: Encoder](o1: DSet[U1], o2: DSet[U2], o3: DSet[U3])(f: (U, U1, U2, U3) => U4)(implicit
       ct: ClassTag[U], ct1: ClassTag[U1], ct2: ClassTag[U2], ct3: ClassTag[U3], ct4: ClassTag[U4]): DSet[U4] =
     DSet.fromRDD(spark,
-      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => f(a, b, c, d) })
+      ds.rdd.zip(o1.ds.rdd).zip(o2.ds.rdd).zip(o3.ds.rdd).map { case (((a, b), c), d) => f(a, b, c, d) },
+      DSet.tightestHint(batchHint, o1.batchHint, o2.batchHint, o3.batchHint))
 
   /** Fork into n sibling branches sharing one upstream evaluation
     * (reference `DSetGenerics.fs:1728-1766`, `bypass`/`bypassN`; the Spark
@@ -258,13 +262,13 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   def repartitionP(numPartitions: Int)(partFunc: U => Int)(implicit e: Encoder[U], ct: ClassTag[U]): DSet[U] = {
     val rdd2 = ds.rdd.map(u => (partFunc(u), u))
       .partitionBy(new BinPartitioner(numPartitions)).values
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** Hash repartition to n partitions (reference `DSetGenerics.fs:1364`,
     * `repartitionN`) — declarative, AQE-aware.
     */
-  def repartitionN(numPartitions: Int): DSet[U] = new DSet(ds.repartition(numPartitions))
+  def repartitionN(numPartitions: Int): DSet[U] = new DSet(ds.repartition(numPartitions), batchHint)
 
   /** Distributed bin sort: route each element to bin `partFunc(u)`, sort
     * within each bin partition — total order = bin order × in-bin order
@@ -278,7 +282,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     val rdd2 = ds.rdd.map(u => ((partFunc(u), u), null: Null))
       .repartitionAndSortWithinPartitions(new BinPartitioner(numPartitions))
       .map(_._1._2)
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** Attach an in-memory cache (reference `DSetGenerics.fs:1185-1234`,
@@ -296,24 +300,43 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * [[graft.sources.PlanCache]].
     */
   def cacheAcrossSessions(cacheDir: String)(implicit e: Encoder[U]): DSet[U] =
-    new DSet(graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir).as[U])
+    new DSet(graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir).as[U], batchHint)
 
   // ---- aggregations & actions (reference §2.6) ----
 
   /** Per-partition fold + cross-partition aggregation (reference
     * `DSetGenerics.fs:392-433`, `fold`; `DSetAction.fs:508-631`). The
     * init state seeds each partition EXACTLY ONCE — `treeAggregate`
-    * would re-inject it per partial and once more on the driver,
+    * would re-inject its zero per partial and once more on the driver,
     * silently inflating any non-neutral state (a pre-seeded map, an
-    * offset counter). Partials reduce pairwise on the driver: one `S`
-    * per partition, the same driver payload treeAggregate's final level
-    * carries.
+    * offset counter) — so each partition emits `it.foldLeft(state)`
+    * (empty partitions included: one seeded state each, the reference
+    * contract) and the partials combine with a zero-free reduce.
+    *
+    * Executor-tier combine (paper §4.8 aggregates per node before the
+    * client): above [[DSet.FoldTreeThreshold]] partitions the partials
+    * reduce through `treeReduce` — tree levels run IN TASKS, so the
+    * driver receives ~parts^(1/depth) states instead of one per
+    * partition (at 100k partitions × MB-sized states that is the
+    * difference between ~50 states and a 100 GB driver payload). Below
+    * the threshold the partials collect directly — a tree level there
+    * would add a shuffle stage that costs more than it saves. `aggr`
+    * must be associative and commutative (tree grouping order is not
+    * partition order), the same contract as Spark's own `reduce`.
     */
   def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
-    val partials = ds.rdd
-      .mapPartitions(it => Iterator.single(it.foldLeft(state)(folder)))
-      .collect()
-    if (partials.isEmpty) state else partials.reduce(aggr)
+    val parts = ds.rdd.getNumPartitions
+    val partials = ds.rdd.mapPartitions(it => Iterator.single(it.foldLeft(state)(folder)))
+    if (parts == 0) state
+    else if (parts <= DSet.FoldTreeThreshold) {
+      val arr = partials.collect()
+      if (arr.isEmpty) state else arr.reduce(aggr)
+    } else {
+      // depth 2 → driver sees ~sqrt(parts); depth 3 caps the driver at
+      // ~parts^(1/3) once sqrt itself would be an oversized fan-in
+      val depth = if (parts > 4096) 3 else 2
+      partials.treeReduce(aggr, depth)
+    }
   }
 
   /** Node-shared-state fold (reference `DSetGenerics.fs:410-411, 464`,
@@ -430,7 +453,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     new DSet(
       ds.flatMap(mapFunc)
         .groupByKey(_._1)
-        .mapGroups((k, vs) => reduceFunc(k, vs.map(_._2))))
+        .mapGroups((k, vs) => reduceFunc(k, vs.map(_._2))), batchHint)
 
   /** Combiner-capable mapReduce: when the per-key reduction is an
     * associative binary merge, route through an RDD `reduceByKey`, which
@@ -442,7 +465,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   def mapReduceAssoc[K1, V1](mapFunc: U => IterableOnce[(K1, V1)])(combine: (V1, V1) => V1)(implicit
       e: Encoder[(K1, V1)], ctk: ClassTag[K1], ctv: ClassTag[V1]): DSet[(K1, V1)] = {
     val rdd2 = ds.rdd.flatMap(u => mapFunc(u).iterator).reduceByKey(combine)
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** mapReduce with a pinned shuffle partition count (reference
@@ -454,7 +477,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     val rdd2 = ds.rdd.flatMap(u => mapFunc(u).iterator)
       .groupByKey(numPartitions)
       .map { case (k, vs) => reduceFunc(k, vs.iterator) }
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** mapReduce with a caller-supplied shuffle partitioner `'K -> int`
@@ -481,7 +504,7 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
         it.foreach { case (_, (k, v)) => acc.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V1]) += v }
         acc.iterator.map { case (k, vs) => reduceFunc(k, vs.iterator) }
       }
-    DSet.fromRDD(spark, rdd2)
+    DSet.fromRDD(spark, rdd2, batchHint)
   }
 
   /** Run a side-effecting closure once per partition slot (reference
@@ -553,6 +576,14 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
 }
 
 object DSet {
+
+  /** Partition count above which [[DSet.fold]] reduces partials through
+    * an executor-tier tree instead of collecting one state per partition
+    * to the driver. 64 ≈ the point where a 32-core local session's fold
+    * fan-in is still trivially driver-sized but a cluster-scale fan-in
+    * is not.
+    */
+  val FoldTreeThreshold: Int = 64
 
   /** Salt for two-phase skew grouping: always in [0, parts) —
     * `hashCode % parts` would yield (-parts, parts) and silently double
@@ -735,11 +766,12 @@ object DSet {
     }
 
     /** reference `DKV.fs:172-176` (`filterByKey`). */
-    def filterByKey(f: K => Boolean): DSet[(K, V)] = new DSet(ds.filter(kv => f(kv._1)))
+    def filterByKey(f: K => Boolean): DSet[(K, V)] =
+      new DSet(ds.filter(kv => f(kv._1)), dset.batchHint)
 
     /** reference `DKV.fs:179-182` (`mapByValue`). */
     def mapByValue[V1](f: V => V1)(implicit e: Encoder[(K, V1)]): DSet[(K, V1)] =
-      new DSet(ds.map(kv => (kv._1, f(kv._2))))
+      new DSet(ds.map(kv => (kv._1, f(kv._2))), dset.batchHint)
 
     /** Concurrent value map, keys untouched (reference `DKV.fs:185-198`,
       * `asyncMapByValue`/`parallelMapByValue`).
@@ -759,7 +791,7 @@ object DSet {
       * where the downstream agg permits).
       */
     def groupByKey(implicit ek: Encoder[K], ev: Encoder[(K, Seq[V])]): DSet[(K, Seq[V])] =
-      new DSet(ds.groupByKey(_._1).mapGroups((k, vs) => (k, vs.map(_._2).toSeq)))
+      new DSet(ds.groupByKey(_._1).mapGroups((k, vs) => (k, vs.map(_._2).toSeq)), dset.batchHint)
 
     /** [[groupByKey]] with an explicit reducer count (reference
       * `DKV.fs:99-126` exposes the partition-count variant). One shuffle
@@ -772,7 +804,7 @@ object DSet {
     def groupByKeyN(numPartitions: Int)(implicit e: Encoder[(K, Seq[V])],
         ctk: ClassTag[K], ctv: ClassTag[V]): DSet[(K, Seq[V])] =
       DSet.fromRDD(spark,
-        ds.rdd.groupByKey(numPartitions).map { case (k, vs) => (k, vs.toSeq) })
+        ds.rdd.groupByKey(numPartitions).map { case (k, vs) => (k, vs.toSeq) }, dset.batchHint)
 
     /** Two-phase salted grouping for skewed keys: values first group under
       * (key, salt) — spreading a heavy-hitter key over `saltParts`
@@ -796,7 +828,7 @@ object DSet {
           .groupByKey(_._1)
           .mapGroups((ks, vs) => (ks, vs.map(_._2).toSeq))
           .groupByKey(_._1._1)
-          .mapGroups((k, groups) => (k, groups.flatMap(_._2).toSeq)))
+          .mapGroups((k, groups) => (k, groups.flatMap(_._2).toSeq)), dset.batchHint)
 
     /** reference `DKV.fs:128-138` (`reduceByKey` via mapReduce); Spark's
       * `reduceGroups` does partial (map-side) aggregation — strictly
@@ -806,7 +838,8 @@ object DSet {
     def reduceByKey(f: (V, V) => V)(implicit ek: Encoder[K], ev: Encoder[V], ekv: Encoder[(K, V)]): DSet[(K, V)] =
       new DSet(
         ds.groupByKey(_._1).mapValues(_._2).reduceGroups(f)
-          .map(identity[(K, V)] _)) // re-encode ReduceAggregator output as a plain pair
+          .map(identity[(K, V)] _), // re-encode ReduceAggregator output as a plain pair
+        dset.batchHint)
 
     /** Exact user-partition-function shuffle (reference `DKV.fs:54-70`,
       * `repartitionPByKey`).
@@ -814,14 +847,15 @@ object DSet {
     def repartitionPByKey(numPartitions: Int)(partFunc: K => Int)(implicit e: Encoder[(K, V)], ct: ClassTag[(K, V)]): DSet[(K, V)] = {
       val rdd2 = ds.rdd.map(kv => (partFunc(kv._1), kv))
         .partitionBy(new BinPartitioner(numPartitions)).values
-      DSet.fromRDD(spark, rdd2)
+      DSet.fromRDD(spark, rdd2, dset.batchHint)
     }
 
     /** Hash repartition by key to n partitions (reference `DKV.fs:54-70`,
       * `repartitionNByKey`) — declarative, AQE-aware.
       */
     def repartitionNByKey(numPartitions: Int): DSet[(K, V)] =
-      new DSet(tup(ds).repartition(numPartitions, org.apache.spark.sql.functions.col("_1")))
+      new DSet(tup(ds).repartition(numPartitions, org.apache.spark.sql.functions.col("_1")),
+        dset.batchHint)
 
     /** Range-partitioned key sort — reference `binSortNByKey` with Spark's
       * sampled range partitioner supplying the bin function the reference
@@ -843,7 +877,7 @@ object DSet {
       val keyed = ds.rdd.map(kv => (kv._1, kv._2))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val partitioner = new org.apache.spark.RangePartitioner(numPartitions, keyed)
-      DSet.fromRDD(spark, keyed.repartitionAndSortWithinPartitions(partitioner))
+      DSet.fromRDD(spark, keyed.repartitionAndSortWithinPartitions(partitioner), dset.batchHint)
     }
 
     /** Bin-partition + in-partition key sort (reference `DKV.fs:140-169`,
@@ -855,7 +889,7 @@ object DSet {
       val rdd2 = ds.rdd.map(kv => ((partFunc(kv._1), kv._1), kv._2))
         .repartitionAndSortWithinPartitions(new BinPartitioner(numPartitions))
         .map { case ((_, k), v) => (k, v) }
-      DSet.fromRDD(spark, rdd2)
+      DSet.fromRDD(spark, rdd2, dset.batchHint)
     }
 
     /** Sort-merge inner equi-join (reference `DKV.fs:200-209`,
@@ -868,7 +902,8 @@ object DSet {
       val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "inner")
-          .map { case (a, b) => (a._1, f(a._2, b._2)) })
+          .map { case (a, b) => (a._1, f(a._2, b._2)) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
     }
 
     /** reference `DKV.fs:211-220` (`leftOuterJoinByMergeAfterBinSortByKey`). */
@@ -876,7 +911,8 @@ object DSet {
       val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "left_outer")
-          .map { case (a, b) => (a._1, f(a._2, Option(b).map(_._2))) })
+          .map { case (a, b) => (a._1, f(a._2, Option(b).map(_._2))) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
     }
 
     /** reference `DKV.fs:227-231` (`rightOuterJoinByMergeAfterBinSortByKey`). */
@@ -884,7 +920,8 @@ object DSet {
       val l = tup(ds); val r = tup(other.ds)
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "right_outer")
-          .map { case (a, b) => (b._1, f(Option(a).map(_._2), b._2)) })
+          .map { case (a, b) => (b._1, f(Option(a).map(_._2), b._2)) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
     }
 
     /** Broadcast-hash inner join — ships what the reference declared but
@@ -897,7 +934,8 @@ object DSet {
       val l = tup(ds); val r = org.apache.spark.sql.functions.broadcast(tup(other.ds))
       new DSet(
         l.joinWith(r, l("_1") === r("_1"), "inner")
-          .map { case (a, b) => (a._1, f(a._2, b._2)) })
+          .map { case (a, b) => (a._1, f(a._2, b._2)) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
     }
 
     /** Semi join: keep pairs whose key appears in `other` — absent in the
@@ -905,13 +943,16 @@ object DSet {
       */
     def semiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
       val l = tup(ds); val r = tup(other.ds)
-      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_semi").as[(K, V)])
+      // semi/anti emit only left rows — the left's hint is the bound
+      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_semi").as[(K, V)],
+        dset.batchHint)
     }
 
     /** Anti join: keep pairs whose key does NOT appear in `other`. */
     def antiJoinByKey[V1](other: DSet[(K, V1)])(implicit e: Encoder[(K, V)]): DSet[(K, V)] = {
       val l = tup(ds); val r = tup(other.ds)
-      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_anti").as[(K, V)])
+      new DSet(l.join(r.select(r("_1")), l("_1") === r("_1"), "left_anti").as[(K, V)],
+        dset.batchHint)
     }
   }
 
@@ -923,13 +964,15 @@ object DSet {
       * `crossJoin`).
       */
     def crossJoin[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => U2)(implicit e: Encoder[(U, U1)]): DSet[U2] =
-      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").map { case (a, b) => f(a, b) })
+      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").map { case (a, b) => f(a, b) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
 
     /** Cross join + option filter — theta join via arbitrary predicate
       * (reference `DSetGenerics.fs:1670-1693`, `crossJoinChoose`).
       */
     def crossJoinChoose[U1, U2: Encoder](other: DSet[U1])(f: (U, U1) => Option[U2])(implicit e: Encoder[(U, U1)]): DSet[U2] =
-      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").flatMap { case (a, b) => f(a, b) })
+      new DSet(dset.ds.joinWith(other.ds, lit(true), "cross").flatMap { case (a, b) => f(a, b) },
+        DSet.tightestHint(dset.batchHint, other.batchHint))
 
     /** Cross join + per-partition fold of the products — computes e.g.
       * k-NN against a broadcast set without materializing the product
@@ -943,7 +986,7 @@ object DSet {
         val right = bc.value
         if (it.isEmpty) Iterator.empty
         else Iterator.single(it.foldLeft(init)((s, u) => right.foldLeft(s)((s2, u1) => folder(s2, u, u1))))
-      })
+      }, dset.batchHint)
     }
 
     /** Per-left-element fold over the other side — the k-NN shape
@@ -953,7 +996,7 @@ object DSet {
       val bc = dset.spark.sparkContext.broadcast(other.ds.collect())
       new DSet(dset.ds.map { u =>
         bc.value.foldLeft(init)((s, u1) => folder(s, u, u1))
-      })
+      }, dset.batchHint)
     }
   }
 }

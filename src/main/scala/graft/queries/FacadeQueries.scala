@@ -417,6 +417,41 @@ object FacadeQueries {
         .ds.toDF("tag", "part_id", "ser", "batch_n")
     },
 
+    // rowsReorg hint carry-through ACROSS RDD bridges and shuffles
+    // (reference `DSetGenerics.fs:1161-1182` rowsReorg; the hint is a
+    // per-call memory bound, so `rowsReorg(n) |> shuffle |> mapByCollection`
+    // must still batch at ≤ n — a silent hint reset reintroduces the
+    // whole-partition OOM the bound exists to prevent). Four arms, one per
+    // bridge class: `mapi` (plain RDD bridge), `mix` (multi-input zip —
+    // must carry the TIGHTEST input hint, min(23,7)=7), `binSortP`
+    // (user-partitioner shuffle + in-bin sort — rows land deterministic,
+    // so the oracle replays batch boundaries row-exactly from the sort
+    // rank), and `repartitionP` (user-partitioner shuffle with
+    // nondeterministic in-partition arrival order — the oracle gates the
+    // deterministic (dest, batch_len) → row-count profile instead: a
+    // dropped hint yields one whole-partition batch and a profile
+    // mismatch). Every row carries the length of the batch it arrived in.
+    "fx18_hint_carry_shuffle" -> { (s, _) =>
+      import s.implicits._
+      def gen = DSet.initN[(Int, Long)](s, 4)((_, pi) => 40 + pi * 7)((pi, ser) => (pi, ser))
+      val mapiArm = gen.rowsReorg(11)
+        .mapi((_, _, u) => u)
+        .mapByCollection(arr => arr.map(t => ("mapi", t._1, t._2, arr.length)))
+      val mixArm = gen.rowsReorg(23).mix(gen.rowsReorg(7))
+        .mapByCollection(arr => arr.map { case (a, _) => ("mix", a._1, a._2, arr.length) })
+      def keys = gen.map(t => t._1 * 1000L + t._2)
+      val bsArm = keys.rowsReorg(9).binSortP(5)(k => (k % 5).toInt)
+        .mapByCollection(arr => arr.map(k => ("binsortp", (k % 5).toInt, k, arr.length)))
+      val repDf = keys.rowsReorg(13).repartitionP(5)(k => (k % 5).toInt)
+        .mapByCollection(arr => arr.map(k => ((k % 5).toInt, arr.length)))
+        .ds.toDF("part_id", "batch_n")
+        .groupBy(col("part_id"), col("batch_n"))
+        .agg(count(lit(1)).as("k"))
+        .select(lit("repart").as("tag"), col("part_id"), col("k"), col("batch_n"))
+      mapiArm.merge(mixArm, bsArm).ds.toDF("tag", "part_id", "k", "batch_n")
+        .unionByName(repDf)
+    },
+
     // merge + binSortNByKey global sort (reference merge
     // `DSetGenerics.fs:1535-1556`, binSortNByKey `DKV.fs:140-169`; test
     // pattern `tests/CoreLib/DSet.fs:953-1116`): the table splits into
@@ -433,7 +468,7 @@ object FacadeQueries {
       val evens = new DSet(orders.filter(col("o_orderkey") % 2 === 0).as[(Long, Double)])
       val odds = new DSet(orders.filter(col("o_orderkey") % 2 =!= 0).as[(Long, Double)])
       val sorted = evens.merge(odds).binSortNByKey(8)
-      DSet.fromRDD(s, sorted.ds.rdd.zipWithIndex.map { case ((k, v), i) => (i, k, v) })
+      DSet.fromRDD(s, sorted.ds.rdd.zipWithIndex().map { case ((k, v), i) => (i, k, v) })
         .ds.toDF("rank", "o_orderkey", "o_totalprice")
     }
   )
@@ -561,6 +596,29 @@ object FacadeQueries {
                 least(25, psize - (ser // 25) * 25)::INTEGER FROM gen
          UNION ALL SELECT 'split', part_id, ser, 1::INTEGER FROM gen
          UNION ALL SELECT 'merge', part_id, ser, psize::INTEGER FROM gen""",
+    "fx18_hint_carry_shuffle" ->
+      """WITH gen AS (
+           SELECT p.pi::INTEGER AS part_id, s.ser::BIGINT AS ser,
+                  (40 + p.pi * 7) AS psize
+           FROM range(4) p(pi) CROSS JOIN range(61) s(ser)
+           WHERE s.ser < 40 + p.pi * 7),
+         keys AS (SELECT part_id * 1000 + ser AS k FROM gen),
+         sizes AS (SELECT (k % 5) AS dest, count(*) AS s FROM keys GROUP BY 1),
+         bs AS (
+           SELECT k, (k % 5) AS dest,
+                  row_number() OVER (PARTITION BY k % 5 ORDER BY k) - 1 AS r,
+                  count(*) OVER (PARTITION BY k % 5) AS s
+           FROM keys)
+         SELECT 'mapi' AS tag, part_id, ser AS k,
+                least(11, psize - (ser // 11) * 11)::INTEGER AS batch_n FROM gen
+         UNION ALL SELECT 'mix', part_id, ser,
+                least(7, psize - (ser // 7) * 7)::INTEGER FROM gen
+         UNION ALL SELECT 'binsortp', dest::INTEGER, k::BIGINT,
+                least(9, s - (r // 9) * 9)::INTEGER FROM bs
+         UNION ALL SELECT 'repart', dest::INTEGER, ((s // 13) * 13)::BIGINT,
+                13::INTEGER FROM sizes WHERE s >= 13
+         UNION ALL SELECT 'repart', dest::INTEGER, (s % 13)::BIGINT,
+                (s % 13)::INTEGER FROM sizes WHERE s % 13 > 0""",
     "fx8_async_kv_outer" ->
       """SELECT c_custkey, coalesce(o.cnt, 0)::BIGINT AS n_orders,
               lower(c_mktsegment) AS segment

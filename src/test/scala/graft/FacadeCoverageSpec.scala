@@ -65,6 +65,50 @@ class FacadeCoverageSpec extends SparkSuite {
     assert(composed.sum == 46 / 2)
   }
 
+  test("rowsReorg hint survives every transformation, shuffles included") {
+    val d = DSet.initS[Int](spark, 2, 23)((pi, s) => pi * 23 + s.toInt).rowsReorg(9)
+    val kv = d.map(i => (i % 5, i.toLong)).rowsReorg(9)
+    // narrow + RDD-bridging single-input ops keep the bound verbatim
+    assert(d.filter(_ >= 0).batchHint == 9)
+    assert(d.map(_ + 1).batchHint == 9)
+    assert(d.choose(i => Some(i)).batchHint == 9)
+    assert(d.collectSeq(i => Seq(i)).batchHint == 9)
+    assert(d.mapi((_, _, u) => u).batchHint == 9)
+    assert(d.parallelMap(2)(identity).batchHint == 9)
+    assert(d.parallelMapi(2)((_, _, u) => u).batchHint == 9)
+    assert(d.repartitionN(3).batchHint == 9)
+    assert(d.repartitionP(3)(_ % 3).batchHint == 9)
+    assert(d.binSortP(3)(_ % 3).batchHint == 9)
+    assert(d.cacheInMemory().batchHint == 9)
+    assert(d.mapReduceAssoc(i => Seq((i % 3, 1L)))(_ + _).batchHint == 9)
+    assert(d.mapReduceP(3)(i => Seq((i % 3, 1L)))((k, vs) => (k, vs.sum)).batchHint == 9)
+    // KV shuffles
+    assert(kv.filterByKey(_ >= 0).batchHint == 9)
+    assert(kv.mapByValue(_ + 1).batchHint == 9)
+    assert(kv.groupByKey.batchHint == 9)
+    assert(kv.groupByKeyN(3).batchHint == 9)
+    assert(kv.reduceByKey(_ + _).batchHint == 9)
+    assert(kv.repartitionNByKey(3).batchHint == 9)
+    assert(kv.repartitionPByKey(3)(_ % 3).batchHint == 9)
+    assert(kv.binSortNByKey(3).batchHint == 9)
+    assert(kv.binSortPByKey(3)(_ % 3).batchHint == 9)
+    // multi-input ops carry the TIGHTEST of their inputs' hints
+    val loose = d.rowsReorg(25)
+    assert(loose.merge(d).batchHint == 9)
+    assert(loose.mix(d).batchHint == 9)
+    assert(loose.map2(d)(_ + _).batchHint == 9)
+    assert(loose.mix3(d, loose).batchHint == 9)
+    assert(loose.map4(d, loose, loose)((a, _, _, _) => a).batchHint == 9)
+    val kvLoose = kv.mapByValue(identity[Long]).rowsReorg(25)
+    assert(kvLoose.innerJoinByMerge(kv)((a, b) => a + b).batchHint == 9)
+    assert(kvLoose.leftOuterJoinByMerge(kv)((a, _) => a).batchHint == 9)
+    // hash-repartition (oracle can't replay Spark's hash layout — assert
+    // the bound holds at execution here instead)
+    val batches = d.repartitionN(3).mapByCollection(arr => Array(arr.length)).toArray
+    assert(batches.forall(_ <= 9), batches.toSeq.toString)
+    assert(batches.sum == 46)
+  }
+
   test("fold seeds a non-neutral init state exactly once per partition") {
     // treeAggregate would re-inject the state per partial + once on the
     // driver (9 injections here instead of 4) — 455, not 955
@@ -73,6 +117,26 @@ class FacadeCoverageSpec extends SparkSuite {
     // empty partitions still contribute exactly one state each (the
     // per-partition contract), nothing more
     assert(DSet.distribute(spark, Seq.empty[Int], 2).fold(7)(_ + _, _ + _) == 7 * 2)
+  }
+
+  test("fold combines partials executor-tier above the tree threshold") {
+    val parts = 256 // > DSet.FoldTreeThreshold → treeReduce path
+    val taskAggr = spark.sparkContext.longAccumulator("aggr-in-task")
+    val driverAggr = new java.util.concurrent.atomic.AtomicLong()
+    val d = DSet.initS[Int](spark, parts, 4)((_, _) => 1)
+    val got = d.fold(10) (
+      (s, u) => s + u,
+      (a, b) => {
+        // tree levels run inside tasks; the final merge runs on the driver
+        if (org.apache.spark.TaskContext.get() != null) taskAggr.add(1)
+        else driverAggr.incrementAndGet()
+        a + b
+      })
+    // init seeded exactly once per partition, tree or not
+    assert(got == parts * 4 + parts * 10, s"got $got")
+    assert(taskAggr.value > 0, "no executor-tier combine ran")
+    assert(driverAggr.get() < parts / 4,
+      s"driver reduced ${driverAggr.get()} partials — tree level missing")
   }
 
   test("foldWithCommonStatePerNode tolerates empty partitions (snapshot tie-break)") {
