@@ -99,11 +99,33 @@ object Similarity {
   /** ANN near-dup pairs: SRP-LSH candidates verified with exact cosine —
     * the 100 TB path (approximate recall, tunable via bits/tables; see
     * [[graft.functions.VectorFunctions.srpKeys]] for the collision bound).
+    *
+    * Cache lifecycle: the internal projection cache exists to deduplicate
+    * the THREE same-plan reads within one action (bucket pass + both
+    * verification sides), so it is released automatically after the first
+    * action that reads it — repeated calls in one session no longer
+    * accumulate cached blocks. Running several actions over one result
+    * (or needing deterministic release) → [[annCosinePairsReleasable]].
     */
   def annCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
+    val (result, release) =
+      annCosinePairsReleasable(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
+    autoRelease(result, release)
+    result
+  }
+
+  /** [[annCosinePairs]] with caller-controlled cache release (the
+    * `lazySaveToName` handle pattern): invoke the thunk once the last
+    * action over the pairs has run. Until then the projection cache
+    * stays warm, so N actions evaluate the upstream once, not 3N times.
+    */
+  def annCosinePairsReleasable(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000): (DataFrame, () => Unit) = {
     // one cached projection feeds the bucket pass AND both verification
     // sides — without it an expensive upstream lineage evaluates three
     // times per action (the d4 double-reference regression class);
@@ -114,9 +136,42 @@ object Similarity {
     val cands = srpCandidatePairs(base, "id", "v", dim, bits, tables, seed, maxBucketSize)
     val va = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val vb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    cands.join(va, "id_a").join(vb, "id_b")
+    val result = cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+    (result, () => { base.unpersist(); () })
+  }
+
+  /** One-shot listener that releases an internal cache after the first
+    * query execution (success OR failure) whose optimized plan reads it.
+    * Matching is on the logical `InMemoryRelation`'s cache builder — the
+    * node the cache manager substitutes into every referencing plan — so
+    * it is AQE-proof and never false-positives on unrelated queries. If
+    * the result is never acted on, the listener (and cache) live until
+    * session close — the same bound as any unused `persist`.
+    */
+  private def autoRelease(result: DataFrame, release: () => Unit): Unit = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val spark = result.sparkSession
+    val builder = result.queryExecution.optimizedPlan.collectFirst {
+      case r: InMemoryRelation => r.cacheBuilder
+    }
+    builder.foreach { cb =>
+      val listener: QueryExecutionListener = new QueryExecutionListener {
+        private def fire(qe: QueryExecution): Unit = {
+          val hit = qe.optimizedPlan.exists {
+            case r: InMemoryRelation => r.cacheBuilder eq cb
+            case _ => false
+          }
+          if (hit) { release(); spark.listenerManager.unregister(this) }
+        }
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = fire(qe)
+        override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = fire(qe)
+      }
+      spark.listenerManager.register(listener)
+    }
   }
 }

@@ -454,6 +454,14 @@ object PipelineQueries {
       try q.processAllAvailable() finally q.stop()
       val snaps = graft.sources.Snapshots
       val vLatest = snaps.latestVersion(table).getOrElse(0)
+      // one version per micro-batch = one per staged chunk file — derive
+      // the expectation from the staging dir, not a hard-coded count
+      // that silently diverges if the fixture (and thus the chunking)
+      // changes size
+      val chunkList = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+      val nChunks =
+        try chunkList.filter(p => p.getFileName.toString.endsWith(".json")).count().toInt
+        finally chunkList.close()
       // crash-recovery replay: re-delivering an already-committed batch
       // tag must return its version and move nothing
       val replayed = snaps.commitAppend(snaps.read(ss, table), table, Some("batch-0"))
@@ -462,7 +470,7 @@ object PipelineQueries {
       snaps.read(s, table)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
-        .withColumn("version_per_batch", lit(vLatest == 4))
+        .withColumn("version_per_batch", lit(vLatest == nChunks))
         .withColumn("replay_noop", lit(replayNoop))
     },
 

@@ -43,7 +43,10 @@ object Snapshots {
     * retry).
     */
   def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int): Option[Int] = {
-    val v = claimVersion(df, tableDir)
+    val v = claimStaged(tableDir) { stage =>
+      df.write.parquet(stage.toString)
+      writeBase(stage, Some(expectedBase))
+    }
     val published = withPointerLock(tableDir) {
       if (latestVersion(tableDir).contains(expectedBase)) {
         writePointer(tableDir, v); true
@@ -72,16 +75,55 @@ object Snapshots {
     * manifest-of-files tier instead of links.
     *
     * `tag` is the idempotence handle (the streaming sink passes
-    * `batch-<id>`): if ANY existing version already carries `tag`, the
-    * commit is a replay (foreachBatch re-delivers the in-flight batch
-    * after recovery) and the already-committed version is returned
-    * without writing — exactly-once by batch-id idempotence.
+    * `batch-<id>`): if an existing version already carries `tag` AND that
+    * version reached the published chain, the commit is a replay
+    * (foreachBatch re-delivers the in-flight batch after recovery) and
+    * the committed version is returned without writing — exactly-once by
+    * batch-id idempotence. A tagged version that is NOT in the published
+    * chain is a crashed commit's orphan (died between the atomic `v=N`
+    * rename and the pointer publish): returning it as-is would silently
+    * drop the batch's rows from every future read (at-most-once), so the
+    * replay instead ROLLS IT FORWARD — publishes the pointer under the
+    * lock if the orphan's recorded base is still the published latest —
+    * or, when another commit moved latest past the orphan (its
+    * carry-forward is stale), clears the orphan's idempotence record and
+    * re-commits the batch fresh against the new base. Chain membership
+    * is decided by walking `_latest` back through each version's
+    * recorded base
+    * (`_graft_base`, written by append/CAS commits); a full [[commit]]
+    * in the walk breaks the chain by design — it REPLACED the table, so
+    * a batch committed before it is not part of the new table state and
+    * a replay legitimately re-appends.
     */
   def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None): Int = {
     var committed: Option[Int] = None
     while (committed.isEmpty) {
       tag.flatMap(t => taggedVersion(tableDir, t)) match {
-        case Some(v) => return v
+        case Some(v) if inPublishedChain(tableDir, v) => return v
+        case Some(v) if v > latestVersion(tableDir).getOrElse(0) =>
+          // fresh orphan: the only way a tagged version can sit ABOVE the
+          // published latest is a commit that crashed between its atomic
+          // v=N rename and the pointer publish (any commit racing past an
+          // orphan claims a HIGHER number and publishes it) — complete it
+          // under the lock; if latest moved concurrently the next loop
+          // iteration re-classifies
+          val rolled = withPointerLock(tableDir) {
+            val b = baseOf(tableDir, v)
+            if (b.isDefined && latestVersion(tableDir).getOrElse(0) == b.get) {
+              writePointer(tableDir, v); true
+            } else false
+          }
+          if (rolled) return v
+        case Some(v) =>
+          // v <= latest but not in the published chain: a stale orphan
+          // (another commit raced past it before recovery ran) or a full
+          // [[commit]] REPLACED the table after v published. Either way
+          // the batch is not part of the current table state: neutralize
+          // the idempotence record and re-commit fresh. The data
+          // directory stays — it may be a published version pinned
+          // readers still open; retention ([[drop]]) reclaims it.
+          Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
+          Files.deleteIfExists(Paths.get(tableDir, s"v=$v", BaseFile))
         case None => ()
       }
       val base = latestVersion(tableDir)
@@ -90,6 +132,7 @@ object Snapshots {
         tag.foreach { t =>
           Files.write(stage.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
         }
+        writeBase(stage, base)
         base.foreach(b => carryForward(Paths.get(tableDir, s"v=$b"), stage))
       }
       val published = withPointerLock(tableDir) {
@@ -103,6 +146,37 @@ object Snapshots {
   }
 
   private val TagFile = "_graft_tag"
+  private val BaseFile = "_graft_base"
+
+  /** Record the version `stage` was derived from (0 = none — first
+    * version of the table); the chain edge [[inPublishedChain]] walks.
+    */
+  private def writeBase(stage: java.nio.file.Path, base: Option[Int]): Unit =
+    Files.write(stage.resolve(BaseFile),
+      base.getOrElse(0).toString.getBytes(StandardCharsets.UTF_8))
+
+  /** The recorded base of `v=N`: Some(0) = explicit first version;
+    * None = no base recorded (a full [[commit]], or the directory is
+    * gone) — the chain cannot be followed through it.
+    */
+  private def baseOf(tableDir: String, v: Int): Option[Int] = {
+    val p = Paths.get(tableDir, s"v=$v", BaseFile)
+    if (Files.exists(p))
+      scala.util.Try(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt).toOption
+    else None
+  }
+
+  /** Whether `v` is an ancestor of (or is) the published latest, walking
+    * the recorded base chain. False for unpublished orphans, for
+    * versions cut off by a full-[[commit]] replace, and for anything
+    * when no version is published. O(versions) file reads, the same
+    * compaction-bounded cost class as [[taggedVersion]].
+    */
+  private def inPublishedChain(tableDir: String, v: Int): Boolean = {
+    var cur = latestVersion(tableDir)
+    while (cur.exists(_ > v)) cur = cur.flatMap(c => baseOf(tableDir, c)).filter(_ > 0)
+    cur.contains(v)
+  }
 
   /** The version carrying idempotence tag `t`, if any (scan is one
     * directory listing — version counts are compaction-bounded).

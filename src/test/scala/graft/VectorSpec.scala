@@ -34,6 +34,31 @@ class VectorSpec extends SparkSuite {
     assert(!ann.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("annCosinePairs releases its projection cache after the first action") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ann = Similarity.annCosinePairs(corpus, "vec_id", "embedding",
+      dim = 2, threshold = 0.5, bits = 2, tables = 8)
+    assert(ann.count() >= 0) // first action — triggers the auto-release
+    // the release listener rides the async listener bus — poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    def lingering = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (lingering.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(lingering.isEmpty, s"cached blocks survived the action: $lingering")
+
+    // the Releasable variant leaves the cache to the caller, then frees it
+    val (ann2, release) = Similarity.annCosinePairsReleasable(
+      corpus, "vec_id", "embedding", dim = 2, threshold = 0.5, bits = 2, tables = 8)
+    assert(ann2.count() >= 0)
+    assert(lingering.nonEmpty, "Releasable variant should keep its cache until released")
+    release()
+    val deadline2 = System.nanoTime() + 10000000000L
+    while (lingering.nonEmpty && System.nanoTime() < deadline2) Thread.sleep(50)
+    assert(lingering.isEmpty, s"release() left cached blocks: $lingering")
+  }
+
   test("KMeans.fit with k greater than the row count cycles candidates") {
     import graft.operators.KMeans
     val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

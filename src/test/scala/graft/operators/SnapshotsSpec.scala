@@ -104,6 +104,59 @@ class SnapshotsSpec extends SparkSuite {
       (1L to 5L).toSet)
   }
 
+  test("commitAppend rolls a crashed tagged commit forward instead of losing the batch") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-roll").toString + "/t"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s"), table, Some("batch-0")) // v=1
+    // simulate a committer that died between the atomic v=2 rename and
+    // the pointer publish: a complete tagged+based version dir, with
+    // _latest still on v=1
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$table/v=2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=2", "_graft_tag"),
+      "batch-1".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=2", "_graft_base"),
+      "1".getBytes("UTF-8"))
+    assert(Snapshots.latestVersion(table).contains(1))
+    // the streaming replay re-delivers batch-1: the orphan must be
+    // PUBLISHED (roll-forward), not silently returned unpublished — and
+    // the replayed rows must not commit twice (99 never appears)
+    val replay = Snapshots.commitAppend(Seq((99L, "dup")).toDF("id", "s"), table,
+      Some("batch-1"))
+    assert(replay == 2)
+    assert(Snapshots.latestVersion(table).contains(2))
+    assert(Snapshots.read(spark, table).select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // a second replay is now a plain in-chain no-op
+    assert(Snapshots.commitAppend(Seq((98L, "x")).toDF("id", "s"), table, Some("batch-1")) == 2)
+    assert(Snapshots.read(spark, table).select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("commitAppend re-commits a replay whose orphan was raced past (stale carry-forward)") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-stale").toString + "/t"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s"), table, Some("batch-0")) // v=1
+    // crashed batch-1 orphan at v=2 (carry-forward of v=1 + its row)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(s"$table/v=2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=2", "_graft_tag"),
+      "batch-1".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=2", "_graft_base"),
+      "1".getBytes("UTF-8"))
+    // before recovery runs, ANOTHER writer appends: claims v=3 (numbering
+    // passes the orphan), carries from the published v=1, publishes
+    val v3 = Snapshots.commitAppend(Seq((30L, "c")).toDF("id", "s"), table, Some("other"))
+    assert(v3 == 3 && Snapshots.latestVersion(table).contains(3))
+    // batch-1's replay: the orphan's carry-forward is stale (misses 30) —
+    // publishing it would shadow the other writer. It must re-commit the
+    // batch fresh on the new base instead; exactly-once for BOTH batches.
+    val replay = Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), table, Some("batch-1"))
+    assert(replay == 4, s"expected fresh v=4, got $replay")
+    assert(Snapshots.read(spark, table).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 30L))
+    // the stale orphan's data dir survives (pinned-reader safety) but its
+    // idempotence record is cleared — a THIRD replay lands on the fresh
+    // commit, not the orphan
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table, "v=2")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table, "v=2", "_graft_tag")))
+    assert(Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), table, Some("batch-1")) == 4)
+  }
+
   test("drop refuses the latest version, removes pinned history on request") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
     Snapshots.commit(Seq(1L).toDF("id"), table)
