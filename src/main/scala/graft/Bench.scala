@@ -122,6 +122,22 @@ object Bench {
         exec(graft.operators.InvertedIndex.searchPhrase(posIdx, "doc_id", phrase))
       }
     }
+    // BM25 search over a PRE-BUILT scored index with precomputed corpus
+    // stats — the per-query cost of ranked retrieval in steady state
+    // (the ii4 gate pays the index build + stats pass every run by
+    // design, so the oracle can replay them).
+    val ii4Steady = fixtureBench("ii4_bm25_steady") {
+      val iiBase = graft.queries.QueryTmp.dir("bench-ii4")
+      val docsT = Tables.load(spark, sfDir, "documents")
+      val scored = graft.operators.InvertedIndex.materializeScored(
+        docsT, "doc_id", "text", s"$iiBase/scored")
+      val probes = graft.operators.InvertedIndex.topTokensByDf(scored, 3)
+      val stats = graft.operators.InvertedIndex.corpusStats(scored, "doc_id")
+      bench("ii4_bm25_steady") {
+        exec(graft.operators.InvertedIndex.searchBm25(
+          scored, "doc_id", probes, topK = 10, stats = Some(stats)))
+      }
+    }
     val ii3Steady = fixtureBench("ii3_append_steady") {
       val iiBase = graft.queries.QueryTmp.dir("bench-ii3")
       val docsT = Tables.load(spark, sfDir, "documents")
@@ -136,7 +152,7 @@ object Bench {
 
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
-      ("ii3_append_steady" -> ii3Steady)
+      ("ii3_append_steady" -> ii3Steady) :+ ("ii4_bm25_steady" -> ii4Steady)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMed = all.map { case (k, v) => "\"" + k + "\":" + v._2 }

@@ -92,6 +92,74 @@ object InvertedIndex {
     }.select(col(idCol)).distinct()
   }
 
+  /** Scored postings: one row per (doc, token) with its term frequency
+    * and the doc's token count — the ranking-ready index layout
+    * ([[build]] keeps only membership). Same build shape: one explode +
+    * count pass; `dl` rides along via a window over the doc key so the
+    * artifact is self-contained (no corpus join at query time).
+    */
+  def buildScored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+  }
+
+  /** Materialize scored postings to `path` and reopen. */
+  def materializeScored(docs: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    buildScored(docs, idCol, textCol).write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** Corpus-level BM25 statistics (doc count, average doc length) from a
+    * scored postings table — compute ONCE per index build/append and
+    * reuse across searches (it is the only full-postings pass in the
+    * ranking path); the 1-row driver collect is the intended boundary.
+    */
+  def corpusStats(scored: DataFrame, idCol: String): (Long, Double) = {
+    val row = scored.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  /** Top-k docs by BM25 for an OR-query over `tokens` — real ranked
+    * retrieval off the scored postings ([[searchAll]] is the unranked
+    * AND filter). Standard BM25 with the +1 idf floor (idf =
+    * ln((N - df + 0.5)/(df + 0.5) + 1), always positive):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: the probe filter prunes the postings read to
+    * O(Σ df(token)) rows; df comes from a count over the token window of
+    * that pruned set (postings are unique per (doc, token), so the row
+    * count IS the document frequency); one groupBy on the doc key sums
+    * the per-token contributions; corpus stats arrive precomputed (or
+    * are computed here once when omitted). Scores are rounded to 6
+    * decimals BEFORE ranking with a doc-id tiebreak, so the top-k cut is
+    * deterministic and oracle-replayable (the t6/f3 ln-parity pattern).
+    */
+  def searchBm25(scored: DataFrame, idCol: String, tokens: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
+    require(tokens.nonEmpty, "searchBm25 needs at least one token")
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val probe = tokens.distinct
+    val (nDocs, avgDl) = stats.getOrElse(corpusStats(scored, idCol))
+    val matched = scored.filter(col("token").isin(probe: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgDl))
+    matched.groupBy(col(idCol))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Top-k tokens by document frequency (tiebreak token asc) — the
     * deterministic probe-selection helper the ii1 gate uses. Driver
     * collect of k rows is the intended boundary.

@@ -64,6 +64,22 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // BM25-ranked retrieval off the SCORED index (tf + doc length in the
+    // postings): the probe is the top-3 doc-frequency tokens (replayed by
+    // the oracle), the search prunes postings to the probe set, derives
+    // df from the pruned row counts, and ranks on the standard
+    // idf·tf-saturation product — scores rounded to 6 BEFORE the top-10
+    // cut (doc-id tiebreak), so the ranking arithmetic itself is under
+    // the driver hash, ln parity included (the t6/f3 pattern).
+    "ii4_bm25_rank" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("bm25idx")
+      val scored = InvertedIndex.materializeScored(docs, "doc_id", "text", s"$idxDir/postings")
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10)
+    },
+
     // Phrase search over the POSITIONAL index: the probe phrase is the
     // corpus's top doc-frequency bigram (chosen via the narrow
     // tokenGramCounts map expression and replayed by the oracle, so the
@@ -330,6 +346,28 @@ object TextQueries {
            SELECT doc_id FROM p JOIN top2 USING (token)
            GROUP BY doc_id HAVING count(DISTINCT token) = 2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
+    "ii4_bm25_rank" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
     "d1_exact_dedup_docs" ->
       "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
     "d2_exact_dedup_lineitem" ->

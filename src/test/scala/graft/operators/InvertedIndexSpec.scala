@@ -80,6 +80,55 @@ class InvertedIndexSpec extends SparkSuite {
     assert(appended == scratch)
   }
 
+  test("buildScored carries tf and doc length; corpusStats sees tokenized docs only") {
+    val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
+      .select("doc_id", "token", "tf", "dl").as[(Long, String, Long, Long)].collect().toSet
+    assert(scored == Set(
+      (0L, "red", 1L, 3L), (0L, "fox", 1L, 3L), (0L, "jumps", 1L, 3L),
+      (1L, "red", 2L, 3L), (1L, "dog", 1L, 3L),
+      (2L, "blue", 1L, 2L), (2L, "fox", 1L, 2L)))
+    // the empty doc has no postings, so it is invisible to N/avgdl (it
+    // can never match a query either — consistent)
+    val (n, avgdl) = InvertedIndex.corpusStats(
+      InvertedIndex.buildScored(docs, "doc_id", "text"), "doc_id")
+    assert(n == 3L && math.abs(avgdl - 8.0 / 3) < 1e-12)
+  }
+
+  test("searchBm25 ranks by the standard idf·tf-saturation score, ties on doc id") {
+    val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
+    // hand arithmetic: N=3, avgdl=8/3, df(red)=df(fox)=2 → idf=ln(1.6);
+    // tfn(tf,dl) = tf·2.2 / (tf + 1.2·(0.25 + 0.75·dl/avgdl))
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8.0 / 3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Map(
+      0L -> r6(idf * tfn(1, 3) * 2),     // red + fox, one each
+      1L -> r6(idf * tfn(2, 3)),         // red twice — saturation, not 2×
+      2L -> r6(idf * tfn(1, 2)))         // fox in a shorter doc
+    val got = InvertedIndex.searchBm25(scored, "doc_id", Seq("red", "fox"), topK = 3)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L), got.mkString(","))
+    got.foreach { case (id, s) => assert(math.abs(s - expected(id)) < 1e-9, s"$id: $s") }
+    // top-k cut respects the ranking
+    assert(InvertedIndex.searchBm25(scored, "doc_id", Seq("red", "fox"), topK = 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(0L, 1L))
+    // an unknown probe token contributes nothing (no NaN, no row loss)
+    assert(InvertedIndex.searchBm25(scored, "doc_id", Seq("red", "zzz"), topK = 3)
+      .as[(Long, Double)].collect().toSet ==
+      InvertedIndex.searchBm25(scored, "doc_id", Seq("red"), topK = 3)
+        .as[(Long, Double)].collect().toSet)
+    // duplicate probes must not double-score
+    assert(InvertedIndex.searchBm25(scored, "doc_id", Seq("red", "red"), topK = 3)
+      .as[(Long, Double)].collect().toSet ==
+      InvertedIndex.searchBm25(scored, "doc_id", Seq("red"), topK = 3)
+        .as[(Long, Double)].collect().toSet)
+    // precomputed stats short-circuit the corpus pass and agree
+    val stats = InvertedIndex.corpusStats(scored, "doc_id")
+    assert(InvertedIndex.searchBm25(scored, "doc_id", Seq("red", "fox"), 3, stats = Some(stats))
+      .as[(Long, Double)].collect().toSet == got.toSet)
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
