@@ -299,8 +299,10 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * plan re-attaches without recomputing. See
     * [[graft.sources.PlanCache]].
     */
-  def cacheAcrossSessions(cacheDir: String)(implicit e: Encoder[U]): DSet[U] =
-    new DSet(graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir).as[U], batchHint)
+  def cacheAcrossSessions(cacheDir: String, contentKeys: Boolean = false)(
+      implicit e: Encoder[U]): DSet[U] =
+    new DSet(
+      graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir, contentKeys).as[U], batchHint)
 
   // ---- aggregations & actions (reference §2.6) ----
 

@@ -79,6 +79,23 @@ object Similarity {
     * `dropped_buckets`/`dropped_members` (see [[Dedup.observeDrops]]);
     * `maxBucketSize = Int.MaxValue` restores exact candidate enumeration.
     */
+  /** SRP key width for a corpus of `n` vectors — the documented scale
+    * contract `bits ≈ log2(n / targetBucket)` as code (BASELINE.md
+    * round-6/round-8 probes: 2k vectors → 6 bits at ~32/bucket, 20k → 10
+    * at ~20/bucket, 200k → 14 at ~12/bucket; at 10^9 rows and
+    * ~100/bucket this lands in the documented 20–24 band). Expected
+    * bucket population is n/2^bits per table; recall at a given width is
+    * the OTHER dial (`tables` — per-table collision falls as p^bits, so
+    * wider keys want more tables). Rounded to nearest (the probes' own
+    * values), clamped to [1, 63] (keys pack sign bits into a Long).
+    */
+  def autoBits(n: Long, targetBucket: Int = 32): Int = {
+    require(n > 0 && targetBucket > 0,
+      s"autoBits needs positive n and targetBucket, got n=$n targetBucket=$targetBucket")
+    val raw = math.round(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(1, math.min(63, raw))
+  }
+
   def srpCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
@@ -98,7 +115,10 @@ object Similarity {
 
   /** ANN near-dup pairs: SRP-LSH candidates verified with exact cosine —
     * the 100 TB path (approximate recall, tunable via bits/tables; see
-    * [[graft.functions.VectorFunctions.srpKeys]] for the collision bound).
+    * [[graft.functions.VectorFunctions.srpKeys]] for the collision bound;
+    * size `bits` to the corpus with [[autoBits]] — the v3 gate's fixed
+    * bits=6 is the oracle-replayable operating point, the v3b gate pins
+    * the re-keyed scale point).
     *
     * Cache lifecycle: the internal projection cache exists to deduplicate
     * the THREE same-plan reads within one action (bucket pass + both

@@ -28,10 +28,18 @@ import org.apache.spark.sql.DataFrame
   * column pruning ON TOP of the cache, which the reference's opaque
   * serialized partition blobs cannot offer.
   *
-  * Staleness contract (same as the reference's): the key covers the plan
-  * and the input FILE LIST, not file contents — an in-place overwrite of
-  * an input file requires an explicit [[invalidate]], exactly as a
-  * reference container cache survives until decached.
+  * Staleness contract (same as the reference's): by default the key
+  * covers the plan and the input FILE LIST, not file contents — an
+  * in-place overwrite of an input file requires an explicit
+  * [[invalidate]], exactly as a reference container cache survives until
+  * decached. `contentKeys = true` opts into per-file (size, mtime)
+  * keying: an in-place overwrite then derives a NEW key and misses
+  * instead of serving stale bytes. The stats come from a fresh
+  * `FileSystem.getFileStatus` per input file — deliberately NOT Spark's
+  * session file-status cache, because the overwrite this mode exists to
+  * catch happens outside the session's knowledge — so content mode costs
+  * one O(files) metadata pass per attach (bounded by compaction; on HDFS
+  * this is namenode RPCs, cheap next to the scan it saves).
   */
 object PlanCache {
 
@@ -61,7 +69,7 @@ object PlanCache {
     * serialization turns a silent fleet-wide cache miss into a named
     * test failure with an explicit migration note.
     */
-  def fingerprint(df: DataFrame): String = {
+  def fingerprint(df: DataFrame, contentKeys: Boolean = false): String = {
     val md = MessageDigest.getInstance("SHA-256")
     def put(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
     // BOTH serializations are hashed, because each elides what the other
@@ -133,6 +141,26 @@ object PlanCache {
         rel.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             put("files:"); fs.location.inputFiles.sorted.foreach(f => put(s"${f.length}:$f"))
+            // Opt-in content keys: fold each file's (size, mtime) into the
+            // key, statted FRESH from the filesystem (never the session's
+            // file-status cache — see the staleness contract above). A
+            // file that vanished between listing and stat keys as missing:
+            // the key changes, the attach misses, and the recompute (not
+            // this fingerprint) is where a genuinely broken input fails
+            // loudly.
+            if (contentKeys) {
+              put("content:")
+              val conf = df.sparkSession.sessionState.newHadoopConf()
+              fs.location.inputFiles.sorted.foreach { f =>
+                val p = new org.apache.hadoop.fs.Path(f)
+                val stat =
+                  try {
+                    val st = p.getFileSystem(conf).getFileStatus(p)
+                    s"${st.getLen}:${st.getModificationTime}"
+                  } catch { case _: java.io.FileNotFoundException => "missing" }
+                put(s"${f.length}:$f=$stat")
+              }
+            }
           case _ => ()
         }
       case _ => ()
@@ -145,15 +173,16 @@ object PlanCache {
     * warm re-attach); otherwise compute once, publish atomically, and read
     * the published copy so every consumer sees identical bytes.
     */
-  def readThrough(df: DataFrame, cacheDir: String): DataFrame =
-    readThroughWithOutcome(df, cacheDir)._1
+  def readThrough(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): DataFrame =
+    readThroughWithOutcome(df, cacheDir, contentKeys)._1
 
   /** [[readThrough]] plus this call's outcome (race-free, unlike
     * [[lastOutcome]]).
     */
-  def readThroughWithOutcome(df: DataFrame, cacheDir: String): (DataFrame, Outcome) = {
+  def readThroughWithOutcome(df: DataFrame, cacheDir: String,
+      contentKeys: Boolean = false): (DataFrame, Outcome) = {
     val spark = df.sparkSession
-    val key = fingerprint(df)
+    val key = fingerprint(df, contentKeys)
     Files.createDirectories(Paths.get(cacheDir))
     sweepStaleTmp(Paths.get(cacheDir))
     val target = Paths.get(cacheDir, key)
@@ -172,8 +201,8 @@ object PlanCache {
   /** Explicit eviction (the reference's decache). Returns true if a
     * published entry existed.
     */
-  def invalidate(df: DataFrame, cacheDir: String): Boolean = {
-    val target = Paths.get(cacheDir, fingerprint(df))
+  def invalidate(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): Boolean = {
+    val target = Paths.get(cacheDir, fingerprint(df, contentKeys))
     val existed = isPublished(target)
     if (Files.exists(target)) deleteTree(target)
     sweepStaleTmp(target.getParent)

@@ -142,6 +142,58 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.fingerprint(nullV) != PlanCache.fingerprint(litV))
   }
 
+  test("content keys (opt-in) catch an in-place overwrite; default keys keep the list contract") {
+    val cacheDir = tmpDir("pc-ck")
+    val src = tmpDir("pc-ck-src")
+    val file = Paths.get(src, "data.parquet")
+    import spark.implicits._
+    // stage parquet bytes under OUR filename (Spark's own overwrite mints
+    // new part names, which the list-based key would see — the footgun is
+    // precisely an overwrite that keeps the path identical)
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val t = tmpDir("pc-ck-stage")
+      rows.toDF("k", "s").coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, file, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    stage(Seq((1L, "old"), (2L, "old")))
+    def q() = {
+      spark.catalog.refreshByPath(file.toString) // drop any session-cached listing
+      spark.read.parquet(file.toString).groupBy(col("s")).agg(count(lit(1)).as("n"))
+    }
+    val d1 = q()
+    val listKey = PlanCache.fingerprint(d1)
+    val contentKey = PlanCache.fingerprint(d1, contentKeys = true)
+    assert(listKey != contentKey) // stats are part of the opt-in key
+    val oldRows = PlanCache.readThrough(d1, cacheDir).collect().map(_.toString).sorted.toSeq
+    // content mode on an UNCHANGED input still hits (stable stats)
+    PlanCache.readThrough(d1, cacheDir, contentKeys = true).count()
+    assert(PlanCache.lastOutcome == PlanCache.Miss) // first content-keyed publish
+    PlanCache.readThrough(q(), cacheDir, contentKeys = true).count()
+    assert(PlanCache.lastOutcome == PlanCache.Hit)
+
+    // overwrite IN PLACE: same path, new bytes; mtime bumped
+    // deterministically past any filesystem timestamp granularity
+    val mtime0 = Files.getLastModifiedTime(file)
+    stage(Seq((1L, "new"), (2L, "new"), (3L, "new")))
+    Files.setLastModifiedTime(file,
+      java.nio.file.attribute.FileTime.fromMillis(mtime0.toMillis + 2000))
+
+    val d2 = q()
+    // default contract: same file list → same key → HIT, serving the
+    // stale (pre-overwrite) rows until an explicit invalidate
+    assert(PlanCache.fingerprint(d2) == listKey)
+    val (stale, o1) = PlanCache.readThroughWithOutcome(d2, cacheDir)
+    assert(o1 == PlanCache.Hit)
+    assert(stale.collect().map(_.toString).sorted.toSeq == oldRows)
+    // content keys: new stats → new key → MISS, recompute sees new rows
+    assert(PlanCache.fingerprint(d2, contentKeys = true) != contentKey)
+    val (fresh, o2) = PlanCache.readThroughWithOutcome(d2, cacheDir, contentKeys = true)
+    assert(o2 == PlanCache.Miss)
+    val freshRows = fresh.collect().map(_.toString).sorted.toSeq
+    assert(freshRows.exists(_.contains("new")) && !freshRows.exists(_.contains("old")))
+  }
+
   test("invalidate on a never-written cacheDir returns false (no sweep crash)") {
     val df = ordersAgg(spark, sf0001)
     assert(!PlanCache.invalidate(df, tmpDir("pc-empty") + "/never-created"))

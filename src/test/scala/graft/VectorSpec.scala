@@ -146,6 +146,26 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("autoBits encodes the probed log2(n/bucket) scale contract") {
+    // pinned to the BASELINE.md probe table: the operating points the
+    // bits-vs-corpus-size probes actually ran (round 6: 2k → 6 bits at
+    // ~32/bucket; round 8 re-key: 20k → 10 at ~20/bucket, 200k → 14 at
+    // ~12/bucket) — autoBits must reproduce them, not merely be monotone
+    assert(Similarity.autoBits(2000, 32) == 6)
+    assert(Similarity.autoBits(20000, 20) == 10)
+    assert(Similarity.autoBits(200000, 12) == 14)
+    // the documented 100 TB landing zone: ~10^9 vectors, O(100)/bucket
+    // sits inside the 20-24 band BASELINE.md records
+    val big = Similarity.autoBits(1000000000L, 100)
+    assert(big >= 20 && big <= 24, s"100TB-class bits out of band: $big")
+    // clamps: a corpus smaller than the bucket never goes below 1 bit,
+    // and the Long key packing bounds the top at 63
+    assert(Similarity.autoBits(10, 32) == 1)
+    assert(Similarity.autoBits(Long.MaxValue, 1) == 63)
+    intercept[IllegalArgumentException](Similarity.autoBits(0, 32))
+    intercept[IllegalArgumentException](Similarity.autoBits(100, 0))
+  }
+
   test("productQuantize: complete code coverage, valid ranges, deterministic") {
     import graft.operators.Quantize
     val (models, codes) = Quantize.productQuantize(emb, "vec_id", "embedding", 4, 8, 2)
