@@ -35,6 +35,106 @@ object ScaleProbe {
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
 
+    // --skew=N — the skew-family probe at N× (N ∈ {1, 10, 100}): a
+    // planted-hot-key corpus (ONE key owns half the rows, the rest
+    // uniform over 1024 keys — fx11's corpus makes every key heavy, this
+    // isolates the single-straggler shape) generated at 600k·N pairs,
+    // the 1× size of fx11's lineitem input. Three paths:
+    //   salted_group — groupByKeySalted (reference full-list semantics;
+    //     the hot key's list concatenates on one reducer BY CONTRACT);
+    //   reduce — reduceByKey (map-side combine; skew-immune, the
+    //     aggregation users should reach for at scale);
+    //   join_aqe / join_noaqe — hot fact ⋈ key dim under sort-merge
+    //     (broadcast disabled: a 1k-row dim always broadcasts, hiding
+    //     the path 100 TB dims take), with AQE's skew split on vs off,
+    //     plan-checked that the split actually engaged.
+    if (args.exists(_.startsWith("--skew"))) {
+      import spark.implicits._
+      import graft.dset.DSet
+      import graft.dset.DSet.KVOps
+      val mult = args.find(_.startsWith("--skew="))
+        .map(_.stripPrefix("--skew=").toInt).getOrElse(1)
+      val n = 600000L * mult
+      def pairs() = new DSet(spark.range(n).select(
+        when(col("id") % 2 === 0, lit("HOT"))
+          .otherwise(concat(lit("k"), (col("id") % 1024).cast("string"))).as("k"),
+        (col("id") % 100).as("v")).as[(String, Long)])
+      // salt spreads the hot key over this many reducers; sized to the
+      // hot-key share the way a real corpus would size it (8 at 1×/10×
+      // matches the recorded fx11 probes; 32 = one per core at 100×)
+      val salt = if (mult >= 100) 32 else 8
+      val tg = timed {
+        pairs().groupByKeySalted(salt).mapByValue(vs => (vs.length.toLong, vs.sum))
+          .map(t => (t._1, t._2._1, t._2._2))
+          .ds.toDF("k", "cnt", "sum").write.format("noop").mode("overwrite").save()
+      }
+      println(f"[probe] ${s"skew_salted_group_${mult}x"}%-24s $tg%6.2f s (salt=$salt)")
+      val tr = timed {
+        pairs().reduceByKey(_ + _).ds.toDF("k", "sum")
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[probe] ${s"skew_reduce_${mult}x"}%-24s $tr%6.2f s")
+
+      val dim = spark.range(1025).select(
+        when(col("id") === 1024, lit("HOT"))
+          .otherwise(concat(lit("k"), col("id").cast("string"))).as("k"),
+        (col("id") * 7).as("w"))
+      // the fact carries an incompressible payload (a real fact row's
+      // width): with only the constant key + a cyclic value, lz4 shrinks
+      // the hot partition's shuffle blocks ~20× and the BYTES-based skew
+      // detection never sees the row skew that is plainly there
+      val fact = spark.range(n).select(
+        when(col("id") % 2 === 0, lit("HOT"))
+          .otherwise(concat(lit("k"), (col("id") % 1024).cast("string"))).as("k"),
+        (col("id") % 100).as("v"),
+        md5(col("id").cast("string")).as("payload"))
+      // capture each run's final adaptive plan so the probe can PROVE the
+      // skew split engaged instead of inferring it from wall time
+      @volatile var lastPlan = ""
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          lastPlan = qe.executedPlan.toString
+        override def onFailure(name: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val skew0 = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // skew detection is THRESHOLD-relative (a partition is split when
+        // it exceeds skewedPartitionThresholdInBytes AND 5× the median):
+        // the defaults (256 MB / 64 MB advisory) are sized for the
+        // multi-GB shuffle partitions of a real cluster, while this
+        // probe's hot partition lands around 100-200 MB compressed (the
+        // constant "HOT" key column compresses away). Scale the knobs to
+        // the probe the way an operator scales them to a cluster —
+        // detection at 64 MB, re-split advisory 16 MB.
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        for (aqeSkew <- Seq(true, false)) {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
+          val tj = timed {
+            fact.join(dim, "k")
+              .select(sum(col("v") + col("w") + length(col("payload"))).as("s"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          val tag = if (aqeSkew) "join_aqe" else "join_noaqe"
+          val split = if (aqeSkew) s", skew-split=${lastPlan.contains("skew=true")}" else ""
+          println(f"[probe] ${s"skew_${tag}_${mult}x"}%-24s $tj%6.2f s$split")
+          if (args.contains("--skew-debug")) println(lastPlan)
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew0)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.listenerManager.unregister(listener)
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("--hot-bucket")) {
       val docs = Tables.load(spark, sfDir, "documents")
       // plant one degenerate cluster: 3000 copies of a single doc
