@@ -365,13 +365,23 @@ object PipelineQueries {
     "st2_live_ingest" -> { (s, dir) =>
       val stage = liveStage.synchronized {
         liveStage.getOrElseUpdate(dir, {
+          // distributed staging: the executor writes the wire file (no
+          // driver-side collect); the at-least-once twin is a
+          // file-level copy of the staged artifact, as a re-delivering
+          // producer would re-send the same file — row data never
+          // transits the driver
           val d = tmpDir("live-ingest")
-          val lines = Tables.load(s, dir, "events")
+          val t = tmpDir("live-stage-out")
+          Tables.load(s, dir, "events")
             .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-            .toJSON.collect()
+            .repartition(1)
+            .write.mode("overwrite").json(t)
+          val part = new java.io.File(t).listFiles()
+            .filter(_.getName.endsWith(".json")).head.toPath
           Seq("a", "b").foreach { n =>
             val staged = java.nio.file.Files.createTempFile("live-stage", ".json")
-            java.nio.file.Files.write(staged, lines.mkString("\n").getBytes("UTF-8"))
+            java.nio.file.Files.copy(part, staged,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             java.nio.file.Files.move(staged, java.nio.file.Paths.get(d, s"$n.json"),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
@@ -429,17 +439,16 @@ object PipelineQueries {
     "st3_snapshot_sink" -> { (s, dir) =>
       val stage = snapStage.synchronized {
         snapStage.getOrElseUpdate(dir, {
+          // distributed staging: executors write the JSON drop files
+          // directly (one part file per chunk; the job-commit rename is
+          // the atomic drop a producer fleet would do) — no driver-side
+          // collect, so the harness obeys the same anti-pattern rule as
+          // the operators it gates
           val d = tmpDir("snap-sink-src")
-          val lines = Tables.load(s, dir, "events")
+          Tables.load(s, dir, "events")
             .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
-            .toJSON.collect()
-          val per = math.max(1, lines.length / 4 + 1)
-          lines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
-            val staged = java.nio.file.Files.createTempFile("snap-stage", ".json")
-            java.nio.file.Files.write(staged, chunk.mkString("\n").getBytes("UTF-8"))
-            java.nio.file.Files.move(staged, java.nio.file.Paths.get(d, f"chunk_$i%02d.json"),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          }
+            .repartition(4)
+            .write.mode("overwrite").json(d)
           d
         })
       }
