@@ -159,6 +159,29 @@ object VectorQueries {
     // here and it alone cost 85 s of the 118 s driver bench; the oracle
     // replays the SRP hyperplane stream (v3/v6's CTE) so the ANN side
     // stays hash-gated.
+    // Hybrid SEARCH — RRF fusion of a lexical and a semantic candidate
+    // list (the retrieval half of the hybrid story; x1 is the dedup
+    // half): BM25 top-20 for the corpus's top-3-df probe (ii4's
+    // pipeline) fused with cosine top-20 around the min-vec_id query
+    // embedding (v1's pipeline) via reciprocal-rank fusion at the
+    // published k=60. Ranks derive from 6dp-rounded scores with id
+    // tiebreaks and the fused score rounds before the top-10 cut, so
+    // the ENTIRE fusion arithmetic — both retrievals, both rank
+    // assignments, the 1/(60+r) sum — replays under the driver hash.
+    "x2_hybrid_search_rrf" -> { (s, dir) =>
+      import graft.operators.{InvertedIndex, Retrieval}
+      val docs = Tables.load(s, dir, "documents")
+      val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      val lex = InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 20)
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.orderBy(col("vec_id").asc).limit(1)
+      val sem = Similarity.bruteForceKnn(
+          qv, emb, "vec_id", "embedding", "vec_id", "embedding", k = 20)
+        .select(col("neighbor").as("doc_id"), col("sim").as("score"))
+      Retrieval.rrfFuse(Seq(lex -> "score", sem -> "score"), "doc_id", k = 60, topK = 10)
+    },
+
     "x1_hybrid_dedup_groups" -> { (s, dir) =>
       val txt = graft.operators.Dedup.minhashNearDupPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -538,6 +561,53 @@ object VectorQueries {
     // LSH == this at the declared thresholds); embedding side: the SRP
     // hyperplane replay (v3/v6's CTE) — the oracle runs the SAME ANN
     // candidate set the Spark plan does, cosine-verified.
+    "x2_hybrid_search_rrf" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         dfq AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         bm AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id),
+         lex AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         q AS (SELECT * FROM ed
+           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+             AND list_dot_product(v, v) > 0),
+         pairs AS (
+           SELECT e.vec_id AS doc_id,
+             list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM q JOIN ed e ON e.vec_id <> q.vec_id
+           WHERE list_dot_product(e.v, e.v) > 0),
+         semr AS (
+           SELECT doc_id, round(cos, 6) AS score,
+             row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rk
+           FROM pairs),
+         sem AS (SELECT doc_id, score FROM semr WHERE rk <= 20),
+         lr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM lex),
+         sr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sem),
+         u AS (
+           SELECT doc_id, 1.0::DOUBLE / (60 + r) AS c FROM lr
+           UNION ALL
+           SELECT doc_id, 1.0::DOUBLE / (60 + r) AS c FROM sr)
+         SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u
+         GROUP BY doc_id ORDER BY rrf_score DESC, doc_id ASC LIMIT 10""",
     "x1_hybrid_dedup_groups" ->
       s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
          sh AS (

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: hand-computed reciprocal-rank arithmetic across two lists") {
+    val lex = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("doc_id", "score")
+    val sem = Seq((2L, 0.99), (4L, 0.5)).toDF("doc_id", "score")
+    // ranks: lex 1→1 2→2 3→3; sem 2→1 4→2. k=60:
+    //   doc 2: 1/62 + 1/61   doc 1: 1/61   doc 4: 1/62   doc 3: 1/63
+    val got = Retrieval.rrfFuse(Seq(lex -> "score", sem -> "score"), "doc_id", k = 60, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    val expected = Seq(
+      2L -> r6(1.0 / 62 + 1.0 / 61),
+      1L -> r6(1.0 / 61),
+      4L -> r6(1.0 / 62),
+      3L -> r6(1.0 / 63))
+    assert(got == expected, got.mkString(","))
+    // topK cuts AFTER fusion, not per list
+    assert(Retrieval.rrfFuse(Seq(lex -> "score", sem -> "score"), "doc_id", k = 60, topK = 3)
+      .as[(Long, Double)].collect().map(_._1).toSeq == Seq(2L, 1L, 4L))
+  }
+
+  test("rrfFuse: score ties rank by ascending id; fused ties order by ascending id") {
+    val a = Seq((6L, 0.9), (5L, 0.9)).toDF("doc_id", "score")
+    // equal scores → doc 5 ranks 1, doc 6 ranks 2 (id tiebreak)
+    val got = Retrieval.rrfFuse(Seq(a -> "score"), "doc_id", k = 60, topK = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq(5L -> r6(1.0 / 61), 6L -> r6(1.0 / 62)), got.mkString(","))
+    // two docs fused to the SAME score (symmetric ranks across lists)
+    // must come back id-ascending
+    val l1 = Seq((8L, 0.9), (7L, 0.8)).toDF("doc_id", "score")
+    val l2 = Seq((7L, 0.9), (8L, 0.8)).toDF("doc_id", "score")
+    val tied = Retrieval.rrfFuse(Seq(l1 -> "score", l2 -> "score"), "doc_id", k = 60, topK = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(tied == Seq(7L -> r6(1.0 / 61 + 1.0 / 62), 8L -> r6(1.0 / 61 + 1.0 / 62)),
+      tied.mkString(","))
+  }
+
+  test("rrfFuse: ranks derive from 6dp-ROUNDED scores (cross-engine contract)") {
+    // raw scores differ past the 6th decimal — the rank tiebreak must
+    // treat them as EQUAL and fall to the id, or two engines disagreeing
+    // in the 7th decimal would derive different ranks
+    val a = Seq((9L, 0.5000001), (3L, 0.5000002)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(Seq(a -> "score"), "doc_id", k = 60, topK = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 9L), got.mkString(","))
+  }
+
+  test("rrfFuse: invalid arguments fail loudly") {
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, "doc_id"))
+    val a = Seq((1L, 0.5)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a -> "score"), "doc_id", k = 0))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(Seq(a -> "score"), "doc_id", topK = 0))
+  }
+}
