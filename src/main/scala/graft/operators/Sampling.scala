@@ -84,6 +84,58 @@ object Sampling {
       .drop("__stratum", "__stratum_total")
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-training
+    * rebalancing rule: stratum g with corpus share p_g is sampled toward
+    * target share q_g ∝ p_g^alpha (alpha < 1 flattens the head and
+    * upweights tail languages; alpha = 1 preserves the natural mix), so
+    * with target size B the per-stratum rate is min(1, B·q_g / n_g).
+    * The keep decision is the same deterministic splitmix64 hash as
+    * [[hashSample]] — the mix is auditable and replayable even though
+    * every rate is data-dependent.
+    *
+    * Determinism across engines (the mix1 bit-for-bit pattern, hardened
+    * for the cross-STRATUM sum this rule needs): weights quantize to
+    * integers (round(n^alpha · 1000)), so the weight total is an exact
+    * integer sum — order-free, unlike a float sum over shuffled groups —
+    * and the threshold is one double expression of exactly-representable
+    * integers (floor(B·Buckets · w / (wsum · n))): multiply/divide are
+    * IEEE-correctly-rounded, so any engine replaying the same expression
+    * gets the same buckets. alpha = 0.5 evaluates via sqrt (correctly
+    * rounded, unlike pow) — the replay-exact operating point; other
+    * alphas ride pow parity, the t6/f3 ln-parity class.
+    *
+    * Oversubscribed strata (B·q_g > n_g) cap at keep-everything; the
+    * shortfall is NOT redistributed (redistribution iterates to a
+    * fixpoint and breaks single-expression replay) — callers wanting
+    * exact totals re-run with a higher B.
+    *
+    * Scale shape: one map-side-combined count per stratum (+ a 1-row
+    * weight total, both broadcast back), then the codegen'd hash filter
+    * in the scan stage — no data-sized shuffle.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, targetSize: Long, seed: Long = 42L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetSize > 0, s"targetSize must be positive, got $targetSize")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(stratumCol, "__stratum")
+    val nDouble = col("__n").cast("double")
+    val rawW = if (alpha == 0.5) sqrt(nDouble) else pow(nDouble, lit(alpha))
+    val weighted = counts.withColumn("__w", round(rawW * 1000, 0).cast("long"))
+    val wsum = weighted.agg(sum(col("__w")).as("__wsum"))
+    val thr = least(
+      lit(Buckets),
+      floor(lit(targetSize.toDouble * Buckets) * col("__w").cast("double")
+        / (col("__wsum").cast("double") * nDouble)).cast("long"))
+    val rates = weighted.crossJoin(wsum)
+      .select(col("__stratum"), thr.as("__thr"))
+    // null-safe stratum match, as in [[mixtureSample]]: null is a
+    // stratum like any other
+    df.join(broadcast(rates), col(stratumCol) <=> col("__stratum"))
+      .filter(hashBucket(col(idCol), Buckets, seed) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Disjoint train/holdout split from one hash: rows below the eval
     * threshold form the eval set, the rest train — membership is stable
     * under corpus growth (a doc never migrates between splits when new

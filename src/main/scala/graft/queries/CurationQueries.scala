@@ -24,6 +24,9 @@ object CurationQueries {
   private val StratRates = Seq("en" -> 0.05, "de" -> 0.25, "es" -> 0.5, "fr" -> 0.75, "zh" -> 1.0)
   private val PackCapacity = 128L
 
+  /** s5: temperature-sampling target size (~30% of the sf0.01 corpus). */
+  private val TempTarget = 150L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 10% sample: splitmix64(doc_id) bucket < 100k/1M.
     // Consistent sampling — the keep set is a pure function of
@@ -315,6 +318,20 @@ object CurationQueries {
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
 
+    // Temperature-weighted mixture sampling (the multilingual-training
+    // rebalancing rule q_g ∝ p_g^alpha at alpha = 0.5, the replay-exact
+    // sqrt operating point): per-language rates computed FROM the corpus
+    // shares via integer-quantized weights, then the deterministic
+    // splitmix64 keep. The oracle replays the count → weight → threshold
+    // arithmetic AND the hash, so the data-dependent rates themselves
+    // sit under the driver hash (the mix1 pattern with a cross-stratum
+    // weight sum, made order-free by the integer quantization).
+    "s5_temperature_sample" -> { (s, dir) =>
+      Sampling.temperatureSample(Tables.load(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetSize = TempTarget, seed = SampleSeed)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
     // → boilerplate removal → emptiness filter → stratified resampling →
     // sequence packing. Hash-gated end-to-end: the oracle replays the
@@ -443,6 +460,18 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "s5_temperature_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+          wt AS (SELECT lang, n, round(sqrt(n::DOUBLE) * 1000)::BIGINT AS w FROM cnt),
+          ws AS (SELECT sum(w)::BIGINT AS wsum FROM wt),
+          th AS (SELECT lang,
+                   least(${Sampling.Buckets},
+                         floor((${TempTarget * Sampling.Buckets})::DOUBLE * w::DOUBLE
+                               / (wsum::DOUBLE * n::DOUBLE))::BIGINT) AS thr
+                 FROM wt CROSS JOIN ws),
+          j AS (SELECT d.doc_id, d.lang, th.thr FROM documents d JOIN th USING (lang)),
+          ${splitmixCte("j", "doc_id", SampleSeed)}
+          SELECT doc_id, lang FROM h WHERE bucket < thr""",
     "tv1_snapshot_versions" ->
       """WITH batch AS (
            SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7

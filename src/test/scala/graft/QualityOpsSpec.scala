@@ -122,6 +122,55 @@ class QualityOpsSpec extends SparkSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- temperatureSample ----
+
+  test("temperatureSample at alpha=1 preserves the natural mix (uniform rate)") {
+    // 2000 rows, B=500 → B·1e6/N = 250000 exactly, so every stratum's
+    // threshold equals hashSample's at rate 0.25 and the keep sets match
+    val df = (0L until 2000L).map(i => (i, if (i % 4 == 0) "head" else "tail")).toDF("id", "g")
+    val temp = Sampling.temperatureSample(df, "id", "g", alpha = 1.0, targetSize = 500L)
+      .select("id").as[Long].collect().toSet
+    val flat = Sampling.hashSample(df, "id", 0.25).select("id").as[Long].collect().toSet
+    assert(temp == flat && temp.nonEmpty)
+  }
+
+  test("temperatureSample at alpha=0.5 upweights the tail stratum") {
+    // natural shares 0.9/0.1; sqrt weights → target shares 0.75/0.25:
+    // the tail's kept share must beat its natural share
+    val df = (0L until 4000L).map(i => (i, if (i % 10 == 0) "tail" else "head")).toDF("id", "g")
+    val kept = Sampling.temperatureSample(df, "id", "g", alpha = 0.5, targetSize = 1000L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val total = kept.values.sum
+    assert(total > 800 && total < 1200, s"expected ~1000 kept: $kept")
+    val tailShare = kept("tail").toDouble / total
+    assert(tailShare > 0.18 && tailShare < 0.32, s"tail share should be ~0.25: $kept")
+  }
+
+  test("temperatureSample caps oversubscribed strata at keep-everything") {
+    // the 20-row stratum's target (≈ B·q ≈ 414 at these weights) far
+    // exceeds its size → rate caps at 1.0 and every row survives
+    val df = (0L until 2020L).map(i => (i, if (i < 20) "tiny" else "big")).toDF("id", "g")
+    val kept = Sampling.temperatureSample(df, "id", "g", alpha = 0.5, targetSize = 1500L)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("tiny") == 20L, s"capped stratum keeps all rows: $kept")
+  }
+
+  test("temperatureSample keep set is independent of partitioning (auditable mix)") {
+    val df = (0L until 2000L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val a = Sampling.temperatureSample(df.repartition(1), "id", "g", 0.5, 600L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(17), "id", "g", 0.5, 600L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("temperatureSample rejects invalid alpha and target") {
+    val df = Seq((1L, "a")).toDF("id", "g")
+    intercept[IllegalArgumentException](Sampling.temperatureSample(df, "id", "g", 0.0, 10L))
+    intercept[IllegalArgumentException](Sampling.temperatureSample(df, "id", "g", 1.5, 10L))
+    intercept[IllegalArgumentException](Sampling.temperatureSample(df, "id", "g", 0.5, 0L))
+  }
+
   // ---- Quantize ----
 
   test("scalarQuantizeInt8: known vectors quantize to exact codes; degenerate dim → 0") {
