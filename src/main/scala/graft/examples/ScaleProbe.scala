@@ -219,6 +219,23 @@ object ScaleProbe {
         }
         println(f"[probe] ${"phrase_search_steady"}%-24s ${t}%6.2f s")
       }
+      // --bm25: steady-state RANKED search — scored index built + stats
+      // computed ONCE (the ii4 gate pays both every run so the oracle
+      // can replay them; this measures the per-query price of ranked
+      // retrieval off the standing artifact, the ii2-phrase pattern)
+      if (args.contains("--bm25")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+        val dir = graft.queries.QueryTmp.dir("probe-bm25")
+        val scored = InvertedIndex.materializeScored(docs, "doc_id", "text", s"$dir/scored")
+        val probes = InvertedIndex.topTokensByDf(scored, 3)
+        val stats = InvertedIndex.corpusStats(scored, "doc_id")
+        val t = timed {
+          InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10, stats = Some(stats))
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"bm25_search_steady"}%-24s ${t}%6.2f s")
+      }
       // --kmfirst: the plain first-k-init fit, --only-compatible (the
       // default-extras km_fit below doesn't run at 100×)
       if (args.contains("--kmfirst")) {

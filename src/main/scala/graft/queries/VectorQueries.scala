@@ -171,7 +171,12 @@ object VectorQueries {
     "x2_hybrid_search_rrf" -> { (s, dir) =>
       import graft.operators.{InvertedIndex, Retrieval}
       val docs = Tables.load(s, dir, "documents")
-      val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
+      // materialized, not just declared: probe selection, corpus stats
+      // and the search each read the postings — un-materialized, the
+      // explode+groupBy+window build plan would re-execute per reader
+      // (3× the build cost, measured 56 s vs 20 s at the 100× probe)
+      val scored = InvertedIndex.materializeScored(
+        docs, "doc_id", "text", QueryTmp.dir("x2idx") + "/postings")
       val probes = InvertedIndex.topTokensByDf(scored, 3)
       val lex = InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 20)
       val emb = Tables.load(s, dir, "embeddings")
