@@ -236,6 +236,21 @@ object ScaleProbe {
         }
         println(f"[probe] ${"bm25_search_steady"}%-24s ${t}%6.2f s")
       }
+      // --spans: cross-doc shared-span detection in BOTH keying modes —
+      // exact span strings (the d14 oracle surface) vs native FNV window
+      // hashes (the production path: no window string ever built, longs
+      // on the exchange)
+      if (args.contains("--spans")) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        for (hashed <- Seq(false, true)) {
+          val t = timed {
+            Dedup.sharedSpans(docs, "doc_id", "text", window = 8, minDocs = 2, hashed = hashed)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val tag = if (hashed) "spans_hashed" else "spans_exact"
+          println(f"[probe] $tag%-24s ${t}%6.2f s")
+        }
+      }
       // --kmfirst: the plain first-k-init fit, --only-compatible (the
       // default-extras km_fit below doesn't run at 100×)
       if (args.contains("--kmfirst")) {

@@ -424,6 +424,66 @@ object Dedup {
     * line); both are gone. The document count enters as a 1-row
     * aggregate cross join (broadcast), not a driver `count()`.
     */
+  /** Cross-document repeated SPANS — the exact-substring granularity of
+    * the published dedup recipe (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): a `window`-token span
+    * appearing in `minDocs`+ documents marks boilerplate / license
+    * headers / templated passages that document-level dedup (d1-d7)
+    * and within-doc dedup (d11) both miss. The suffix-array formulation
+    * of the paper is replaced by the Spark-native sliding-window
+    * fingerprint: every document's token windows explode, equal windows
+    * meet in one groupBy — same detections for spans of exactly
+    * `window` tokens (longer duplicates surface as runs of overlapping
+    * hits).
+    *
+    * Scale shape: the exchange carries one (span, doc) row per token —
+    * ∝ corpus tokens, the t6/f3 shuffle class. `hashed = true` keys the
+    * exchange by the window's native FNV char-range hash (no per-window
+    * string is ever built) instead of the ~window·6-byte string
+    * (shuffle bytes ↓ ~8×, the production mode; a 64-bit collision
+    * merging two distinct spans needs ~2^32 DISTINCT spans per the
+    * birthday bound — detections then over-report, never lose). The
+    * exact mode is the oracle-replayable gate surface. Hashed mode
+    * follows [[ShingleHashes]]' single-space token contract (normalize
+    * first — t8 — for multi-space text); exact mode drops empty tokens
+    * itself.
+    */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int, minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a span shared by fewer is not shared), got $minDocs")
+    val keyed = if (hashed) {
+      // native one-pass window hashing (FNV over the window's char range
+      // — identical to hashing the span string under the single-space
+      // token contract): no per-window string allocation, and the
+      // exchange carries 8-byte longs instead of ~6·window-byte strings
+      df.select(col(idCol).as("__doc"),
+        explode(wordShingleHashesAll(col(textCol), window)).as("span_key"))
+    } else {
+      val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+      // sequence(0, negative) counts DOWN in Spark — a doc shorter than
+      // the window must contribute zero spans, not a descending ghost run
+      val starts = when(size(toks) >= window,
+        sequence(lit(0), size(toks) - window)).otherwise(array())
+      val spans = transform(starts, i => concat_ws(" ", slice(toks, i + 1, lit(window))))
+      df.select(col(idCol).as("__doc"), explode(spans).as("span_key"))
+    }
+    // two-level aggregate, NOT groupBy(span).agg(countDistinct(doc),
+    // count(*)): the countDistinct+count combination rewrites to an
+    // Expand that doubles every shuffled row, and the distinct branch
+    // gets no map-side combine. Here level 1 combines (span, doc)
+    // occurrence counts map-side (a doc's repeated span collapses before
+    // the exchange), and level 2 is a plain combinable aggregate —
+    // measured 2.4× faster at the 10× probe on identical output.
+    keyed.groupBy("span_key", "__doc").agg(count(lit(1)).as("__occ"))
+      .groupBy("span_key")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__occ")).as("n_occurrences"),
+        min(col("__doc")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .withColumnRenamed("span_key", if (hashed) "span_hash" else "span")
+  }
+
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       delim: String = "\n", maxDocFrac: Double = 0.5): DataFrame = {
     val q = java.util.regex.Pattern.quote(delim)
@@ -574,7 +634,8 @@ object Dedup {
     * the string-shingle formulation (and the DuckDB oracle).
     * `word = false`: windows of `n` characters.
     */
-  case class ShingleHashes(child: Expression, n: Int, word: Boolean)
+  case class ShingleHashes(child: Expression, n: Int, word: Boolean,
+      dedupe: Boolean = true)
       extends UnaryExpression with CodegenFallback {
     // n = 0 would crash word mode (ends(-1)) mid-task and silently give
     // char mode ONE constant empty shingle per doc — every doc pairwise
@@ -607,7 +668,7 @@ object Dedup {
           if (m <= 0) Array.emptyLongArray
           else Array.tabulate(m)(j => fnv(s, j, j + n))
         }
-      if (hashes.isEmpty) new GenericArrayData(Array.emptyLongArray)
+      if (!dedupe || hashes.isEmpty) new GenericArrayData(hashes)
       else {
         java.util.Arrays.sort(hashes)
         var w = 1
@@ -670,6 +731,14 @@ object Dedup {
   /** Distinct char-n-gram shingle hashes (see [[ShingleHashes]]). */
   def charShingleHashes(text: Column, n: Int): Column =
     graftbridge.column(ShingleHashes(graftbridge.expression(text), n, word = false))
+
+  /** ALL word-n-gram window hashes in document order (repeats kept —
+    * [[sharedSpans]]' hashed mode needs occurrence counts, which the
+    * distinct-set variant above collapses).
+    */
+  def wordShingleHashesAll(text: Column, n: Int): Column =
+    graftbridge.column(
+      ShingleHashes(graftbridge.expression(text), n, word = true, dedupe = false))
 
   /** Native Catalyst expression computing the full MinHash signature in
     * ONE pass over the shingle array: per shingle one xxhash64 then k

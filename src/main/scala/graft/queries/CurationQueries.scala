@@ -302,6 +302,18 @@ object CurationQueries {
         d.getField("n_dropped").as("n_dropped"))
     },
 
+    // Cross-document shared SPANS (the exact-substring dedup granularity
+    // of Lee et al. — boilerplate/template passages doc-level d1-d7 and
+    // within-doc d11 both miss): 8-token sliding windows explode, equal
+    // windows meet in one groupBy, spans in 2+ docs emerge with their
+    // doc/occurrence counts. Exact (string-keyed) mode so the oracle
+    // replays the window slicing verbatim; the hashed scale mode is
+    // spec'd equivalent in TextDedupSpec.
+    "d14_shared_spans" -> { (s, dir) =>
+      graft.operators.Dedup.sharedSpans(
+        Tables.load(s, dir, "documents"), "doc_id", "text", window = 8, minDocs = 2)
+    },
+
     // Perplexity-style quality: per-doc average unigram log-prob under a
     // corpus-trained LM — docs with unusual vocabulary score low.
     "f3_unigram_logprob" -> { (s, dir) =>
@@ -409,6 +421,15 @@ object CurationQueries {
            array_to_string(list_filter(ts, (t, i) -> list_position(ts, t) = i), ' ') AS clean_text,
            (len(ts) - len(list_distinct(ts)))::INTEGER AS n_dropped
          FROM tk""",
+    "d14_shared_spans" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         sp AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS span
+                FROM tk, UNNEST(range(1, len(ts) - 8 + 2)) AS u(i)
+                WHERE len(ts) >= 8)
+         SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                count(*)::BIGINT AS n_occurrences, min(doc_id) AS first_doc
+         FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2""",
     // Count-weighted mean (Σ cd·ln(c/N) / Σ cd) over per-doc token
     // counts — the same arithmetic the Spark side performs after its
     // single-explode restructure, so the round-4 values agree exactly.

@@ -332,4 +332,47 @@ class TextDedupSpec extends SparkSuite {
     res.collect()
     assert(graftbridge.releaseCheckpoints(res) >= 1)
   }
+
+  test("sharedSpans finds cross-doc windows, skips short docs, counts occurrences") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over it"),   // shares "the quick brown fox" with 1
+      (1L, "see the quick brown fox run"),
+      (2L, "the quick brown fox the quick brown fox"), // span twice WITHIN one doc
+      (3L, "short doc"),                            // < window → zero spans
+      (4L, "completely unrelated words right here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpans(docs, "doc_id", "text", window = 4, minDocs = 2)
+      .select("span", "n_docs", "n_occurrences", "first_doc")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // "the quick brown fox": docs 0, 1, 2 — doc 2 contributes TWO
+    // occurrences (overlap-free repeat) but counts once in n_docs
+    assert(got.contains(("the quick brown fox", 3L, 4L, 0L)), got.mkString("\n"))
+    // spans inside only one document never report, whatever their count
+    assert(!got.exists(_._1 == "the quick brown fox the"), "single-doc span leaked")
+    // a doc shorter than the window contributes nothing (no descending
+    // sequence ghost)
+    assert(!got.exists(_._1.contains("short")), got.mkString("\n"))
+  }
+
+  test("sharedSpans hashed mode reports the same detections under xxhash64 keys") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "zz alpha beta gamma delta"),
+      (2L, "unrelated tokens in this document entirely")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.sharedSpans(docs, "doc_id", "text", window = 4, minDocs = 2)
+      .select("n_docs", "n_occurrences", "first_doc")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val hashed = Dedup.sharedSpans(docs, "doc_id", "text", window = 4, minDocs = 2, hashed = true)
+    assert(hashed.columns.contains("span_hash") && !hashed.columns.contains("span"))
+    val hs = hashed.select("n_docs", "n_occurrences", "first_doc")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(hs == exact && exact.nonEmpty, s"exact=$exact hashed=$hs")
+  }
+
+  test("sharedSpans rejects invalid window/minDocs") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 0))
+    intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 2, minDocs = 1))
+  }
 }
