@@ -344,6 +344,22 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // Cluster-balanced (diversity) sampling — the cluster-then-sample
+    // curation recipe: embeddings route to their nearest k-means
+    // centroid (the km0/km1 fit, shared via fitCached), then EXACTLY
+    // 10 per cluster survive via the deterministic per-group reservoir
+    // (s4's bounded heap). One oracle replays the whole composition:
+    // nearest-centroid assignment off the km0_centroids export
+    // (__OUT__), then the splitmix64 top-10 per cluster.
+    "s6_cluster_sample" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
+        k = 8, maxIters = 5)
+      val assigned = graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
+      Sampling.reservoirPerGroup(assigned, "vec_id", "cluster", k = 10, seed = SampleSeed)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+    },
+
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
     // → boilerplate removal → emptiness filter → stratified resampling →
     // sequence packing. Hash-gated end-to-end: the oracle replays the
@@ -481,6 +497,25 @@ object CurationQueries {
     "s1_hash_sample" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
           SELECT doc_id, lang, source FROM h WHERE bucket < ${rateThr(0.1)}""",
+    "s6_cluster_sample" ->
+      s"""WITH c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+                     FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
+          ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+          dist AS (
+            SELECT e.vec_id, c.cluster,
+              list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+                i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+            FROM ed e CROSS JOIN c),
+          a AS (
+            SELECT vec_id, cluster,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+            FROM dist),
+          asg AS (SELECT vec_id, cluster::INTEGER AS cluster FROM a WHERE rn = 1),
+          ${splitmixCte("asg", "vec_id", SampleSeed)},
+          r AS (SELECT vec_id, cluster,
+                  row_number() OVER (PARTITION BY cluster ORDER BY bucket, vec_id) AS rn2
+                FROM h)
+          SELECT vec_id, cluster FROM r WHERE rn2 <= 10""",
     "s5_temperature_sample" ->
       s"""WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
           wt AS (SELECT lang, n, round(sqrt(n::DOUBLE) * 1000)::BIGINT AS w FROM cnt),

@@ -224,6 +224,26 @@ class CurationSpec extends SparkSuite {
 
   // ---- exact-k per-group sampling (s4) ----
 
+  test("cluster-balanced sample: exactly k per k-means cluster (s6 composition)") {
+    import graft.operators.{KMeans, Sampling}
+    // two well-separated blobs of unequal size — a diversity sample must
+    // draw the same count from each regardless of the 9:1 imbalance
+    val vecs = ((0L until 90L).map(i => (i, Array(0.0 + (i % 3) * 0.01, 0.0))) ++
+      (90L until 100L).map(i => (i, Array(10.0, 10.0 + (i % 2) * 0.01))))
+      .toDF("vec_id", "embedding")
+    val model = KMeans.fit(vecs, "vec_id", "embedding", k = 2, maxIters = 5)
+    val assigned = KMeans.assign(vecs, "vec_id", "embedding", model)
+    val got = Sampling.reservoirPerGroup(assigned, "vec_id", "cluster", k = 3)
+      .as[(Long, String)].collect()
+    assert(got.length == 6, s"3 per cluster × 2 clusters: ${got.mkString(",")}")
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.values.forall(_.size == 3), s"$byCluster")
+    // the two blobs never mix: one cluster's sample is all small ids,
+    // the other's all large
+    assert(byCluster.values.exists(_.forall(_ < 90L)) &&
+      byCluster.values.exists(_.forall(_ >= 90L)), s"$byCluster")
+  }
+
   test("reservoirPerGroup returns exactly k per group, deterministic, hash-ordered") {
     val df = (0L until 3000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
     val got = Sampling.reservoirPerGroup(df, "id", "g", 7).as[(Long, String)].collect()
