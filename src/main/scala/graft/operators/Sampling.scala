@@ -127,7 +127,9 @@ object Sampling {
       lit(Buckets),
       floor(lit(targetSize.toDouble * Buckets) * col("__w").cast("double")
         / (col("__wsum").cast("double") * nDouble)).cast("long"))
-    val rates = weighted.crossJoin(wsum)
+    // explicit hint for the 1-row total (the t6 lesson: an unhinted
+    // 1-row cross join can plan as CartesianProductExec)
+    val rates = weighted.crossJoin(broadcast(wsum))
       .select(col("__stratum"), thr.as("__thr"))
     // null-safe stratum match, as in [[mixtureSample]]: null is a
     // stratum like any other
