@@ -370,6 +370,18 @@ class TextDedupSpec extends SparkSuite {
     assert(hs == exact && exact.nonEmpty, s"exact=$exact hashed=$hs")
   }
 
+  test("wordWindows drops empty tokens and joins with single spaces (oracle parity)") {
+    // multi-space input: the window text must equal the filtered-token
+    // join ("a b c"), NOT the raw char range ("a  b c") — exactly what
+    // the DuckDB replay (string_split → filter '' → array_to_string)
+    // produces
+    val df = Seq((1L, "a  b c  d"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.wordWindows(col("text"), 3).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"), got(1L).mkString("|"))
+    assert(got(2L).isEmpty && got(3L).isEmpty, s"${got(2L)} ${got(3L)}")
+  }
+
   test("sharedSpans rejects invalid window/minDocs") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 0))
