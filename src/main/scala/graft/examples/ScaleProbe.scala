@@ -189,6 +189,27 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v3_srp_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
+      // --knn=bits:tables — annKnnGraph at the scale-contract keying
+      // (the --srp twin for the kNN-graph path: v7's gate pins bits=6
+      // for the oracle replay; the deployed operating point re-keys by
+      // autoBits, and this measures that path)
+      args.filter(_.startsWith("--knn=")).foreach { a =>
+        val (b, tb) = a.stripPrefix("--knn=").split(":") match {
+          case Array(bs, ts) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+              case _ => sys.error(s"--knn expects positive bits:tables (e.g. --knn=14:12), got '$a'")
+            }
+          case _ => sys.error(s"--knn expects bits:tables (e.g. --knn=14:12), got '$a'")
+        }
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ts = timed {
+          graft.operators.Similarity.annKnnGraph(
+            emb, "vec_id", "embedding", 64, k = 3, bits = b, tables = tb)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v7_knn_b${b}_t$tb"}%-24s ${ts}%6.2f s")
+      }
       // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
       // real corpus runs (first-k is the oracle gate). Honored under
       // --only so it can probe at 100× without the 1×-sized extras.

@@ -193,6 +193,43 @@ object Dedup {
     df.join(drops, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware canonical selection: map every near-dup-clustered doc
+    * to its cluster's CANONICAL member — the argmax of `scoreCol` (ties
+    * to the smallest id), instead of [[nearDedupKeep]]'s blind min-id
+    * keep. This is the retention policy real curation wants: near-dup
+    * clusters usually hold truncated/boilerplate variants of one
+    * document, and the pipeline should keep the best one (longest,
+    * highest quality score), not whichever got the smallest id.
+    *
+    * Returns one row per CLUSTERED doc: (idCol, canonical_id). Docs in
+    * no cluster are implicitly their own canonical (same contract as the
+    * d6 group output). Scale shape: pairs are LSH-bounded
+    * ([[minhashNearDupPairs]] — never all-pairs), components iterate on
+    * the pair graph only, and the score join touches clustered ids only
+    * (cluster members ≪ corpus); the per-cluster argmax is a plain
+    * combinable max over a (score, −id) struct — map-side combined, no
+    * window sort.
+    */
+  def canonicalKeep(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
+      bands, threshold, maxBucketSize)
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val scored = comps.join(
+        df.select(col(idCol).cast("long").as("id"), scoreCol.cast("long").as("__score")), "id")
+    // argmax via struct max: (score, −id) orders by score then SMALLEST
+    // id on ties — ids are non-negative longs, so the negation never
+    // overflows and the struct comparison is total
+    val canon = scored
+      .groupBy(col("comp"))
+      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("m"))
+      .select(col("comp"), (-col("m.__negid")).as("canonical_id"))
+    scored.join(canon, "comp")
+      .select(col("id").as(idCol), col("canonical_id"))
+  }
+
   /** Incremental near-dedup: keep only the NEW-batch docs that are not
     * near-duplicates of any EXISTING-corpus doc — the daily-ingest shape
     * of a production pipeline, where re-running batch dedup over

@@ -163,6 +163,64 @@ object Similarity {
     (result, () => { base.unpersist(); () })
   }
 
+  /** ANN k-nearest-neighbor GRAPH: every vector's top-k approximate
+    * cosine neighbors, candidates restricted to SRP-LSH bucket
+    * collisions — the all-to-all companion of [[bruteForceKnn]] (whose
+    * broadcast-queries shape assumes queries ≪ corpus). The kNN graph is
+    * the substrate of embedding-space curation: SemDeDup-style cluster
+    * pruning, diversity scoring, and graph-based ANN indexes all start
+    * from it, and at corpus scale it can never be built all-pairs.
+    *
+    * Scale shape: candidates shuffle (table:bucket) keys only
+    * ([[srpCandidatePairs]] — hot buckets bounded by `maxBucketSize`);
+    * scoring joins candidates back to one cached projection of the
+    * corpus; ranking is a bounded top-k heap per source id
+    * ([[graft.functions.Aggregators.TopKAgg]]) whose partial aggregation
+    * trims to k BEFORE the shuffle — per-id candidate lists never sort
+    * through a window. Ranking compares UNROUNDED cosine (ties broken by
+    * neighbor id — the v1 ordering contract); emitted `sim` is rounded
+    * to 6dp. Vectors with no bucket collisions emit no rows (ANN
+    * semantics — recall vs exact is the bits/tables dial, see
+    * [[autoBits]]).
+    */
+  def annKnnGraph(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one cached projection feeds the bucket pass AND both scoring sides
+    // (the annCosinePairs lifecycle: released after the first action)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = srpCandidatePairs(base, "id", "v", dim, bits, tables, seed, maxBucketSize)
+    // the candidate relation is symmetric; each vector ranks neighbors in
+    // BOTH directions of every collision pair
+    val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val scored = sym
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos"))
+    // heap entries (−cos, neighbor, cos): k smallest under (−cos, id) =
+    // top-k by cos desc with id tiebreak; the third field carries the
+    // un-negated score out (never reconstructed from the sort key, so a
+    // −0.0 can't leak into the output)
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      .on[(Double, Long, Double)](t => (t._1, t._2))
+    val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long, Double)](k, ord).toColumn
+    val result = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
+      .agg(topk)
+      .toDF("qid", "top")
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid").as(idCol), col("col._2").as("neighbor"),
+        (col("pos") + 1).cast("int").as("rank"), round(col("col._3"), 6).as("sim"))
+    autoRelease(result, () => { base.unpersist(); () })
+    result
+  }
+
   /** One-shot listener that releases an internal cache after the first
     * query execution (success OR failure) whose optimized plan reads it.
     * Matching is on the logical `InMemoryRelation`'s cache builder — the

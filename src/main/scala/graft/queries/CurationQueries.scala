@@ -73,6 +73,30 @@ object CurationQueries {
         .select(col("version"), col("lang"), col("n"), col("chars"), col("id_sum"))
     },
 
+    // Snapshot ROLLBACK (the lakehouse RESTORE verb): corpus commits v1,
+    // a bad filter commits v2, rollbackTo(v1) publishes v3 whose data is
+    // v1's files hard-link-carried forward — zero data rewrite, history
+    // immutable. The gate reads the LATEST (must be the restored v1
+    // content, version-tagged with the pointer read back — a rollback
+    // that failed to publish tags 2 and fails the hash) and v2 PINNED
+    // (rollback must not touch intermediate history).
+    "tv2_snapshot_rollback" -> { (s, dir) =>
+      import graft.sources.Snapshots
+      val table = QueryTmp.dir("snaprb") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs, table)
+      val v2 = Snapshots.commit(docs.filter(col("doc_id") % 3 =!= 0), table)
+      Snapshots.rollbackTo(table, v1)
+      def agg(df: DataFrame, v: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("version", lit(v))
+      agg(Snapshots.read(s, table), Snapshots.latestVersion(table).get)
+        .unionByName(agg(Snapshots.read(s, table, Some(v2)), v2))
+        .select(col("version"), col("lang"), col("n"), col("chars"), col("id_sum"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -543,6 +567,15 @@ object CurationQueries {
          UNION ALL
          SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
          FROM merged GROUP BY lang""",
+    // Latest after rollback = the untouched corpus tagged version 3
+    // (v1 → v2 → rollback publishes 3); v2 pinned = the filtered state.
+    "tv2_snapshot_rollback" ->
+      """SELECT 3 AS version, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM documents GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang""",
     "dq1_quality_checks" ->
       """SELECT 'unique:o_orderkey' AS check_name,
            (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric,

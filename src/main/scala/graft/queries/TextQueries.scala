@@ -143,6 +143,17 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
     },
 
+    // Quality-aware CANONICAL selection over the d6 clusters: each
+    // clustered doc maps to its cluster's argmax-length member (ties to
+    // min id) — the retention policy real curation wants (keep the most
+    // complete variant), vs d6/d7's blind min-id keep. The score join
+    // touches clustered ids only; the per-cluster argmax is a
+    // map-side-combined struct max, no window sort.
+    "d15_canonical_dedup" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.canonicalKeep(docs, "doc_id", "text", length(col("text")))
+    },
+
     // SimHash near-dup pairs, hash-gated: the oracle replays the exact
     // FNV-1a + bit-tally sketch in DuckDB (mod-2^64 HUGEINT arithmetic)
     // and enumerates all pairs at hamming <= 3 — chunk blocking is
@@ -416,6 +427,36 @@ object TextQueries {
            UNION
            SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a)
          SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a""",
+    // d6's closure relabeled per cluster, then the canonical member by
+    // (len(text) DESC, doc_id ASC) — the same argmax canonicalKeep's
+    // (score, −id) struct max computes.
+    "d15_canonical_dedup" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         pr AS (
+           SELECT a.doc_id AS da, b.doc_id AS db
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+         ed AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM ed
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a),
+         comp AS (SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a),
+         scored AS (
+           SELECT c.doc_id, c.comp, len(d.text) AS score
+           FROM comp c JOIN documents d USING (doc_id)),
+         canon AS (
+           SELECT comp, doc_id AS canonical_id,
+             row_number() OVER (PARTITION BY comp ORDER BY score DESC, doc_id ASC) AS rn
+           FROM scored)
+         SELECT s.doc_id, c.canonical_id
+         FROM scored s JOIN canon c ON s.comp = c.comp AND c.rn = 1""",
     "d7_near_dedup_corpus" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -133,6 +133,21 @@ object VectorQueries {
         bits = 10, tables = 12)
     },
 
+    // ANN kNN GRAPH over the full corpus: every vector's top-3
+    // approximate cosine neighbors, candidates from SRP bucket
+    // collisions only (never all-pairs) — the substrate of
+    // embedding-space curation (SemDeDup-style pruning, diversity
+    // scoring, graph ANN indexes). Ranking is a bounded top-k heap per
+    // id (TopKAgg — partials trim to k before the shuffle, no window
+    // sort); ties on exact cosine break by neighbor id, the v1
+    // contract. The oracle replays the v3 hyperplane stream, symmetrizes
+    // the collision pairs, and ranks with the same (cos DESC, id ASC)
+    // window.
+    "v7_ann_knn_graph" -> { (s, dir) =>
+      Similarity.annKnnGraph(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, k = 3)
+    },
+
     // Embedding near-dup GROUP resolution: connected components over the
     // exact cosine pairs — each near-dup vector mapped to its cluster's
     // min id (the keep decision). BOUNDED exact verification gate
@@ -666,6 +681,24 @@ object VectorQueries {
          FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
          WHERE list_dot_product(ea.v, eb.v)
                / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // v3's SRP replay, collision pairs symmetrized, cosine ranked per
+    // source id with the v1 (cos DESC, neighbor ASC) window — byte-
+    // identical to annKnnGraph's heap ranking (which compares unrounded
+    // cosine and rounds only the emitted sim).
+    "v7_ann_knn_graph" ->
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
+         sym AS (SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         sc AS (
+           SELECT s.id_a AS vec_id, s.id_b AS neighbor,
+                  list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+           FROM sym s JOIN ed ea ON ea.vec_id = s.id_a JOIN ed eb ON eb.vec_id = s.id_b),
+         ranked AS (
+           SELECT vec_id, neighbor, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+           FROM sc)
+         SELECT vec_id, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim
+         FROM ranked WHERE rank <= 3""",
     // v3's SRP replay composed with the recursive-CTE transitive closure
     // (the v5 shape) — the full ANN dedup-group pipeline in SQL.
     "v6_ann_dedup_groups" ->

@@ -145,6 +145,46 @@ object Snapshots {
     committed.get
   }
 
+  /** Roll the table back to `version`'s content by publishing a NEW
+    * version whose data is `version`'s files carried forward (hard
+    * links — O(files) metadata ops, zero data rewrite; the lakehouse
+    * RESTORE verb). History stays immutable and append-only: the bad
+    * intermediate versions remain pinned-readable, the pointer only ever
+    * moves forward, and the restore itself is an auditable version in
+    * the chain (its recorded base is the latest it superseded). CAS
+    * published with the [[commitAppend]] loop: a commit racing the
+    * rollback is never silently shadowed — the rollback re-stages
+    * against the new latest, so the restored content is the final state.
+    * No-op (returns `version`) when `version` is already the published
+    * latest.
+    */
+  def rollbackTo(tableDir: String, version: Int): Int = {
+    require(Files.isDirectory(Paths.get(tableDir, s"v=$version")),
+      s"rollbackTo: no version directory v=$version under $tableDir")
+    var committed: Option[Int] = None
+    while (committed.isEmpty) {
+      val base = latestVersion(tableDir)
+      require(base.exists(_ >= version),
+        s"rollbackTo: v=$version is not a published version of $tableDir " +
+          s"(latest = ${base.getOrElse(0)}) — refusing to publish an unreachable claim")
+      if (base.contains(version)) return version
+      val v = claimStaged(tableDir) { stage =>
+        // the parquet-writing commit paths create the stage dir as a side
+        // effect; a pure carry-forward must create it itself
+        Files.createDirectories(stage)
+        carryForward(Paths.get(tableDir, s"v=$version"), stage)
+        writeBase(stage, base)
+      }
+      val published = withPointerLock(tableDir) {
+        if (latestVersion(tableDir) == base) { writePointer(tableDir, v); true }
+        else false
+      }
+      if (published) committed = Some(v)
+      else FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
+    }
+    committed.get
+  }
+
   private val TagFile = "_graft_tag"
   private val BaseFile = "_graft_base"
 

@@ -231,6 +231,23 @@ class TextDedupSpec extends SparkSuite {
     assert(got(4) == ((5L, None, None)))
   }
 
+  test("canonicalKeep keeps the best-scoring cluster member, ties to min id") {
+    val corpus = Seq(
+      // cluster A: 1,2 identical; 3 is the LONGEST variant (J(1,3)=6/7)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      // cluster B: identical texts — equal score, tie breaks to min id
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),
+      // unclustered — must not appear in the output
+      (20L, "completely different standalone document nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalKeep(corpus, "doc_id", "text", length(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L), out.toString)
+  }
+
   test("incrementalNearDupKeep drops cross-side near-dups, keeps within-batch dups") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

@@ -59,6 +59,48 @@ class VectorSpec extends SparkSuite {
     assert(lingering.isEmpty, s"release() left cached blocks: $lingering")
   }
 
+  test("annKnnGraph: heap top-k equals window ranking over the symmetric candidates") {
+    val k = 3
+    // materialize the fixture's own cache first, so the lingering-block
+    // check below sees only blocks the OPERATOR pinned
+    emb.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Similarity.annKnnGraph(emb, "vec_id", "embedding", 64, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // the internal projection cache releases after that action (the
+    // annCosinePairs lifecycle; listener rides the async bus — poll)
+    val deadline = System.nanoTime() + 10000000000L
+    def lingering = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (lingering.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(lingering.isEmpty, s"cached blocks survived the action: $lingering")
+    // contract invariants: no self-neighbor, contiguous ranks from 1,
+    // sims non-increasing per source id
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(!rows.exists(_._2 == id))
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rows.length).toSeq, s"ranks for $id")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-(_: Double)).toSeq, s"sims for $id")
+    }
+    // differential: the bounded-heap ranking must equal the window
+    // row_number formulation it replaces, over the same candidate set
+    val base = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("n", VectorFunctions.vecNorm(col("v"))).filter(col("n") > 0)
+    val cands = Similarity.srpCandidatePairs(base, "id", "v", 64)
+    val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val scored = sym
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+      .withColumn("cos",
+        VectorFunctions.cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    val ref = scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("rank"), round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSet == ref.toSet)
+  }
+
   test("KMeans.fit with k greater than the row count cycles candidates") {
     import graft.operators.KMeans
     val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

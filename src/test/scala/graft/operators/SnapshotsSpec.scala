@@ -157,6 +157,31 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), table, Some("batch-1")) == 4)
   }
 
+  test("rollbackTo restores old content as a NEW version; history stays immutable") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snaprb").toString + "/t"
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    val v2 = Snapshots.commit(Seq((1L, "a2")).toDF("id", "s"), table)
+    val v3 = Snapshots.rollbackTo(table, v1)
+    assert((v1, v2, v3) == (1, 2, 3))
+    assert(Snapshots.latestVersion(table).contains(3))
+    // latest = v1's content, carried forward (no data rewrite)
+    assert(Snapshots.read(spark, table).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the bad intermediate stays pinned-readable
+    assert(Snapshots.read(spark, table, Some(2)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a2")))
+    // rolling back to the published latest is a no-op
+    assert(Snapshots.rollbackTo(table, 3) == 3)
+    assert(Snapshots.latestVersion(table).contains(3))
+    // unknown / unpublished versions fail loudly, never publish a claim
+    intercept[IllegalArgumentException](Snapshots.rollbackTo(table, 9))
+    // the restored chain keeps appending: base walking sees v3 as latest
+    val v4 = Snapshots.commitAppend(Seq((5L, "e")).toDF("id", "s"), table)
+    assert(v4 == 4)
+    assert(Snapshots.read(spark, table).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (5L, "e")))
+  }
+
   test("drop refuses the latest version, removes pinned history on request") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
     Snapshots.commit(Seq(1L).toDF("id"), table)
