@@ -97,6 +97,35 @@ object CurationQueries {
         .select(col("version"), col("lang"), col("n"), col("chars"), col("id_sum"))
     },
 
+    // Incremental changed-data feed (readChanges): corpus commits v1, two
+    // batches APPEND, with a content-preserving compaction
+    // (dataChange = false) between them. The feed walks the recorded base
+    // chain and reads ONLY each step's delta manifest — O(delta bytes)
+    // scanned, never the table. since=1 must be exactly batch2 + batch3:
+    // the compaction step contributes an EMPTY delta (a maintenance
+    // rewrite replayed into the feed would double every carried row and
+    // fail the hash). since=2 consumes from the compaction version
+    // itself — batch3 alone.
+    "tv3_snapshot_changes" -> { (s, dir) =>
+      import graft.sources.{Compact, Snapshots}
+      val table = QueryTmp.dir("snapcdc") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs, table)
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L), table)
+      val (vc, _) = Compact.compactVersion(s, table, targetBytes = 1L << 30)
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 20000000L), table)
+      def agg(df: DataFrame, since: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("since", lit(since))
+      agg(Snapshots.readChanges(s, table, v1), 1)
+        .unionByName(agg(Snapshots.readChanges(s, table, vc), 2))
+        .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -576,6 +605,20 @@ object CurationQueries {
          UNION ALL
          SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
          FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang""",
+    // The two appended batches replayed from the source corpus; the
+    // interleaved compaction must contribute nothing to either slice.
+    "tv3_snapshot_changes" ->
+      """WITH b2 AS (SELECT doc_id + 10000000 AS doc_id, lang, text
+                     FROM documents WHERE doc_id % 10 = 3),
+           b3 AS (SELECT doc_id + 20000000 AS doc_id, lang, text
+                  FROM documents WHERE doc_id % 10 = 7),
+           since1 AS (SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+         SELECT 1 AS since, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM since1 GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM b3 GROUP BY lang""",
     "dq1_quality_checks" ->
       """SELECT 'unique:o_orderkey' AS check_name,
            (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric,

@@ -88,7 +88,11 @@ object Compact {
       // on a compacted table must not re-read the corpus and accrete a
       // redundant version per run
       if (dataFileCount(src) <= n) return (v, dataFileCount(src))
-      Snapshots.commitIfLatest(spark.read.parquet(src).coalesce(n), tableDir, v) match {
+      // dataChange = false: the rewrite holds the same rows as its base,
+      // so an incremental feed (Snapshots.readChanges) walks through the
+      // compaction with an empty delta instead of re-baselining
+      Snapshots.commitIfLatest(spark.read.parquet(src).coalesce(n), tableDir, v,
+          dataChange = false) match {
         case Some(newV) => return (newV, dataFileCount(s"$tableDir/v=$newV"))
         case None       => attempts += 1 // base moved — re-read and retry
       }

@@ -42,9 +42,17 @@ object Snapshots {
     * directory is discarded and None returned (re-read the new base and
     * retry).
     */
-  def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int): Option[Int] = {
+  def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int,
+      dataChange: Boolean = true): Option[Int] = {
     val v = claimStaged(tableDir) { stage =>
       df.write.parquet(stage.toString)
+      // dataChange=false is the maintenance-commit marker (the Delta Lake
+      // `dataChange` flag): the rewrite holds the SAME rows as its base —
+      // record an empty delta manifest so [[readChanges]] walks through
+      // it without re-baselining consumers (compaction must not replay a
+      // whole table into every incremental feed). Default true = a
+      // logical replace, which breaks the additions chain by design.
+      if (!dataChange) writeDelta(stage, Seq.empty)
       writeBase(stage, Some(expectedBase))
     }
     val published = withPointerLock(tableDir) {
@@ -129,6 +137,10 @@ object Snapshots {
       val base = latestVersion(tableDir)
       val v = claimStaged(tableDir) { stage =>
         df.write.parquet(stage.toString)
+        // at this point the stage holds EXACTLY the batch's new files
+        // (carry-forward hasn't run) — record them as the version's delta
+        // manifest, the file-level changed-data feed [[readChanges]] serves
+        writeDelta(stage, listStageDataFiles(stage))
         tag.foreach { t =>
           Files.write(stage.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
         }
@@ -187,6 +199,88 @@ object Snapshots {
 
   private val TagFile = "_graft_tag"
   private val BaseFile = "_graft_base"
+  private val DeltaFile = "_graft_delta"
+
+  /** Record the version's delta manifest: the data files THIS commit
+    * added (newline-separated names; empty = a content-preserving
+    * maintenance rewrite). `_`-prefixed, so carry-forward leaves it
+    * behind — each version describes only its own delta.
+    */
+  private def writeDelta(stage: java.nio.file.Path, names: Seq[String]): Unit =
+    Files.write(stage.resolve(DeltaFile),
+      names.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  /** Data-file names currently in a freshly-written stage (markers and
+    * dot-files excluded) — called BEFORE carry-forward, so the listing
+    * is exactly the committing batch's own files.
+    */
+  private def listStageDataFiles(stage: java.nio.file.Path): Seq[String] = {
+    val it = Files.list(stage)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      it.iterator().forEachRemaining { p =>
+        val fn = p.getFileName.toString
+        if (!fn.startsWith("_") && !fn.startsWith(".")) buf += fn
+      }
+      buf.toSeq
+    } finally it.close()
+  }
+
+  /** Incremental consumption — the changed-data feed: the rows ADDED
+    * after `fromVersion`, up to `toVersion` (default: the published
+    * latest). Walks the recorded base chain from `to` down to `from`,
+    * unioning each step's delta manifest (written by [[commitAppend]];
+    * empty for a `dataChange = false` maintenance rewrite such as
+    * [[Compact.compactVersion]]'s), and reads ONLY those files — a
+    * downstream incremental pass (dedup sketch update, index append,
+    * drift check) scans O(delta bytes), never the table.
+    *
+    * Loud failure, not a silent full replay, when a chain step carries
+    * no manifest: a full [[commit]] replaced the table, a
+    * `dataChange = true` CAS rewrote it, or a [[rollbackTo]] reverted
+    * it — in all three the interval's change is not expressible as
+    * additions, and the consumer must re-baseline from the full version.
+    * Scale shape: O(versions walked) file reads of metadata (the
+    * compaction/retention-bounded class of [[taggedVersion]]) plus a
+    * scan of delta bytes only.
+    */
+  def readChanges(spark: SparkSession, tableDir: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion(tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $tableDir"))
+    require(fromVersion >= 1 && fromVersion <= to,
+      s"readChanges: fromVersion must be in [1, $to], got $fromVersion")
+    val delta = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = to
+    while (cur > fromVersion) {
+      val mf = Paths.get(tableDir, s"v=$cur", DeltaFile)
+      if (!Files.exists(mf)) throw new IllegalStateException(
+        s"readChanges: v=$cur of $tableDir carries no delta manifest — a full commit, " +
+          "a dataChange rewrite, or a rollback replaced the table content here, so the " +
+          s"[$fromVersion, $to] change is not expressible as additions; re-baseline by " +
+          "reading the full version instead")
+      new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { fn =>
+          val p = Paths.get(tableDir, s"v=$cur", fn)
+          if (!Files.exists(p)) throw new IllegalStateException(
+            s"readChanges: v=$cur's delta manifest names $fn but the file is gone " +
+              s"under $tableDir — version data was dropped while a feed still read it")
+          delta += p.toString
+        }
+      cur = baseOf(tableDir, cur).getOrElse(throw new IllegalStateException(
+        s"readChanges: v=$cur of $tableDir records no base — the chain does not " +
+          s"reach v=$fromVersion; re-baseline from a full version read"))
+    }
+    // the walk can OVERSHOOT from: a base edge that skips it means
+    // fromVersion is not an ancestor of to (an unpublished orphan, or a
+    // version a replace cut out of the chain) — its "changes since" are
+    // undefined, never silently approximated
+    if (cur != fromVersion) throw new IllegalStateException(
+      s"readChanges: v=$fromVersion is not in v=$to's base chain of $tableDir " +
+        s"(the walk reached v=$cur) — changes since a non-ancestor are undefined")
+    if (delta.isEmpty) read(spark, tableDir, Some(to)).limit(0)
+    else spark.read.parquet(delta.toSeq: _*)
+  }
 
   /** Record the version `stage` was derived from (0 = none — first
     * version of the table); the chain edge [[inPublishedChain]] walks.

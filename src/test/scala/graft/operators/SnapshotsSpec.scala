@@ -182,6 +182,37 @@ class SnapshotsSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b"), (5L, "e")))
   }
 
+  test("readChanges: additions-only feed walks appends and dataChange=false rewrites") {
+    import graft.sources.Compact
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-cdc").toString + "/t"
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), table)
+    // content-preserving compaction between the appends: the feed must
+    // walk THROUGH it with an empty delta, not replay the whole table
+    val (vc, _) = Compact.compactVersion(spark, table, targetBytes = 1L << 30)
+    assert(vc == 3)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "s"), table)
+    assert(Snapshots.readChanges(spark, table, v1).as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d")))
+    // consuming from the maintenance version itself works
+    assert(Snapshots.readChanges(spark, table, vc).as[(Long, String)].collect().toSet ==
+      Set((4L, "d")))
+    // from == to: an empty feed with the table's schema, not an error
+    val empty = Snapshots.readChanges(spark, table, 4, toVersion = Some(4))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+    // a full commit REPLACES the table: the interval's change is not
+    // expressible as additions — loud failure, never a silent full replay
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), table)
+    val e = intercept[IllegalStateException](Snapshots.readChanges(spark, table, v1))
+    assert(e.getMessage.contains("no delta manifest"))
+    // ... and a rollback (content reversal) breaks the feed the same way
+    val t2 = java.nio.file.Files.createTempDirectory("graft-snap-cdc2").toString + "/t"
+    val w1 = Snapshots.commit(Seq(1L).toDF("id"), t2)
+    Snapshots.commitAppend(Seq(2L).toDF("id"), t2)
+    Snapshots.rollbackTo(t2, w1)
+    intercept[IllegalStateException](Snapshots.readChanges(spark, t2, w1))
+  }
+
   test("drop refuses the latest version, removes pinned history on request") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
     Snapshots.commit(Seq(1L).toDF("id"), table)
