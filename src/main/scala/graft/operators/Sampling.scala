@@ -138,6 +138,46 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** Fractional EPOCH repetition — the data-mixture upsampling knob: a
+    * stratum with factor 2.3 emits 2 full copies of every row plus a
+    * deterministic 30 % hash-sampled third copy; factor 0.4 degenerates
+    * to a 40 % downsample. Each emitted copy carries an epoch index
+    * (0-based; the fractional copy is the last index), so downstream
+    * packing/sharding can interleave epochs and the output stays
+    * hash-comparable. The fractional-copy keep set is the same
+    * splitmix64(id, seed) bucket decision as [[hashSample]] — replayable
+    * by any engine, stable under partitioning and corpus growth.
+    *
+    * Factors are quantized to millionths (the [[Buckets]] resolution):
+    * full copies = floor(f·10^6)/10^6, fractional threshold = the
+    * remainder — one integer per stratum, so the replay has no float
+    * boundary. Strata absent from `factors` get `defaultFactor`; factor
+    * 0 drops the stratum.
+    *
+    * Scale shape: a codegen when-chain (copies per row) + an explode in
+    * the scan stage — no shuffle, no state; output size is Σ f_g·n_g by
+    * construction. At 100 TB the multiplier runs where the data sits,
+    * and the epoch tag (not physical row order) carries the repetition
+    * structure to the shuffle-free shard writer ([[Sharding]]).
+    */
+  def repeatUpsample(df: DataFrame, idCol: String, stratumCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0,
+      seed: Long = 42L, epochCol: String = "epoch"): DataFrame = {
+    (factors.values ++ Seq(defaultFactor)).foreach(f =>
+      require(f >= 0, s"repeat factors must be non-negative, got $f"))
+    def fb(f: Double): Long = (f * Buckets).round
+    val fbCol = factors.foldLeft(lit(fb(defaultFactor))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(fb(f))).otherwise(acc)
+    }
+    val copies = (fbCol / Buckets).cast("int") +
+      when(hashBucket(col(idCol), Buckets, seed) < fbCol % Buckets, 1).otherwise(0)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0) // sequence(0, -1) would EMIT [0, -1]
+      .withColumn(epochCol, explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Disjoint train/holdout split from one hash: rows below the eval
     * threshold form the eval set, the rest train — membership is stable
     * under corpus growth (a doc never migrates between splits when new

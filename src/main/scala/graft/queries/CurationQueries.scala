@@ -413,6 +413,19 @@ object CurationQueries {
         .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
     },
 
+    // Fractional EPOCH repetition — the mixture upsampling knob: de
+    // repeats 2.3× (2 full copies + a 30 % hash-sampled third), fr
+    // downsamples to 0.4×, everything else passes through once. Each
+    // copy carries its epoch index, so the multiset is hash-exact. The
+    // oracle replays the per-stratum millionth-quantized factor, the
+    // splitmix64 fractional keep, and the epoch expansion via
+    // generate_series.
+    "s7_repeat_epochs" -> { (s, dir) =>
+      Sampling.repeatUpsample(Tables.load(s, dir, "documents"), "doc_id", "lang",
+        factors = Map("de" -> 2.3, "fr" -> 0.4), defaultFactor = 1.0, seed = SampleSeed)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+    },
+
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
     // → boilerplate removal → emptiness filter → stratified resampling →
     // sequence packing. Hash-gated end-to-end: the oracle replays the
@@ -581,6 +594,22 @@ object CurationQueries {
           j AS (SELECT d.doc_id, d.lang, th.thr FROM documents d JOIN th USING (lang)),
           ${splitmixCte("j", "doc_id", SampleSeed)}
           SELECT doc_id, lang FROM h WHERE bucket < thr""",
+    // Millionth-quantized factors: de 2.3 → 2300000 (2 full + 30 % frac),
+    // fr 0.4 → 400000 (0 full + 40 % frac), default 1.0 → exactly one
+    // copy. The epoch expansion replays via generate_series (empty when
+    // copies = 0, dropping the row — the operator's filter).
+    "s7_repeat_epochs" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+             CASE lang WHEN 'de' THEN 2300000 WHEN 'fr' THEN 400000
+                       ELSE 1000000 END AS fb
+           FROM documents),
+          ${splitmixCte("f", "doc_id", SampleSeed)},
+          c AS (SELECT doc_id, lang,
+                  (fb // ${Sampling.Buckets})::INT +
+                    CASE WHEN bucket < fb % ${Sampling.Buckets} THEN 1 ELSE 0 END AS copies
+                FROM h)
+          SELECT doc_id, lang, u.e::INT AS epoch
+          FROM c, UNNEST(generate_series(0, copies - 1)) AS u(e)""",
     "tv1_snapshot_versions" ->
       """WITH batch AS (
            SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7

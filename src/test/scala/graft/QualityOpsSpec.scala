@@ -173,6 +173,50 @@ class QualityOpsSpec extends SparkSuite {
 
   // ---- Quantize ----
 
+  test("repeatUpsample: epochs are contiguous, fractional copy rides the hashSample keep set") {
+    val df = (1L to 400L).map(i => (i, if (i % 4 == 0) "a" else if (i % 4 == 1) "b" else "c"))
+      .toDF("id", "g")
+    val out = Sampling.repeatUpsample(df, "id", "g",
+      factors = Map("a" -> 2.5, "b" -> 0.5), defaultFactor = 1.0, seed = 7L)
+    val perId = out.groupBy("id", "g")
+      .agg(count(lit(1)).as("k"), min("epoch").as("lo"), max("epoch").as("hi"))
+      .as[(Long, String, Long, Int, Int)].collect()
+    // every surviving id's epochs are exactly 0..k-1
+    assert(perId.forall { case (_, _, k, lo, hi) => lo == 0 && hi == k - 1 })
+    val kOf = perId.map(r => r._1 -> r._3).toMap
+    // a: 2 or 3 copies; b: present iff sampled (1 copy); c: exactly 1
+    assert(perId.filter(_._2 == "a").forall(r => r._3 == 2 || r._3 == 3))
+    assert(perId.filter(_._2 == "b").forall(_._3 == 1))
+    assert(perId.filter(_._2 == "c").forall(_._3 == 1))
+    assert(kOf.size < 400) // some b-rows dropped
+    // differential vs hashSample on the SAME seed: a's third copy is the
+    // 50 % keep set, b's survivors the 50 % keep set — one hash, one
+    // contract across the sampling family
+    val aThird = perId.filter(r => r._2 == "a" && r._3 == 3).map(_._1).toSet
+    val aKeep = Sampling.hashSample(df.filter($"g" === "a"), "id", 0.5, 7L)
+      .select("id").as[Long].collect().toSet
+    assert(aThird == aKeep)
+    val bSurvive = perId.filter(_._2 == "b").map(_._1).toSet
+    val bKeep = Sampling.hashSample(df.filter($"g" === "b"), "id", 0.5, 7L)
+      .select("id").as[Long].collect().toSet
+    assert(bSurvive == bKeep)
+    // factor 0 drops the stratum; negative factors are rejected loudly
+    val none = Sampling.repeatUpsample(df, "id", "g", Map("c" -> 0.0), 1.0, 7L)
+    assert(none.filter($"g" === "c").count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.repeatUpsample(df, "id", "g", Map("a" -> -0.1), 1.0, 7L))
+  }
+
+  test("repeatUpsample multiset is independent of partitioning") {
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "g")
+    def multiset(parts: Int) =
+      Sampling.repeatUpsample(df.repartition(parts), "id", "g",
+        Map("x" -> 1.7, "y" -> 0.3), 1.0, 11L)
+        .groupBy("id").agg(count(lit(1)).as("k"))
+        .as[(Long, Long)].collect().toMap
+    assert(multiset(1) == multiset(13))
+  }
+
   test("scalarQuantizeInt8: known vectors quantize to exact codes; degenerate dim → 0") {
     val df = Seq(
       (0L, Array(0.0f, 5.0f, 1.0f)),
