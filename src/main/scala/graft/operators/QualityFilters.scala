@@ -105,6 +105,52 @@ object QualityFilters {
         coalesce(col("avg_logprob"), lit(0.0)).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing: rank each stratum's documents by
+    * the [[unigramLogProb]] quality score (higher = less surprising
+    * under the corpus LM) and cut the ranking into labeled fractions —
+    * the head/middle/tail split CCNet curates with, here against the
+    * corpus-trained unigram LM so any engine can replay the boundary.
+    *
+    * The boundary is integer arithmetic: doc in bucket i iff
+    * `rank · 10^6 ≤ n_stratum · cutMicros(i)` (rank is dense 1-based per
+    * stratum over (score DESC, id ASC) — the score is already rounded to
+    * 4 decimals by [[unigramLogProb]], so ties are REAL and the id
+    * tiebreak, not float noise, decides them). Documents with no tokens
+    * carry no evidence and land in the LAST bucket without consuming a
+    * rank slot.
+    *
+    * Scale shape: the score is f3's narrow-first pass; the ranking is
+    * one per-stratum window sort (the q7 class — a single range-
+    * partitioned shuffle) plus a broadcast of per-stratum counts. At
+    * 100 TB the exact rank can be swapped for approx-quantile score
+    * boundaries (sk2's sketch class) under the same bucket contract;
+    * the exact form is what the oracle replays.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, cutsMicros: Seq[Long] = Seq(333333L, 666667L),
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.size == cutsMicros.size + 1,
+      s"need one label per cut plus a final bucket: ${cutsMicros.size} cuts, ${labels.size} labels")
+    require(cutsMicros == cutsMicros.sorted && cutsMicros.forall(c => c > 0 && c < 1000000L),
+      s"cuts must be strictly inside (0, 10^6) and ascending, got $cutsMicros")
+    val scored = df.select(col(idCol), col(stratumCol))
+      .join(unigramLogProb(df, idCol, textCol), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("avg_logprob").desc, col(idCol).asc)
+    val nonEmpty = scored.filter(col("n_tokens") > 0)
+    val counts = nonEmpty.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    val bucket = cutsMicros.zip(labels.init).foldRight(lit(labels.last)) {
+      case ((cut, label), rest) =>
+        when(col("__rn") * 1000000L <= col("__n") * cut, label).otherwise(rest)
+    }
+    nonEmpty.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), stratumCol)
+      .select(col(idCol), col(stratumCol), bucket.as("bucket"), col("avg_logprob"))
+      .unionByName(scored.filter(col("n_tokens") === 0)
+        .select(col(idCol), col(stratumCol), lit(labels.last).as("bucket"),
+          col("avg_logprob")))
+  }
+
   /** The Gopher-style keep decision over [[repetitionStats]] output. */
   def keepDecision(maxDupWordFrac: Double, maxTopWordFrac: Double,
       maxTopBigramFrac: Double): Column =

@@ -169,6 +169,26 @@ object CurationQueries {
         .select(col("pair"), col("n_tokens_a"), col("n_tokens_b"), col("js_nats"))
     },
 
+    // Ingest-time drift off the CHANGED-DATA FEED: the corpus (minus de)
+    // commits as the baseline, a de-only batch appends, and the monitor
+    // compares the pinned baseline against `readChanges` — the
+    // per-ingest-batch distribution check a continuously-fed corpus runs,
+    // scanning only the delta on the feed side. The oracle replays both
+    // slices from the source corpus, so the snapshot plumbing (pin +
+    // delta manifest) sits under the hash.
+    "dr2_feed_drift" -> { (s, dir) =>
+      import graft.operators.Drift
+      import graft.sources.Snapshots
+      val table = QueryTmp.dir("snapdrift") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs.filter(col("lang") =!= "de"), table)
+      Snapshots.commitAppend(docs.filter(col("lang") === "de"), table)
+      Drift.tokenJsDivergence(
+        Snapshots.read(s, table, Some(v1)), Snapshots.readChanges(s, table, v1), "text")
+        .withColumn("pair", lit("v1_vs_delta"))
+        .select(col("pair"), col("n_tokens_a"), col("n_tokens_b"), col("js_nats"))
+    },
+
     // EXACTLY-k deterministic sample per group (fixed-size eval slices /
     // per-domain quotas): k smallest splitmix64(doc_id) per language,
     // doc-id tiebreak — a hard size guarantee rate sampling can't give,
@@ -426,6 +446,31 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("epoch"))
     },
 
+    // CCNet-style perplexity bucketing: per-lang head/middle/tail terciles
+    // over the f3 corpus-LM quality score — integer boundary arithmetic
+    // (rank·10^6 ≤ n·cut) on the 4-decimal-rounded score with doc-id
+    // tiebreaks, so the cut is hash-exact. Tokenless docs land in 'tail'
+    // without consuming a rank slot.
+    "f4_perplexity_buckets" -> { (s, dir) =>
+      QualityFilters.perplexityBuckets(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"), col("bucket"), col("avg_logprob"))
+    },
+
+    // Multinomial Naive Bayes admission classifier (the CCNet/fastText
+    // quality-filter niche in closed form): train per-lang token
+    // likelihoods on the 80 % split, score the held-out 20 %, argmax
+    // with ties to the LARGEST label (one struct-max, no window), prior
+    // fallback for fully-OOV docs. The oracle replays the split, the
+    // Laplace-smoothed counts, the ln arithmetic (f3's parity class),
+    // the argmax, and the fallback.
+    "t9_nb_classify" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val (train, eval) = Sampling.trainEvalSplit(docs, "doc_id", 0.2, SampleSeed)
+      graft.operators.TextClassify.naiveBayes(train, eval, "doc_id", "lang", "text")
+        .select(col("doc_id"), col("label"), col("score"))
+    },
+
     // FLAGSHIP: the full curation pipeline in one Spark plan — near-dedup
     // → boilerplate removal → emptiness filter → stratified resampling →
     // sequence packing. Hash-gated end-to-end: the oracle replays the
@@ -469,6 +514,34 @@ object CurationQueries {
   }
 
   private def rateThr(rate: Double): Long = (rate * Sampling.Buckets).round
+
+  /** DuckDB replay of [[graft.operators.Drift.tokenJsDivergence]]: token
+    * distributions of two sources, full-outer-joined, JS divergence in
+    * nats (ln parity) — CTE names prefixed by `tag` so several pairs
+    * compose in one statement (dr1, dr2).
+    */
+  private def jsCte(aSrc: String, bSrc: String, tag: String) =
+    s"""${tag}_ta AS (
+         SELECT u.t AS token, count(*) AS ca FROM (
+           SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $aSrc),
+           UNNEST(ts) AS u(t) GROUP BY u.t),
+       ${tag}_tb AS (
+         SELECT u.t AS token, count(*) AS cb FROM (
+           SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $bSrc),
+           UNNEST(ts) AS u(t) GROUP BY u.t),
+       ${tag}_j AS (
+         SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         FROM ${tag}_ta FULL OUTER JOIN ${tag}_tb USING (token)),
+       ${tag}_tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ${tag}_j),
+       ${tag}_terms AS (
+         SELECT na, nb, ca::DOUBLE / na AS p, cb::DOUBLE / nb AS q,
+           (ca::DOUBLE / na + cb::DOUBLE / nb) / 2 AS m
+         FROM ${tag}_j, ${tag}_tot),
+       ${tag}_agg AS (
+         SELECT first(na)::BIGINT AS n_tokens_a, first(nb)::BIGINT AS n_tokens_b,
+           round((sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
+                + sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)) / 2, 4) AS js_nats
+         FROM ${tag}_terms)"""
 
   /** f1 oracle: the SAME pattern strings as [[Redact.PiiRules]] are
     * interpolated into the SQL, and the count-then-replace sequencing
@@ -610,6 +683,73 @@ object CurationQueries {
                 FROM h)
           SELECT doc_id, lang, u.e::INT AS epoch
           FROM c, UNNEST(generate_series(0, copies - 1)) AS u(e)""",
+    // f3's corpus-LM score feeding an integer tercile boundary: the rank
+    // window orders by the ROUNDED score with doc-id tiebreaks, so both
+    // engines resolve ties identically (no float-ordering exposure).
+    "f4_perplexity_buckets" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         dt AS (SELECT doc_id, u.t AS t, count(*) AS cd
+                FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         vocab AS (SELECT t, sum(cd) AS c FROM dt GROUP BY t),
+         tot AS (SELECT sum(c) AS n FROM vocab),
+         sc AS (SELECT doc_id, sum(cd) AS n_tokens,
+                       round(sum(cd::DOUBLE * ln(c::DOUBLE / n)) / sum(cd)::DOUBLE, 4) AS alp
+                FROM dt JOIN vocab USING (t), tot GROUP BY doc_id),
+         scored AS (SELECT d.doc_id, d.lang, COALESCE(sc.n_tokens, 0) AS n_tokens,
+                           COALESCE(sc.alp, 0.0) AS avg_logprob
+                    FROM documents d LEFT JOIN sc USING (doc_id)),
+         ne AS (SELECT doc_id, lang, avg_logprob,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY avg_logprob DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+                FROM scored WHERE n_tokens > 0)
+         SELECT doc_id, lang,
+           CASE WHEN rn * 1000000 <= n * 333333 THEN 'head'
+                WHEN rn * 1000000 <= n * 666667 THEN 'middle'
+                ELSE 'tail' END AS bucket, avg_logprob
+         FROM ne
+         UNION ALL
+         SELECT doc_id, lang, 'tail', avg_logprob FROM scored WHERE n_tokens = 0""",
+    // Laplace-smoothed multinomial NB replayed end to end: split, counts,
+    // ln((c+1)/(ntok+|V|)), Σ cd·lp + ln(prior), argmax (score DESC,
+    // label DESC = the struct-max tie contract), prior fallback.
+    "t9_nb_classify" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+          tr AS (SELECT doc_id, lang, text FROM h WHERE bucket >= ${rateThr(0.2)}),
+          ev AS (SELECT doc_id, text FROM h WHERE bucket < ${rateThr(0.2)}),
+          cnt AS (SELECT lang AS lab, u.t AS t, count(*)::BIGINT AS c
+                  FROM (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                        FROM tr), UNNEST(ts) AS u(t)
+                  GROUP BY lang, u.t),
+          ctot AS (SELECT lab, sum(c)::BIGINT AS ntok FROM cnt GROUP BY lab),
+          voc AS (SELECT DISTINCT t FROM cnt),
+          vs AS (SELECT count(*)::BIGINT AS v FROM voc),
+          pri AS (SELECT lang AS lab, count(*)::BIGINT AS nd FROM tr GROUP BY lang),
+          nda AS (SELECT sum(nd)::BIGINT AS ndall FROM pri),
+          grid AS (SELECT voc.t, ctot.lab,
+                     ln((COALESCE(cnt.c, 0)::DOUBLE + 1.0)
+                        / (ctot.ntok::DOUBLE + vs.v::DOUBLE)) AS lp
+                   FROM voc CROSS JOIN ctot CROSS JOIN vs
+                   LEFT JOIN cnt ON cnt.t = voc.t AND cnt.lab = ctot.lab),
+          prio AS (SELECT lab, ln(nd::DOUBLE / ndall::DOUBLE) AS lprior FROM pri, nda),
+          dt AS (SELECT doc_id, u.t AS t, count(*)::BIGINT AS cd
+                 FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+                       FROM ev), UNNEST(ts) AS u(t)
+                 GROUP BY doc_id, u.t),
+          pl AS (SELECT dt.doc_id, grid.lab, sum(dt.cd::DOUBLE * grid.lp) AS ll
+                 FROM dt JOIN grid ON dt.t = grid.t GROUP BY dt.doc_id, grid.lab),
+          sc AS (SELECT pl.doc_id, pl.lab, pl.ll + prio.lprior AS score
+                 FROM pl JOIN prio USING (lab)),
+          win AS (SELECT doc_id, lab, score,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab DESC) AS rn
+                  FROM sc),
+          pp AS (SELECT lab AS plab, lprior AS pscore FROM prio
+                 ORDER BY lprior DESC, lab DESC LIMIT 1)
+          SELECT e.doc_id, COALESCE(w.lab, pp.plab) AS label,
+                 round(COALESCE(w.score, pp.pscore), 4) AS score
+          FROM ev e LEFT JOIN (SELECT * FROM win WHERE rn = 1) w USING (doc_id)
+          CROSS JOIN pp""",
     "tv1_snapshot_versions" ->
       """WITH batch AS (
            SELECT doc_id, lang, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 7
@@ -669,29 +809,7 @@ object CurationQueries {
          FROM lineitem
          UNION ALL
          SELECT 'rows>=1', count(*)::BIGINT, count(*) >= 1 FROM documents""",
-    "dr1_corpus_drift" -> {
-      def jsCte(aSrc: String, bSrc: String, tag: String) =
-        s"""${tag}_ta AS (
-             SELECT u.t AS token, count(*) AS ca FROM (
-               SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $aSrc),
-               UNNEST(ts) AS u(t) GROUP BY u.t),
-           ${tag}_tb AS (
-             SELECT u.t AS token, count(*) AS cb FROM (
-               SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts FROM $bSrc),
-               UNNEST(ts) AS u(t) GROUP BY u.t),
-           ${tag}_j AS (
-             SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-             FROM ${tag}_ta FULL OUTER JOIN ${tag}_tb USING (token)),
-           ${tag}_tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ${tag}_j),
-           ${tag}_terms AS (
-             SELECT na, nb, ca::DOUBLE / na AS p, cb::DOUBLE / nb AS q,
-               (ca::DOUBLE / na + cb::DOUBLE / nb) / 2 AS m
-             FROM ${tag}_j, ${tag}_tot),
-           ${tag}_agg AS (
-             SELECT first(na)::BIGINT AS n_tokens_a, first(nb)::BIGINT AS n_tokens_b,
-               round((sum(CASE WHEN p > 0 THEN p * ln(p / m) ELSE 0 END)
-                    + sum(CASE WHEN q > 0 THEN q * ln(q / m) ELSE 0 END)) / 2, 4) AS js_nats
-             FROM ${tag}_terms)"""
+    "dr1_corpus_drift" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
          tr AS (SELECT text FROM h WHERE bucket >= ${rateThr(0.2)}),
          ev AS (SELECT text FROM h WHERE bucket < ${rateThr(0.2)}),
@@ -701,8 +819,15 @@ object CurationQueries {
          ${jsCte("den", "dde", "l")}
          SELECT 'train_vs_eval' AS pair, n_tokens_a, n_tokens_b, js_nats FROM s_agg
          UNION ALL
-         SELECT 'en_vs_de', n_tokens_a, n_tokens_b, js_nats FROM l_agg"""
-    },
+         SELECT 'en_vs_de', n_tokens_a, n_tokens_b, js_nats FROM l_agg""",
+    // The feed-vs-baseline drift replayed from the source corpus: the
+    // snapshot plumbing must hand Drift exactly the non-de baseline and
+    // the de-only delta.
+    "dr2_feed_drift" ->
+      s"""WITH base AS (SELECT text FROM documents WHERE lang <> 'de'),
+         delta AS (SELECT text FROM documents WHERE lang = 'de'),
+         ${jsCte("base", "delta", "f")}
+         SELECT 'v1_vs_delta' AS pair, n_tokens_a, n_tokens_b, js_nats FROM f_agg""",
     "s4_reservoir_per_group" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
           r AS (SELECT doc_id, lang,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{QualityFilters, Quantize, Redact, Sampling}
+import graft.operators.{QualityFilters, Quantize, Redact, Sampling, TextClassify}
 
 /** Round-6 curation additions: PII redaction, Gopher-style repetition
   * stats, data-mixing sampler, int8 scalar quantization.
@@ -215,6 +215,65 @@ class QualityOpsSpec extends SparkSuite {
         .groupBy("id").agg(count(lit(1)).as("k"))
         .as[(Long, Long)].collect().toMap
     assert(multiset(1) == multiset(13))
+  }
+
+  test("perplexityBuckets: integer tercile boundaries, rank parity, tokenless docs to tail") {
+    val docs = Seq(
+      (1L, "a", "the the the common words"), (2L, "a", "the common words here"),
+      (3L, "a", "rare zephyr quixotic"), (4L, "a", "the the common"),
+      (5L, "a", "words common the"), (6L, "a", "unusual vocabulary entirely"),
+      (7L, "b", "the common words"), (8L, "b", "zzz yyy xxx"),
+      (9L, "b", ""), (10L, "b", "the the the")).toDF("id", "g", "text")
+    val out = QualityFilters.perplexityBuckets(docs, "id", "text", "g")
+      .as[(Long, String, String, Double)].collect()
+    // tokenless doc 9 lands in tail without a rank slot
+    assert(out.find(_._1 == 9L).get._3 == "tail")
+    // replay the boundary locally: rank per stratum over (score DESC, id ASC)
+    for (g <- Seq("a", "b")) {
+      val ranked = out.filter(r => r._2 == g && r._1 != 9L)
+        .sortBy(r => (-r._4, r._1))
+      val n = ranked.length
+      val expect = ranked.zipWithIndex.map { case (r, i) =>
+        val rn = i + 1L
+        val b = if (rn * 1000000L <= n * 333333L) "head"
+        else if (rn * 1000000L <= n * 666667L) "middle" else "tail"
+        r._1 -> b
+      }.toMap
+      assert(ranked.forall(r => r._3 == expect(r._1)), s"stratum $g: ${ranked.toSeq}")
+    }
+    // stratum a (n=6): terciles are 1/3/2 under the integer boundary
+    val aCounts = out.filter(_._2 == "a").groupBy(_._3).view.mapValues(_.length).toMap
+    assert(aCounts == Map("head" -> 1, "middle" -> 3, "tail" -> 2))
+    intercept[IllegalArgumentException](QualityFilters.perplexityBuckets(
+      docs, "id", "text", "g", Seq(500000L), Seq("only")))
+    intercept[IllegalArgumentException](QualityFilters.perplexityBuckets(
+      docs, "id", "text", "g", Seq(700000L, 300000L), Seq("x", "y", "z")))
+  }
+
+  test("naiveBayes: hand-checked smoothing, OOV prior fallback, tie to largest label") {
+    val train = Seq(
+      ("spam", "buy pills now"), ("spam", "buy now"),
+      ("ham", "meeting notes today"), ("ham", "notes for the meeting"),
+      ("ham", "today meeting")).toDF("lab", "text")
+    val predict = Seq(
+      (1L, "buy pills"), (2L, "meeting today"), (3L, "zzz"), (4L, "")).toDF("id", "text")
+    val out = TextClassify.naiveBayes(train, predict, "id", "lab", "text")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // vocab V=8; spam ntok=5 (buy2 pills1 now2), ham ntok=9
+    // (meeting3 notes2 today2 for1 the1); priors 2/5 and 3/5
+    assert(out(1L)._1 == "spam" && out(2L)._1 == "ham")
+    val spamScore = math.log(0.4) + math.log(3.0 / 13) + math.log(2.0 / 13)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == r4(spamScore))
+    // fully-OOV and empty docs fall back to the prior argmax (ham, 3/5)
+    val hamPrior = r4(math.log(0.6))
+    assert(out(3L) == ("ham", hamPrior) && out(4L) == ("ham", hamPrior))
+    // exact score tie (symmetric corpus): the struct-max contract picks
+    // the lexicographically largest label
+    val sym = Seq(("a", "x"), ("b", "x")).toDF("lab", "text")
+    val tied = TextClassify.naiveBayes(sym, Seq((9L, "x")).toDF("id", "text"),
+      "id", "lab", "text").as[(Long, String, Double)].collect()
+    assert(tied.head._2 == "b")
   }
 
   test("scalarQuantizeInt8: known vectors quantize to exact codes; degenerate dim → 0") {
