@@ -109,6 +109,16 @@ object TextQueries {
         length(col("text")).as("n_before"), length(n).as("n_after"))
     },
 
+    // Strided token-window chunking (the RAG / fixed-context splitter):
+    // 32-token chunks at stride 24 (8-token overlap), each tagged with
+    // its index and token count; chunk text re-joins with single spaces
+    // so the oracle's list-slice replay (the d14 contract) is byte-exact.
+    "t10_chunk_windows" -> { (s, dir) =>
+      graft.operators.Chunking.chunkDocuments(
+        Tables.load(s, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_ix"), col("n_tokens"), col("chunk"))
+    },
+
     // Exact dedup on document text (all-distinct at test SFs — the
     // degenerate case — but the operator is the single-shuffle groupBy).
     "d1_exact_dedup_docs" -> { (s, dir) =>
@@ -314,6 +324,18 @@ object TextQueries {
            len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                 ' +', ' ', 'g')))::INTEGER AS n_after
          FROM documents""",
+    // Start grid 0, 24, 48, … while start < n; slices clip at the end on
+    // both engines, so the tail chunk's n_tokens is n - start.
+    "t10_chunk_windows" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         c AS (SELECT doc_id, ts, len(ts) AS n FROM tk WHERE len(ts) > 0),
+         x AS (SELECT doc_id, u.i AS ix, ts, n
+               FROM c, UNNEST(generate_series(0, (n - 1) // 24)) AS u(i))
+         SELECT doc_id, ix::INT AS chunk_ix,
+           least(32, n - ix * 24)::INT AS n_tokens,
+           array_to_string(ts[ix * 24 + 1 : ix * 24 + 32], ' ') AS chunk
+         FROM x""",
     "ii3_index_append" ->
       """WITH p AS (
            SELECT DISTINCT doc_id, u.t AS token FROM (

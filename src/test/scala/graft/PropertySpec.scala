@@ -245,4 +245,61 @@ class PropertySpec extends SparkSuite {
       assert(got == expected, s"edges=$edges")
     }
   }
+
+  test("chunkDocuments equals local slicing for arbitrary token streams and strides") {
+    import graft.operators.Chunking
+    val tokenGen = Gen.oneOf("a", "bb", "ccc", "dddd", "e5")
+    val gen = Gen.zip(Gen.listOfN(30, tokenGen), Gen.chooseNum(1, 8), Gen.chooseNum(1, 8))
+    forAllSeeded(gen, n = 8) { case (ts0, a, b) =>
+      val (stride, size) = (math.min(a, b), math.max(a, b))
+      val ts = ts0.take(1 + ts0.take(1).hashCode.abs % 30) // vary length too
+      val df = Seq((1L, ts.mkString(" "))).toDF("id", "text")
+      val got = Chunking.chunkDocuments(df, "id", "text", size, stride)
+        .as[(Long, Int, Int, String)].collect().sortBy(_._2).toSeq
+      val n = ts.length
+      val expect = (0 to (n - 1) / stride).map { i =>
+        val s = ts.slice(i * stride, i * stride + size)
+        (1L, i, s.length, s.mkString(" "))
+      }
+      assert(got == expect, s"n=$n size=$size stride=$stride")
+    }
+  }
+
+  test("repeatUpsample multiset equals the per-row copies contract for arbitrary factors") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.zip(Gen.chooseNum(0, 3200000L), Gen.chooseNum(0, 3200000L))
+    forAllSeeded(gen, n = 5) { case (fxMicros, fyMicros) =>
+      val (fx, fy) = (fxMicros / 1e6, fyMicros / 1e6)
+      val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "x" else "y")).toDF("id", "g")
+      val out = Sampling.repeatUpsample(df, "id", "g", Map("x" -> fx, "y" -> fy), 1.0, 5L)
+        .groupBy("id").agg(org.apache.spark.sql.functions.count(col("id")).as("k"))
+        .as[(Long, Long)].collect().toMap
+      // replay the contract with the operator's own hash primitive
+      val buckets = df.select(col("id"),
+          graft.functions.HashFunctions.hashBucket(col("id"), Sampling.Buckets, 5L))
+        .as[(Long, Long)].collect().toMap
+      (1L to 200L).foreach { id =>
+        val fb = math.round((if (id % 2 == 0) fx else fy) * Sampling.Buckets)
+        val expect = fb / Sampling.Buckets + (if (buckets(id) < fb % Sampling.Buckets) 1 else 0)
+        assert(out.getOrElse(id, 0L) == expect, s"id=$id fx=$fx fy=$fy")
+      }
+    }
+  }
+
+  test("readChanges union equals the appended batches for arbitrary batch splits") {
+    import graft.sources.Snapshots
+    val gen = Gen.listOfN(30, Gen.chooseNum(1, 3))
+    forAllSeeded(gen, n = 3) { marks =>
+      val table = java.nio.file.Files.createTempDirectory("graft-prop-cdc").toString + "/t"
+      val ids = marks.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+      val v1 = Snapshots.commit(ids.filter(_._2 == 1).toDF("id", "m"), table)
+      Seq(2, 3).foreach { m =>
+        Snapshots.commitAppend(ids.filter(_._2 == m).toDF("id", "m"), table)
+      }
+      val got = Snapshots.readChanges(spark, table, v1)
+        .as[(Long, Int)].collect().sorted.toSeq
+      assert(got == ids.filter(r => r._2 == 2 || r._2 == 3).sorted, s"marks=$marks")
+    }
+  }
 }
