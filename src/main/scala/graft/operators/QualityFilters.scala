@@ -131,24 +131,32 @@ object QualityFilters {
       labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
     require(labels.size == cutsMicros.size + 1,
       s"need one label per cut plus a final bucket: ${cutsMicros.size} cuts, ${labels.size} labels")
-    require(cutsMicros == cutsMicros.sorted && cutsMicros.forall(c => c > 0 && c < 1000000L),
-      s"cuts must be strictly inside (0, 10^6) and ascending, got $cutsMicros")
-    val scored = df.select(col(idCol), col(stratumCol))
-      .join(unigramLogProb(df, idCol, textCol), idCol)
+    require(cutsMicros.forall(c => c > 0 && c < 1000000L) &&
+        (cutsMicros.size < 2 || cutsMicros.sliding(2).forall(p => p.head < p.last)),
+      s"cuts must be strictly inside (0, 10^6) and STRICTLY ascending (a duplicate " +
+        s"cut would shadow its label), got $cutsMicros")
+    // tokenless docs are decided by a narrow emptiness scan — running the
+    // LM pipeline for rows whose score is definitionally 0.0 would pay
+    // the vocab shuffle a second time (union branches don't share plans)
+    val hasTok = size(filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= "")) > 0
+    val scored = df.filter(hasTok).select(col(idCol), col(stratumCol))
+      .join(unigramLogProb(df.filter(hasTok), idCol, textCol), idCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(col("avg_logprob").desc, col(idCol).asc)
-    val nonEmpty = scored.filter(col("n_tokens") > 0)
-    val counts = nonEmpty.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    // null-safe stratum match (the mixtureSample convention: null is a
+    // stratum like any other — a USING join would silently drop it)
+    val counts = scored.groupBy(col(stratumCol).as("__stratum")).agg(count(lit(1)).as("__n"))
     val bucket = cutsMicros.zip(labels.init).foldRight(lit(labels.last)) {
       case ((cut, label), rest) =>
         when(col("__rn") * 1000000L <= col("__n") * cut, label).otherwise(rest)
     }
-    nonEmpty.withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), stratumCol)
+    scored.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), col(stratumCol) <=> col("__stratum"))
       .select(col(idCol), col(stratumCol), bucket.as("bucket"), col("avg_logprob"))
-      .unionByName(scored.filter(col("n_tokens") === 0)
+      .unionByName(df.filter(!hasTok)
         .select(col(idCol), col(stratumCol), lit(labels.last).as("bucket"),
-          col("avg_logprob")))
+          lit(0.0).as("avg_logprob")))
   }
 
   /** The Gopher-style keep decision over [[repetitionStats]] output. */

@@ -246,8 +246,12 @@ object Snapshots {
     */
   def readChanges(spark: SparkSession, tableDir: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
-    val to = toVersion.orElse(latestVersion(tableDir)).getOrElse(
+    val latest = latestVersion(tableDir).getOrElse(
       throw new IllegalArgumentException(s"no committed version under $tableDir"))
+    val to = toVersion.getOrElse(latest)
+    require(to >= 1 && to <= latest,
+      s"readChanges: toVersion must be a published version in [1, $latest], got $to " +
+        s"— an uncommitted (or never-claimed) version has no feed")
     require(fromVersion >= 1 && fromVersion <= to,
       s"readChanges: fromVersion must be in [1, $to], got $fromVersion")
     val delta = scala.collection.mutable.ArrayBuffer[String]()

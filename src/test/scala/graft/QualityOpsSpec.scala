@@ -223,11 +223,18 @@ class QualityOpsSpec extends SparkSuite {
       (3L, "a", "rare zephyr quixotic"), (4L, "a", "the the common"),
       (5L, "a", "words common the"), (6L, "a", "unusual vocabulary entirely"),
       (7L, "b", "the common words"), (8L, "b", "zzz yyy xxx"),
-      (9L, "b", ""), (10L, "b", "the the the")).toDF("id", "g", "text")
+      (9L, "b", ""), (10L, "b", "the the the"),
+      (11L, null, "words in an unattributed stratum")).toDF("id", "g", "text")
     val out = QualityFilters.perplexityBuckets(docs, "id", "text", "g")
-      .as[(Long, String, String, Double)].collect()
+      .as[(Long, Option[String], String, Double)].collect()
+      .map(r => (r._1, r._2.orNull, r._3, r._4))
     // tokenless doc 9 lands in tail without a rank slot
     assert(out.find(_._1 == 9L).get._3 == "tail")
+    // a NULL stratum is a stratum like any other (the mixtureSample
+    // convention), never silently dropped; alone in its stratum (n=1,
+    // rank 1: 10^6 > 666667) it lands in tail
+    assert(out.find(_._1 == 11L).get._3 == "tail")
+    assert(out.length == 11)
     // replay the boundary locally: rank per stratum over (score DESC, id ASC)
     for (g <- Seq("a", "b")) {
       val ranked = out.filter(r => r._2 == g && r._1 != 9L)
