@@ -210,6 +210,28 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v7_knn_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
+      // --pagerank=bits:tables — PageRank over the kNN graph at the
+      // scale-contract keying (v8's gate pins bits=6 for the oracle; the
+      // deployed point re-keys by autoBits — PR itself is edge-linear:
+      // 3 shuffle joins over k·n edges regardless of keying)
+      args.filter(_.startsWith("--pagerank=")).foreach { a =>
+        val (b, tb) = a.stripPrefix("--pagerank=").split(":") match {
+          case Array(bs, ts) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+              case _ => sys.error(s"--pagerank expects positive bits:tables, got '$a'")
+            }
+          case _ => sys.error(s"--pagerank expects bits:tables (e.g. --pagerank=16:12), got '$a'")
+        }
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ts = timed {
+          val edges = graft.operators.Similarity.annKnnGraph(
+            emb, "vec_id", "embedding", 64, k = 3, bits = b, tables = tb)
+          graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v8_pr_b${b}_t$tb"}%-24s ${ts}%6.2f s")
+      }
       // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
       // real corpus runs (first-k is the oracle gate). Honored under
       // --only so it can probe at 100× without the 1×-sized extras.
@@ -256,6 +278,49 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         println(f"[probe] ${"bm25_search_steady"}%-24s ${t}%6.2f s")
+      }
+      // --buckets: perplexity bucketing in BOTH boundary modes — exact
+      // per-stratum rank window (the f4 oracle surface) vs the
+      // percentile_approx sketch boundary (the 100 TB operating point:
+      // no corpus-sized sort, thresholds broadcast)
+      if (args.contains("--buckets")) {
+        import graft.operators.QualityFilters
+        val docs = Tables.load(spark, sfDir, "documents")
+        for (approx <- Seq(false, true)) {
+          val t = timed {
+            (if (approx)
+              QualityFilters.perplexityBucketsApprox(docs, "doc_id", "text", "lang")
+            else
+              QualityFilters.perplexityBuckets(docs, "doc_id", "text", "lang"))
+              .write.format("noop").mode("overwrite").save()
+          }
+          val tag = if (approx) "buckets_approx" else "buckets_exact"
+          println(f"[probe] $tag%-24s ${t}%6.2f s")
+        }
+        // boundary step ALONE over a materialized score artifact (the
+        // score-reuse deployment shape): this is where the sort-vs-sketch
+        // difference lives — end to end the LM pass dominates both
+        val dir = graft.queries.QueryTmp.dir("probe-buckets")
+        docs.select(col("doc_id"), col("lang"))
+          .join(QualityFilters.unigramLogProb(docs, "doc_id", "text"), "doc_id")
+          .select(col("doc_id"), col("lang"), col("avg_logprob"))
+          .write.parquet(s"$dir/scored")
+        val scored = spark.read.parquet(s"$dir/scored")
+        val cuts = Seq(333333L, 666667L)
+        val lbs = Seq("head", "middle", "tail")
+        for (approx <- Seq(false, true)) {
+          val t = timed {
+            (if (approx)
+              QualityFilters.bucketByScoreApprox(scored, "doc_id", "lang",
+                "avg_logprob", cuts, lbs)
+            else
+              QualityFilters.bucketByScore(scored, "doc_id", "lang",
+                "avg_logprob", cuts, lbs))
+              .write.format("noop").mode("overwrite").save()
+          }
+          val tag = if (approx) "boundary_approx" else "boundary_exact"
+          println(f"[probe] $tag%-24s ${t}%6.2f s")
+        }
       }
       // --spans: cross-doc shared-span detection in BOTH keying modes —
       // exact span strings (the d14 oracle surface) vs native FNV window

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the curation
+  * substrate on top of [[Similarity.annKnnGraph]]: PageRank centrality
+  * over a corpus's nearest-neighbor graph surfaces the REPRESENTATIVE
+  * documents of each semantic region (high in-degree from their
+  * neighborhood), the complement of what near-dup removal prunes.
+  * (Transitive closure / connected components live in
+  * [[Dedup.connectedComponents]]; this adds weighted-propagation
+  * iteration.)
+  */
+object Graph {
+
+  /** PageRank with a FIXED iteration count — deterministic by
+    * construction (no convergence test, no float epsilon in control
+    * flow), so any engine replaying the same `iters` chained joins gets
+    * the same ranks. `pr_{t+1}(v) = (1−d)/n + d·Σ_{u→v} pr_t(u)/deg(u)`
+    * over `edges`; nodes without in-edges hold the base term, and
+    * dangling nodes' mass is NOT redistributed (the standard
+    * simplification — replayed identically by the oracle).
+    *
+    * Scale shape per iteration: one shuffle join of the edge list with
+    * the rank frame on the source id, one map-side-combined sum per
+    * destination, one left join back to the node set — everything
+    * edge-list-sized (k·n for a kNN graph), never quadratic. The node
+    * count rides a broadcast 1-row total (the t6 lesson). Fixed small
+    * `iters` keeps the unrolled plan shallow; a convergence-driven
+    * variant would checkpoint per iteration (the d6 pattern) and break
+    * replay — out of contract here.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
+    val ids = nodes.select(col(nodeCol).as("__node"))
+    val nTotal = ids.agg(count(lit(1)).cast("double").as("__cnt"))
+    val outd = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
+    // the prepared edge list feeds EVERY unrolled iteration — without
+    // pinning it, an expensive upstream (annKnnGraph's bucket join) would
+    // re-execute once per round (the x2 multi-reader lesson); released
+    // automatically after the first action on the returned frame
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .join(outd, "__src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = ids.crossJoin(broadcast(nTotal))
+      .select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
+    (1 to iters).foreach { _ =>
+      val contrib = e.join(pr, col("__src") === col("__node"))
+        .groupBy(col("__dst").as("__to"))
+        .agg(sum(col("__pr") / col("__deg")).as("__m"))
+      pr = ids.crossJoin(broadcast(nTotal))
+        .join(contrib, col("__node") === col("__to"), "left")
+        .select(col("__node"),
+          (lit(1.0 - damping) / col("__cnt")
+            + lit(damping) * coalesce(col("__m"), lit(0.0))).as("__pr"))
+    }
+    val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
+    CacheRelease.autoRelease(result, () => { e.unpersist(); () })
+    result
+  }
+}

@@ -110,53 +110,118 @@ object QualityFilters {
     * under the corpus LM) and cut the ranking into labeled fractions —
     * the head/middle/tail split CCNet curates with, here against the
     * corpus-trained unigram LM so any engine can replay the boundary.
-    *
-    * The boundary is integer arithmetic: doc in bucket i iff
-    * `rank · 10^6 ≤ n_stratum · cutMicros(i)` (rank is dense 1-based per
-    * stratum over (score DESC, id ASC) — the score is already rounded to
-    * 4 decimals by [[unigramLogProb]], so ties are REAL and the id
-    * tiebreak, not float noise, decides them). Documents with no tokens
-    * carry no evidence and land in the LAST bucket without consuming a
-    * rank slot.
-    *
-    * Scale shape: the score is f3's narrow-first pass; the ranking is
-    * one per-stratum window sort (the q7 class — a single range-
-    * partitioned shuffle) plus a broadcast of per-stratum counts. At
-    * 100 TB the exact rank can be swapped for approx-quantile score
-    * boundaries (sk2's sketch class) under the same bucket contract;
-    * the exact form is what the oracle replays.
+    * Composition of the f3 score pass and [[bucketByScore]]; documents
+    * with no tokens carry no evidence and land in the LAST bucket
+    * without consuming a rank slot.
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       stratumCol: String, cutsMicros: Seq[Long] = Seq(333333L, 666667L),
       labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    val (scored, empties) = lmScored(df, idCol, textCol, stratumCol)
+    bucketByScore(scored, idCol, stratumCol, "avg_logprob", cutsMicros, labels)
+      .unionByName(empties(labels.last))
+  }
+
+  /** The sketch-boundary composition — [[unigramLogProb]] scores into
+    * [[bucketByScoreApprox]]; same labels/fractions/tokenless handling
+    * as [[perplexityBuckets]], boundary placement approximate within the
+    * sketch accuracy (which is why the EXACT form is what the oracle
+    * gates).
+    */
+  def perplexityBucketsApprox(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, cutsMicros: Seq[Long] = Seq(333333L, 666667L),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      accuracy: Int = 10000): DataFrame = {
+    val (scored, empties) = lmScored(df, idCol, textCol, stratumCol)
+    bucketByScoreApprox(scored, idCol, stratumCol, "avg_logprob", cutsMicros, labels,
+        accuracy)
+      .unionByName(empties(labels.last))
+  }
+
+  /** The shared f3 score pass: (id, stratum, avg_logprob) for documents
+    * WITH tokens, plus a thunk producing the tokenless rows for a given
+    * last-bucket label. Tokenless docs are decided by a narrow
+    * emptiness scan — running the LM pipeline for rows whose score is
+    * definitionally 0.0 would pay the vocab shuffle a second time
+    * (union branches don't share plans).
+    */
+  private def lmScored(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String): (DataFrame, String => DataFrame) = {
+    val hasTok = size(filter(split(coalesce(col(textCol), lit("")), " "),
+      t => t =!= "")) > 0
+    val scored = df.filter(hasTok).select(col(idCol), col(stratumCol))
+      .join(unigramLogProb(df.filter(hasTok), idCol, textCol), idCol)
+      .select(col(idCol), col(stratumCol), col("avg_logprob"))
+    val empties = (last: String) => df.filter(!hasTok)
+      .select(col(idCol), col(stratumCol), lit(last).as("bucket"),
+        lit(0.0).as("avg_logprob"))
+    (scored, empties)
+  }
+
+  private def validateCuts(cutsMicros: Seq[Long], labels: Seq[String]): Unit = {
     require(labels.size == cutsMicros.size + 1,
       s"need one label per cut plus a final bucket: ${cutsMicros.size} cuts, ${labels.size} labels")
     require(cutsMicros.forall(c => c > 0 && c < 1000000L) &&
         (cutsMicros.size < 2 || cutsMicros.sliding(2).forall(p => p.head < p.last)),
       s"cuts must be strictly inside (0, 10^6) and STRICTLY ascending (a duplicate " +
         s"cut would shadow its label), got $cutsMicros")
-    // tokenless docs are decided by a narrow emptiness scan — running the
-    // LM pipeline for rows whose score is definitionally 0.0 would pay
-    // the vocab shuffle a second time (union branches don't share plans)
-    val hasTok = size(filter(split(coalesce(col(textCol), lit("")), " "),
-      t => t =!= "")) > 0
-    val scored = df.filter(hasTok).select(col(idCol), col(stratumCol))
-      .join(unigramLogProb(df.filter(hasTok), idCol, textCol), idCol)
+  }
+
+  /** EXACT fraction boundary over a precomputed (id, stratum, score)
+    * frame: doc in bucket i iff `rank · 10^6 ≤ n_stratum · cutMicros(i)`
+    * (rank is dense 1-based per stratum over (score DESC, id ASC) — with
+    * a rounded score, ties are REAL and the id tiebreak, not float
+    * noise, decides them). Separated from the scoring pass so callers
+    * can bucket ANY quality signal (classifier margin, length, the f3
+    * LM) and reuse one scored artifact across cut configurations.
+    *
+    * Scale shape: one per-stratum window sort (the q7 range-shuffle
+    * class) plus a broadcast of per-stratum counts — the sort is the
+    * whole cost, which is what [[bucketByScoreApprox]] removes.
+    */
+  def bucketByScore(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, cutsMicros: Seq[Long], labels: Seq[String]): DataFrame = {
+    validateCuts(cutsMicros, labels)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol).orderBy(col("avg_logprob").desc, col(idCol).asc)
+      .partitionBy(stratumCol).orderBy(col(scoreCol).desc, col(idCol).asc)
     // null-safe stratum match (the mixtureSample convention: null is a
     // stratum like any other — a USING join would silently drop it)
-    val counts = scored.groupBy(col(stratumCol).as("__stratum")).agg(count(lit(1)).as("__n"))
+    val counts = df.groupBy(col(stratumCol).as("__stratum")).agg(count(lit(1)).as("__n"))
     val bucket = cutsMicros.zip(labels.init).foldRight(lit(labels.last)) {
       case ((cut, label), rest) =>
         when(col("__rn") * 1000000L <= col("__n") * cut, label).otherwise(rest)
     }
-    scored.withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .join(broadcast(counts), col(stratumCol) <=> col("__stratum"))
-      .select(col(idCol), col(stratumCol), bucket.as("bucket"), col("avg_logprob"))
-      .unionByName(df.filter(!hasTok)
-        .select(col(idCol), col(stratumCol), lit(labels.last).as("bucket"),
-          lit(0.0).as("avg_logprob")))
+      .select(col(idCol), col(stratumCol), bucket.as("bucket"), col(scoreCol))
+  }
+
+  /** SKETCH fraction boundary over a precomputed (id, stratum, score)
+    * frame — the 100 TB operating point: per-stratum thresholds from
+    * `percentile_approx` (one map-side-combined sketch agg,
+    * stratum-count-sized output) and bucketing as a broadcast threshold
+    * join + a scan-stage comparison — no corpus-sized sort anywhere.
+    * Bucket rule: with cuts c₁ < c₂ < …, a doc is in bucket i when its
+    * score ≥ the stratum's (1 − cᵢ) quantile (higher score = better =
+    * earlier bucket), else the last label. Boundary placement is
+    * approximate within the sketch `accuracy` (1/accuracy relative rank
+    * error) — rows within that band of a cut may land one bucket off
+    * the exact form, the standard sketch trade.
+    */
+  def bucketByScoreApprox(df: DataFrame, idCol: String, stratumCol: String,
+      scoreCol: String, cutsMicros: Seq[Long], labels: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    validateCuts(cutsMicros, labels)
+    val qs = cutsMicros.map(c => 1.0 - c.toDouble / 1000000.0)
+    val thrs = df.groupBy(col(stratumCol).as("__stratum")).agg(
+      percentile_approx(col(scoreCol),
+        array(qs.map(lit(_)): _*), lit(accuracy)).as("__thrs"))
+    val bucket = cutsMicros.indices.zip(labels.init).foldRight(lit(labels.last)) {
+      case ((i, label), rest) =>
+        when(col(scoreCol) >= col("__thrs").getItem(i), label).otherwise(rest)
+    }
+    df.join(broadcast(thrs), col(stratumCol) <=> col("__stratum"))
+      .select(col(idCol), col(stratumCol), bucket.as("bucket"), col(scoreCol))
   }
 
   /** The Gopher-style keep decision over [[repetitionStats]] output. */

@@ -148,6 +148,21 @@ object VectorQueries {
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, k = 3)
     },
 
+    // PageRank centrality over the v7 kNN graph — representativeness
+    // scoring (high rank = the vectors a semantic region points AT), the
+    // complement of near-dup pruning. Fixed 3 iterations, damping 0.85,
+    // dangling mass dropped by contract — every arithmetic choice
+    // deterministic so the oracle replays the graph construction AND the
+    // three propagation rounds; (1 − d) is COMPUTED on both sides (a
+    // 0.15 literal would not be the same double).
+    "v8_knn_pagerank" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3)
+      graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id",
+        iters = 3, damping = 0.85)
+        .select(col("vec_id"), round(col("pagerank"), 8).as("pagerank"))
+    },
+
     // Embedding near-dup GROUP resolution: connected components over the
     // exact cosine pairs — each near-dup vector mapped to its cluster's
     // min id (the keep decision). BOUNDED exact verification gate
@@ -699,6 +714,41 @@ object VectorQueries {
            FROM sc)
          SELECT vec_id, neighbor, rank::INTEGER AS rank, round(cos, 6) AS sim
          FROM ranked WHERE rank <= 3""",
+    // v7's graph replay + three chained PageRank rounds: pr_{t+1} =
+    // (1-d)/n + d·Σ pr_t(src)/deg(src) over in-edges; (1.0 - 0.85) is an
+    // EXPRESSION on both sides so the base term is the identical double.
+    "v8_knn_pagerank" ->
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
+         sym AS (SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         sc AS (
+           SELECT s.id_a AS vec_id, s.id_b AS neighbor,
+                  list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+           FROM sym s JOIN ed ea ON ea.vec_id = s.id_a JOIN ed eb ON eb.vec_id = s.id_b),
+         ranked AS (
+           SELECT vec_id, neighbor, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+           FROM sc),
+         eg AS (SELECT vec_id AS src, neighbor AS dst FROM ranked WHERE rank <= 3),
+         outd AS (SELECT src, count(*) AS deg FROM eg GROUP BY src),
+         nn AS (SELECT count(*)::DOUBLE AS cnt FROM embeddings),
+         p0 AS (SELECT vec_id, 1.0 / cnt AS pr FROM embeddings, nn),
+         p1 AS (SELECT e2.vec_id, (1.0 - 0.85) / nn.cnt + 0.85 * COALESCE(s1.m, 0.0) AS pr
+                FROM embeddings e2 CROSS JOIN nn
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr / o.deg) AS m
+                           FROM eg g JOIN p0 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s1 USING (vec_id)),
+         p2 AS (SELECT e2.vec_id, (1.0 - 0.85) / nn.cnt + 0.85 * COALESCE(s2.m, 0.0) AS pr
+                FROM embeddings e2 CROSS JOIN nn
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr / o.deg) AS m
+                           FROM eg g JOIN p1 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s2 USING (vec_id)),
+         p3 AS (SELECT e2.vec_id, (1.0 - 0.85) / nn.cnt + 0.85 * COALESCE(s3.m, 0.0) AS pr
+                FROM embeddings e2 CROSS JOIN nn
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr / o.deg) AS m
+                           FROM eg g JOIN p2 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s3 USING (vec_id))
+         SELECT vec_id, round(pr, 8) AS pagerank FROM p3""",
     // v3's SRP replay composed with the recursive-CTE transitive closure
     // (the v5 shape) — the full ANN dedup-group pipeline in SQL.
     "v6_ann_dedup_groups" ->

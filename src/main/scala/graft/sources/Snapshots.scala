@@ -507,6 +507,37 @@ object Snapshots {
     * never be re-published (the pointer only moves forward), so deleting
     * them under the lock is safe.
     */
+  /** Retention policy: [[drop]] every version strictly below
+    * `latest − keep + 1`, keeping the newest `keep`. Returns the dropped
+    * version numbers (ascending). Bytes reclaim lazily under hard-link
+    * carry-forward — a file survives until the LAST version naming it is
+    * dropped, so retaining k appends holds k deltas + one shared base,
+    * not k full copies. Operational notes: a pinned reader of a dropped
+    * version fails its next read, and a [[readChanges]] interval that
+    * crosses a dropped version fails loudly (its manifest is gone) —
+    * run retention behind the slowest consumer, as any CDC deployment
+    * does.
+    */
+  def retainLast(tableDir: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"retainLast: keep must be >= 1, got $keep")
+    latestVersion(tableDir) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val floor = latest - keep + 1
+        val it = Files.list(Paths.get(tableDir))
+        val claimed = try {
+          val buf = scala.collection.mutable.ArrayBuffer[Int]()
+          it.iterator().forEachRemaining { p =>
+            val fn = p.getFileName.toString
+            if (fn.startsWith("v="))
+              scala.util.Try(fn.stripPrefix("v=").toInt).foreach(buf += _)
+          }
+          buf.toSeq
+        } finally it.close()
+        claimed.filter(_ < floor).sorted.filter(v => drop(tableDir, v))
+    }
+  }
+
   def drop(tableDir: String, version: Int): Boolean = withPointerLock(tableDir) {
     require(latestVersion(tableDir).exists(_ > version),
       s"refusing to drop v=$version: not strictly below the published latest " +

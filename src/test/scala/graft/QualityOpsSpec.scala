@@ -257,6 +257,34 @@ class QualityOpsSpec extends SparkSuite {
       docs, "id", "text", "g", Seq(700000L, 300000L), Seq("x", "y", "z")))
   }
 
+  test("perplexityBucketsApprox agrees with the exact form away from the cut boundaries") {
+    // 300 docs per stratum with DISTINCT scores within each stratum
+    // ((i*7) % 289 collides only 289 apart — opposite parity, other
+    // stratum), so the only legitimate divergence is the off-by-one at
+    // each cut (the rank form counts floor(n·c) rows, the threshold form
+    // takes score >= the quantile element); at accuracy 10000 over 300
+    // rows the sketch itself is exact
+    val docs = (1L to 600L).map { i =>
+      val g = if (i % 2 == 0) "x" else "y"
+      val rare = Seq.fill(((i * 7) % 289).toInt + 1)(s"rare$i").mkString(" ")
+      (i, g, s"the common words $rare")
+    }.toDF("id", "g", "text")
+    val exact = QualityFilters.perplexityBuckets(docs, "id", "text", "g")
+      .as[(Long, String, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    val approx = QualityFilters.perplexityBucketsApprox(docs, "id", "text", "g")
+      .as[(Long, String, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(approx.keySet == exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    // ties at the cut can legitimately differ (rank form breaks ties by
+    // id, threshold form keeps all tied scores together); everything
+    // else must match
+    assert(agree >= exact.size - 20, s"agree=$agree of ${exact.size}")
+    // bucket fractions stay near the requested terciles per stratum
+    val perG = QualityFilters.perplexityBucketsApprox(docs, "id", "text", "g")
+      .groupBy("g", "bucket").count().as[(String, String, Long)].collect()
+    perG.foreach { case (_, _, n) => assert(n > 60 && n < 140, perG.toSeq) }
+  }
+
   test("naiveBayes: hand-checked smoothing, OOV prior fallback, tie to largest label") {
     val train = Seq(
       ("spam", "buy pills now"), ("spam", "buy now"),

@@ -222,4 +222,22 @@ class SnapshotsSpec extends SparkSuite {
     assert(!Snapshots.drop(table, 1)) // already gone
     assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("retainLast keeps the newest k; shared link bytes survive; crossed feeds fail loudly") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-ret").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), table)
+    (2 to 5).foreach(i => Snapshots.commitAppend(Seq(i.toLong).toDF("id"), table))
+    assert(Snapshots.retainLast(table, 2) == Seq(1, 2, 3))
+    assert(Snapshots.retainLast(table, 2).isEmpty) // idempotent
+    // the kept versions still read in full: carried hard links keep
+    // shared bytes alive after their origin version was dropped
+    assert(Snapshots.read(spark, table, Some(4)).as[Long].collect().toSet ==
+      (1L to 4L).toSet)
+    assert(Snapshots.read(spark, table).as[Long].collect().toSet == (1L to 5L).toSet)
+    // a feed interval crossing a dropped version re-baselines loudly
+    intercept[IllegalStateException](Snapshots.readChanges(spark, table, 2))
+    // ... while an interval inside the retained window still serves
+    assert(Snapshots.readChanges(spark, table, 4).as[Long].collect().toSeq == Seq(5L))
+    intercept[IllegalArgumentException](Snapshots.retainLast(table, 0))
+  }
 }
