@@ -216,4 +216,45 @@ object Sampling {
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col("t._2").as(idCol), col(groupCol))
   }
+
+  /** WEIGHTED exactly-k reservoir per group — Efraimidis–Spirakis A-ES
+    * with the deterministic hash as the uniform draw: keep the k rows
+    * with the LARGEST `ln(u) / w` (order-equivalent to the classical
+    * u^(1/w) key, but in ln parity any engine replays), where
+    * `u = (splitmix64_bucket(id) + 1) / 10^6 ∈ (0, 1]`. Higher weight →
+    * higher inclusion odds, exactly the A-ES law — the
+    * quality-score-weighted or length-weighted data selection a curation
+    * mix uses when uniform-per-id sampling underweights what matters.
+    * Same auditability as [[reservoirPerGroup]]: membership is a pure
+    * function of (ids, weights, seed, k). Exact key ties break to the
+    * smaller id.
+    *
+    * Weights must be > 0 — a nonpositive weight fails the JOB loudly
+    * (`raise_error` in the key expression); silently dropping or
+    * clamping such rows would bias the sample behind the caller's back.
+    *
+    * Scale shape: the s4 bounded-heap class ([[graft.functions.Aggregators.TopKAgg]]
+    * partials trim to k before the shuffle). Returns (idCol, groupCol,
+    * es_key) — the key is exposed so downstream can re-verify or merge
+    * reservoirs (A-ES keys are mergeable by construction).
+    */
+  def weightedReservoirPerGroup(df: DataFrame, idCol: String, weightCol: String,
+      groupCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = (hashBucket(col(idCol), Buckets, seed) + 1).cast("double") / lit(Buckets.toDouble)
+    val key = when(col(weightCol) > 0, log(u) / col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedReservoirPerGroup: nonpositive weight in '$weightCol' for id "),
+        col(idCol).cast("string"))))
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long)](k, ord).toColumn
+    df.select(col(groupCol).cast("string"), key.as("__k"), col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (-t._2, t._3))
+      .agg(topk)
+      .toDF(groupCol, "top")
+      .select(col(groupCol), explode(col("top")).as("t"))
+      .select(col("t._2").as(idCol), col(groupCol), (-col("t._1")).as("es_key"))
+  }
 }

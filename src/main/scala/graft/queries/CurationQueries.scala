@@ -446,6 +446,18 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("epoch"))
     },
 
+    // WEIGHTED exactly-k reservoir (Efraimidis–Spirakis): 5 docs per lang,
+    // weight = length(text) + 1 — longer docs proportionally likelier,
+    // the quality/length-weighted selection a mixture uses. The oracle
+    // replays the splitmix draw, the ln(u)/w key (ln parity), and the
+    // (key DESC, id ASC) top-5.
+    "s8_weighted_reservoir" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("__w", length(col("text")) + 1)
+      Sampling.weightedReservoirPerGroup(docs, "doc_id", "__w", "lang", 5, SampleSeed)
+        .select(col("doc_id"), col("lang"), round(col("es_key"), 8).as("es_key"))
+    },
+
     // CCNet-style perplexity bucketing: per-lang head/middle/tail terciles
     // over the f3 corpus-LM quality score — integer boundary arithmetic
     // (rank·10^6 ≤ n·cut) on the 4-decimal-rounded score with doc-id
@@ -683,6 +695,18 @@ object CurationQueries {
                 FROM h)
           SELECT doc_id, lang, u.e::INT AS epoch
           FROM c, UNNEST(generate_series(0, copies - 1)) AS u(e)""",
+    // The A-ES key in ln parity: u = (bucket+1)/10^6, key = ln(u)/w,
+    // top-5 per lang by (key DESC, id ASC).
+    "s8_weighted_reservoir" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+          kx AS (SELECT doc_id, lang,
+                   ln((bucket + 1)::DOUBLE / 1000000.0)
+                     / (len(text) + 1)::DOUBLE AS k
+                 FROM h),
+          r AS (SELECT doc_id, lang, k,
+                  row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+                FROM kx)
+          SELECT doc_id, lang, round(k, 8) AS es_key FROM r WHERE rn <= 5""",
     // f3's corpus-LM score feeding an integer tercile boundary: the rank
     // window orders by the ROUNDED score with doc-id tiebreaks, so both
     // engines resolve ties identically (no float-ordering exposure).

@@ -217,6 +217,30 @@ class QualityOpsSpec extends SparkSuite {
     assert(multiset(1) == multiset(13))
   }
 
+  test("weightedReservoirPerGroup matches a local A-ES replay; nonpositive weights fail loudly") {
+    val df = (1L to 120L).map(i => (i, if (i % 2 == 0) "x" else "y", (i % 9 + 1).toDouble))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedReservoirPerGroup(df, "id", "w", "g", k = 4, seed = 11L)
+      .as[(Long, String, Double)].collect().map(r => (r._2, r._1) -> r._3).toMap
+    // replay with the operator's own hash primitive
+    val buckets = df.select(col("id"),
+        graft.functions.HashFunctions.hashBucket(col("id"), Sampling.Buckets, 11L))
+      .as[(Long, Long)].collect().toMap
+    val expect = (1L to 120L).map { i =>
+      val u = (buckets(i) + 1).toDouble / Sampling.Buckets.toDouble
+      (i, if (i % 2 == 0) "x" else "y", math.log(u) / (i % 9 + 1).toDouble)
+    }.groupBy(_._2).flatMap { case (g, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(4).map(r => (g, r._1) -> r._3)
+    }.toMap
+    assert(got == expect)
+    // a zero weight fails the job loudly, never a silent drop
+    val bad = Seq((1L, "x", 1.0), (2L, "x", 0.0)).toDF("id", "g", "w")
+    val e = intercept[Exception](
+      Sampling.weightedReservoirPerGroup(bad, "id", "w", "g", 1).collect())
+    assert(e.getMessage.contains("nonpositive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonpositive weight")))
+  }
+
   test("perplexityBuckets: integer tercile boundaries, rank parity, tokenless docs to tail") {
     val docs = Seq(
       (1L, "a", "the the the common words"), (2L, "a", "the common words here"),
