@@ -37,30 +37,33 @@ object Graph {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    val ids = nodes.select(col(nodeCol).as("__node"))
-    val nTotal = ids.agg(count(lit(1)).cast("double").as("__cnt"))
+    val rawIds = nodes.select(col(nodeCol).as("__node"))
+    val nTotal = rawIds.agg(count(lit(1)).cast("double").as("__cnt"))
+    // BOTH loop-invariant frames pin for the unrolled plan — the edge
+    // list (else an expensive upstream like annKnnGraph's bucket join
+    // re-executes once per round, the x2 multi-reader lesson) and the
+    // (node, count) frame (else the node set re-scans and re-counts
+    // iters+1 times per action). Released automatically after the first
+    // action on the returned frame.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val outd = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
-    // the prepared edge list feeds EVERY unrolled iteration — without
-    // pinning it, an expensive upstream (annKnnGraph's bucket join) would
-    // re-execute once per round (the x2 multi-reader lesson); released
-    // automatically after the first action on the returned frame
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .join(outd, "__src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pr = ids.crossJoin(broadcast(nTotal))
-      .select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
+      .persist(lvl)
+    val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
+    var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
     (1 to iters).foreach { _ =>
       val contrib = e.join(pr, col("__src") === col("__node"))
         .groupBy(col("__dst").as("__to"))
         .agg(sum(col("__pr") / col("__deg")).as("__m"))
-      pr = ids.crossJoin(broadcast(nTotal))
-        .join(contrib, col("__node") === col("__to"), "left")
+      pr = ids.join(contrib, col("__node") === col("__to"), "left")
         .select(col("__node"),
           (lit(1.0 - damping) / col("__cnt")
             + lit(damping) * coalesce(col("__m"), lit(0.0))).as("__pr"))
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
-    CacheRelease.autoRelease(result, () => { e.unpersist(); () })
+    CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
+    CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
     result
   }
 }

@@ -131,9 +131,9 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
-    val (result, release) =
-      annCosinePairsReleasable(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
-    autoRelease(result, release)
+    val (result, base) =
+      annCosinePairsImpl(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
+    autoRelease(result, base, () => { base.unpersist(); () })
     result
   }
 
@@ -146,6 +146,18 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
       bits: Int = 6, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): (DataFrame, () => Unit) = {
+    val (result, base) =
+      annCosinePairsImpl(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
+    (result, () => { base.unpersist(); () })
+  }
+
+  /** Shared body of the two pair forms: returns the result AND the
+    * cached projection frame (the release keying both lifecycles need).
+    */
+  private def annCosinePairsImpl(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int, tables: Int, seed: Long,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     // one cached projection feeds the bucket pass AND both verification
     // sides — without it an expensive upstream lineage evaluates three
     // times per action (the d4 double-reference regression class);
@@ -160,7 +172,7 @@ object Similarity {
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
-    (result, () => { base.unpersist(); () })
+    (result, base)
   }
 
   /** ANN k-nearest-neighbor GRAPH: every vector's top-k approximate
@@ -217,13 +229,14 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid").as(idCol), col("col._2").as("neighbor"),
         (col("pos") + 1).cast("int").as("rank"), round(col("col._3"), 6).as("sim"))
-    autoRelease(result, () => { base.unpersist(); () })
+    autoRelease(result, base, () => { base.unpersist(); () })
     result
   }
 
   /** Cache auto-release delegated to the shared [[CacheRelease]] helper
-    * (one-shot listener keyed on the InMemoryRelation cache builder).
+    * (one-shot listener keyed on the CACHED frame's own relation, read
+    * directly or nested inside a downstream cache).
     */
-  private def autoRelease(result: DataFrame, release: () => Unit): Unit =
-    CacheRelease.autoRelease(result, release)
+  private def autoRelease(result: DataFrame, cached: DataFrame, release: () => Unit): Unit =
+    CacheRelease.autoRelease(result, cached, release)
 }

@@ -498,15 +498,6 @@ object Snapshots {
     else None
   }
 
-  /** Explicit retention: delete one version's data — only versions
-    * STRICTLY BELOW the published latest. Run under the pointer lock:
-    * without it, a version that is claimed (v=N directory in place) but
-    * not yet pointer-published could be dropped, after which the
-    * in-flight committer publishes `_latest` pointing at a deleted
-    * directory and every latest read fails. Below-latest versions can
-    * never be re-published (the pointer only moves forward), so deleting
-    * them under the lock is safe.
-    */
   /** Retention policy: [[drop]] every version strictly below
     * `latest − keep + 1`, keeping the newest `keep`. Returns the dropped
     * version numbers (ascending). Bytes reclaim lazily under hard-link
@@ -538,6 +529,15 @@ object Snapshots {
     }
   }
 
+  /** Explicit retention: delete one version's data — only versions
+    * STRICTLY BELOW the published latest. Run under the pointer lock:
+    * without it, a version that is claimed (v=N directory in place) but
+    * not yet pointer-published could be dropped, after which the
+    * in-flight committer publishes `_latest` pointing at a deleted
+    * directory and every latest read fails. Below-latest versions can
+    * never be re-published (the pointer only moves forward), so deleting
+    * them under the lock is safe.
+    */
   def drop(tableDir: String, version: Int): Boolean = withPointerLock(tableDir) {
     require(latestVersion(tableDir).exists(_ > version),
       s"refusing to drop v=$version: not strictly below the published latest " +

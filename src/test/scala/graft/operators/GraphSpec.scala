@@ -35,6 +35,28 @@ class GraphSpec extends SparkSuite {
     assert(prS(1L) > prS(2L) && prS.values.sum < 1.0)
   }
 
+  test("pageRank over annKnnGraph releases EVERY stacked cache after the first action") {
+    val rnd = new scala.util.Random(3)
+    val emb = (1L to 60L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    emb.count()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", 8, k = 3,
+      bits = 2, tables = 6)
+    val pr = Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id")
+    assert(pr.count() == 60)
+    // pageRank's edge pin STACKS over annKnnGraph's projection cache: a
+    // logical-plan-only release listener never sees the inner relation
+    // (it hides inside the outer InMemoryRelation's cached physical
+    // plan) and the corpus-sized projection leaks for the session — the
+    // nested traversal in CacheRelease is what this pins. Listeners ride
+    // the async bus — poll.
+    val deadline = System.nanoTime() + 10000000000L
+    def lingering = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (lingering.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(lingering.isEmpty, s"stacked caches survived the action: $lingering")
+  }
+
   test("pageRank matches the local replay on a random sparse digraph") {
     val rnd = new scala.util.Random(7)
     val nodes = (1L to 40L)
