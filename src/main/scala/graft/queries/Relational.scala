@@ -131,6 +131,20 @@ object Relational {
           col("next_price"), col("quartile"), col("running_spend"))
     },
 
+    // LOCF forward-fill (gap repair): clicks report no value — the
+    // gauge-on-change pattern — and every gap takes the user's most
+    // recent observation in (ts, event_id) order; rows before the first
+    // observation stay null. One window pass (the ql1 sort class).
+    "ql2_locf_fill" -> { (s, dir) =>
+      import graft.operators.Timeseries
+      val gappy = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "click", lit(null)).otherwise(col("value")).as("v"))
+      Timeseries.locf(gappy, "v", Seq("user_id"), Seq("ts", "event_id"), "v_filled")
+        .select(col("event_id"), col("user_id"), col("v_filled"),
+          Timeseries.carriedMarker("v").as("carried"))
+    },
+
     // Rollup (grouping sets) — Spark-native bonus.
     "q8_rollup_status_priority" -> { (s, dir) =>
       Tables.load(s, dir, "orders")
@@ -369,6 +383,15 @@ object Relational {
              row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 2""",
+    // `carried` covers original nulls too (the Spark side marks v IS
+    // NULL, not just the click rewrite).
+    "ql2_locf_fill" ->
+      """SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           (event_type = 'click' OR value IS NULL) AS carried
+         FROM events""",
     "ql1_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
            round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS prev_price,

@@ -62,4 +62,26 @@ class TemporalSpec extends SparkSuite {
     val sh = spark.sql("SELECT size(word_shingle_hashes('a b c d')) AS n").collect()
     assert(sh.head.getInt(0) == 2)
   }
+
+  test("locf carries the last observation forward within partitions; leading gaps stay null") {
+    import graft.operators.Timeseries
+    val df = Seq(
+      (1L, 1, Some(5.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(7.0)), (1L, 5, None),
+      (2L, 1, None), (2L, 2, Some(3.0))
+    ).toDF("u", "t", "v")
+    val got = Timeseries.locf(df, "v", Seq("u"), Seq("t"))
+      .select(col("u"), col("t"), col("filled"), Timeseries.carriedMarker("v").as("c"))
+      .as[(Long, Int, Option[Double], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1, Some(5.0), false), (1L, 2, Some(5.0), true), (1L, 3, Some(5.0), true),
+      (1L, 4, Some(7.0), false), (1L, 5, Some(7.0), true),
+      (2L, 1, None, true), (2L, 2, Some(3.0), false)))
+    // the fill is independent of input partitioning (the window imposes
+    // the total order)
+    val shuffled = Timeseries.locf(df.repartition(7), "v", Seq("u"), Seq("t"))
+      .select(col("u"), col("t"), col("filled"))
+      .as[(Long, Int, Option[Double])].collect().toSet
+    assert(shuffled == got.map(r => (r._1, r._2, r._3)))
+    intercept[IllegalArgumentException](Timeseries.locf(df, "v", Seq("u"), Seq.empty))
+  }
 }
