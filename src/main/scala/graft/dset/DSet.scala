@@ -317,14 +317,19 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     *
     * Executor-tier combine (paper §4.8 aggregates per node before the
     * client): above [[DSet.FoldTreeThreshold]] partitions the partials
-    * reduce through `treeReduce` — tree levels run IN TASKS, so the
-    * driver receives ~parts^(1/depth) states instead of one per
-    * partition (at 100k partitions × MB-sized states that is the
-    * difference between ~50 states and a 100 GB driver payload). Below
-    * the threshold the partials collect directly — a tree level there
-    * would add a shuffle stage that costs more than it saves. `aggr`
-    * must be associative and commutative (tree grouping order is not
-    * partition order), the same contract as Spark's own `reduce`.
+    * reduce through an ORDER-PRESERVING tree — each level groups
+    * CONTIGUOUS partition-id ranges (branch factor = the threshold) and
+    * reduces every group in partition order, so the whole combine is a
+    * parenthesization of the partition-ordered sequence: `aggr` needs
+    * associativity ONLY (string/segment concatenation folds are safe),
+    * and the result is bit-identical to the small-path ordered reduce at
+    * any partition count — a plain `treeReduce` would silently flip
+    * results for non-commutative `aggr` the moment the threshold is
+    * crossed. Tree levels run IN TASKS; the driver receives at most
+    * branch-factor states (at 100k partitions × MB-sized states that is
+    * the difference between ≤64 states and a 100 GB driver payload).
+    * Below the threshold the partials collect directly — a tree level
+    * there would add a shuffle stage that costs more than it saves.
     */
   def fold[S: ClassTag](state: S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
     val parts = ds.rdd.getNumPartitions
@@ -334,10 +339,20 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
       val arr = partials.collect()
       if (arr.isEmpty) state else arr.reduce(aggr)
     } else {
-      // depth 2 → driver sees ~sqrt(parts); depth 3 caps the driver at
-      // ~parts^(1/3) once sqrt itself would be an oversized fan-in
-      val depth = if (parts > 4096) 3 else 2
-      partials.treeReduce(aggr, depth)
+      val width = DSet.FoldTreeThreshold
+      var cur = partials.mapPartitionsWithIndex((pid, it) => it.map(s => (pid, s)))
+      var n = parts
+      while (n > width) {
+        val groups = (n + width - 1) / width
+        cur = cur.map { case (pid, s) => (pid / width, (pid, s)) }
+          .groupByKey(groups)
+          .map { case (g, it) =>
+            (g, it.toSeq.sortBy(_._1).map(_._2).reduce(aggr))
+          }
+        n = groups
+      }
+      val arr = cur.collect().sortBy(_._1).map(_._2)
+      if (arr.isEmpty) state else arr.reduce(aggr)
     }
   }
 

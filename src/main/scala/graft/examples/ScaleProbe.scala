@@ -115,11 +115,17 @@ object ScaleProbe {
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         for (aqeSkew <- Seq(true, false)) {
           spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
+          lastPlan = ""
           val tj = timed {
             fact.join(dim, "k")
               .select(sum(col("v") + col("w") + length(col("payload"))).as("s"))
               .write.format("noop").mode("overwrite").save()
           }
+          // the execution-end event rides the ASYNC listener bus: without
+          // the poll the proof reads an empty (or the previous run's)
+          // plan and can print skew-split=false for a split that engaged
+          val deadline = System.nanoTime() + 10000000000L
+          while (lastPlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
           val tag = if (aqeSkew) "join_aqe" else "join_noaqe"
           val split = if (aqeSkew) s", skew-split=${lastPlan.contains("skew=true")}" else ""
           println(f"[probe] ${s"skew_${tag}_${mult}x"}%-24s $tj%6.2f s$split")

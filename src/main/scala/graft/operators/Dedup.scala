@@ -217,8 +217,13 @@ object Dedup {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucketSize)
     val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    // score compares as DOUBLE — a long cast would truncate fractional
+    // quality scores (a [0,1) classifier score would degenerate every
+    // cluster to the min-id keep this operator exists to replace). NaN
+    // scores sort GREATEST under Spark's double ordering — score columns
+    // must be NaN-free (quality scorers here are).
     val scored = comps.join(
-        df.select(col(idCol).cast("long").as("id"), scoreCol.cast("long").as("__score")), "id")
+        df.select(col(idCol).cast("long").as("id"), scoreCol.cast("double").as("__score")), "id")
     // argmax via struct max: (score, −id) orders by score then SMALLEST
     // id on ties — ids are non-negative longs, so the negation never
     // overflows and the struct comparison is total

@@ -140,25 +140,30 @@ object PlanCache {
       case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         rel.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            put("files:"); fs.location.inputFiles.sorted.foreach(f => put(s"${f.length}:$f"))
-            // Opt-in content keys: fold each file's (size, mtime) into the
-            // key, statted FRESH from the filesystem (never the session's
-            // file-status cache — see the staleness contract above). A
-            // file that vanished between listing and stat keys as missing:
-            // the key changes, the attach misses, and the recompute (not
-            // this fingerprint) is where a genuinely broken input fails
-            // loudly.
-            if (contentKeys) {
-              put("content:")
-              val conf = df.sparkSession.sessionState.newHadoopConf()
-              fs.location.inputFiles.sorted.foreach { f =>
+            // ONE enumeration + sort feeds both key tiers — the listing
+            // itself can be an O(files) namenode round, and the old
+            // contentKeys block re-listed, re-sorted and re-hashed the
+            // same prefix a second time.
+            put("files:")
+            val conf =
+              if (contentKeys) df.sparkSession.sessionState.newHadoopConf() else null
+            fs.location.inputFiles.sorted.foreach { f =>
+              put(s"${f.length}:$f")
+              // Opt-in content keys: fold each file's (size, mtime) into
+              // the key, statted FRESH from the filesystem (never the
+              // session's file-status cache — see the staleness contract
+              // above). A file that vanished between listing and stat
+              // keys as missing: the key changes, the attach misses, and
+              // the recompute (not this fingerprint) is where a genuinely
+              // broken input fails loudly.
+              if (contentKeys) {
                 val p = new org.apache.hadoop.fs.Path(f)
                 val stat =
                   try {
                     val st = p.getFileSystem(conf).getFileStatus(p)
                     s"${st.getLen}:${st.getModificationTime}"
                   } catch { case _: java.io.FileNotFoundException => "missing" }
-                put(s"${f.length}:$f=$stat")
+                put(s"content:$f=$stat")
               }
             }
           case _ => ()

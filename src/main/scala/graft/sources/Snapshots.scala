@@ -115,11 +115,27 @@ object Snapshots {
           // orphan claims a HIGHER number and publishes it) — complete it
           // under the lock; if latest moved concurrently the next loop
           // iteration re-classifies
+          // classify-and-act under ONE lock hold: roll the orphan forward
+          // when its base is still the published latest; otherwise its
+          // carry-forward is stale and the batch must re-commit fresh —
+          // in which case the orphan's idempotence record is neutralized
+          // HERE, atomically with the classification. Leaving the tag in
+          // place would put the same tag on two versions, and a later
+          // replay scanning onto the stale one would neutralize it and
+          // append the batch AGAIN (duplicate rows — exactly-once
+          // broken); neutralizing outside the lock races a concurrent
+          // replayer that just published this very orphan.
           val rolled = withPointerLock(tableDir) {
             val b = baseOf(tableDir, v)
             if (b.isDefined && latestVersion(tableDir).getOrElse(0) == b.get) {
               writePointer(tableDir, v); true
-            } else false
+            } else if (inPublishedChain(tableDir, v)) {
+              true // a concurrent replayer already rolled it forward
+            } else {
+              Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
+              Files.deleteIfExists(Paths.get(tableDir, s"v=$v", BaseFile))
+              false
+            }
           }
           if (rolled) return v
         case Some(v) =>
@@ -173,6 +189,14 @@ object Snapshots {
   def rollbackTo(tableDir: String, version: Int): Int = {
     require(Files.isDirectory(Paths.get(tableDir, s"v=$version")),
       s"rollbackTo: no version directory v=$version under $tableDir")
+    // the directory existing is NOT enough: a commit that crashed after
+    // its atomic v=N rename but before the pointer publish leaves an
+    // orphan directory whose content was never any published table state
+    // — restoring it would resurrect data no reader ever saw. The
+    // publish marker is written under the pointer lock at every publish.
+    require(Files.exists(Paths.get(tableDir, s"v=$version", PubFile)),
+      s"rollbackTo: v=$version of $tableDir was never published (a crashed commit's " +
+        "orphan directory) — refusing to restore content that was never table state")
     var committed: Option[Int] = None
     while (committed.isEmpty) {
       val base = latestVersion(tableDir)
@@ -199,6 +223,7 @@ object Snapshots {
 
   private val TagFile = "_graft_tag"
   private val BaseFile = "_graft_base"
+  private val PubFile = "_graft_published"
   private val DeltaFile = "_graft_delta"
 
   /** Record the version's delta manifest: the data files THIS commit
@@ -467,6 +492,12 @@ object Snapshots {
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, "_latest"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // permanent was-ever-published record (`_`-prefixed: carry-forward
+    // leaves it behind) — the pointer itself only names the CURRENT
+    // latest, but [[rollbackTo]] must distinguish genuinely-published
+    // history from a crashed commit's unpublished orphan directory
+    val mark = Paths.get(tableDir, s"v=$v", PubFile)
+    if (!Files.exists(mark)) Files.write(mark, Array.emptyByteArray)
   }
 
   /** Highest v=N directory present (claimed versions, published or not). */

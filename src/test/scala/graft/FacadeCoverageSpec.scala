@@ -139,6 +139,18 @@ class FacadeCoverageSpec extends SparkSuite {
       s"driver reduced ${driverAggr.get()} partials — tree level missing")
   }
 
+  test("fold preserves partition order for associative non-commutative aggregation") {
+    // the tree path groups CONTIGUOUS pid ranges and reduces them in
+    // order — a parenthesization of the ordered sequence, so an
+    // associative-but-non-commutative aggr (concatenation) must give the
+    // partition-ordered result at ANY partition count, not flip when the
+    // tree threshold is crossed
+    val parts = 100 // > FoldTreeThreshold
+    val d = DSet.sourceI[String](spark, parts)(pi => Seq(pi.toString))
+    val got = d.fold("")((s, u) => s + u, (a, b) => a + "|" + b)
+    assert(got == (0 until parts).mkString("|"), got)
+  }
+
   test("foldWithCommonStatePerNode tolerates empty partitions (snapshot tie-break)") {
     // partition 1 is empty: its task's snapshot TIES on fold count with
     // the worker task's — a stale tie-break spuriously reported a dead

@@ -246,6 +246,13 @@ class TextDedupSpec extends SparkSuite {
     val out = Dedup.canonicalKeep(corpus, "doc_id", "text", length(col("text")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 10L -> 10L, 11L -> 10L), out.toString)
+    // FRACTIONAL scores must not truncate: a [0,1) classifier score that
+    // collapsed to long would tie every member and silently degrade to
+    // the min-id keep (doc 1 instead of 2 here)
+    val frac = Dedup.canonicalKeep(corpus, "doc_id", "text",
+        when(col("doc_id") === 2L, 0.9).otherwise(0.1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(frac(1L) == 2L && frac(3L) == 2L, frac.toString)
   }
 
   test("incrementalNearDupKeep drops cross-side near-dups, keeps within-batch dups") {

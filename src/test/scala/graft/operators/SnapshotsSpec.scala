@@ -182,6 +182,48 @@ class SnapshotsSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b"), (5L, "e")))
   }
 
+  test("stale above-latest orphan: tag neutralized atomically, replay stays exactly-once") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-orph").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), table)  // v1
+    Snapshots.commit(Seq(2L).toDF("id"), table)  // v2 published, latest=2
+    // simulate a committer that claimed v=3 against base 1 and crashed
+    // before its pointer publish, while v2 raced past it: a STALE orphan
+    // whose carry-forward is outdated
+    Seq(99L).toDF("id").write.parquet(s"$table/v=3")
+    Files.write(Paths.get(table, "v=3", "_graft_tag"), "batch-b".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(table, "v=3", "_graft_base"), "1".getBytes(StandardCharsets.UTF_8))
+    // the replayed batch must re-commit FRESH against the new base and
+    // neutralize the orphan's tag in the same classification — leaving
+    // it would put one tag on two versions
+    val v = Snapshots.commitAppend(Seq(5L).toDF("id"), table, tag = Some("batch-b"))
+    assert(v == 4 && Snapshots.latestVersion(table).contains(4))
+    assert(!Files.exists(Paths.get(table, "v=3", "_graft_tag")))
+    assert(Snapshots.read(spark, table).as[Long].collect().toSet == Set(2L, 5L))
+    // a SECOND re-delivery is a pure no-op: without the neutralization it
+    // could scan onto the stale orphan's tag and append the batch AGAIN
+    assert(Snapshots.commitAppend(Seq(5L).toDF("id"), table, tag = Some("batch-b")) == 4)
+    assert(Snapshots.latestVersion(table).contains(4))
+    assert(Snapshots.read(spark, table).as[Long].collect().toSet == Set(2L, 5L))
+  }
+
+  test("rollbackTo refuses a crashed commit's unpublished orphan directory") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-orb").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), table)     // v1 published
+    Seq(99L).toDF("id").write.parquet(s"$table/v=2") // orphan: claimed, never published
+    Snapshots.commit(Seq(3L).toDF("id"), table)     // claims past the orphan → v3, latest
+    assert(Snapshots.latestVersion(table).contains(3))
+    // v=2's directory exists and 2 < latest, but its content was never
+    // any published table state — restoring it would resurrect data no
+    // reader ever saw
+    val e = intercept[IllegalArgumentException](Snapshots.rollbackTo(table, 2))
+    assert(e.getMessage.contains("never published"))
+    // a genuinely published old version still restores
+    assert(Snapshots.rollbackTo(table, 1) == 4)
+    assert(Snapshots.read(spark, table).as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("readChanges: additions-only feed walks appends and dataChange=false rewrites") {
     import graft.sources.Compact
     val table = java.nio.file.Files.createTempDirectory("graft-snap-cdc").toString + "/t"
