@@ -25,6 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
+  /** Fill-in-the-middle split — the FIM pretraining transform: each
+    * document divides into (prefix, middle, suffix) token spans, the
+    * middle chosen DETERMINISTICALLY from the document id (splitmix64
+    * bucket mod the valid start range, the [[Sampling]] hash family), so
+    * the split is a pure function of (id, seed, middleLen): auditable,
+    * stable under partitioning and re-runs, and replayable by any
+    * engine — where an RNG-per-row transform would re-split differently
+    * every run. The middle clamps to the document length; tokenless
+    * documents are dropped (nothing to split). Empty prefix/suffix
+    * (middle at either edge) come out as empty strings.
+    *
+    * Scale shape: one whole-stage-codegen span (split → hash → three
+    * slices + joins), zero exchanges — the t10 class.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+      middleLen: Int, seed: Long = 42L): DataFrame = {
+    require(middleLen > 0, s"middleLen must be positive, got $middleLen")
+    import graft.functions.HashFunctions.hashBucket
+    val toks = filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
+    val n = col("__n")
+    val l = least(lit(middleLen), n)
+    val start = (hashBucket(col(idCol), Sampling.Buckets, seed) % (n - l + 1)).cast("int")
+    df.withColumn("__ts", toks)
+      .withColumn("__n", size(col("__ts")))
+      .filter(n > 0)
+      .withColumn("__l", l)
+      .withColumn("__st", start)
+      .select(col(idCol),
+        n.as("n_tokens"),
+        col("__st").as("start"),
+        array_join(slice(col("__ts"), lit(1), col("__st")), " ").as("prefix"),
+        array_join(slice(col("__ts"), col("__st") + 1, col("__l")), " ").as("middle"),
+        array_join(slice(col("__ts"), col("__st") + col("__l") + 1,
+          n - col("__st") - col("__l")), " ").as("suffix"))
+  }
+
   /** Returns (idCol, chunk_ix, n_tokens, chunkCol) rows, exploded in
     * the scan stage.
     */

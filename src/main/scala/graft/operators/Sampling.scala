@@ -190,6 +190,22 @@ object Sampling {
     (df.filter(bucket >= thr), df.filter(bucket < thr))
   }
 
+  /** Deterministic k-FOLD assignment — cross-validation / ensembling
+    * splits from the same splitmix64 identity hash as [[trainEvalSplit]]:
+    * `fold(id) = bucket(id, seed) mod k`, a pure function of
+    * (id, seed, k). Folds are mutually exclusive, jointly exhaustive,
+    * and stable under corpus growth (a doc never migrates between folds
+    * when new data arrives — each fold's holdout stays uncontaminated
+    * across re-runs). [[Buckets]] is a multiple of any k ≤ 8 common in
+    * practice; for other k the residual bias is ≤ k/10^6. One codegen
+    * expression in the scan stage, no shuffle.
+    */
+  def kfoldAssign(df: DataFrame, idCol: String, k: Int, seed: Long = 42L,
+      foldCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    df.withColumn(foldCol, (hashBucket(col(idCol), Buckets, seed) % k).cast("int"))
+  }
+
   /** EXACTLY-k deterministic sample per group (fixed-size eval slices,
     * per-domain quotas): the k rows with the smallest splitmix64(id)
     * per group, doc-id tiebreak. Same auditability as [[hashSample]] —

@@ -446,6 +446,14 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("epoch"))
     },
 
+    // Deterministic k-FOLD assignment (cross-validation splits): fold =
+    // splitmix64(doc_id) mod 5 — exclusive, exhaustive, stable under
+    // corpus growth; the oracle replays hash and modulo.
+    "s9_kfold_assign" -> { (s, dir) =>
+      Sampling.kfoldAssign(Tables.load(s, dir, "documents"), "doc_id", 5, SampleSeed)
+        .select(col("doc_id"), col("lang"), col("fold"))
+    },
+
     // WEIGHTED exactly-k reservoir (Efraimidis–Spirakis): 5 docs per lang,
     // weight = length(text) + 1 — longer docs proportionally likelier,
     // the quality/length-weighted selection a mixture uses. The oracle
@@ -467,6 +475,18 @@ object CurationQueries {
       QualityFilters.perplexityBuckets(Tables.load(s, dir, "documents"),
         "doc_id", "text", "lang")
         .select(col("doc_id"), col("lang"), col("bucket"), col("avg_logprob"))
+    },
+
+    // Fill-in-the-middle splits (the FIM pretraining transform): each
+    // doc divides into (prefix, middle, suffix) with the middle start
+    // drawn deterministically from splitmix64(doc_id) mod the valid
+    // range — a pure function of (id, seed, len), so the oracle replays
+    // the hash, the modulo, and all three list slices byte-exactly.
+    "t11_fim_splits" -> { (s, dir) =>
+      graft.operators.Chunking.fimSplit(Tables.load(s, dir, "documents"),
+        "doc_id", "text", middleLen = 8, seed = SampleSeed)
+        .select(col("doc_id"), col("n_tokens"), col("start"),
+          col("prefix"), col("middle"), col("suffix"))
     },
 
     // Multinomial Naive Bayes admission classifier (the CCNet/fastText
@@ -695,6 +715,9 @@ object CurationQueries {
                 FROM h)
           SELECT doc_id, lang, u.e::INT AS epoch
           FROM c, UNNEST(generate_series(0, copies - 1)) AS u(e)""",
+    "s9_kfold_assign" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)}
+          SELECT doc_id, lang, (bucket % 5)::INT AS fold FROM h""",
     // The A-ES key in ln parity: u = (bucket+1)/10^6, key = ln(u)/w,
     // top-5 per lang by (key DESC, id ASC).
     "s8_weighted_reservoir" ->
@@ -735,6 +758,23 @@ object CurationQueries {
          FROM ne
          UNION ALL
          SELECT doc_id, lang, 'tail', avg_logprob FROM scored WHERE n_tokens = 0""",
+    // The FIM arithmetic in list-slice SQL: start = bucket mod
+    // (n − l + 1); ts[1:st] / ts[st+1:st+l] / ts[st+l+1:n] are the three
+    // spans (DuckDB slices are 1-based inclusive; an empty range yields
+    // an empty list → '', matching Spark's zero-length slice).
+    "t11_fim_splits" ->
+      s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
+          tk AS (SELECT doc_id, bucket,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                 FROM h),
+          c AS (SELECT doc_id, ts, len(ts) AS n, least(8, len(ts)) AS l, bucket
+                FROM tk WHERE len(ts) > 0),
+          s AS (SELECT doc_id, ts, n, l, (bucket % (n - l + 1))::INT AS st FROM c)
+          SELECT doc_id, n::INT AS n_tokens, st AS start,
+            COALESCE(array_to_string(ts[1 : st], ' '), '') AS prefix,
+            COALESCE(array_to_string(ts[st + 1 : st + l], ' '), '') AS middle,
+            COALESCE(array_to_string(ts[st + l + 1 : n], ' '), '') AS suffix
+          FROM s""",
     // Laplace-smoothed multinomial NB replayed end to end: split, counts,
     // ln((c+1)/(ntok+|V|)), Σ cd·lp + ln(prior), argmax (score DESC,
     // label DESC = the struct-max tie contract), prior fallback.

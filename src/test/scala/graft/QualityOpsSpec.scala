@@ -217,6 +217,26 @@ class QualityOpsSpec extends SparkSuite {
     assert(multiset(1) == multiset(13))
   }
 
+  test("kfoldAssign: exclusive exhaustive folds, stable under growth, hash-replayable") {
+    val df = (1L to 500L).toDF("id")
+    val folds = Sampling.kfoldAssign(df, "id", 5, seed = 9L)
+      .as[(Long, Int)].collect().toMap
+    assert(folds.size == 500 && folds.values.forall(f => f >= 0 && f < 5))
+    // every fold populated, roughly balanced
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(n => n > 50 && n < 150), sizes.toMap.toString)
+    // fold = the operator's own hash mod k — and stability under growth:
+    // the first 500 ids keep their folds when 500 more arrive
+    val grown = Sampling.kfoldAssign((1L to 1000L).toDF("id"), "id", 5, seed = 9L)
+      .as[(Long, Int)].collect().toMap
+    assert((1L to 500L).forall(i => grown(i) == folds(i)))
+    val buckets = df.select(col("id"),
+        graft.functions.HashFunctions.hashBucket(col("id"), Sampling.Buckets, 9L))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 500L).forall(i => folds(i) == (buckets(i) % 5).toInt))
+    intercept[IllegalArgumentException](Sampling.kfoldAssign(df, "id", 1))
+  }
+
   test("weightedReservoirPerGroup matches a local A-ES replay; nonpositive weights fail loudly") {
     val df = (1L to 120L).map(i => (i, if (i % 2 == 0) "x" else "y", (i % 9 + 1).toDouble))
       .toDF("id", "g", "w")
