@@ -91,10 +91,12 @@ object ScaleProbe {
       // capture each run's final adaptive plan so the probe can PROVE the
       // skew split engaged instead of inferring it from wall time
       @volatile var lastPlan = ""
+      @volatile var planSeq = 0
       val listener = new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(name: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
-          lastPlan = qe.executedPlan.toString
+            qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+          lastPlan = qe.executedPlan.toString; planSeq += 1
+        }
         override def onFailure(name: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
       }
@@ -115,17 +117,18 @@ object ScaleProbe {
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         for (aqeSkew <- Seq(true, false)) {
           spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew.toString)
-          lastPlan = ""
+          val seq0 = planSeq
           val tj = timed {
             fact.join(dim, "k")
               .select(sum(col("v") + col("w") + length(col("payload"))).as("s"))
               .write.format("noop").mode("overwrite").save()
           }
-          // the execution-end event rides the ASYNC listener bus: without
-          // the poll the proof reads an empty (or the previous run's)
-          // plan and can print skew-split=false for a split that engaged
+          // the execution-end event rides the ASYNC listener bus: poll on
+          // a RUN SEQUENCE, not plan emptiness — an emptiness poll that
+          // timed out would let the late event satisfy the NEXT
+          // iteration's poll and attribute run N's plan to run N+1
           val deadline = System.nanoTime() + 10000000000L
-          while (lastPlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+          while (planSeq == seq0 && System.nanoTime() < deadline) Thread.sleep(20)
           val tag = if (aqeSkew) "join_aqe" else "join_noaqe"
           val split = if (aqeSkew) s", skew-split=${lastPlan.contains("skew=true")}" else ""
           println(f"[probe] ${s"skew_${tag}_${mult}x"}%-24s $tj%6.2f s$split")

@@ -27,8 +27,12 @@ object Chunking {
 
   /** Fill-in-the-middle split — the FIM pretraining transform: each
     * document divides into (prefix, middle, suffix) token spans, the
-    * middle chosen DETERMINISTICALLY from the document id (splitmix64
-    * bucket mod the valid start range, the [[Sampling]] hash family), so
+    * middle chosen DETERMINISTICALLY from the document id (the
+    * splitmix64 bucket SCALED onto the valid start range —
+    * `bucket · range / 10^6`, which covers the WHOLE document at any
+    * length with ≤ range/10^6 per-position granularity, where a plain
+    * `bucket mod range` would hard-cap starts below the 10^6 bucket
+    * space and never pick the second half of a very long document), so
     * the split is a pure function of (id, seed, middleLen): auditable,
     * stable under partitioning and re-runs, and replayable by any
     * engine — where an RNG-per-row transform would re-split differently
@@ -46,7 +50,8 @@ object Chunking {
     val toks = filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= "")
     val n = col("__n")
     val l = least(lit(middleLen), n)
-    val start = (hashBucket(col(idCol), Sampling.Buckets, seed) % (n - l + 1)).cast("int")
+    val start = (hashBucket(col(idCol), Sampling.Buckets, seed) * (n - l + 1)
+      / Sampling.Buckets).cast("int")
     df.withColumn("__ts", toks)
       .withColumn("__n", size(col("__ts")))
       .filter(n > 0)

@@ -196,9 +196,11 @@ object Sampling {
     * (id, seed, k). Folds are mutually exclusive, jointly exhaustive,
     * and stable under corpus growth (a doc never migrates between folds
     * when new data arrives — each fold's holdout stays uncontaminated
-    * across re-runs). [[Buckets]] is a multiple of any k ≤ 8 common in
-    * practice; for other k the residual bias is ≤ k/10^6. One codegen
-    * expression in the scan stage, no shuffle.
+    * across re-runs). Folds are exactly uniform over the bucket space
+    * when k divides [[Buckets]] = 10^6 (k = 2, 4, 5, 8, 10, …); for
+    * other k (3, 6, 7, …) the residual bias is < k/10^6 — negligible,
+    * but not the exact-equality some k enjoy. One codegen expression in
+    * the scan stage, no shuffle.
     */
   def kfoldAssign(df: DataFrame, idCol: String, k: Int, seed: Long = 42L,
       foldCol: String = "fold"): DataFrame = {

@@ -758,10 +758,12 @@ object CurationQueries {
          FROM ne
          UNION ALL
          SELECT doc_id, lang, 'tail', avg_logprob FROM scored WHERE n_tokens = 0""",
-    // The FIM arithmetic in list-slice SQL: start = bucket mod
-    // (n − l + 1); ts[1:st] / ts[st+1:st+l] / ts[st+l+1:n] are the three
-    // spans (DuckDB slices are 1-based inclusive; an empty range yields
-    // an empty list → '', matching Spark's zero-length slice).
+    // The FIM arithmetic in list-slice SQL: start = bucket·(n − l + 1)
+    // // 10^6 (the bucket SCALED onto the range — full-document coverage
+    // at any length, vs a mod that caps starts below the bucket space);
+    // ts[1:st] / ts[st+1:st+l] / ts[st+l+1:n] are the three spans
+    // (DuckDB slices are 1-based inclusive; an empty range yields an
+    // empty list → '', matching Spark's zero-length slice).
     "t11_fim_splits" ->
       s"""WITH ${splitmixCte("documents", "doc_id", SampleSeed)},
           tk AS (SELECT doc_id, bucket,
@@ -769,7 +771,8 @@ object CurationQueries {
                  FROM h),
           c AS (SELECT doc_id, ts, len(ts) AS n, least(8, len(ts)) AS l, bucket
                 FROM tk WHERE len(ts) > 0),
-          s AS (SELECT doc_id, ts, n, l, (bucket % (n - l + 1))::INT AS st FROM c)
+          s AS (SELECT doc_id, ts, n, l,
+                  ((bucket * (n - l + 1)) // ${Sampling.Buckets})::INT AS st FROM c)
           SELECT doc_id, n::INT AS n_tokens, st AS start,
             COALESCE(array_to_string(ts[1 : st], ' '), '') AS prefix,
             COALESCE(array_to_string(ts[st + 1 : st + l], ' '), '') AS middle,

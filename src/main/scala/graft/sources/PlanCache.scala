@@ -140,30 +140,31 @@ object PlanCache {
       case rel: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         rel.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            // ONE enumeration + sort feeds both key tiers — the listing
-            // itself can be an O(files) namenode round, and the old
-            // contentKeys block re-listed, re-sorted and re-hashed the
-            // same prefix a second time.
-            put("files:")
-            val conf =
-              if (contentKeys) df.sparkSession.sessionState.newHadoopConf() else null
-            fs.location.inputFiles.sorted.foreach { f =>
-              put(s"${f.length}:$f")
-              // Opt-in content keys: fold each file's (size, mtime) into
-              // the key, statted FRESH from the filesystem (never the
-              // session's file-status cache — see the staleness contract
-              // above). A file that vanished between listing and stat
-              // keys as missing: the key changes, the attach misses, and
-              // the recompute (not this fingerprint) is where a genuinely
-              // broken input fails loudly.
-              if (contentKeys) {
+            // ONE enumeration + sort feeds both key tiers (the listing
+            // can be an O(files) namenode round; the first contentKeys
+            // cut re-listed and re-sorted a second time). The BYTE LAYOUT
+            // is part of the key contract — it is unchanged from the
+            // original two-loop form, so neither key tier rotates.
+            val sortedFiles = fs.location.inputFiles.sorted
+            put("files:"); sortedFiles.foreach(f => put(s"${f.length}:$f"))
+            // Opt-in content keys: fold each file's (size, mtime) into the
+            // key, statted FRESH from the filesystem (never the session's
+            // file-status cache — see the staleness contract above). A
+            // file that vanished between listing and stat keys as missing:
+            // the key changes, the attach misses, and the recompute (not
+            // this fingerprint) is where a genuinely broken input fails
+            // loudly.
+            if (contentKeys) {
+              put("content:")
+              val conf = df.sparkSession.sessionState.newHadoopConf()
+              sortedFiles.foreach { f =>
                 val p = new org.apache.hadoop.fs.Path(f)
                 val stat =
                   try {
                     val st = p.getFileSystem(conf).getFileStatus(p)
                     s"${st.getLen}:${st.getModificationTime}"
                   } catch { case _: java.io.FileNotFoundException => "missing" }
-                put(s"content:$f=$stat")
+                put(s"${f.length}:$f=$stat")
               }
             }
           case _ => ()

@@ -61,7 +61,7 @@ object Snapshots {
       } else false
     }
     if (published) Some(v)
-    else { FsUtil.deleteTree(Paths.get(tableDir, s"v=$v")); None }
+    else { discardClaim(tableDir, v); None }
   }
 
   /** Append-commit: the next version's data = the latest version's data
@@ -132,8 +132,11 @@ object Snapshots {
             } else if (inPublishedChain(tableDir, v)) {
               true // a concurrent replayer already rolled it forward
             } else {
+              // TagFile ONLY: the base edge may belong to published
+              // history (a full commit can cut a published version out of
+              // the CURRENT chain) and deleting it would sever a pinned
+              // consumer's readChanges walk over that history
               Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
-              Files.deleteIfExists(Paths.get(tableDir, s"v=$v", BaseFile))
               false
             }
           }
@@ -146,8 +149,10 @@ object Snapshots {
           // the idempotence record and re-commit fresh. The data
           // directory stays — it may be a published version pinned
           // readers still open; retention ([[drop]]) reclaims it.
+          // TagFile ONLY (not the base edge) — see the stale-orphan
+          // branch above: the version may be published history whose
+          // chain a pinned consumer still walks
           Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
-          Files.deleteIfExists(Paths.get(tableDir, s"v=$v", BaseFile))
         case None => ()
       }
       val base = latestVersion(tableDir)
@@ -168,7 +173,7 @@ object Snapshots {
         else false
       }
       if (published) committed = Some(v)
-      else FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
+      else discardClaim(tableDir, v)
     }
     committed.get
   }
@@ -192,9 +197,15 @@ object Snapshots {
     // the directory existing is NOT enough: a commit that crashed after
     // its atomic v=N rename but before the pointer publish leaves an
     // orphan directory whose content was never any published table state
-    // — restoring it would resurrect data no reader ever saw. The
-    // publish marker is written under the pointer lock at every publish.
-    require(Files.exists(Paths.get(tableDir, s"v=$version", PubFile)),
+    // — restoring it would resurrect data no reader ever saw. Publish is
+    // proven by the marker (written under the pointer lock at every
+    // publish) OR by current-chain membership (every recorded base was
+    // once the published latest) — the chain fallback self-heals a crash
+    // in the pointer-move-to-marker-write window and covers pre-marker
+    // tables' recent lineage; only unmarked UNREACHABLE directories (the
+    // orphan case) refuse.
+    require(Files.exists(Paths.get(tableDir, s"v=$version", PubFile))
+        || inPublishedChain(tableDir, version),
       s"rollbackTo: v=$version of $tableDir was never published (a crashed commit's " +
         "orphan directory) — refusing to restore content that was never table state")
     var committed: Option[Int] = None
@@ -216,7 +227,7 @@ object Snapshots {
         else false
       }
       if (published) committed = Some(v)
-      else FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
+      else discardClaim(tableDir, v)
     }
     committed.get
   }
@@ -224,6 +235,18 @@ object Snapshots {
   private val TagFile = "_graft_tag"
   private val BaseFile = "_graft_base"
   private val PubFile = "_graft_published"
+
+  /** Discard a claimed version after a lost CAS — UNLESS it was
+    * published out from under us: a replayer can legitimately roll a
+    * slow committer's claimed-but-unpublished version forward (the
+    * fresh-orphan path), and the original committer waking up and
+    * deleting the now-published directory would leave `_latest` dangling
+    * and every read failing. The publish marker is written under the
+    * pointer lock, so this check cannot race a publish of THIS version.
+    */
+  private def discardClaim(tableDir: String, v: Int): Unit =
+    if (!Files.exists(Paths.get(tableDir, s"v=$v", PubFile)))
+      FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
   private val DeltaFile = "_graft_delta"
 
   /** Record the version's delta manifest: the data files THIS commit

@@ -31,12 +31,13 @@ class ChunkingSpec extends SparkSuite {
     }
     // a single-token doc: the middle IS the doc, edges empty
     assert(out(2L)._4 == "" && out(2L)._5 == "x" && out(2L)._6 == "")
-    // the start is the operator's own hash mod the valid range — pure
-    // function of (id, seed, len)
+    // the start is the operator's own hash SCALED onto the valid range
+    // (bucket · range / 10^6 — full-document coverage at any length) —
+    // a pure function of (id, seed, len)
     val bucket = df.filter(col("id") === 1L)
       .select(graft.functions.HashFunctions.hashBucket(col("id"), Sampling.Buckets, 7L))
       .as[Long].head()
-    assert(out(1L)._3 == (bucket % (6 - 3 + 1)).toInt)
+    assert(out(1L)._3 == (bucket * (6 - 3 + 1) / Sampling.Buckets).toInt)
     intercept[IllegalArgumentException](Chunking.fimSplit(df, "id", "text", 0))
   }
 
