@@ -201,6 +201,20 @@ object Similarity {
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    // The heap keys by the id's OWN type (the annCosinePairs id-preserving
+    // contract): a blanket long cast would turn non-numeric ids into nulls
+    // SILENTLY (Spark's string→long cast yields null) and corrupt the
+    // graph. Integral and string ids rank natively; anything else fails
+    // loudly at call time, before any work is persisted or scheduled.
+    val idType = df.select(col(idCol)).schema.head.dataType
+    val integralId = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"annKnnGraph: unsupported id column type $other for '$idCol' — use an integral " +
+          "or string id (a silent numeric cast would null non-numeric ids and corrupt the graph)")
+    }
     // one cached projection feeds the bucket pass AND both scoring sides
     // (the annCosinePairs lifecycle: released after the first action)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -210,24 +224,42 @@ object Similarity {
     // the candidate relation is symmetric; each vector ranks neighbors in
     // BOTH directions of every collision pair
     val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val scored = sym
+    val scoredBase = sym
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
-      .select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos"))
     // heap entries (−cos, neighbor, cos): k smallest under (−cos, id) =
     // top-k by cos desc with id tiebreak; the third field carries the
     // un-negated score out (never reconstructed from the sort key, so a
     // −0.0 can't leak into the output)
-    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-      .on[(Double, Long, Double)](t => (t._1, t._2))
-    val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long, Double)](k, ord).toColumn
-    val result = scored.as[(Long, Long, Double)]
-      .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
-      .agg(topk)
-      .toDF("qid", "top")
+    val ranked: DataFrame =
+      if (integralId) {
+        val scored =
+          scoredBase.select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos"))
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+          .on[(Double, Long, Double)](t => (t._1, t._2))
+        val topk =
+          new graft.functions.Aggregators.TopKAgg[(Double, Long, Double)](k, ord).toColumn
+        scored.as[(Long, Long, Double)]
+          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
+          .agg(topk)
+          .toDF("qid", "top")
+      } else {
+        val scored = scoredBase.select(col("id_a"), col("id_b"), col("cos"))
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+          .on[(Double, String, Double)](t => (t._1, t._2))
+        val topk =
+          new graft.functions.Aggregators.TopKAgg[(Double, String, Double)](k, ord).toColumn
+        scored.as[(String, String, Double)]
+          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
+          .agg(topk)
+          .toDF("qid", "top")
+      }
+    // integral ids rank through the widest integral key and cast BACK to
+    // the input type on emit; string ids pass through untouched
+    val result = ranked
       .select(col("qid"), posexplode(col("top")))
-      .select(col("qid").as(idCol), col("col._2").as("neighbor"),
+      .select(col("qid").cast(idType).as(idCol), col("col._2").cast(idType).as("neighbor"),
         (col("pos") + 1).cast("int").as("rank"), round(col("col._3"), 6).as("sim"))
     autoRelease(result, base, () => { base.unpersist(); () })
     result

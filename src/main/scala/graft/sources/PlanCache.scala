@@ -47,6 +47,32 @@ object PlanCache {
   case object Hit extends Outcome
   case object Miss extends Outcome
 
+  /** Session conf that flips the DEFAULT key tier to content keys for
+    * every attach in the session: `spark.graft.planCache.contentKeys =
+    * true` makes [[readThrough]]/[[readThroughWithOutcome]] (and
+    * `cacheAcrossSessions`) behave as if `contentKeys = true` was passed.
+    *
+    * Default-flip plan (recorded decision): content keys are the SAFE
+    * mode — an in-place input overwrite misses instead of serving stale
+    * bytes — and the intent is to make them the code default in a future
+    * major revision. The migration cost is one fleet-wide cold miss (every
+    * existing entry was published under the file-list tier and its key
+    * rotates), so the flip is staged: (1) this conf lets a deployment opt
+    * in per-session today and pre-warm the content-tier entries; (2) once
+    * a fleet runs with the conf on, flipping the code default is a no-op
+    * for it. An explicit `contentKeys = true` argument always wins; the
+    * conf cannot force file-list keying (`false` + conf `true` = content
+    * keys — the conf only ever upgrades toward the safe mode, never
+    * downgrades a caller that asked for safety).
+    */
+  val ContentKeysConf = "spark.graft.planCache.contentKeys"
+
+  /** The effective key tier: the caller's flag OR'd with the session conf
+    * (see [[ContentKeysConf]] — the conf only upgrades to the safe mode).
+    */
+  private def effectiveContentKeys(df: DataFrame, contentKeys: Boolean): Boolean =
+    contentKeys || df.sparkSession.conf.getOption(ContentKeysConf).exists(_.trim.toBoolean)
+
   /** Outcome of the most recent [[readThrough]] on this JVM. Convenience
     * for sequential callers — under concurrency use
     * [[readThroughWithOutcome]], which returns the outcome instead of
@@ -188,7 +214,7 @@ object PlanCache {
   def readThroughWithOutcome(df: DataFrame, cacheDir: String,
       contentKeys: Boolean = false): (DataFrame, Outcome) = {
     val spark = df.sparkSession
-    val key = fingerprint(df, contentKeys)
+    val key = fingerprint(df, effectiveContentKeys(df, contentKeys))
     Files.createDirectories(Paths.get(cacheDir))
     sweepStaleTmp(Paths.get(cacheDir))
     val target = Paths.get(cacheDir, key)
@@ -205,13 +231,28 @@ object PlanCache {
   }
 
   /** Explicit eviction (the reference's decache). Returns true if a
-    * published entry existed.
+    * published entry existed under EITHER key tier.
+    *
+    * Eviction is tier-complete regardless of the `contentKeys` flag: an
+    * entry published via `readThrough(..., contentKeys = true)` lives
+    * under a different key than the file-list tier, and an invalidate
+    * caller that forgot to repeat the flag would otherwise silently leave
+    * it alive (returning false). The flag is kept for signature
+    * compatibility only — when the plan reads files, BOTH fingerprints
+    * are derived and both targets evicted (the content fingerprint costs
+    * one fresh O(files) stat pass, bounded by compaction and cheap next
+    * to the recompute an eviction implies).
     */
   def invalidate(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): Boolean = {
-    val target = Paths.get(cacheDir, fingerprint(df, contentKeys))
-    val existed = isPublished(target)
-    if (Files.exists(target)) deleteTree(target)
-    sweepStaleTmp(target.getParent)
+    val keys =
+      Seq(fingerprint(df, contentKeys = false), fingerprint(df, contentKeys = true)).distinct
+    var existed = false
+    keys.foreach { k =>
+      val target = Paths.get(cacheDir, k)
+      if (isPublished(target)) existed = true
+      if (Files.exists(target)) deleteTree(target)
+    }
+    sweepStaleTmp(Paths.get(cacheDir))
     existed
   }
 

@@ -168,12 +168,30 @@ object Snapshots {
         writeBase(stage, base)
         base.foreach(b => carryForward(Paths.get(tableDir, s"v=$b"), stage))
       }
-      val published = withPointerLock(tableDir) {
-        if (latestVersion(tableDir) == base) { writePointer(tableDir, v); true }
-        else false
+      val published: Either[Int, Boolean] = withPointerLock(tableDir) {
+        // Re-verify the idempotence tag under the SAME lock hold as the
+        // publish. The pre-claim scan alone loses an interleave: committer
+        // C2's tag scan can run before C1's claim (sees no tag) while C2's
+        // base read runs after C1's publish (base = C1's version) — both
+        // CAS checks then pass and the batch's rows land twice, with the
+        // same tag on two published chain versions. Seeing a SIBLING
+        // version (not our own claim, which carries the tag too) already
+        // on the published chain with this tag means the batch is
+        // committed: abandon the claim and return that version.
+        val replayed = tag.flatMap(t => taggedVersion(tableDir, t))
+          .filter(v0 => v0 != v && inPublishedChain(tableDir, v0))
+        replayed match {
+          case Some(v0) => Left(v0)
+          case None =>
+            if (latestVersion(tableDir) == base) { writePointer(tableDir, v); Right(true) }
+            else Right(false)
+        }
       }
-      if (published) committed = Some(v)
-      else discardClaim(tableDir, v)
+      published match {
+        case Left(v0) => discardClaim(tableDir, v); return v0
+        case Right(true) => committed = Some(v)
+        case Right(false) => discardClaim(tableDir, v)
+      }
     }
     committed.get
   }
@@ -366,23 +384,31 @@ object Snapshots {
 
   /** The version carrying idempotence tag `t`, if any (scan is one
     * directory listing — version counts are compaction-bounded).
+    *
+    * In the transient window where the tag sits on TWO directories (an
+    * in-flight claim racing a published replay of the same batch) the
+    * pick is deterministic, never filesystem-listing-order dependent:
+    * a published-chain member wins (the batch's committed home), else
+    * the smallest version number.
     */
   def taggedVersion(tableDir: String, t: String): Option[Int] = {
     if (!Files.isDirectory(Paths.get(tableDir))) return None
     val it = Files.list(Paths.get(tableDir))
-    try {
-      var found: Option[Int] = None
+    val matches = try {
+      val buf = scala.collection.mutable.ArrayBuffer[Int]()
       it.iterator().forEachRemaining { p =>
         val fn = p.getFileName.toString
-        if (found.isEmpty && fn.startsWith("v=")) {
+        if (fn.startsWith("v=")) {
           val tf = p.resolve(TagFile)
           if (Files.exists(tf) &&
               new String(Files.readAllBytes(tf), StandardCharsets.UTF_8) == t)
-            found = scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+            scala.util.Try(fn.stripPrefix("v=").toInt).foreach(buf += _)
         }
       }
-      found
+      buf.toSeq.sorted
     } finally it.close()
+    if (matches.lengthCompare(1) <= 0) matches.headOption
+    else matches.find(inPublishedChain(tableDir, _)).orElse(matches.headOption)
   }
 
   /** Hard-link (copy fallback) every data file of `from` into `stage`.

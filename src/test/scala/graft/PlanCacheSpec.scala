@@ -194,6 +194,40 @@ class PlanCacheSpec extends SparkSuite {
     assert(freshRows.exists(_.contains("new")) && !freshRows.exists(_.contains("old")))
   }
 
+  test("invalidate evicts both key tiers regardless of the flag") {
+    val cacheDir = tmpDir("pc-inv2")
+    val df = ordersAgg(spark, sf0001)
+    // a content-keyed entry must fall to a flag-less invalidate — a
+    // caller who forgets to repeat the publish flag must not leave the
+    // entry silently alive
+    PlanCache.readThrough(df, cacheDir, contentKeys = true).count()
+    assert(PlanCache.invalidate(df, cacheDir))
+    val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = true)
+    assert(o == PlanCache.Miss)
+    // and the converse: list-tier entry, content-flagged invalidate
+    PlanCache.readThrough(df, cacheDir).count()
+    assert(PlanCache.invalidate(df, cacheDir, contentKeys = true))
+    val (_, o2) = PlanCache.readThroughWithOutcome(df, cacheDir)
+    assert(o2 == PlanCache.Miss)
+  }
+
+  test("session conf flips the default key tier to content keys") {
+    val cacheDir = tmpDir("pc-conf")
+    val df = ordersAgg(spark, sf0001)
+    val listKey = PlanCache.fingerprint(df)
+    val contentKey = PlanCache.fingerprint(df, contentKeys = true)
+    assert(listKey != contentKey)
+    spark.conf.set(PlanCache.ContentKeysConf, "true")
+    try {
+      PlanCache.readThrough(df, cacheDir).count() // publishes under the CONTENT key
+      assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
+      assert(!Files.exists(Paths.get(cacheDir, listKey)))
+      // an explicit contentKeys = true lands on the same entry: warm hit
+      val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = true)
+      assert(o == PlanCache.Hit)
+    } finally spark.conf.unset(PlanCache.ContentKeysConf)
+  }
+
   test("invalidate on a never-written cacheDir returns false (no sweep crash)") {
     val df = ordersAgg(spark, sf0001)
     assert(!PlanCache.invalidate(df, tmpDir("pc-empty") + "/never-created"))

@@ -101,6 +101,39 @@ class VectorSpec extends SparkSuite {
     assert(got.toSet == ref.toSet)
   }
 
+  test("annKnnGraph preserves the id type: string ids rank natively, unsupported fail loudly") {
+    // string ids — the case the blanket long cast silently nulled out
+    val corpus = Seq(
+      ("a", Array(1f, 0f)), ("b", Array(0.9f, 0.1f)),
+      ("c", Array(0f, 1f)), ("d", Array(0.1f, 0.95f))
+    ).toDF("doc", "embedding")
+    val got = Similarity.annKnnGraph(corpus, "doc", "embedding", dim = 2, k = 2,
+      bits = 1, tables = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "string-id corpus produced an empty graph")
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(!rows.exists(_._2 == id), s"self-neighbor for $id")
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rows.length).toSeq, s"ranks for $id")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"sims for $id")
+    }
+    // integral ids narrower than long come back in their OWN type
+    val intCorpus = Seq((1, Array(1f, 0f)), (2, Array(0.9f, 0.1f)), (3, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val intGraph = Similarity.annKnnGraph(intCorpus, "vec_id", "embedding", dim = 2, k = 1,
+      bits = 1, tables = 8)
+    assert(intGraph.schema("vec_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(intGraph.schema("neighbor").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(intGraph.count() > 0)
+    // a non-rankable id type refuses at call time instead of nulling out
+    val badCorpus = Seq((Array(1.toByte), Array(1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annKnnGraph(badCorpus, "vec_id", "embedding", dim = 2, k = 1)
+    }
+    assert(e.getMessage.contains("unsupported id column type"))
+  }
+
   test("KMeans.fit with k greater than the row count cycles candidates") {
     import graft.operators.KMeans
     val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

@@ -157,6 +157,48 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), table, Some("batch-1")) == 4)
   }
 
+  test("concurrent same-tag committers append exactly once (publish-lock tag re-check)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-tagrace").toString + "/t"
+    Snapshots.commitAppend(Seq(0L).toDF("id"), table, Some("batch-0")) // v=1
+    // 6 committers race one batch id (a restarted streaming driver racing
+    // its zombie original): the pre-claim tag scan alone can interleave
+    // with another committer's publish so both pass the CAS — the
+    // under-lock tag re-check must collapse them to ONE committed version
+    val vs = Await.result(
+      Future.sequence((1 to 6).map(_ => Future {
+        Snapshots.commitAppend(Seq(100L).toDF("id"), table, Some("batch-1"))
+      })), 2.minutes)
+    assert(vs.toSet.size == 1, s"same-tag committers split across versions: $vs")
+    val ids = Snapshots.read(spark, table).as[Long].collect().toSeq
+    assert(ids.count(_ == 100L) == 1, s"batch rows duplicated: $ids")
+    assert(ids.count(_ == 0L) == 1, s"base rows lost or duplicated: $ids")
+    // the tag resolves to exactly the version every caller returned
+    assert(Snapshots.taggedVersion(table, "batch-1").contains(vs.head))
+  }
+
+  test("taggedVersion: duplicate tags resolve to the chain member, else the smallest version") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-tagdup").toString + "/t"
+    Snapshots.commitAppend(Seq(1L).toDF("id"), table, Some("b1")) // v=1, published
+    // plant the SAME tag on a higher orphan directory (the transient
+    // duplicate a crashed replay can leave): the published-chain member
+    // must win, never filesystem listing order
+    Seq(9L).toDF("id").write.parquet(s"$table/v=3")
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=3", "_graft_tag"),
+      "b1".getBytes("UTF-8"))
+    assert(Snapshots.taggedVersion(table, "b1").contains(1))
+    // a tag on two UNPUBLISHED orphans: deterministic smallest-version pick
+    Seq(8L).toDF("id").write.parquet(s"$table/v=6")
+    Seq(7L).toDF("id").write.parquet(s"$table/v=4")
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=6", "_graft_tag"),
+      "tx".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(table, "v=4", "_graft_tag"),
+      "tx".getBytes("UTF-8"))
+    assert(Snapshots.taggedVersion(table, "tx").contains(4))
+  }
+
   test("rollbackTo restores old content as a NEW version; history stays immutable") {
     val table = java.nio.file.Files.createTempDirectory("graft-snaprb").toString + "/t"
     val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
