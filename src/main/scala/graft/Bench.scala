@@ -149,10 +149,26 @@ object Bench {
           docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/flat")
       }
     }
+    // SCORED-index append: the daily-batch maintenance cost of the BM25
+    // index — batch-only tokenize + tf/dl build + the batch-sized stats
+    // delta scan; independent of index size like ii3 (each timed append
+    // adds identical parquet files and returns the same delta).
+    val ii5Steady = fixtureBench("ii5_append_steady") {
+      val iiBase = graft.queries.QueryTmp.dir("bench-ii5")
+      val docsT = Tables.load(spark, sfDir, "documents")
+      graft.operators.InvertedIndex.buildScored(
+        docsT.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+        .write.parquet(s"$iiBase/scored")
+      bench("ii5_append_steady") {
+        graft.operators.InvertedIndex.appendScored(
+          docsT.filter(col("doc_id") % 10 === 7), "doc_id", "text", s"$iiBase/scored"): Unit
+      }
+    }
 
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
-      ("ii3_append_steady" -> ii3Steady) :+ ("ii4_bm25_steady" -> ii4Steady)
+      ("ii3_append_steady" -> ii3Steady) :+ ("ii4_bm25_steady" -> ii4Steady) :+
+      ("ii5_append_steady" -> ii5Steady)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMed = all.map { case (k, v) => "\"" + k + "\":" + v._2 }

@@ -114,10 +114,72 @@ object InvertedIndex {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Incremental maintenance for the SCORED index: tokenize ONLY the
+    * batch and append its (doc, token, tf, dl) rows — [[appendTo]]'s twin
+    * for the BM25 layout. `dl` is each batch doc's own token count (a doc
+    * lives wholly inside one batch), so the appended rows are exactly
+    * what a full [[buildScored]] rebuild would produce for those docs.
+    * Returns the batch's stats delta (docs, tokens) so the caller folds
+    * it into precomputed corpus totals with [[mergeTotals]] — the (N,
+    * avgdl) update costs one batch-sized scan, NEVER the O(index)
+    * [[corpusStats]] pass, and the updated stats serve CORRECT scores
+    * (stale (N, avgdl) after a plain append silently mis-ranks). Caller
+    * contract as [[appendTo]]: batch doc ids are new.
+    */
+  def appendScored(docs: DataFrame, idCol: String, textCol: String,
+      path: String): (Long, Long) = {
+    buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
+    batchTotals(docs, textCol)
+  }
+
+  /** A batch's exact (docs, total tokens) — one batch-sized scan, the
+    * delta [[mergeTotals]] folds into corpus totals. Zero-token docs are
+    * excluded, matching [[corpusStats]] over a rebuild (they emit no
+    * postings, so a rebuild never counts them).
+    */
+  def batchTotals(docs: DataFrame, textCol: String): (Long, Long) = {
+    val row = docs
+      .select(size(filter(split(col(textCol), " "), t => length(t) > 0)).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("toks"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Exact integer corpus totals (docs, tokens) from a scored postings
+    * table — the form of [[corpusStats]] that stays EXACT under
+    * incremental maintenance: compute once at build time, then fold each
+    * [[appendScored]] delta in with [[mergeTotals]] (integer adds — no
+    * accumulated float drift across appends) and derive (N, avgdl) via
+    * [[statsOf]] at query time.
+    */
+  def corpusTotals(scored: DataFrame, idCol: String): (Long, Long) = {
+    val row = scored.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("toks"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Fold an [[appendScored]] batch delta into corpus totals. */
+  def mergeTotals(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+
+  /** (N, avgdl) from exact totals — bit-identical to [[corpusStats]] on
+    * the same table (integer-valued doubles sum exactly below 2^53, and
+    * both forms perform the same final division), so append-then-merge
+    * serves the same scores as rebuild-then-recompute.
+    */
+  def statsOf(totals: (Long, Long)): (Long, Double) = {
+    require(totals._1 > 0, s"statsOf: empty corpus (docs=${totals._1})")
+    (totals._1, totals._2.toDouble / totals._1)
+  }
+
   /** Corpus-level BM25 statistics (doc count, average doc length) from a
     * scored postings table — compute ONCE per index build/append and
     * reuse across searches (it is the only full-postings pass in the
     * ranking path); the 1-row driver collect is the intended boundary.
+    * Under incremental maintenance prefer [[corpusTotals]] +
+    * [[mergeTotals]]: same numbers, no per-append postings pass.
     */
   def corpusStats(scored: DataFrame, idCol: String): (Long, Double) = {
     val row = scored.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))

@@ -80,6 +80,29 @@ object TextQueries {
       InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10)
     },
 
+    // Incrementally-maintained SCORED index: built WITHOUT the daily
+    // batch (doc_id % 10 = 7), then the batch alone is tokenized and
+    // appended, and the (N, avgdl) stats are updated from the batch's
+    // returned delta — never a full-postings recompute. The ii4 search
+    // runs off the appended artifact with the MERGED stats against the
+    // FULL-corpus oracle, so a lost append, a double append, or stale
+    // stats (the silent mis-rank a plain appendTo+precomputed-stats
+    // combination served) all fail the hash.
+    "ii5_bm25_append" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val path = s"${QueryTmp.dir("bm25idx5")}/postings"
+      InvertedIndex.buildScored(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+        .write.parquet(path)
+      val totals0 = InvertedIndex.corpusTotals(s.read.parquet(path), "doc_id")
+      val delta = InvertedIndex.appendScored(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+      val scored = s.read.parquet(path)
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
+        stats = Some(InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))))
+    },
+
     // Phrase search over the POSITIONAL index: the probe phrase is the
     // corpus's top doc-frequency bigram (chosen via the narrow
     // tokenGramCounts map expression and replayed by the oracle, so the
@@ -380,6 +403,30 @@ object TextQueries {
            GROUP BY doc_id HAVING count(DISTINCT token) = 2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii4_bm25_rank" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // append == rebuild: the incrementally-appended scored index with
+    // MERGED stats must serve exactly the full-corpus ranking
+    "ii5_bm25_append" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
            FROM documents),

@@ -129,6 +129,50 @@ class InvertedIndexSpec extends SparkSuite {
       .as[(Long, Double)].collect().toSet == got.toSet)
   }
 
+  test("appendScored: appended index + merged stats equal scratch rebuild exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ii5").toString
+    val existing = docs.filter(col("doc_id") < 2)
+    val batch = docs.filter(col("doc_id") >= 2) // includes the empty doc 3
+    InvertedIndex.buildScored(existing, "doc_id", "text").write.parquet(s"$dir/p")
+    val totals0 = InvertedIndex.corpusTotals(spark.read.parquet(s"$dir/p"), "doc_id")
+    assert(totals0 == (2L, 6L)) // docs 0,1 — 3 tokens each
+    val delta = InvertedIndex.appendScored(batch, "doc_id", "text", s"$dir/p")
+    assert(delta == (1L, 2L)) // doc 2 only: the empty doc contributes nothing
+    // postings: appended artifact row-identical to a scratch rebuild
+    // (sorted-seq compare — a double append would collapse under toSet)
+    val appended = spark.read.parquet(s"$dir/p")
+      .select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    val scratch = InvertedIndex.buildScored(docs, "doc_id", "text")
+      .select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(appended == scratch)
+    // stats: the merged delta equals the rebuild's recompute BIT-exactly
+    val merged = InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))
+    val rebuilt = InvertedIndex.corpusStats(
+      InvertedIndex.buildScored(docs, "doc_id", "text"), "doc_id")
+    assert(merged == rebuilt, s"merged $merged vs rebuilt $rebuilt")
+    // and the search served off the appended artifact with merged stats
+    // equals the rebuild-then-search ranking
+    val viaAppend = InvertedIndex.searchBm25(spark.read.parquet(s"$dir/p"), "doc_id",
+      Seq("red", "fox"), topK = 3, stats = Some(merged))
+      .as[(Long, Double)].collect().toSeq
+    val viaRebuild = InvertedIndex.searchBm25(
+      InvertedIndex.buildScored(docs, "doc_id", "text"), "doc_id",
+      Seq("red", "fox"), topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaAppend == viaRebuild)
+    // the stale-stats failure mode this API closes: searching the
+    // appended index with the PRE-append stats mis-scores
+    val stale = InvertedIndex.searchBm25(spark.read.parquet(s"$dir/p"), "doc_id",
+      Seq("red", "fox"), topK = 3, stats = Some(InvertedIndex.statsOf(totals0)))
+      .as[(Long, Double)].collect().toSeq
+    assert(stale != viaRebuild, "pre-append stats should visibly mis-score this corpus")
+    // statsOf refuses an empty corpus instead of dividing by zero
+    val ex = intercept[IllegalArgumentException](InvertedIndex.statsOf((0L, 0L)))
+    assert(ex.getMessage.contains("empty corpus"))
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
