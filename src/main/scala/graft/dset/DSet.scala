@@ -393,6 +393,14 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * any ids released after the last call, bounded by the ring).
     */
   def foldWithCommonStatePerNode[S](initState: () => S)(folder: (S, U) => S, aggr: (S, S) => S): S = {
+    // Fail BEFORE running the job when speculation is on: a speculative
+    // twin folding the same partition into a second JVM's shared state is
+    // detected only after the fold (the completed-twice check below), so
+    // the whole job's work would be spent to reach a guaranteed throw —
+    // and an unlucky twin landing on the SAME JVM is undetectable there.
+    // Refuse up front instead (spark.speculation is a static core conf,
+    // fixed at context launch — the context conf IS the live value).
+    DSet.requireNoSpeculation(ds.sparkSession.sparkContext.getConf)
     val invocation = java.util.UUID.randomUUID().toString
     val releasedIds = NodeState.releasedSnapshot()
     try {
@@ -593,6 +601,21 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
 }
 
 object DSet {
+
+  /** Preflight for [[DSet.foldWithCommonStatePerNode]]: refuse when
+    * speculation is on, BEFORE any job runs — the post-job twin check
+    * can only throw after all the work is spent, and a twin landing on
+    * the same JVM is undetectable there at all. Takes the conf as an
+    * argument (the operator passes the live context conf) so the refusal
+    * message is unit-testable without launching a speculating context.
+    */
+  private[graft] def requireNoSpeculation(conf: org.apache.spark.SparkConf): Unit =
+    if (conf.getBoolean("spark.speculation", defaultValue = false))
+      throw new IllegalStateException(
+        "foldWithCommonStatePerNode: spark.speculation is enabled — speculative task twins " +
+          "fold the same partition into shared per-JVM state twice (a silently-inflated " +
+          "aggregate at best, detected-and-thrown after the job at worst). Disable " +
+          "spark.speculation for jobs using this operator.")
 
   /** Partition count above which [[DSet.fold]] reduces partials through
     * an executor-tier tree instead of collecting one state per partition

@@ -17,53 +17,87 @@ object Graph {
   /** PageRank with a FIXED iteration count — deterministic by
     * construction (no convergence test, no float epsilon in control
     * flow), so any engine replaying the same `iters` chained joins gets
-    * the same ranks. `pr_{t+1}(v) = (1−d)/n + d·Σ_{u→v} pr_t(u)/deg(u)`
-    * over `edges`; nodes without in-edges hold the base term, and
-    * dangling nodes' mass is NOT redistributed (the standard
-    * simplification — replayed identically by the oracle).
+    * the same ranks. `pr_{t+1}(v) = (1−d)/n + d·Σ_{u→v} pr_t(u)·w(u,v)/W(u)`
+    * over `edges`, where the unweighted default is w ≡ 1 and W(u) = the
+    * out-degree (multiplying by the 1.0 literal is IEEE-exact, so the
+    * unweighted arithmetic is bit-identical to the classic form).
+    *
+    * `weightCol` opts into similarity-weighted propagation — the
+    * curation-relevant variant over [[Similarity.annKnnGraph]]'s output,
+    * whose `sim` column carries each edge's cosine: mass flows
+    * proportionally to neighbor similarity instead of uniformly. Weights
+    * are expected positive (a kNN graph's sims at sane thresholds are);
+    * the arithmetic replays whatever values arrive, it never filters.
+    *
+    * `redistributeDangling = true` opts into conserving dangling mass:
+    * each round, the summed rank of nodes with NO out-edges spreads
+    * uniformly (`+ d·S_t/n` to every node) — the textbook stochastic
+    * completion. Default false drops it (the standard simplification);
+    * both modes replay identically in the oracle.
     *
     * Scale shape per iteration: one shuffle join of the edge list with
     * the rank frame on the source id, one map-side-combined sum per
     * destination, one left join back to the node set — everything
     * edge-list-sized (k·n for a kNN graph), never quadratic. The node
-    * count rides a broadcast 1-row total (the t6 lesson). Fixed small
-    * `iters` keeps the unrolled plan shallow; a convergence-driven
-    * variant would checkpoint per iteration (the d6 pattern) and break
-    * replay — out of contract here.
+    * count rides a broadcast 1-row total (the t6 lesson); the dangling
+    * mass (when enabled) is a broadcast 1-row sum over a pinned
+    * source-id anti-join — also edge-bounded. Fixed small `iters` keeps
+    * the unrolled plan shallow; a convergence-driven variant would
+    * checkpoint per iteration (the d6 pattern) and break replay — out of
+    * contract here.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, weightCol: Option[String] = None,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val rawIds = nodes.select(col(nodeCol).as("__node"))
     val nTotal = rawIds.agg(count(lit(1)).cast("double").as("__cnt"))
-    // BOTH loop-invariant frames pin for the unrolled plan — the edge
-    // list (else an expensive upstream like annKnnGraph's bucket join
-    // re-executes once per round, the x2 multi-reader lesson) and the
+    // Loop-invariant frames pin for the unrolled plan — the edge list
+    // (else an expensive upstream like annKnnGraph's bucket join
+    // re-executes once per round, the x2 multi-reader lesson), the
     // (node, count) frame (else the node set re-scans and re-counts
-    // iters+1 times per action). Released automatically after the first
-    // action on the returned frame.
+    // iters+1 times per action), and — dangling mode only — the distinct
+    // source-id set the per-round anti-join probes. Released
+    // automatically after the first action on the returned frame.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val outd = edges.groupBy(col(srcCol).as("__src")).agg(count(lit(1)).as("__deg"))
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val outd = edges.groupBy(col(srcCol).as("__src")).agg(sum(w).as("__deg"))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .join(outd, "__src")
       .persist(lvl)
     val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
+    val srcs =
+      if (redistributeDangling) Some(e.select(col("__src").as("__node")).distinct().persist(lvl))
+      else None
     var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
     (1 to iters).foreach { _ =>
       val contrib = e.join(pr, col("__src") === col("__node"))
         .groupBy(col("__dst").as("__to"))
-        .agg(sum(col("__pr") / col("__deg")).as("__m"))
-      pr = ids.join(contrib, col("__node") === col("__to"), "left")
-        .select(col("__node"),
-          (lit(1.0 - damping) / col("__cnt")
-            + lit(damping) * coalesce(col("__m"), lit(0.0))).as("__pr"))
+        .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
+      val inMass = srcs match {
+        case None => coalesce(col("__m"), lit(0.0))
+        case Some(_) => coalesce(col("__m"), lit(0.0)) + col("__dm") / col("__cnt")
+      }
+      val joined = ids.join(contrib, col("__node") === col("__to"), "left")
+      val withDangling = srcs match {
+        case None => joined
+        case Some(s) =>
+          // S_t: summed rank of nodes with no out-edges this round —
+          // a 1-row broadcast, like the node count
+          val dangMass = pr.join(s, Seq("__node"), "left_anti")
+            .agg(coalesce(sum(col("__pr")), lit(0.0)).as("__dm"))
+          joined.crossJoin(broadcast(dangMass))
+      }
+      pr = withDangling.select(col("__node"),
+        (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
     CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
     CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
+    srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
     result
   }
 }

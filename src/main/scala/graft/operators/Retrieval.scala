@@ -34,11 +34,30 @@ object Retrieval {
     * happened upstream. Fusing unbounded lists is a misuse: the rank of
     * a document nobody would return cannot change the head of the fused
     * list (1/(k+rank) decays), which is why RRF is defined on cut lists.
+    *
+    * The contract is SELF-ENFORCING: each list is counted up front and a
+    * list larger than `maxListRows` fails loudly, instead of a
+    * corpus-sized input silently serializing the whole corpus through
+    * the one-partition rank window. The preflight count is one cheap
+    * job per (cut, usually materialized) list; callers fusing lists with
+    * expensive unmaterialized lineage should persist them first — the
+    * count would otherwise re-execute that lineage once.
     */
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
-      k: Int = 60, topK: Int = 10): DataFrame = {
+      k: Int = 60, topK: Int = 10, maxListRows: Int = 100000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
+    require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
+    lists.zipWithIndex.foreach { case ((df, _), i) =>
+      // limit(max+1) bounds the preflight itself: on a corpus-sized
+      // misuse the count stops after max+1 rows instead of scanning it
+      val n = df.limit(maxListRows + 1).count()
+      require(n <= maxListRows,
+        s"rrfFuse: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
+          "candidate lists (each retrieval stage's own top-N); an uncut corpus-sized list " +
+          "would serialize through the single-partition rank window. Cut the list upstream " +
+          "(limit/top-k), or raise maxListRows if the ceiling is genuinely intended.")
+    }
     val contribs = lists.map { case (df, scoreCol) =>
       df.select(col(idCol), round(col(scoreCol).cast("double"), 6).as("s"))
         .withColumn("r", row_number().over(Window.orderBy(col("s").desc, col(idCol).asc)))

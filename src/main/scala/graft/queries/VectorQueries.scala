@@ -163,6 +163,21 @@ object VectorQueries {
         .select(col("vec_id"), round(col("pagerank"), 8).as("pagerank"))
     },
 
+    // Similarity-WEIGHTED PageRank with dangling-mass redistribution
+    // over the same v7 graph — the curation-relevant variant: mass flows
+    // proportionally to each edge's cosine (v7's `sim`), and the rank of
+    // no-out-edge vectors spreads uniformly each round instead of
+    // leaking (the textbook stochastic completion). Same fixed-iteration
+    // replay contract as v8: the oracle replays the graph construction,
+    // the per-edge w/W(u) weighting, AND the per-round dangling sum.
+    "v8b_knn_pagerank_weighted" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3)
+      graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id",
+        iters = 3, damping = 0.85, weightCol = Some("sim"), redistributeDangling = true)
+        .select(col("vec_id"), round(col("pagerank"), 8).as("pagerank"))
+    },
+
     // Embedding near-dup GROUP resolution: connected components over the
     // exact cosine pairs — each near-dup vector mapped to its cluster's
     // min id (the keep decision). BOUNDED exact verification gate
@@ -746,6 +761,55 @@ object VectorQueries {
          p3 AS (SELECT e2.vec_id, (1.0 - 0.85) / nn.cnt + 0.85 * COALESCE(s3.m, 0.0) AS pr
                 FROM embeddings e2 CROSS JOIN nn
                 LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr / o.deg) AS m
+                           FROM eg g JOIN p2 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s3 USING (vec_id))
+         SELECT vec_id, round(pr, 8) AS pagerank FROM p3""",
+    // v8's replay with v7's rounded cosine as the edge weight (W(u) =
+    // the source's summed weights) and the per-round dangling sum
+    // spread uniformly: pr_{t+1} = (1-d)/n + d·(Σ pr·w/W + S_t/n).
+    "v8b_knn_pagerank_weighted" ->
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
+         sym AS (SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         sc AS (
+           SELECT s.id_a AS vec_id, s.id_b AS neighbor,
+                  list_dot_product(ea.v, eb.v)
+                    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+           FROM sym s JOIN ed ea ON ea.vec_id = s.id_a JOIN ed eb ON eb.vec_id = s.id_b),
+         ranked AS (
+           SELECT vec_id, neighbor, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor ASC) AS rank
+           FROM sc),
+         eg AS (SELECT vec_id AS src, neighbor AS dst, round(cos, 6) AS w
+                FROM ranked WHERE rank <= 3),
+         outd AS (SELECT src, sum(w) AS deg FROM eg GROUP BY src),
+         srcs AS (SELECT DISTINCT src FROM eg),
+         nn AS (SELECT count(*)::DOUBLE AS cnt FROM embeddings),
+         p0 AS (SELECT vec_id, 1.0 / cnt AS pr FROM embeddings, nn),
+         dm1 AS (SELECT COALESCE(sum(p.pr), 0.0) AS dm
+                 FROM p0 p LEFT JOIN srcs s ON s.src = p.vec_id WHERE s.src IS NULL),
+         p1 AS (SELECT e2.vec_id,
+                  (1.0 - 0.85) / nn.cnt
+                    + 0.85 * (COALESCE(s1.m, 0.0) + dm1.dm / nn.cnt) AS pr
+                FROM embeddings e2 CROSS JOIN nn CROSS JOIN dm1
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr * g.w / o.deg) AS m
+                           FROM eg g JOIN p0 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s1 USING (vec_id)),
+         dm2 AS (SELECT COALESCE(sum(p.pr), 0.0) AS dm
+                 FROM p1 p LEFT JOIN srcs s ON s.src = p.vec_id WHERE s.src IS NULL),
+         p2 AS (SELECT e2.vec_id,
+                  (1.0 - 0.85) / nn.cnt
+                    + 0.85 * (COALESCE(s2.m, 0.0) + dm2.dm / nn.cnt) AS pr
+                FROM embeddings e2 CROSS JOIN nn CROSS JOIN dm2
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr * g.w / o.deg) AS m
+                           FROM eg g JOIN p1 p ON p.vec_id = g.src
+                           JOIN outd o ON o.src = g.src GROUP BY g.dst) s2 USING (vec_id)),
+         dm3 AS (SELECT COALESCE(sum(p.pr), 0.0) AS dm
+                 FROM p2 p LEFT JOIN srcs s ON s.src = p.vec_id WHERE s.src IS NULL),
+         p3 AS (SELECT e2.vec_id,
+                  (1.0 - 0.85) / nn.cnt
+                    + 0.85 * (COALESCE(s3.m, 0.0) + dm3.dm / nn.cnt) AS pr
+                FROM embeddings e2 CROSS JOIN nn CROSS JOIN dm3
+                LEFT JOIN (SELECT g.dst AS vec_id, sum(p.pr * g.w / o.deg) AS m
                            FROM eg g JOIN p2 p ON p.vec_id = g.src
                            JOIN outd o ON o.src = g.src GROUP BY g.dst) s3 USING (vec_id))
          SELECT vec_id, round(pr, 8) AS pagerank FROM p3""",

@@ -167,6 +167,25 @@ class DSetSpec extends SparkSuite {
     assert(t.get == 7L)
   }
 
+  test("foldWithCommonStatePerNode refuses up front when speculation is enabled") {
+    // spark.speculation is a static core conf (fixed at context launch,
+    // not settable through the session RuntimeConfig), so the preflight
+    // seam is exercised directly with a speculating SparkConf — the same
+    // call the operator makes with the live context conf
+    val on = new org.apache.spark.SparkConf().set("spark.speculation", "true")
+    val ex = intercept[IllegalStateException](graft.dset.DSet.requireNoSpeculation(on))
+    assert(ex.getMessage.contains("spark.speculation is enabled"), ex.getMessage)
+    // off (explicit or by default) passes the preflight, and the shared
+    // non-speculating session still runs the operator end-to-end
+    graft.dset.DSet.requireNoSpeculation(new org.apache.spark.SparkConf())
+    graft.dset.DSet.requireNoSpeculation(spark.sparkContext.getConf)
+    val t = nums(100, 4).foldWithCommonStatePerNode(
+      () => new java.util.concurrent.atomic.AtomicLong(0))(
+      (s, u) => { s.addAndGet(u.toLong); s },
+      (a, b) => { a.addAndGet(b.get); a })
+    assert(t.get == (0 until 100).map(_.toLong).sum)
+  }
+
   test("toSeq streams all elements to the client") {
     assert(nums(100, 4).toSeq.toSeq.sorted == (0 until 100))
   }

@@ -18,6 +18,24 @@ class GraphSpec extends SparkSuite {
     pr
   }
 
+  /** Weighted + dangling-redistribution local replay: pr·w/W(u) inflow,
+    * plus the per-round dangling sum spread uniformly.
+    */
+  private def localWeightedPageRank(nodes: Seq[Long], edges: Seq[(Long, Long, Double)],
+      iters: Int, d: Double, redistribute: Boolean): Map[Long, Double] = {
+    val n = nodes.size.toDouble
+    val wsum = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => pr(s) * w / wsum(s) }.sum).toMap
+      val dm = if (redistribute) nodes.filterNot(wsum.contains).map(pr).sum else 0.0
+      pr = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * (in.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    pr
+  }
+
   test("pageRank: cycle is stationary-uniform; star concentrates; dangling mass drops") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
@@ -55,6 +73,39 @@ class GraphSpec extends SparkSuite {
     def lingering = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
     while (lingering.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     assert(lingering.isEmpty, s"stacked caches survived the action: $lingering")
+  }
+
+  test("weighted pageRank with dangling redistribution matches the local replay") {
+    val rnd = new scala.util.Random(11)
+    val nodes = (1L to 30L)
+    // node 30 (and any node the draw misses as a source) is dangling
+    val edges = Seq.fill(80)((rnd.nextInt(25) + 1L, rnd.nextInt(30) + 1L,
+        math.rint(rnd.nextDouble() * 100) / 100 + 0.01))
+      .filter(e => e._1 != e._2).distinctBy(e => (e._1, e._2))
+    val df = edges.toDF("src", "dst", "w")
+    val got = Graph.pageRank(df, "src", "dst", nodes.toDF("id"), "id",
+        iters = 3, weightCol = Some("w"), redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    val exp = localWeightedPageRank(nodes, edges, 3, 0.85, redistribute = true)
+    nodes.foreach(v => assert(math.abs(got(v) - exp(v)) < 1e-12, s"node $v"))
+    // with redistribution on, total mass is conserved at 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass = ${got.values.sum}")
+    // weighted WITHOUT redistribution also replays (and loses mass here)
+    val gotNoRd = Graph.pageRank(df, "src", "dst", nodes.toDF("id"), "id",
+        iters = 3, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val expNoRd = localWeightedPageRank(nodes, edges, 3, 0.85, redistribute = false)
+    nodes.foreach(v => assert(math.abs(gotNoRd(v) - expNoRd(v)) < 1e-12, s"node $v"))
+    assert(gotNoRd.values.sum < 1.0)
+    // uniform weights reduce EXACTLY to the unweighted form
+    val uni = edges.map { case (s, d, _) => (s, d, 1.0) }
+    val gotUni = Graph.pageRank(uni.toDF("src", "dst", "w"), "src", "dst",
+        nodes.toDF("id"), "id", iters = 3, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val gotPlain = Graph.pageRank(uni.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst",
+        nodes.toDF("id"), "id", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    nodes.foreach(v => assert(gotUni(v) == gotPlain(v), s"node $v"))
   }
 
   test("pageRank matches the local replay on a random sparse digraph") {

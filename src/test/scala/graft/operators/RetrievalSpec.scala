@@ -42,6 +42,19 @@ class RetrievalSpec extends SparkSuite {
       tied.mkString(","))
   }
 
+  test("rrfFuse: an uncut corpus-sized list fails loudly instead of serializing one task") {
+    val big = spark.range(0, 50).selectExpr("id AS doc_id", "id * 0.01 AS score")
+    val cut = Seq((1L, 0.9)).toDF("doc_id", "score")
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(cut -> "score", big -> "score"), "doc_id",
+        k = 60, topK = 3, maxListRows = 10)
+    }
+    assert(ex.getMessage.contains("CUT") && ex.getMessage.contains("#1"), ex.getMessage)
+    // at or below the ceiling the same lists fuse fine
+    assert(Retrieval.rrfFuse(Seq(cut -> "score", big -> "score"), "doc_id",
+      k = 60, topK = 3, maxListRows = 50).count() == 3)
+  }
+
   test("rrfFuse: ranks derive from 6dp-ROUNDED scores (cross-engine contract)") {
     // raw scores differ past the 6th decimal — the rank tiebreak must
     // treat them as EQUAL and fall to the id, or two engines disagreeing
