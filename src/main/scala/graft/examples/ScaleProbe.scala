@@ -240,6 +240,44 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
         }
         println(f"[probe] ${s"v8_pr_b${b}_t$tb"}%-24s ${ts}%6.2f s")
+        // the weighted + dangling-redistribution variant (v8b) on the
+        // same keyed graph: adds one per-round broadcast dangling sum
+        // (anti-join against the pinned source-id set) over v8's shape
+        val tw = timed {
+          val edges = graft.operators.Similarity.annKnnGraph(
+            emb, "vec_id", "embedding", 64, k = 3, bits = b, tables = tb)
+          graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id",
+            weightCol = Some("sim"), redistributeDangling = true)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v8b_prw_b${b}_t$tb"}%-24s ${tw}%6.2f s")
+      }
+      // --hybrid=bits:tables — x1's full hybrid-dedup composition
+      // (MinHash-LSH text pairs ∪ SRP-LSH ANN cosine pairs → connected
+      // components) at the scale-contract SRP keying: the x1 gate pins
+      // bits=6 for the oracle replay; the deployed point re-keys by
+      // autoBits, and this measures that path end-to-end.
+      args.filter(_.startsWith("--hybrid=")).foreach { a =>
+        val (b, tb) = a.stripPrefix("--hybrid=").split(":") match {
+          case Array(bs, ts) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+              case _ => sys.error(s"--hybrid expects positive bits:tables (e.g. --hybrid=13:12), got '$a'")
+            }
+          case _ => sys.error(s"--hybrid expects bits:tables (e.g. --hybrid=13:12), got '$a'")
+        }
+        val ts = timed {
+          val txt = Dedup.minhashNearDupPairs(
+            Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+            .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          val emb = graft.operators.Similarity.annCosinePairs(
+            Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", 64, 0.45,
+            bits = b, tables = tb)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+          Dedup.connectedComponents(txt.unionByName(emb), "a", "b")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"x1_hybrid_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
       // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
       // real corpus runs (first-k is the oracle gate). Honored under
@@ -337,12 +375,15 @@ object ScaleProbe {
       // on the exchange)
       if (args.contains("--spans")) {
         val docs = Tables.load(spark, sfDir, "documents")
-        for (hashed <- Seq(false, true)) {
+        for ((hashed, bits) <- Seq((false, 64), (true, 64), (true, 128))) {
           val t = timed {
-            Dedup.sharedSpans(docs, "doc_id", "text", window = 8, minDocs = 2, hashed = hashed)
+            Dedup.sharedSpans(docs, "doc_id", "text", window = 8, minDocs = 2,
+              hashed = hashed, hashBits = bits)
               .write.format("noop").mode("overwrite").save()
           }
-          val tag = if (hashed) "spans_hashed" else "spans_exact"
+          val tag =
+            if (!hashed) "spans_exact"
+            else if (bits == 64) "spans_hashed" else "spans_hashed128"
           println(f"[probe] $tag%-24s ${t}%6.2f s")
         }
       }

@@ -484,17 +484,30 @@ object Dedup {
     * string is ever built) instead of the ~window·6-byte string
     * (shuffle bytes ↓ ~8×, the production mode; a 64-bit collision
     * merging two distinct spans needs ~2^32 DISTINCT spans per the
-    * birthday bound — detections then over-report, never lose). The
+    * birthday bound — detections then over-report, never lose). At
+    * 100 TB span populations that bound starts to bite on precision:
+    * `hashBits = 128` keys the exchange with an (h1, h2) two-long
+    * struct instead (collision bound ~2^64 distinct spans; shuffle
+    * bytes 16/window-string instead of 8 — still far below the exact
+    * mode). h1 is the SAME FNV as the 64-bit mode, so the 128-bit
+    * grouping is a strict refinement — it can only split the 64-bit
+    * mode's false merges, never introduce new ones. The
     * exact mode is the oracle-replayable gate surface. Hashed mode
     * follows [[ShingleHashes]]' single-space token contract (normalize
     * first — t8 — for multi-space text); exact mode drops empty tokens
     * itself.
     */
   def sharedSpans(df: DataFrame, idCol: String, textCol: String,
-      window: Int, minDocs: Int = 2, hashed: Boolean = false): DataFrame = {
+      window: Int, minDocs: Int = 2, hashed: Boolean = false,
+      hashBits: Int = 64): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2 (a span shared by fewer is not shared), got $minDocs")
-    val keyed = if (hashed) {
+    require(hashBits == 64 || hashBits == 128,
+      s"hashBits must be 64 or 128, got $hashBits")
+    val keyed = if (hashed && hashBits == 128) {
+      df.select(col(idCol).as("__doc"),
+        explode(wordWindowHashes128(col(textCol), window)).as("span_key"))
+    } else if (hashed) {
       // native one-pass window hashing (FNV over the window's char range
       // — identical to hashing the span string under the single-space
       // token contract): no per-window string allocation, and the
@@ -645,6 +658,21 @@ object Dedup {
     var h = 0xcbf29ce484222325L
     var i = from
     while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Second, independent 64-bit multiplicative hash over a char range —
+    * pairs with [[fnvRange]] to form [[sharedSpans]]' 128-bit key
+    * (different init and multiplier — the LCG constant — so an FNV
+    * collision stays separated unless the pair collides under BOTH).
+    */
+  private[operators] def polyRange(s: String, from: Int, until: Int): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = from
+    while (i < until) {
+      h = (h ^ s.charAt(i).toLong) * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
     h
   }
 
@@ -831,6 +859,53 @@ object Dedup {
   def wordShingleHashesAll(text: Column, n: Int): Column =
     graftbridge.column(
       ShingleHashes(graftbridge.expression(text), n, word = true, dedupe = false))
+
+  /** ALL word-n-gram window hashes as 128-bit (h1, h2) struct keys in
+    * document order — [[sharedSpans]]' `hashBits = 128` keying. `h1` is
+    * BIT-IDENTICAL to [[ShingleHashes]]' FNV over the same window (the
+    * 128-bit grouping is a strict refinement of the 64-bit one: it can
+    * only split false merges, never create new ones); `h2` is the
+    * independent [[polyRange]] hash. Same single-space token contract as
+    * the 64-bit mode.
+    */
+  case class WordWindowHashes128(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"$prettyName: window width n must be >= 1, got $n")
+    import org.apache.spark.sql.types.{StructField, StructType}
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "word_window_hashes128"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // token start/end offsets under single-space splitting — the exact
+      // walk ShingleHashes' word mode performs, so h1 matches it
+      val starts = scala.collection.mutable.ArrayBuffer(0)
+      val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == ' ') { ends += i; starts += i + 1 }
+        i += 1
+      }
+      ends += s.length
+      val m = starts.length - n + 1
+      if (m <= 0) new GenericArrayData(Array.empty[Any])
+      else new GenericArrayData(Array.tabulate[Any](m) { j =>
+        val from = starts(j)
+        val until = ends(j + n - 1)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](fnvRange(s, from, until), polyRange(s, from, until)))
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** All n-token window 128-bit hash structs (see [[WordWindowHashes128]]). */
+  def wordWindowHashes128(text: Column, n: Int): Column =
+    graftbridge.column(WordWindowHashes128(graftbridge.expression(text), n))
 
   /** Native Catalyst expression computing the full MinHash signature in
     * ONE pass over the shingle array: per shingle one xxhash64 then k

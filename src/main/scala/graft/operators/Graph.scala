@@ -72,6 +72,7 @@ object Graph {
     val srcs =
       if (redistributeDangling) Some(e.select(col("__src").as("__node")).distinct().persist(lvl))
       else None
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
     (1 to iters).foreach { _ =>
       val contrib = e.join(pr, col("__src") === col("__node"))
@@ -93,11 +94,18 @@ object Graph {
       }
       pr = withDangling.select(col("__node"),
         (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
+      // dangling mode reads each round's pr TWICE (the contrib join and
+      // the dangling sum): uncached, every round would re-execute the
+      // whole unrolled lineage beneath both references — 2^iters blowup.
+      // One node-set-sized cache per round bounds it (≤ 20 by the iters
+      // contract); all release after the first action, like e/ids.
+      if (redistributeDangling) { pr = pr.persist(lvl); roundCaches += pr }
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
     CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
     CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
     srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
+    roundCaches.foreach(c => CacheRelease.autoRelease(result, c, () => { c.unpersist(); () }))
     result
   }
 }

@@ -410,5 +410,44 @@ class TextDedupSpec extends SparkSuite {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 0))
     intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 2, minDocs = 1))
+    intercept[IllegalArgumentException](
+      Dedup.sharedSpans(df, "doc_id", "text", 2, hashed = true, hashBits = 96))
+  }
+
+  test("sharedSpans 128-bit keys agree with exact mode and refine the 64-bit keying") {
+    // corpus with genuinely repeated spans AND near-miss spans (one char
+    // apart — the planted-collision class a weak second hash would merge)
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over it"),
+      (1L, "see the quick brown fox run"),
+      (2L, "the quick brown fox the quick brown fox"),
+      (3L, "the quick brown fix jumps over it"),  // 1-char variant of doc 0
+      (4L, "see the quick brown fix run"),
+      (5L, "completely unrelated words right here now")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.sharedSpans(docs, "doc_id", "text", window = 4, minDocs = 2)
+      .select("n_docs", "n_occurrences", "first_doc")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val h128 = Dedup.sharedSpans(docs, "doc_id", "text", window = 4, minDocs = 2,
+      hashed = true, hashBits = 128)
+    // struct (h1, h2) key, named like the 64-bit production column
+    assert(h128.columns.contains("span_hash") && !h128.columns.contains("span"))
+    val hs = h128.select("n_docs", "n_occurrences", "first_doc")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(hs == exact && exact.nonEmpty, s"exact=$exact h128=$hs")
+    // refinement contract: h1 of every 128-bit key IS the 64-bit FNV key
+    // for the same window, so the 128-bit grouping can only SPLIT a
+    // 64-bit false merge, never create one
+    val k64 = docs.select(explode(Dedup.wordShingleHashesAll(col("text"), 4)).as("k"))
+      .select("k").as[Long].collect().toSet
+    val k128h1 = h128.select(col("span_hash.h1")).as[Long].collect().toSet
+    assert(k128h1.subsetOf(k64), s"h1 keys not drawn from the 64-bit keying: ${k128h1.diff(k64)}")
+    // h2 is INDEPENDENT of h1: across this corpus's distinct windows the
+    // (h1 equal → h2 equal) implication must come only from identical
+    // spans — near-miss variants differ in BOTH components
+    val pairs = docs.select(explode(Dedup.wordWindowHashes128(col("text"), 4)).as("k"))
+      .select(col("k.h1"), col("k.h2")).as[(Long, Long)].collect().toSet
+    assert(pairs.groupBy(_._1).forall(_._2.size == 1), "same h1 mapped to two h2 values")
+    assert(pairs.groupBy(_._2).forall(_._2.size == 1), "same h2 mapped to two h1 values")
   }
 }
