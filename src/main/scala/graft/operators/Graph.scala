@@ -74,7 +74,7 @@ object Graph {
       else None
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { round =>
       val contrib = e.join(pr, col("__src") === col("__node"))
         .groupBy(col("__dst").as("__to"))
         .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
@@ -94,12 +94,14 @@ object Graph {
       }
       pr = withDangling.select(col("__node"),
         (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
-      // dangling mode reads each round's pr TWICE (the contrib join and
-      // the dangling sum): uncached, every round would re-execute the
-      // whole unrolled lineage beneath both references — 2^iters blowup.
-      // One node-set-sized cache per round bounds it (≤ 20 by the iters
-      // contract); all release after the first action, like e/ids.
-      if (redistributeDangling) { pr = pr.persist(lvl); roundCaches += pr }
+      // dangling mode reads each round's pr TWICE (the next round's
+      // contrib join and its dangling sum): uncached, every round would
+      // re-execute the whole unrolled lineage beneath both references —
+      // 2^iters blowup. One node-set-sized cache per round bounds it
+      // (≤ 20 by the iters contract); all release after the first
+      // action, like e/ids. The LAST round's frame is read once (by the
+      // result alone), so it skips the cache.
+      if (redistributeDangling && round < iters) { pr = pr.persist(lvl); roundCaches += pr }
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
     CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })

@@ -35,13 +35,16 @@ object Retrieval {
     * a document nobody would return cannot change the head of the fused
     * list (1/(k+rank) decays), which is why RRF is defined on cut lists.
     *
-    * The contract is SELF-ENFORCING: each list is counted up front and a
-    * list larger than `maxListRows` fails loudly, instead of a
-    * corpus-sized input silently serializing the whole corpus through
-    * the one-partition rank window. The preflight count is one cheap
-    * job per (cut, usually materialized) list; callers fusing lists with
-    * expensive unmaterialized lineage should persist them first — the
-    * count would otherwise re-execute that lineage once.
+    * The contract is SELF-ENFORCING: a list whose PLAN already proves
+    * the bound (a root-level `limit(n)` with n ≤ `maxListRows` — the
+    * shape every top-k retrieval stage emits) passes for free; anything
+    * else is counted up front, and a list larger than `maxListRows`
+    * fails loudly instead of a corpus-sized input silently serializing
+    * the whole corpus through the one-partition rank window. The
+    * preflight count is one cheap job per unproven list; callers fusing
+    * UNBOUNDED lists with expensive unmaterialized lineage should
+    * persist them first — the count would otherwise re-execute that
+    * lineage once.
     */
   def rrfFuse(lists: Seq[(DataFrame, String)], idCol: String,
       k: Int = 60, topK: Int = 10, maxListRows: Int = 100000): DataFrame = {
@@ -49,14 +52,16 @@ object Retrieval {
     require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
     require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
     lists.zipWithIndex.foreach { case ((df, _), i) =>
-      // limit(max+1) bounds the preflight itself: on a corpus-sized
-      // misuse the count stops after max+1 rows instead of scanning it
-      val n = df.limit(maxListRows + 1).count()
-      require(n <= maxListRows,
-        s"rrfFuse: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
-          "candidate lists (each retrieval stage's own top-N); an uncut corpus-sized list " +
-          "would serialize through the single-partition rank window. Cut the list upstream " +
-          "(limit/top-k), or raise maxListRows if the ceiling is genuinely intended.")
+      if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
+        // limit(max+1) bounds the preflight itself: on a corpus-sized
+        // misuse the count stops after max+1 rows instead of scanning it
+        val n = df.limit(maxListRows + 1).count()
+        require(n <= maxListRows,
+          s"rrfFuse: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
+            "candidate lists (each retrieval stage's own top-N); an uncut corpus-sized list " +
+            "would serialize through the single-partition rank window. Cut the list upstream " +
+            "(limit/top-k), or raise maxListRows if the ceiling is genuinely intended.")
+      }
     }
     val contribs = lists.map { case (df, scoreCol) =>
       df.select(col(idCol), round(col(scoreCol).cast("double"), 6).as("s"))
@@ -68,5 +73,25 @@ object Retrieval {
       .agg(round(sum(col("contrib")), 6).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** Whether the analyzed plan proves ≤ `max` rows statically: a
+    * `GlobalLimit(n ≤ max)` at the root (looking through projections,
+    * aliases and sorts — row-preserving wrappers a caller might stack on
+    * a top-k result). A one-row aggregate or literal relation would also
+    * qualify, but the limit shape is the one every retrieval stage emits.
+    */
+  private def staticallyBounded(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, max: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    plan match {
+      case GlobalLimit(Literal(n: Int, _), _) => n <= max
+      case p: Project => staticallyBounded(p.child, max)
+      case s: Sort => staticallyBounded(s.child, max)
+      case a: SubqueryAlias => staticallyBounded(a.child, max)
+      case l: LocalRelation => l.data.lengthCompare(max) <= 0
+      case _ => false
+    }
   }
 }

@@ -226,9 +226,14 @@ object VectorQueries {
       val lex = InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 20)
       val emb = Tables.load(s, dir, "embeddings")
       val qv = emb.orderBy(col("vec_id").asc).limit(1)
+      // .limit(20) is a semantic no-op (one query × k = 20 ranks by
+      // construction) that makes the cut-list bound STATICALLY provable,
+      // so rrfFuse's contract preflight passes without a count job
+      // re-executing the kNN lineage
       val sem = Similarity.bruteForceKnn(
           qv, emb, "vec_id", "embedding", "vec_id", "embedding", k = 20)
         .select(col("neighbor").as("doc_id"), col("sim").as("score"))
+        .limit(20)
       Retrieval.rrfFuse(Seq(lex -> "score", sem -> "score"), "doc_id", k = 60, topK = 10)
     },
 

@@ -53,6 +53,16 @@ class RetrievalSpec extends SparkSuite {
     // at or below the ceiling the same lists fuse fine
     assert(Retrieval.rrfFuse(Seq(cut -> "score", big -> "score"), "doc_id",
       k = 60, topK = 3, maxListRows = 50).count() == 3)
+    // a plan that PROVES its bound (root limit ≤ ceiling) passes for
+    // free — the shape every top-k retrieval stage emits; a root limit
+    // ABOVE the ceiling still falls through to the counted check
+    assert(Retrieval.rrfFuse(Seq(big.orderBy($"score".desc).limit(5) -> "score"), "doc_id",
+      k = 60, topK = 3, maxListRows = 10).count() == 3)
+    val ex2 = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(big.limit(40) -> "score"), "doc_id",
+        k = 60, topK = 3, maxListRows = 10)
+    }
+    assert(ex2.getMessage.contains("CUT"), ex2.getMessage)
   }
 
   test("rrfFuse: ranks derive from 6dp-ROUNDED scores (cross-engine contract)") {
