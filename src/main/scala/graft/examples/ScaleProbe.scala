@@ -279,6 +279,33 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"x1_hybrid_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
+      // --semdedup=k[:threshold] — v9's composition at an explicit cell
+      // count: k-means trained on a BOUNDED sample (the IVF convention —
+      // centroid estimation needs density, not the corpus), full-corpus
+      // assign, within-cell exact cosine pairs, connected components.
+      // Size k per Similarity.semDedupCells (k = √n — the n·k + n²/k
+      // cost-law minimum); the v9 gate pins k=8 / t=0.45 for the oracle
+      // replay, the deployed dedup point is t ≈ 0.9.
+      args.filter(_.startsWith("--semdedup=")).foreach { a =>
+        val (k, thr) = a.stripPrefix("--semdedup=").split(":") match {
+          case Array(ks) => (ks.toInt, 0.9)
+          case Array(ks, ts) => (ks.toInt, ts.toDouble)
+          case _ => sys.error(s"--semdedup expects k[:threshold], got '$a'")
+        }
+        require(k > 0, s"--semdedup expects a positive k, got '$a'")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ts = timed {
+          val sample = emb.limit(20000)
+          val model = KMeans.fit(sample, "vec_id", "embedding", k, 5)
+          val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          val pairs = graft.operators.Similarity.clusterCosinePairs(
+            assigned, "vec_id", "embedding", "cluster", thr)
+          Dedup.connectedComponents(pairs, "id_a", "id_b")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v9_semdedup_k${k}_t$thr"}%-24s ${ts}%6.2f s")
+      }
       // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
       // real corpus runs (first-k is the oracle gate). Honored under
       // --only so it can probe at 100× without the 1×-sized extras.

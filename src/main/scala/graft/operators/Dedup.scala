@@ -170,6 +170,50 @@ object Dedup {
     labels
   }
 
+  /** MinHash banding for a target Jaccard threshold — the text-side
+    * analog of [[Similarity.autoBits]]'s scale contract, as code. The
+    * banded-LSH S-curve is P(candidate | jaccard s) = 1 − (1 − s^r)^b
+    * with r = numHashes/bands rows per band; this picks the divisor
+    * factorization minimizing the standard weighted false-positive +
+    * false-negative integral around `threshold` (numeric integration of
+    * the published LSH analysis — the same optimization the MinHash-LSH
+    * literature derives; nothing corpus-dependent, so it is a pure
+    * function callers evaluate once).
+    *
+    * `fnWeight` defaults to 0.9, NOT 0.5: in a verification-backed
+    * pipeline ([[minhashNearDupPairs]] exact-Jaccard-verifies every
+    * candidate) a false positive costs only compute while a false
+    * negative is an unrecoverable miss, so the dial leans recall.
+    * Reference points (numHashes = 64, fnWeight 0.9): threshold
+    * 0.5/0.7 → 16 bands, 0.8 → 8, 0.9 → 4; the shipped gates' pinned
+    * bands = 16 at threshold 0.8 sits one step MORE recall-leaning than
+    * this optimum — sound for oracle-replayed gates, wasteful at 100 TB
+    * candidate volumes, which is what this contract tunes.
+    */
+  def autoBands(numHashes: Int, threshold: Double, fnWeight: Double = 0.9): Int = {
+    require(numHashes >= 2, s"autoBands needs numHashes >= 2, got $numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0, 1), got $threshold")
+    require(fnWeight > 0 && fnWeight < 1, s"fnWeight must be in (0, 1), got $fnWeight")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    def cost(b: Int): Double = {
+      val r = numHashes / b
+      val n = 1000
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      ((1.0 - fnWeight) * fp + fnWeight * fn) / n
+    }
+    // ties (plateaus of the integral) resolve to the FEWEST bands —
+    // deterministic, and the cheaper shuffle of the tied options
+    divisors.minBy(cost)
+  }
+
   /** End-to-end near-dedup: the corpus with every near-duplicate cluster
     * reduced to its canonical (min-id) member — what a training-data
     * pipeline actually ships. Composes [[minhashNearDupPairs]] →

@@ -265,6 +265,52 @@ object Similarity {
     result
   }
 
+  /** Cluster-partitioned exact cosine pairs — the candidate generator of
+    * SemDeDup-style semantic dedup (Abbas et al. 2023, public): instead
+    * of SRP's distribution-free random-hyperplane buckets, candidates are
+    * restricted to each vector's k-means CELL, which ADAPTS to the actual
+    * embedding density (near-duplicates concentrate in cells by
+    * construction). Takes any pre-assigned frame (`clusterCol` from
+    * [[KMeans.assign]], an IVF routing, or an external partitioner), so
+    * the clustering pass is priced and replayed separately.
+    *
+    * Scale shape: ONE shuffle of the corpus on the cell key, then
+    * per-cell O(c²) scoring with c ≈ n/k — size k to the corpus exactly
+    * like IVF sizes its cell count, the same bounded-cell economics as
+    * [[srpCandidatePairs]]' maxBucketSize. Zero-norm vectors are dropped
+    * on both sides (NaN-cosine guard, the v2 contract); emitted `sim`
+    * rounds to 6dp after the threshold compares the unrounded cosine.
+    */
+  /** Cell count for [[clusterCosinePairs]] over a corpus of `n` vectors —
+    * the semdedup scale contract as code (the [[autoBits]] analog). Total
+    * cost ≈ n·k (assignment against broadcast centroids) + n²/k (the
+    * within-cell pair join), minimized at k = √n → O(n^1.5) overall with
+    * √n-sized cells — the flat-IVF cost law, one polynomial notch above
+    * LSH's near-linear but data-adaptive where hyperplanes are blind.
+    * Train the k-means model on a BOUNDED sample (centroid estimation
+    * needs density, not the corpus — the published IVF training
+    * convention); assignment still touches every row. Clamped to
+    * [1, 2^20] (beyond ~10^12 rows, go hierarchical).
+    */
+  def semDedupCells(n: Long): Int = {
+    require(n > 0, s"semDedupCells needs a positive corpus size, got $n")
+    math.max(1L, math.min(1L << 20, math.round(math.sqrt(n.toDouble)))).toInt
+  }
+
+  def clusterCosinePairs(assigned: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val base = assigned
+      .select(col(clusterCol).as("__cell"), col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
+    val a = base.select(col("__cell"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = base.select(col("__cell"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, "__cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+  }
+
   /** Cache auto-release delegated to the shared [[CacheRelease]] helper
     * (one-shot listener keyed on the CACHED frame's own relation, read
     * directly or nested inside a downstream cache).

@@ -260,6 +260,25 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
+    // SemDeDup-style semantic dedup groups: candidates restricted to
+    // each vector's k-means CELL (the data-adaptive complement of v6's
+    // random-hyperplane buckets — near-dups concentrate in cells by
+    // construction), exact cosine inside the cell, then connected
+    // components to the min-id keep. Hash-gated end to end: the oracle
+    // replays the km0 centroid assignment (the km1/s6 CTE), the
+    // within-cell pair scoring, AND the transitive closure.
+    "v9_semdedup_groups" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
+        k = 8, maxIters = 5)
+      val assigned = graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      val pairs = Similarity.clusterCosinePairs(
+        assigned, "vec_id", "embedding", "cluster", 0.45)
+      graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("comp").as("keep_id"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -818,6 +837,35 @@ object VectorQueries {
                            FROM eg g JOIN p2 p ON p.vec_id = g.src
                            JOIN outd o ON o.src = g.src GROUP BY g.dst) s3 USING (vec_id))
          SELECT vec_id, round(pr, 8) AS pagerank FROM p3""",
+    // km0 centroid assignment (the km1/s6 CTE) + within-cell cosine
+    // pairs + the recursive-CTE closure — SemDeDup's full pipeline in SQL.
+    "v9_semdedup_groups" ->
+      """WITH RECURSIVE
+         c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+               FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         dist AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+               i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN c),
+         asg0 AS (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist),
+         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+                FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
+         pr AS (
+           SELECT x.vec_id AS da, y.vec_id AS db
+           FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45),
+         eg AS (SELECT da AS a, db AS b FROM pr UNION ALL SELECT db AS a, da AS b FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM eg
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a)
+         SELECT a AS vec_id, min(b) AS keep_id FROM reach GROUP BY a""",
     // v3's SRP replay composed with the recursive-CTE transitive closure
     // (the v5 shape) — the full ANN dedup-group pipeline in SQL.
     "v6_ann_dedup_groups" ->

@@ -414,6 +414,24 @@ class TextDedupSpec extends SparkSuite {
       Dedup.sharedSpans(df, "doc_id", "text", 2, hashed = true, hashBits = 96))
   }
 
+  test("autoBands encodes the weighted S-curve optimum (the autoBits analog)") {
+    // pinned reference points at the recall-leaning default fnWeight 0.9
+    assert(Dedup.autoBands(64, 0.8) == 8)
+    assert(Dedup.autoBands(64, 0.5) == 16)
+    assert(Dedup.autoBands(64, 0.9) == 4)
+    assert(Dedup.autoBands(128, 0.8) == 16)
+    // a LOWER verification threshold wants MORE bands, never fewer
+    val bs = Seq(0.3, 0.5, 0.7, 0.9).map(Dedup.autoBands(64, _))
+    assert(bs == Seq(32, 16, 16, 4), bs.toString)
+    // the equal-weight optimum is precision-leaning vs the recall default
+    assert(Dedup.autoBands(64, 0.8, fnWeight = 0.5) <= Dedup.autoBands(64, 0.8))
+    // bands always divide numHashes (integral rows per band)
+    Seq(16, 64, 128).foreach(nh => assert(nh % Dedup.autoBands(nh, 0.8) == 0))
+    intercept[IllegalArgumentException](Dedup.autoBands(1, 0.8))
+    intercept[IllegalArgumentException](Dedup.autoBands(64, 1.0))
+    intercept[IllegalArgumentException](Dedup.autoBands(64, 0.8, fnWeight = 0.0))
+  }
+
   test("sharedSpans 128-bit keys agree with exact mode and refine the 64-bit keying") {
     // corpus with genuinely repeated spans AND near-miss spans (one char
     // apart — the planted-collision class a weak second hash would merge)

@@ -134,6 +134,36 @@ class VectorSpec extends SparkSuite {
     assert(e.getMessage.contains("unsupported id column type"))
   }
 
+  test("clusterCosinePairs restricts candidates to cells; equals exact pairs within-cell") {
+    val assigned = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.9f, 0.1f), 0),   // near-dups, same cell
+      (3L, Array(0.95f, 0.05f), 1),                          // near-dup of 1/2 but OTHER cell
+      (4L, Array(0f, 1f), 1), (5L, Array(0.05f, 0.98f), 1),  // near-dups, same cell
+      (6L, Array(0f, 0f), 0)                                 // zero-norm: dropped
+    ).toDF("vec_id", "embedding", "cluster")
+    val got = Similarity.clusterCosinePairs(assigned, "vec_id", "embedding", "cluster", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,2) share cell 0; (4,5) share cell 1; (1,3)/(2,3) cross cells —
+    // candidates never cross a cell boundary (SemDeDup semantics)
+    assert(got == Set((1L, 2L), (4L, 5L)), got.mkString(","))
+    // within-cell results equal the exact all-pairs join restricted to
+    // the same cell (the candidate restriction is the ONLY difference)
+    val exact = Similarity.exactCosinePairs(
+      assigned.select("vec_id", "embedding"), "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cellOf = assigned.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(got == exact.filter { case (a, b) => cellOf(a) == cellOf(b) })
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "zero-norm row leaked")
+    // the cell-count contract: k = √n (the n·k + n²/k cost-law minimum),
+    // clamped; pinned to the probed 2k/45, 20k/141, 200k/447 points
+    assert(Similarity.semDedupCells(2000) == 45)
+    assert(Similarity.semDedupCells(20000) == 141)
+    assert(Similarity.semDedupCells(200000) == 447)
+    assert(Similarity.semDedupCells(1) == 1)
+    assert(Similarity.semDedupCells(Long.MaxValue) == (1 << 20))
+    intercept[IllegalArgumentException](Similarity.semDedupCells(0))
+  }
+
   test("KMeans.fit with k greater than the row count cycles candidates") {
     import graft.operators.KMeans
     val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
