@@ -258,17 +258,23 @@ object ScaleProbe {
       // bits=6 for the oracle replay; the deployed point re-keys by
       // autoBits, and this measures that path end-to-end.
       args.filter(_.startsWith("--hybrid=")).foreach { a =>
-        val (b, tb) = a.stripPrefix("--hybrid=").split(":") match {
+        val (b, tb, bands) = a.stripPrefix("--hybrid=").split(":") match {
           case Array(bs, ts) =>
             (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
-              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
-              case _ => sys.error(s"--hybrid expects positive bits:tables (e.g. --hybrid=13:12), got '$a'")
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y, 16)
+              case _ => sys.error(s"--hybrid expects positive bits:tables[:bands], got '$a'")
             }
-          case _ => sys.error(s"--hybrid expects bits:tables (e.g. --hybrid=13:12), got '$a'")
+          case Array(bs, ts, bd) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption,
+              scala.util.Try(bd.toInt).toOption) match {
+              case (Some(x), Some(y), Some(z)) if x > 0 && y > 0 && z > 0 => (x, y, z)
+              case _ => sys.error(s"--hybrid expects positive bits:tables[:bands], got '$a'")
+            }
+          case _ => sys.error(s"--hybrid expects bits:tables[:bands] (e.g. --hybrid=13:12:8), got '$a'")
         }
         val ts = timed {
           val txt = Dedup.minhashNearDupPairs(
-            Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+            Tables.load(spark, sfDir, "documents"), "doc_id", "text", bands = bands)
             .select(col("doc_a").as("a"), col("doc_b").as("b"))
           val emb = graft.operators.Similarity.annCosinePairs(
             Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", 64, 0.45,
@@ -277,7 +283,7 @@ object ScaleProbe {
           Dedup.connectedComponents(txt.unionByName(emb), "a", "b")
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"[probe] ${s"x1_hybrid_b${b}_t$tb"}%-24s ${ts}%6.2f s")
+        println(f"[probe] ${s"x1_hybrid_b${b}_t${tb}_bd$bands"}%-24s ${ts}%6.2f s")
       }
       // --semdedup=k[:threshold] — v9's composition at an explicit cell
       // count: k-means trained on a BOUNDED sample (the IVF convention —
