@@ -103,6 +103,36 @@ object TextQueries {
         stats = Some(InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))))
     },
 
+    // The INCREMENTAL PIPELINE end to end: the corpus lives in a
+    // versioned snapshot table (commitAppend per ingest day), and the
+    // index maintainer consumes the CHANGED-DATA FEED — readChanges
+    // between the pinned versions serves exactly the day's batch
+    // (O(delta bytes), never the table), which appendScored folds into
+    // the scored index with exact merged stats. A feed that replayed
+    // the whole table, a lost/doubled append, or stale stats all fail
+    // the full-corpus oracle hash. This is tv3 ∘ ii5 — the composition
+    // a daily training-data ingest actually runs.
+    "ii6_feed_index_maintenance" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      import graft.sources.Snapshots
+      val docs = Tables.load(s, dir, "documents")
+      val table = s"${QueryTmp.dir("ii6tab")}/docs"
+      val idx = s"${QueryTmp.dir("ii6idx")}/postings"
+      // day 0: base corpus committed; index built from the pinned read
+      val v1 = Snapshots.commitAppend(docs.filter(col("doc_id") % 10 =!= 7), table)
+      InvertedIndex.buildScored(Snapshots.read(s, table, Some(v1)), "doc_id", "text")
+        .write.parquet(idx)
+      val totals0 = InvertedIndex.corpusTotals(s.read.parquet(idx), "doc_id")
+      // day 1: the batch commits; the maintainer reads ONLY the feed
+      val v2 = Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7), table)
+      val feed = Snapshots.readChanges(s, table, fromVersion = v1, toVersion = Some(v2))
+      val delta = InvertedIndex.appendScored(feed, "doc_id", "text", idx)
+      val scored = s.read.parquet(idx)
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
+        stats = Some(InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))))
+    },
+
     // Phrase search over the POSITIONAL index: the probe phrase is the
     // corpus's top doc-frequency bigram (chosen via the narrow
     // tokenGramCounts map expression and replayed by the oracle, so the
@@ -427,6 +457,30 @@ object TextQueries {
     // append == rebuild: the incrementally-appended scored index with
     // MERGED stats must serve exactly the full-corpus ranking
     "ii5_bm25_append" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // feed-maintained == rebuild: the snapshot CDC feed drives the index
+    // append, and the result must serve exactly the full-corpus ranking
+    "ii6_feed_index_maintenance" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
            FROM documents),
