@@ -39,6 +39,42 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** EVAL-side contamination audit: for each eval doc, the fraction of
+    * its distinct n-grams that appear ANYWHERE in the training corpus —
+    * the published per-example "dirty fraction" (the GPT-3 appendix-C /
+    * PaLM decontamination audit convention: examples above a dirty
+    * threshold are excluded from reported-clean splits). Complements
+    * [[contaminationReport]]'s train-side view — that one asks "which
+    * training docs leak the benchmark", this one asks "how compromised
+    * is each benchmark example".
+    *
+    * Scale shape: the training corpus streams through one narrow
+    * tokenize+n-gram pass and deduplicates grams BEFORE the join (the
+    * only corpus-sized shuffle); eval grams are tiny, so AQE broadcasts
+    * them into the probe join, whose output is bounded by eval grams.
+    * Eval docs with fewer than `n` tokens report n_grams = 0 with a NULL
+    * dirty_frac — undefined, never silently 0 ("clean") or dropped.
+    */
+  def evalContamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(col(idCol), explode(gramsCol(col(textCol), n)).as("gram"))
+    val trainGrams = train
+      .select(explode(gramsCol(col(textCol), n)).as("gram")).distinct()
+    val totals = evalGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // train side distinct per gram + eval side distinct per (doc, gram)
+    // → the inner join emits exactly one row per hit
+    val hits = trainGrams.join(evalGrams, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    eval.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / col("n_grams"), 6).as("dirty_frac"))
+  }
+
   /** The cleaned training corpus: contaminated docs anti-joined away. */
   def decontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 8): DataFrame = {

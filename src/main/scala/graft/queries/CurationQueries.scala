@@ -335,6 +335,18 @@ object CurationQueries {
         "doc_id", "text", n = 8)
     },
 
+    // EVAL-side contamination audit (d9's flip): per benchmark example,
+    // the fraction of its distinct 8-grams found anywhere in training —
+    // the published dirty-fraction metric. Every eval doc reports (short
+    // docs as n_grams 0 / NULL fraction); the oracle replays grams,
+    // dedup, probe join, and the rounded division.
+    "d16_eval_contamination" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Decontaminate.evalContamination(
+        docs.filter(col("lang") =!= "zh"), docs.filter(col("lang") === "zh"),
+        "doc_id", "text", n = 8)
+    },
+
     // PII redaction: emails → phones → IPv4 scrubbed in rule order, with
     // a per-row redaction count. The synthetic corpus has no natural PII,
     // so the query composes realistic contact strings from customer
@@ -1019,6 +1031,27 @@ object CurationQueries {
           tr AS (SELECT doc_id, u.g AS gram FROM g, UNNEST(gs) AS u(g) WHERE lang <> 'zh')
           SELECT doc_id, count(*) AS n_shared
           FROM tr JOIN ev USING (gram) GROUP BY doc_id""",
+    "d16_eval_contamination" ->
+      """WITH tk AS (
+            SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+            FROM documents),
+          g AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(range(1, len(ts) - 6),
+                     i -> array_to_string(ts[i:i+7], ' '))) AS gs
+            FROM tk WHERE len(ts) >= 8),
+          tr AS (SELECT DISTINCT u.g AS gram FROM g, UNNEST(gs) AS u(g) WHERE lang <> 'zh'),
+          ev AS (SELECT doc_id, u.g AS gram FROM g, UNNEST(gs) AS u(g) WHERE lang = 'zh'),
+          tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+          hit AS (SELECT ev.doc_id, count(*) AS n_hit
+                  FROM ev JOIN tr USING (gram) GROUP BY ev.doc_id)
+          SELECT d.doc_id,
+            COALESCE(t.n_grams, 0) AS n_grams,
+            COALESCE(h.n_hit, 0) AS n_hit,
+            round(COALESCE(h.n_hit, 0) / t.n_grams, 6) AS dirty_frac
+          FROM (SELECT doc_id FROM documents WHERE lang = 'zh') d
+          LEFT JOIN tot t USING (doc_id)
+          LEFT JOIN hit h USING (doc_id)""",
     "c1_curation_pipeline" ->
       s"""WITH RECURSIVE sh AS (
             SELECT doc_id, list_distinct(list_transform(

@@ -122,6 +122,28 @@ class CurationSpec extends SparkSuite {
     assert(kept == Set(1L, 2L))
   }
 
+  test("evalContamination reports per-example dirty fractions; short docs NULL, clean docs 0") {
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val train = Seq(
+      (0L, s"prefix $eight suffix"),
+      (1L, "totally different words here that never overlap with anything")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"$eight x9"),                        // grams: [w1..w8], [w2..x9] → 1 of 2 dirty
+      (101L, "clean eval example words that training never mentions once"),
+      (102L, "too short")                          // < 8 tokens: no grams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Decontaminate.evalContamination(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got(100L) == ((2L, 1L, Some(0.5))), got(100L).toString)
+    assert(got(101L)._2 == 0L && got(101L)._3 == Some(0.0), got(101L).toString)
+    // a gramless doc is UNDEFINED (NULL), never silently clean or dropped
+    assert(got(102L) == ((0L, 0L, None)), got(102L).toString)
+    assert(got.size == 3)
+  }
+
   // ---- robustness ----
 
   test("removeRepeatedLines and tfidf tolerate null text (doc retained, zero tokens)") {
