@@ -293,12 +293,16 @@ object ScaleProbe {
       // cost-law minimum); the v9 gate pins k=8 / t=0.45 for the oracle
       // replay, the deployed dedup point is t ≈ 0.9.
       args.filter(_.startsWith("--semdedup=")).foreach { a =>
+        val usage = s"--semdedup expects positive k[:threshold in (0,1]] (e.g. --semdedup=45:0.9), got '$a'"
         val (k, thr) = a.stripPrefix("--semdedup=").split(":") match {
-          case Array(ks) => (ks.toInt, 0.9)
-          case Array(ks, ts) => (ks.toInt, ts.toDouble)
-          case _ => sys.error(s"--semdedup expects k[:threshold], got '$a'")
+          case Array(ks) =>
+            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)), 0.9)
+          case Array(ks, ts) =>
+            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)),
+              scala.util.Try(ts.toDouble).toOption.filter(t => t > 0 && t <= 1)
+                .getOrElse(sys.error(usage)))
+          case _ => sys.error(usage)
         }
-        require(k > 0, s"--semdedup expects a positive k, got '$a'")
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           val sample = emb.limit(20000)

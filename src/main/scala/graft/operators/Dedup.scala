@@ -548,6 +548,9 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2 (a span shared by fewer is not shared), got $minDocs")
     require(hashBits == 64 || hashBits == 128,
       s"hashBits must be 64 or 128, got $hashBits")
+    require(hashed || hashBits == 64,
+      "hashBits = 128 only applies to hashed mode — exact mode keys by the span STRING; " +
+        "pass hashed = true for the 128-bit exchange")
     val keyed = if (hashed && hashBits == 128) {
       df.select(col(idCol).as("__doc"),
         explode(wordWindowHashes128(col(textCol), window)).as("span_key"))

@@ -33,7 +33,12 @@ object Graph {
     * each round, the summed rank of nodes with NO out-edges spreads
     * uniformly (`+ d·S_t/n` to every node) — the textbook stochastic
     * completion. Default false drops it (the standard simplification);
-    * both modes replay identically in the oracle.
+    * both modes replay identically in the oracle. SINGLE-ACTION contract
+    * in this mode: each round's rank frame is read twice (contrib join +
+    * dangling sum) behind a per-round cache that auto-releases after the
+    * first action on the result — a SECOND action re-executes the
+    * unrolled lineage uncached, doubling per round (2^iters). Run one
+    * action, or persist the returned frame before fanning out.
     *
     * Scale shape per iteration: one shuffle join of the edge list with
     * the rank frame on the source id, one map-side-combined sum per

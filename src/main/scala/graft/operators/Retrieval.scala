@@ -55,7 +55,9 @@ object Retrieval {
       if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
         // limit(max+1) bounds the preflight itself: on a corpus-sized
         // misuse the count stops after max+1 rows instead of scanning it
-        val n = df.limit(maxListRows + 1).count()
+        // (saturating — maxListRows = Int.MaxValue must not wrap negative)
+        val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
+        val n = df.limit(cap).count()
         require(n <= maxListRows,
           s"rrfFuse: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
             "candidate lists (each retrieval stage's own top-N); an uncut corpus-sized list " +

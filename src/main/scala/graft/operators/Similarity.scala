@@ -299,16 +299,23 @@ object Similarity {
 
   def clusterCosinePairs(assigned: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, threshold: Double): DataFrame = {
+    // one cached projection feeds BOTH sides of the cell self-join (the
+    // annCosinePairs lifecycle: released after the first action) — the
+    // caller's upstream is typically the k-means assignment UDF over the
+    // whole corpus, which would otherwise execute twice per action
     val base = assigned
       .select(col(clusterCol).as("__cell"), col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("__cell"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = base.select(col("__cell"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, "__cell")
+    val result = a.join(b, "__cell")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosineFromNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("sim"))
+    autoRelease(result, base, () => { base.unpersist(); () })
+    result
   }
 
   /** Cache auto-release delegated to the shared [[CacheRelease]] helper

@@ -223,6 +223,14 @@ object PlanCache {
       else {
         val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
         df.write.parquet(tmp.toString)
+        // Plan-id marker (`_`-prefixed — parquet readers skip it): the
+        // FILE-LIST-tier fingerprint of the plan that produced this
+        // entry. A content-keyed entry's key embeds the input stats AT
+        // PUBLISH TIME, so after an in-place input change [[invalidate]]
+        // can no longer re-derive that key — the marker lets it find and
+        // evict every entry of this plan by one directory scan instead.
+        Files.write(tmp.resolve(PlanIdFile),
+          fingerprint(df, contentKeys = false).getBytes("UTF-8"))
         publish(tmp, target)
         Miss
       }
@@ -237,24 +245,44 @@ object PlanCache {
     * entry published via `readThrough(..., contentKeys = true)` lives
     * under a different key than the file-list tier, and an invalidate
     * caller that forgot to repeat the flag would otherwise silently leave
-    * it alive (returning false). The flag is kept for signature
-    * compatibility only — when the plan reads files, BOTH fingerprints
-    * are derived and both targets evicted (the content fingerprint costs
-    * one fresh O(files) stat pass, bounded by compaction and cheap next
-    * to the recompute an eviction implies).
+    * it alive (returning false). Three sweeps cover it: the file-list
+    * key, the content key AT CURRENT STATS, and — because a content key
+    * embeds the stats at PUBLISH time and becomes underivable once the
+    * input changes in place (exactly the scenario content keys exist
+    * for) — a directory scan for the plan-id marker every publish
+    * writes, which finds stale-stat content entries of this plan. The
+    * content fingerprint costs one fresh O(files) stat pass and the scan
+    * one listing — both cheap next to the recompute an eviction implies.
+    * (Entries published before the marker existed are covered by the
+    * first two sweeps only.)
     */
   def invalidate(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): Boolean = {
-    val keys =
-      Seq(fingerprint(df, contentKeys = false), fingerprint(df, contentKeys = true)).distinct
+    val listKey = fingerprint(df, contentKeys = false)
+    val keys = Seq(listKey, fingerprint(df, contentKeys = true)).distinct
     var existed = false
-    keys.foreach { k =>
-      val target = Paths.get(cacheDir, k)
+    def evict(target: Path): Unit = {
       if (isPublished(target)) existed = true
       if (Files.exists(target)) deleteTree(target)
     }
-    sweepStaleTmp(Paths.get(cacheDir))
+    keys.foreach(k => evict(Paths.get(cacheDir, k)))
+    // stale-stat content-keyed entries: match by the plan-id marker
+    val dirP = Paths.get(cacheDir)
+    if (Files.isDirectory(dirP)) {
+      val it = Files.list(dirP)
+      try {
+        it.iterator().forEachRemaining { p =>
+          val marker = p.resolve(PlanIdFile)
+          if (!p.getFileName.toString.startsWith(".") && Files.exists(marker) &&
+              new String(Files.readAllBytes(marker), "UTF-8") == listKey)
+            evict(p)
+        }
+      } finally it.close()
+    }
+    sweepStaleTmp(dirP)
     existed
   }
+
+  private val PlanIdFile = "_graft_plan"
 
   /** Age before a `.tmp-*` staging dir with NO recent writes anywhere in
     * its tree is considered the debris of a crashed writer and reclaimed

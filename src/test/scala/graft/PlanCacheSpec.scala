@@ -211,6 +211,35 @@ class PlanCacheSpec extends SparkSuite {
     assert(o2 == PlanCache.Miss)
   }
 
+  test("invalidate evicts a stale-stat content entry via the plan-id marker") {
+    val cacheDir = tmpDir("pc-stale")
+    val file = Paths.get(tmpDir("pc-stale-data"), "data.parquet")
+    import spark.implicits._
+    def stage(rows: Seq[(Long, String)]): Unit = {
+      val t = tmpDir("pc-stale-stage")
+      rows.toDF("k", "s").coalesce(1).write.mode("overwrite").parquet(t)
+      val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, file, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    stage(Seq((1L, "old")))
+    def q() = {
+      spark.catalog.refreshByPath(file.toString)
+      spark.read.parquet(file.toString).groupBy(col("s")).agg(count(lit(1)).as("n"))
+    }
+    val k1 = PlanCache.fingerprint(q(), contentKeys = true)
+    PlanCache.readThrough(q(), cacheDir, contentKeys = true).count()
+    assert(Files.exists(Paths.get(cacheDir, k1, "_SUCCESS")))
+    // overwrite IN PLACE: the content key rotates, so k1 is no longer
+    // derivable from current stats — only the plan-id marker finds it
+    val mtime0 = Files.getLastModifiedTime(file)
+    stage(Seq((1L, "new"), (2L, "new")))
+    Files.setLastModifiedTime(file,
+      java.nio.file.attribute.FileTime.fromMillis(mtime0.toMillis + 2000))
+    assert(PlanCache.fingerprint(q(), contentKeys = true) != k1)
+    assert(PlanCache.invalidate(q(), cacheDir), "stale content entry not found")
+    assert(!Files.exists(Paths.get(cacheDir, k1)), "stale content entry survived invalidate")
+  }
+
   test("session conf flips the default key tier to content keys") {
     val cacheDir = tmpDir("pc-conf")
     val df = ordersAgg(spark, sf0001)

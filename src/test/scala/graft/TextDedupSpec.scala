@@ -412,6 +412,10 @@ class TextDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.sharedSpans(df, "doc_id", "text", 2, minDocs = 1))
     intercept[IllegalArgumentException](
       Dedup.sharedSpans(df, "doc_id", "text", 2, hashed = true, hashBits = 96))
+    // 128-bit keys without hashed mode is a contradiction — loud, not
+    // a silently-ignored argument
+    intercept[IllegalArgumentException](
+      Dedup.sharedSpans(df, "doc_id", "text", 2, hashed = false, hashBits = 128))
   }
 
   test("autoBands encodes the weighted S-curve optimum (the autoBits analog)") {
