@@ -297,8 +297,24 @@ object Similarity {
     math.max(1L, math.min(1L << 20, math.round(math.sqrt(n.toDouble)))).toInt
   }
 
+  /** `maxCellSize` drops degenerate hot CELLS before pair expansion —
+    * the [[srpCandidatePairs]] `maxBucketSize` analog on the SemDeDup
+    * side. The √n sizing contract ([[semDedupCells]]) assumes balanced
+    * cells; a near-dup-heavy corpus collapses mass into few cells and one
+    * degenerate cell makes the within-cell join O(c²) UNBOUNDED — exactly
+    * the blowup the SRP hot-bucket guard exists to stop. The default
+    * (10k members → ≤5·10⁷ cosines in that cell's task) covers the
+    * contract path (c ≈ √n) to n ≈ 10⁸; beyond that go hierarchical (see
+    * [[semDedupCells]]' clamp note). Pass `dropMetrics` to observe
+    * `dropped_buckets`/`dropped_members`; `Int.MaxValue` restores exact
+    * per-cell enumeration. The cell-size pass shuffles only (cell, count)
+    * partials and the allowed-cell list broadcasts (≤2^20 rows), so the
+    * guard adds no corpus-sized shuffle.
+    */
   def clusterCosinePairs(assigned: DataFrame, idCol: String, vecCol: String,
-      clusterCol: String, threshold: Double): DataFrame = {
+      clusterCol: String, threshold: Double,
+      maxCellSize: Int = 10000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
     // one cached projection feeds BOTH sides of the cell self-join (the
     // annCosinePairs lifecycle: released after the first action) — the
     // caller's upstream is typically the k-means assignment UDF over the
@@ -307,7 +323,13 @@ object Similarity {
       .select(col(clusterCol).as("__cell"), col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellSizes = base.groupBy(col("__cell")).agg(count(lit(1)).as("__csize"))
+    val allowed = Dedup.observeDropsWhere(
+        cellSizes, col("__csize") > maxCellSize, col("__csize"), dropMetrics)
+      .filter(col("__csize") > 1 && col("__csize") <= maxCellSize)
+      .select(col("__cell"))
     val a = base.select(col("__cell"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      .join(broadcast(allowed), "__cell")
     val b = base.select(col("__cell"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     val result = a.join(b, "__cell")
       .filter(col("id_a") < col("id_b"))

@@ -164,6 +164,29 @@ class VectorSpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.semDedupCells(0))
   }
 
+  test("clusterCosinePairs hot-cell guard drops a planted degenerate cell with accounting") {
+    // cell 0 is degenerate (40 identical members — the near-dup-mass
+    // collapse that skews real k-means cells); cell 1 is a bounded cell
+    // whose pair must SURVIVE the guard (and keep the result non-empty so
+    // AQE doesn't prune the metrics node)
+    val rows = (1L to 40L).map(i => (i, Array(1f, 0f), 0)) ++
+      Seq((100L, Array(0f, 1f), 1), (101L, Array(0.05f, 0.98f), 1))
+    val assigned = rows.toDF("vec_id", "embedding", "cluster")
+    val obs = org.apache.spark.sql.Observation()
+    val got = Similarity.clusterCosinePairs(assigned, "vec_id", "embedding", "cluster", 0.9,
+        maxCellSize = 30, dropMetrics = Some(obs))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)), s"got $got")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] == 1L, s"metrics=$m")
+    assert(m("dropped_members").asInstanceOf[Long] == 40L, s"metrics=$m")
+    // maxCellSize = Int.MaxValue restores exact per-cell enumeration
+    val unguarded = Similarity.clusterCosinePairs(assigned, "vec_id", "embedding", "cluster", 0.9,
+        maxCellSize = Int.MaxValue)
+      .count()
+    assert(unguarded == 40L * 39 / 2 + 1, s"got $unguarded")
+  }
+
   test("KMeans.fit with k greater than the row count cycles candidates") {
     import graft.operators.KMeans
     val tiny = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
