@@ -107,11 +107,19 @@ object InvertedIndex {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
   }
 
-  /** Materialize scored postings to `path` and reopen. */
+  /** Materialize scored postings to `path` and reopen. Also persists the
+    * exact corpus totals as a sidecar ([[writeTotals]]) so a NEW session
+    * attaching the artifact serves correct BM25 stats without the
+    * O(index) [[corpusTotals]] pass — the cross-session closure of the
+    * in-session [[appendScored]]/[[mergeTotals]] loop. The totals pass
+    * here reads only the (id, dl) columns of the just-written parquet.
+    */
   def materializeScored(docs: DataFrame, idCol: String, textCol: String,
       path: String): DataFrame = {
     buildScored(docs, idCol, textCol).write.mode("overwrite").parquet(path)
-    docs.sparkSession.read.parquet(path)
+    val reopened = docs.sparkSession.read.parquet(path)
+    writeTotals(path, corpusTotals(reopened, idCol))
+    reopened
   }
 
   /** Incremental maintenance for the SCORED index: tokenize ONLY the
@@ -128,8 +136,94 @@ object InvertedIndex {
     */
   def appendScored(docs: DataFrame, idCol: String, textCol: String,
       path: String): (Long, Long) = {
+    import java.nio.file.{Files, Paths}
+    // prior totals BEFORE the append (sidecar, or an O(index) heal for an
+    // artifact written before sidecars existed); the sidecar is removed
+    // for the duration of the append so a crash between the postings
+    // write and the totals rewrite leaves NO sidecar — the next attach
+    // recomputes exactly instead of silently serving stale (N, avgdl)
+    val prior = readTotals(path).getOrElse {
+      if (hasDataFiles(path)) corpusTotals(docs.sparkSession.read.parquet(path), idCol)
+      else (0L, 0L)
+    }
+    Files.deleteIfExists(Paths.get(path, TotalsFile))
     buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
-    batchTotals(docs, textCol)
+    val delta = batchTotals(docs, textCol)
+    writeTotals(path, mergeTotals(prior, delta))
+    delta
+  }
+
+  /** Reopen a scored index artifact AND its persisted exact stats — the
+    * new-session entry point. Reads the totals sidecar when present; an
+    * artifact missing it (older build, or a crash mid-append) is healed
+    * with one exact [[corpusTotals]] pass whose result is persisted, so
+    * only the first attach pays O(index). Healing is idempotent under
+    * concurrent attaches (same exact value, atomic sidecar rename).
+    */
+  def attachScored(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): (DataFrame, (Long, Double)) = {
+    val scored = spark.read.parquet(path)
+    val totals = readTotals(path).getOrElse {
+      val t = corpusTotals(scored, idCol)
+      writeTotals(path, t)
+      t
+    }
+    (scored, statsOf(totals))
+  }
+
+  /** Sidecar filename for the persisted corpus totals — `_`-prefixed so
+    * parquet directory listings skip it (the `_SUCCESS` convention).
+    */
+  private[operators] val TotalsFile = "_graft_bm25_totals"
+
+  /** Persist exact integer (docs, tokens) totals as a sidecar inside the
+    * index directory, atomically (temp + rename — a reader never sees a
+    * torn write). Single-filesystem contract like the snapshot/plan-cache
+    * stores; on a rename-less object store pair this with an external
+    * commit protocol.
+    */
+  def writeTotals(path: String, totals: (Long, Long)): Unit = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "." + TotalsFile, ".tmp")
+    Files.write(tmp, s"${totals._1} ${totals._2}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(TotalsFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the persisted totals sidecar; None when absent (pre-sidecar
+    * artifact or interrupted append — callers heal via [[corpusTotals]]).
+    */
+  def readTotals(path: String): Option[(Long, Long)] = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val f = Paths.get(path, TotalsFile)
+    if (!Files.exists(f)) None
+    else {
+      val parts = new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.split(" ")
+      require(parts.length == 2, s"corrupt totals sidecar at $f: ${parts.mkString(" ")}")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
+  }
+
+  /** Whether `path` holds any data files (non-`_`/`.`-prefixed) — the
+    * "does an index already live here" probe [[appendScored]] uses to
+    * decide between healing totals and starting from zero.
+    */
+  private def hasDataFiles(path: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val it = Files.list(dir)
+      try it.anyMatch { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally it.close()
+    }
   }
 
   /** A batch's exact (docs, total tokens) — one batch-sized scan, the

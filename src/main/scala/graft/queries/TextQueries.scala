@@ -103,6 +103,33 @@ object TextQueries {
         stats = Some(InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))))
     },
 
+    // CROSS-SESSION index attach (the fx16 contract for the BM25
+    // artifact): build + append persist the exact integer totals as a
+    // sidecar INSIDE the index directory, then a NEW SparkSession (fresh
+    // session state — the "new driver" analog) attaches the artifact and
+    // serves the ii4 search from DISK STATE ALONE — no in-memory totals
+    // survive the boundary. The search must equal the full-corpus oracle,
+    // so stale sidecar totals (a lost fold), a missing sidecar silently
+    // defaulting wrong, or a torn write all fail the hash; the contract
+    // boolean pins that the stats actually came from the sidecar (not
+    // the O(index) healing recompute).
+    "ii7_bm25_attach" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val path = s"${QueryTmp.dir("bm25idx7")}/postings"
+      InvertedIndex.materializeScored(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", path)
+      InvertedIndex.appendScored(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+      val fromSidecar = InvertedIndex.readTotals(path).isDefined
+      val s2 = s.newSession()
+      val (scored, stats) = InvertedIndex.attachScored(s2, path, "doc_id")
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
+          stats = Some(stats))
+        .withColumn("from_sidecar", lit(fromSidecar))
+    },
+
     // The INCREMENTAL PIPELINE end to end: the corpus lives in a
     // versioned snapshot table (commitAppend per ingest day), and the
     // index maintainer consumes the CHANGED-DATA FEED — readChanges
@@ -478,6 +505,31 @@ object TextQueries {
            FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
            GROUP BY m.doc_id)
          SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // sidecar-attached == rebuild: a new session attaching the appended
+    // artifact off disk state alone must serve the full-corpus ranking
+    "ii7_bm25_attach" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score, true AS from_sidecar
+         FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
     // feed-maintained == rebuild: the snapshot CDC feed drives the index
     // append, and the result must serve exactly the full-corpus ranking
     "ii6_feed_index_maintenance" ->

@@ -173,6 +173,46 @@ class InvertedIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("empty corpus"))
   }
 
+  test("totals sidecar: reattach-then-search equals rebuild-then-search across sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ii-sc").toString
+    val existing = docs.filter(col("doc_id") < 2)
+    val batch = docs.filter(col("doc_id") >= 2)
+    // build writes the sidecar; append folds the delta into it
+    InvertedIndex.materializeScored(existing, "doc_id", "text", s"$dir/p")
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((2L, 6L)))
+    InvertedIndex.appendScored(batch, "doc_id", "text", s"$dir/p")
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((3L, 8L)))
+    // the "new session" boundary: attach reads stats from DISK (no
+    // in-memory totals involved) and the served ranking equals a scratch
+    // rebuild's — the fx16 two-session contract for the index artifact
+    val (scored, stats) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+    assert(stats == InvertedIndex.corpusStats(
+      InvertedIndex.buildScored(docs, "doc_id", "text"), "doc_id"))
+    val viaAttach = InvertedIndex.searchBm25(scored, "doc_id",
+      Seq("red", "fox"), topK = 3, stats = Some(stats))
+      .as[(Long, Double)].collect().toSeq
+    val viaRebuild = InvertedIndex.searchBm25(
+      InvertedIndex.buildScored(docs, "doc_id", "text"), "doc_id",
+      Seq("red", "fox"), topK = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaAttach == viaRebuild)
+    // healing: a pre-sidecar artifact (or interrupted append) attaches
+    // with one exact recompute, persisted for the next session
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/p", "_graft_bm25_totals"))
+    val (_, healed) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+    assert(healed == stats)
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((3L, 8L)))
+    // appendScored onto a pre-sidecar artifact heals prior totals BEFORE
+    // appending (never double-counts the batch)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/p", "_graft_bm25_totals"))
+    val extra = Seq((4L, "green fox")).toDF("doc_id", "text")
+    InvertedIndex.appendScored(extra, "doc_id", "text", s"$dir/p")
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((4L, 10L)))
+    // first append into an empty path starts totals from zero
+    InvertedIndex.appendScored(existing, "doc_id", "text", s"$dir/fresh")
+    assert(InvertedIndex.readTotals(s"$dir/fresh").contains((2L, 6L)))
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
