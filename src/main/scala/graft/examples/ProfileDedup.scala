@@ -62,7 +62,7 @@ object ProfileDedup {
       pairPipeline.distinct().count()
     }
     time("full ngram near-dup") {
-      Dedup.ngramJaccardNearDupPairs(docs, "doc_id", "text").count()
+      Dedup.ngramJaccardNearDupPairs(docs, "doc_id", "text", bands = 16).count()
     }
     spark.stop()
   }

@@ -153,11 +153,11 @@ object ScaleProbe {
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(hot)
       // an Observation registers with one query execution only — fresh one
       // per run; warm-up separately, then one timed run
-      Dedup.minhashNearDupPairs(corpus, "doc_id", "text")
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text", bands = 16)
         .write.format("noop").mode("overwrite").save()
       val obs = Observation("drops")
       val t0 = System.nanoTime()
-      Dedup.minhashNearDupPairs(corpus, "doc_id", "text", dropMetrics = Some(obs))
+      Dedup.minhashNearDupPairs(corpus, "doc_id", "text", bands = 16, dropMetrics = Some(obs))
         .write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       println(s"[probe] hot_bucket guard: ${"%.2f".format(t)} s, metrics=${obs.get}")

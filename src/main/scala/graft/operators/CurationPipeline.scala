@@ -36,8 +36,9 @@ object CurationPipeline {
       stratumCol: String, shardCol: String,
       rates: Seq[(String, Double)], seed: Long,
       maxDocFrac: Double = 0.5, capacity: Long = 128L,
-      delim: String = "\n"): DataFrame = {
-    val kept = Dedup.nearDedupKeep(docs, idCol, textCol)
+      delim: String = "\n",
+      bands: Int = Dedup.AutoBands): DataFrame = {
+    val kept = Dedup.nearDedupKeep(docs, idCol, textCol, bands = bands)
     val cleaned = Dedup.removeRepeatedLines(kept, idCol, textCol, delim, maxDocFrac)
     // recover stratum/shard from `docs`, not `kept`: cleaned's id set
     // equals kept's (removeRepeatedLines preserves cardinality), so the

@@ -190,6 +190,23 @@ object Dedup {
     * this optimum — sound for oracle-replayed gates, wasteful at 100 TB
     * candidate volumes, which is what this contract tunes.
     */
+  /** Sentinel default for `bands` parameters: resolve via [[autoBands]]
+    * from the call's own (numHashes, threshold) — the banding contract
+    * wired as the PRODUCTION default, so a caller who doesn't know the
+    * S-curve math gets the FP+FN optimum instead of hand-picked
+    * economics (the r13 verdict's missing-default gap). Oracle gates pin
+    * their keying explicitly (bands = 16) so replayed results never move
+    * when the contract's optimum does. The sketch-paired incremental
+    * family ([[minhashSketch]] / [[incrementalNearDupKeepWithSketch]])
+    * deliberately keeps LITERAL defaults: their contract is
+    * "same keying as the sketch was built with", and an auto default
+    * that drifts with threshold would silently find nothing.
+    */
+  val AutoBands: Int = 0
+
+  private[operators] def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
+    if (bands == AutoBands) autoBands(numHashes, threshold) else bands
+
   def autoBands(numHashes: Int, threshold: Double, fnWeight: Double = 0.9): Int = {
     require(numHashes >= 2, s"autoBands needs numHashes >= 2, got $numHashes")
     require(threshold > 0 && threshold < 1, s"threshold must be in (0, 1), got $threshold")
@@ -227,7 +244,7 @@ object Dedup {
     * exactly one narrow sketch pass plus this join.
     */
   def nearDedupKeep(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = AutoBands,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucketSize)
@@ -256,7 +273,7 @@ object Dedup {
     */
   def canonicalKeep(df: DataFrame, idCol: String, textCol: String,
       scoreCol: Column,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = AutoBands,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val pairs = minhashNearDupPairs(df, idCol, textCol, shingleN, numHashes,
       bands, threshold, maxBucketSize)
@@ -1087,14 +1104,15 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = AutoBands,
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame =
     lshNearDupPairs(
       df.select(col(idCol).as("id"), col(textCol).as("text")),
       wordShingleHashes(col("text"), shingleN),
-      numHashes, bands, threshold, maxBucketSize, dropMetrics)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold,
+      maxBucketSize, dropMetrics)
 
   /** Character-n-gram variant of [[minhashNearDupPairs]] — robust to word
     * re-segmentation; same LSH machinery over char shingles.
@@ -1105,14 +1123,15 @@ object Dedup {
       textCol: String,
       ngram: Int = 5,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = AutoBands,
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame =
     lshNearDupPairs(
       df.select(col(idCol).as("id"), col(textCol).as("text")),
       charShingleHashes(col("text"), ngram),
-      numHashes, bands, threshold, maxBucketSize, dropMetrics)
+      numHashes, resolveBands(numHashes, bands, threshold), threshold,
+      maxBucketSize, dropMetrics)
 
   /** (id, sh) shingle sets with empty sets removed — the LSH input. */
   private def withShingleSets(raw: DataFrame, shingleCol: Column): DataFrame =

@@ -89,6 +89,19 @@ object Similarity {
     * wider keys want more tables). Rounded to nearest (the probes' own
     * values), clamped to [1, 63] (keys pack sign bits into a Long).
     */
+  /** Sentinel default for `bits` parameters: resolve via [[autoBits]]
+    * from the corpus's own row count — the keying contract wired as the
+    * PRODUCTION default (the r13 verdict's missing-default gap: fixed
+    * literal bits re-create the v3/v6/v7 saturation economics on any
+    * corpus a decade away from the literal's design point). Cost: inside
+    * [[annCosinePairs]] / [[annKnnGraph]] the count runs over the
+    * already-persisted projection (it warms the cache the pipeline reads
+    * anyway — no extra corpus pass); a bare [[srpCandidatePairs]] call
+    * with auto pays one count of its input. Oracle gates pin bits
+    * explicitly so replayed results never move with the corpus.
+    */
+  val AutoBits: Int = 0
+
   def autoBits(n: Long, targetBucket: Int = 32): Int = {
     require(n > 0 && targetBucket > 0,
       s"autoBits needs positive n and targetBucket, got n=$n targetBucket=$targetBucket")
@@ -98,11 +111,12 @@ object Similarity {
 
   def srpCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      bits: Int = AutoBits, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
+    val kb = if (bits == AutoBits) autoBits(math.max(1L, df.count())) else bits
     val buckets = df
-      .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, bits, tables, seed)).as("bucket"))
+      .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, kb, tables, seed)).as("bucket"))
       .groupBy("bucket")
       .agg(collect_list(col("id")).as("ids"))
     Dedup.observeDrops(buckets, size(col("ids")), maxBucketSize, dropMetrics)
@@ -129,7 +143,7 @@ object Similarity {
     */
   def annCosinePairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      bits: Int = AutoBits, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     val (result, base) =
       annCosinePairsImpl(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
@@ -144,7 +158,7 @@ object Similarity {
     */
   def annCosinePairsReleasable(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, threshold: Double,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      bits: Int = AutoBits, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): (DataFrame, () => Unit) = {
     val (result, base) =
       annCosinePairsImpl(df, idCol, vecCol, dim, threshold, bits, tables, seed, maxBucketSize)
@@ -165,7 +179,10 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = srpCandidatePairs(base, "id", "v", dim, bits, tables, seed, maxBucketSize)
+    // auto keying counts the PERSISTED projection — the count warms the
+    // cache every later pass reads, so it is not an extra corpus pass
+    val kb = if (bits == AutoBits) autoBits(math.max(1L, base.count())) else bits
+    val cands = srpCandidatePairs(base, "id", "v", dim, kb, tables, seed, maxBucketSize)
     val va = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val vb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     val result = cands.join(va, "id_a").join(vb, "id_b")
@@ -197,7 +214,7 @@ object Similarity {
     */
   def annKnnGraph(
       df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      bits: Int = AutoBits, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -220,7 +237,10 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = srpCandidatePairs(base, "id", "v", dim, bits, tables, seed, maxBucketSize)
+    // auto keying counts the PERSISTED projection (warms the cache the
+    // bucket + scoring passes read — not an extra corpus pass)
+    val kb = if (bits == AutoBits) autoBits(math.max(1L, base.count())) else bits
+    val cands = srpCandidatePairs(base, "id", "v", dim, kb, tables, seed, maxBucketSize)
     // the candidate relation is symmetric; each vector ranks neighbors in
     // BOTH directions of every collision pair
     val sym = cands.union(cands.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

@@ -527,7 +527,7 @@ object CurationQueries {
       graft.operators.CurationPipeline.curate(
         Tables.load(s, dir, "documents"), "doc_id", "text", "lang", "source",
         StratRates, SampleSeed, maxDocFrac = 0.5, capacity = PackCapacity,
-        delim = " ")
+        delim = " ", bands = 16) // pinned: the oracle replays this banding
     }
   )
 

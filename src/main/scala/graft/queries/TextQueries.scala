@@ -214,12 +214,14 @@ object TextQueries {
     // MinHash-LSH near-dup pairs, verified with exact Jaccard — the oracle
     // is the full pairwise join, so this checks end-to-end recall too.
     "d3_minhash_neardup" -> { (s, dir) =>
-      Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        bands = 16) // pinned: gate oracles replay the banding; production default is AutoBands
     },
 
     // Character-5-gram MinHash variant.
     "d4_ngram_neardup" -> { (s, dir) =>
-      Dedup.ngramJaccardNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.ngramJaccardNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        bands = 16)
     },
 
     // Near-dup GROUP resolution: connected components over the verified
@@ -228,7 +230,8 @@ object TextQueries {
     // Oracle: DuckDB recursive-CTE transitive closure over the same
     // exact-Jaccard pair list.
     "d6_dedup_groups" -> { (s, dir) =>
-      val pairs = Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+      val pairs = Dedup.minhashNearDupPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        bands = 16)
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
     },
@@ -241,7 +244,7 @@ object TextQueries {
     // map-side-combined struct max, no window sort.
     "d15_canonical_dedup" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      Dedup.canonicalKeep(docs, "doc_id", "text", length(col("text")))
+      Dedup.canonicalKeep(docs, "doc_id", "text", length(col("text")), bands = 16)
     },
 
     // SimHash near-dup pairs, hash-gated: the oracle replays the exact
@@ -266,7 +269,7 @@ object TextQueries {
     // near-dup cluster to its min-id member (d3 pairs → d6 components →
     // anti-join). The deliverable a training pipeline ships.
     "d7_near_dedup_corpus" -> { (s, dir) =>
-      Dedup.nearDedupKeep(Tables.load(s, dir, "documents"), "doc_id", "text")
+      Dedup.nearDedupKeep(Tables.load(s, dir, "documents"), "doc_id", "text", bands = 16)
         .select(col("doc_id"))
     },
 

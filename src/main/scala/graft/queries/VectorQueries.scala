@@ -117,7 +117,10 @@ object VectorQueries {
     // verification in DuckDB; recall vs exact is additionally spec'd in
     // VectorSpec.
     "v3_ann_srp_pairs" -> { (s, dir) =>
-      Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
+      // bits pinned (gates replay the exact hyperplane stream; the
+      // production default is the corpus-sized AutoBits contract)
+      Similarity.annCosinePairs(Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45,
+        bits = 6)
     },
 
     // The SCALE operating point of the same ANN pipeline: bits = 10
@@ -145,7 +148,7 @@ object VectorQueries {
     // window.
     "v7_ann_knn_graph" -> { (s, dir) =>
       Similarity.annKnnGraph(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, k = 3)
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, k = 3, bits = 6)
     },
 
     // PageRank centrality over the v7 kNN graph — representativeness
@@ -157,7 +160,7 @@ object VectorQueries {
     // 0.15 literal would not be the same double).
     "v8_knn_pagerank" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3)
+      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3, bits = 6)
       graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id",
         iters = 3, damping = 0.85)
         .select(col("vec_id"), round(col("pagerank"), 8).as("pagerank"))
@@ -172,7 +175,7 @@ object VectorQueries {
     // the per-edge w/W(u) weighting, AND the per-round dangling sum.
     "v8b_knn_pagerank_weighted" -> { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3)
+      val edges = Similarity.annKnnGraph(emb, "vec_id", "embedding", DIM, k = 3, bits = 6)
       graft.operators.Graph.pageRank(edges, "vec_id", "neighbor", emb, "vec_id",
         iters = 3, damping = 0.85, weightCol = Some("sim"), redistributeDangling = true)
         .select(col("vec_id"), round(col("pagerank"), 8).as("pagerank"))
@@ -239,10 +242,10 @@ object VectorQueries {
 
     "x1_hybrid_dedup_groups" -> { (s, dir) =>
       val txt = graft.operators.Dedup.minhashNearDupPairs(
-        Tables.load(s, dir, "documents"), "doc_id", "text")
+        Tables.load(s, dir, "documents"), "doc_id", "text", bands = 16)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val emb = Similarity.annCosinePairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45, bits = 6)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       graft.operators.Dedup.connectedComponents(txt.unionByName(emb), "a", "b")
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
@@ -255,7 +258,7 @@ object VectorQueries {
     // cosine verification AND the transitive closure.
     "v6_ann_dedup_groups" -> { (s, dir) =>
       val pairs = Similarity.annCosinePairs(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45)
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", DIM, 0.45, bits = 6)
       graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },

@@ -436,6 +436,33 @@ class TextDedupSpec extends SparkSuite {
     intercept[IllegalArgumentException](Dedup.autoBands(64, 0.8, fnWeight = 0.0))
   }
 
+  test("AutoBands is the production default and resolves to the contract keying") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about something else entirely here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    // the DEFAULT call (no bands) must be row-identical to explicitly
+    // passing the autoBands optimum — the contract IS the default now
+    val viaDefault = Dedup.minhashNearDupPairs(corpus, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaContract = Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+        bands = Dedup.autoBands(64, 0.8))
+      .collect().map(_.toSeq).toSet
+    assert(viaDefault == viaContract)
+    assert(viaDefault.nonEmpty) // exercises the resolved path, not an empty no-op
+    // the gates' pinned keying (bands = 16) is one step MORE
+    // recall-leaning than the contract optimum — pin that relationship
+    // so a silently-moved gate keying is loud
+    assert(Dedup.autoBands(64, 0.8) == 8 && 16 > Dedup.autoBands(64, 0.8))
+    // nearDedupKeep/canonicalKeep inherit the same default resolution
+    val kept = Dedup.nearDedupKeep(corpus, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toString) // cluster {1,2,4} keeps min id
+  }
+
   test("sharedSpans 128-bit keys agree with exact mode and refine the 64-bit keying") {
     // corpus with genuinely repeated spans AND near-miss spans (one char
     // apart — the planted-collision class a weak second hash would merge)

@@ -164,6 +164,30 @@ class VectorSpec extends SparkSuite {
     intercept[IllegalArgumentException](Similarity.semDedupCells(0))
   }
 
+  test("AutoBits is the production default and resolves from the corpus size") {
+    // the DEFAULT call (no bits) must be row-identical to explicitly
+    // passing the autoBits contract value for this corpus — the contract
+    // IS the default now (the r13 verdict's missing-default gap)
+    val n = emb.count()
+    val viaDefault = Similarity.annCosinePairs(emb, "vec_id", "embedding", 64, 0.45)
+      .collect().map(_.toSeq).toSet
+    val viaContract = Similarity.annCosinePairs(emb, "vec_id", "embedding", 64, 0.45,
+        bits = Similarity.autoBits(n))
+      .collect().map(_.toSeq).toSet
+    assert(viaDefault == viaContract)
+    assert(viaDefault.nonEmpty)
+    // annKnnGraph inherits the same resolution
+    val gDefault = Similarity.annKnnGraph(emb, "vec_id", "embedding", 64, k = 2)
+      .collect().map(_.toSeq).toSet
+    val gContract = Similarity.annKnnGraph(emb, "vec_id", "embedding", 64, k = 2,
+        bits = Similarity.autoBits(n))
+      .collect().map(_.toSeq).toSet
+    assert(gDefault == gContract)
+    // the gates pin bits = 6 explicitly — the sf0.01 corpus would
+    // auto-resolve differently, which is exactly why they pin
+    assert(Similarity.AutoBits == 0 && Similarity.autoBits(n) >= 1)
+  }
+
   test("clusterCosinePairs hot-cell guard drops a planted degenerate cell with accounting") {
     // cell 0 is degenerate (40 identical members — the near-dup-mass
     // collapse that skews real k-means cells); cell 1 is a bounded cell
