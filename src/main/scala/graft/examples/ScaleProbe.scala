@@ -179,6 +179,27 @@ object ScaleProbe {
         val t = timed(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         println(f"[probe] $name%-24s ${t}%6.2f s")
       }
+      // --auto — the PRODUCTION-DEFAULT path: no explicit keying, the
+      // operators resolve bits/bands from the AutoBits/AutoBands
+      // contracts themselves (what a caller who knows nothing about LSH
+      // keying now gets). The probe exists to pin that the default path
+      // tracks the explicitly-contract-keyed probe rows (--srp at
+      // autoBits(n), --hybrid at autoBands) instead of the saturating
+      // literal economics the defaults used to be.
+      if (args.contains("--auto")) {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val tAnn = timed {
+          graft.operators.Similarity.annCosinePairs(emb, "vec_id", "embedding", 64, 0.45)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"v3_auto_default"}%-24s ${tAnn}%6.2f s")
+        val docs = Tables.load(spark, sfDir, "documents")
+        val tMh = timed {
+          Dedup.minhashNearDupPairs(docs, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"d3_auto_default"}%-24s ${tMh}%6.2f s")
+      }
       // --srp=bits:tables — probe the ANN contract path at explicit
       // parameters (bits must grow with the corpus: ≈ log2(n / bucket))
       args.filter(_.startsWith("--srp=")).foreach { a =>
