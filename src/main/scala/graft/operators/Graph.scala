@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 /** Iterative graph analytics over edge-list DataFrames — the curation
   * substrate on top of [[Similarity.annKnnGraph]]: PageRank centrality
@@ -26,8 +27,14 @@ object Graph {
     * curation-relevant variant over [[Similarity.annKnnGraph]]'s output,
     * whose `sim` column carries each edge's cosine: mass flows
     * proportionally to neighbor similarity instead of uniformly. Weights
-    * are expected positive (a kNN graph's sims at sane thresholds are);
-    * the arithmetic replays whatever values arrive, it never filters.
+    * must be positive: a null or non-positive weight fails LOUDLY at
+    * execution time (`raise_error` inside the weight expression — the
+    * weightedReservoirPerGroup convention, codegen'd, no preflight job),
+    * because the silent alternative mis-ranks — sum() skips nulls in
+    * W(u), an all-non-positive source divides by zero whose null
+    * contribution the aggregate then drops, and the node still counts as
+    * non-dangling. Filter or clamp upstream if zero-weight edges are
+    * expected.
     *
     * `redistributeDangling = true` opts into conserving dangling mass:
     * each round, the summed rank of nodes with NO out-edges spreads
@@ -38,7 +45,20 @@ object Graph {
     * dangling sum) behind a per-round cache that auto-releases after the
     * first action on the result — a SECOND action re-executes the
     * unrolled lineage uncached, doubling per round (2^iters). Run one
-    * action, or persist the returned frame before fanning out.
+    * action, or persist the returned frame before fanning out — or pass
+    * `truncateLineage = true`.
+    *
+    * `truncateLineage = true` removes the single-action footgun (and the
+    * deep unrolled plan) entirely: each round eagerly
+    * `localCheckpoint`s, so every round is ONE job over the previous
+    * round's materialized blocks and the returned frame is a bare read
+    * of the final checkpoint — N actions cost N reads, never a replay.
+    * Tradeoffs (why it is opt-in, the d6 pattern): rounds execute at
+    * CALL time (not lazily at the first action), checkpointed blocks are
+    * not rebuilt on executor loss, and the final checkpoint stays cached
+    * until `graftbridge.releaseCheckpoints(result)` (or executor exit);
+    * intermediate rounds' checkpoints release as soon as the next round
+    * materializes. The default stays fully replayable for the oracle.
     *
     * Scale shape per iteration: one shuffle join of the edge list with
     * the rank frame on the source id, one map-side-combined sum per
@@ -54,7 +74,8 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, iters: Int = 3,
       damping: Double = 0.85, weightCol: Option[String] = None,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      truncateLineage: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
@@ -66,9 +87,19 @@ object Graph {
     // (node, count) frame (else the node set re-scans and re-counts
     // iters+1 times per action), and — dangling mode only — the distinct
     // source-id set the per-round anti-join probes. Released
-    // automatically after the first action on the returned frame.
+    // automatically after the first action on the returned frame
+    // (truncate mode releases them at the end of the call instead: the
+    // rounds have already executed and the checkpoint holds the result).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    // null and non-positive weights fail loudly AT EXECUTION (see
+    // Scaladoc) — the when-condition is null for a null weight, so both
+    // cases fall to the raise_error branch; codegen'd, no preflight job
+    val w = weightCol.map { c =>
+      when(col(c).cast("double") > 0, col(c).cast("double"))
+        .otherwise(raise_error(concat(
+          lit(s"pageRank: null or non-positive weight in '$c' for source "),
+          col(srcCol).cast("string"))))
+    }.getOrElse(lit(1.0))
     val outd = edges.groupBy(col(srcCol).as("__src")).agg(sum(w).as("__deg"))
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .join(outd, "__src")
@@ -99,20 +130,39 @@ object Graph {
       }
       pr = withDangling.select(col("__node"),
         (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
-      // dangling mode reads each round's pr TWICE (the next round's
-      // contrib join and its dangling sum): uncached, every round would
-      // re-execute the whole unrolled lineage beneath both references —
-      // 2^iters blowup. One node-set-sized cache per round bounds it
-      // (≤ 20 by the iters contract); all release after the first
-      // action, like e/ids. The LAST round's frame is read once (by the
-      // result alone), so it skips the cache.
-      if (redistributeDangling && round < iters) { pr = pr.persist(lvl); roundCaches += pr }
+      if (truncateLineage) {
+        // eager checkpoint: this round runs NOW as one job over the
+        // previous round's blocks; the previous round's checkpoint is
+        // then releasable immediately (this one holds its own data)
+        val checkpointed = pr.localCheckpoint()
+        roundCaches.lastOption.foreach(graftbridge.releaseCheckpoints(_))
+        roundCaches.clear()
+        roundCaches += checkpointed
+        pr = checkpointed
+      } else if (redistributeDangling && round < iters) {
+        // dangling mode reads each round's pr TWICE (the next round's
+        // contrib join and its dangling sum): uncached, every round would
+        // re-execute the whole unrolled lineage beneath both references —
+        // 2^iters blowup. One node-set-sized cache per round bounds it
+        // (≤ 20 by the iters contract); all release after the first
+        // action, like e/ids. The LAST round's frame is read once (by the
+        // result alone), so it skips the cache.
+        pr = pr.persist(lvl)
+        roundCaches += pr
+      }
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
-    CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
-    CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
-    srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
-    roundCaches.foreach(c => CacheRelease.autoRelease(result, c, () => { c.unpersist(); () }))
+    if (truncateLineage) {
+      // the rounds already executed; the invariants are done serving
+      e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist())
+      // the final checkpoint stays (it IS the result's data) — caller
+      // releases via graftbridge.releaseCheckpoints(result) or at exit
+    } else {
+      CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
+      CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
+      srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
+      roundCaches.foreach(c => CacheRelease.autoRelease(result, c, () => { c.unpersist(); () }))
+    }
     result
   }
 }
