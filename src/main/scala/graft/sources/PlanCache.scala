@@ -67,6 +67,26 @@ object PlanCache {
     */
   val ContentKeysConf = "spark.graft.planCache.contentKeys"
 
+  /** Session conf bounding published-entry lifetime:
+    * `spark.graft.planCache.retentionMs = N` sweeps entries not ATTACHED
+    * for N ms at every attach (last use = the `_graft_atime` marker each
+    * hit refreshes, falling back to the publish-time `_SUCCESS` mtime).
+    * Unset = entries live until [[invalidate]] (the original contract).
+    *
+    * This is the missing piece of the content-keys migration: under
+    * content keys every input change strands the old entry under an
+    * underivable key — [[invalidate]]'s marker scan reclaims stale-STAT
+    * entries, but an input whose FILE LIST changed rotates the marker
+    * value too and nothing can find the orphan by key. A fleet-shared
+    * cache dir therefore grows without bound unless age-bounded; the
+    * sweep is the backstop that reclaims every orphan class. The entry
+    * just served by the current attach is touched BEFORE the sweep runs,
+    * so it can never expire mid-read within its own attach; an eviction
+    * racing another session's long read is the standard shared-cache
+    * tradeoff — size the retention well above the longest consumer.
+    */
+  val RetentionConf = "spark.graft.planCache.retentionMs"
+
   /** The effective key tier: the caller's flag OR'd with the session conf
     * (see [[ContentKeysConf]] — the conf only upgrades to the safe mode).
     */
@@ -219,7 +239,7 @@ object PlanCache {
     sweepStaleTmp(Paths.get(cacheDir))
     val target = Paths.get(cacheDir, key)
     val outcome =
-      if (isPublished(target)) Hit
+      if (isPublished(target)) { touchAtime(target); Hit }
       else {
         val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
         df.write.parquet(tmp.toString)
@@ -234,8 +254,50 @@ object PlanCache {
         publish(tmp, target)
         Miss
       }
+    // retention sweep AFTER the hit-touch above: the entry this attach
+    // serves was just refreshed, so it cannot expire under its own read
+    spark.conf.getOption(RetentionConf).map(_.trim.toLong).foreach { r =>
+      require(r > 0, s"$RetentionConf must be positive, got $r")
+      sweepExpired(Paths.get(cacheDir), r)
+    }
     last = outcome
     (spark.read.parquet(target.toString), outcome)
+  }
+
+  /** Last-attach marker inside a published entry (`_`-prefixed — parquet
+    * readers skip it); refreshed on every hit, read by the retention
+    * sweep. Best-effort: a concurrent eviction mid-touch is tolerated.
+    */
+  private val AtimeFile = "_graft_atime"
+
+  private def touchAtime(target: Path): Unit =
+    try Files.write(target.resolve(AtimeFile),
+      System.currentTimeMillis().toString.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+
+  /** Evict published entries not attached within `retentionMs` (see
+    * [[RetentionConf]]). Last use = the atime marker's mtime when
+    * present, else the `_SUCCESS` publish mtime. Tmp staging dirs have
+    * their own crash-grace sweep; unpublished corpses are reclaimed by
+    * [[publish]]'s retry path — both are skipped here.
+    */
+  private def sweepExpired(dir: Path, retentionMs: Long): Unit = {
+    if (!Files.isDirectory(dir)) return
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val it = Files.list(dir)
+    try {
+      it.iterator().forEachRemaining { p =>
+        try {
+          if (!p.getFileName.toString.startsWith(".") && isPublished(p)) {
+            val atime = p.resolve(AtimeFile)
+            val lastUsed =
+              if (Files.exists(atime)) Files.getLastModifiedTime(atime).toMillis
+              else Files.getLastModifiedTime(p.resolve("_SUCCESS")).toMillis
+            if (lastUsed < cutoff) deleteTree(p)
+          }
+        } catch { case _: java.io.IOException => () } // racing evict/publish
+      }
+    } finally it.close()
   }
 
   /** Explicit eviction (the reference's decache). Returns true if a
@@ -255,6 +317,13 @@ object PlanCache {
     * one listing — both cheap next to the recompute an eviction implies.
     * (Entries published before the marker existed are covered by the
     * first two sweeps only.)
+    *
+    * Known residual leak: a stale content-keyed entry whose input FILE
+    * LIST changed (files added/removed, not overwritten in place) rotates
+    * the plan-id marker value too — none of the three sweeps can find it
+    * by key. Those orphans are reclaimed by the age-based retention sweep
+    * ([[RetentionConf]]), which is why a fleet-shared content-keyed cache
+    * dir should always set it.
     */
   def invalidate(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): Boolean = {
     val listKey = fingerprint(df, contentKeys = false)
@@ -271,9 +340,16 @@ object PlanCache {
       val it = Files.list(dirP)
       try {
         it.iterator().forEachRemaining { p =>
-          val marker = p.resolve(PlanIdFile)
-          if (!p.getFileName.toString.startsWith(".") && Files.exists(marker) &&
-              new String(Files.readAllBytes(marker), "UTF-8") == listKey)
+          // the marker read races concurrent invalidates: an entry that
+          // vanishes between exists() and readAllBytes() is ALREADY
+          // evicted — treat it as such instead of aborting the sweep
+          val markerMatches =
+            try {
+              val marker = p.resolve(PlanIdFile)
+              Files.exists(marker) &&
+                new String(Files.readAllBytes(marker), "UTF-8") == listKey
+            } catch { case _: java.io.IOException => false }
+          if (!p.getFileName.toString.startsWith(".") && markerMatches)
             evict(p)
         }
       } finally it.close()

@@ -257,6 +257,54 @@ class PlanCacheSpec extends SparkSuite {
     } finally spark.conf.unset(PlanCache.ContentKeysConf)
   }
 
+  test("retention sweep evicts an expired entry and keeps a fresh one") {
+    val cacheDir = tmpDir("pc-ret")
+    val expired = ordersAgg(spark, sf0001)
+    val fresh = Tables.load(spark, sf0001, "nation").select(col("n_nationkey"), col("n_name"))
+    PlanCache.readThrough(expired, cacheDir).count()
+    PlanCache.readThrough(fresh, cacheDir).count()
+    val expKey = PlanCache.fingerprint(expired)
+    val freshKey = PlanCache.fingerprint(fresh)
+    // age the first entry past the retention: BOTH its last-use signals
+    // (the atime marker and the publish-time _SUCCESS) into the past
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60 * 60 * 1000L)
+    Seq("_graft_atime", "_SUCCESS").foreach { f =>
+      val p = Paths.get(cacheDir, expKey, f)
+      if (Files.exists(p)) Files.setLastModifiedTime(p, old)
+    }
+    spark.conf.set(PlanCache.RetentionConf, (10 * 60 * 1000L).toString)
+    try {
+      // attaching the FRESH entry triggers the sweep: the expired entry
+      // goes, the fresh one (just touched by its own hit) survives
+      val (_, o1) = PlanCache.readThroughWithOutcome(fresh, cacheDir)
+      assert(o1 == PlanCache.Hit)
+      assert(!Files.exists(Paths.get(cacheDir, expKey)), "expired entry must be swept")
+      assert(Files.exists(Paths.get(cacheDir, freshKey, "_SUCCESS")))
+      // the expired plan re-attaches as a MISS and re-publishes
+      val (re, o2) = PlanCache.readThroughWithOutcome(expired, cacheDir)
+      assert(o2 == PlanCache.Miss)
+      assert(re.count() > 0)
+      assert(Files.exists(Paths.get(cacheDir, expKey, "_SUCCESS")))
+      // a hit refreshes the atime marker, resetting the entry's clock
+      val before = Files.getLastModifiedTime(
+        Paths.get(cacheDir, freshKey, "_graft_atime")).toMillis
+      Thread.sleep(5)
+      PlanCache.readThrough(fresh, cacheDir).count()
+      val after = Files.getLastModifiedTime(
+        Paths.get(cacheDir, freshKey, "_graft_atime")).toMillis
+      assert(after > before, "hit must refresh the atime marker")
+    } finally spark.conf.unset(PlanCache.RetentionConf)
+    // conf unset → no sweep: an aged entry survives (the original
+    // live-until-invalidate contract is unchanged by default)
+    Seq("_graft_atime", "_SUCCESS").foreach { f =>
+      val p = Paths.get(cacheDir, expKey, f)
+      if (Files.exists(p)) Files.setLastModifiedTime(p, old)
+    }
+    PlanCache.readThrough(fresh, cacheDir).count()
+    assert(Files.exists(Paths.get(cacheDir, expKey, "_SUCCESS")))
+  }
+
   test("invalidate on a never-written cacheDir returns false (no sweep crash)") {
     val df = ordersAgg(spark, sf0001)
     assert(!PlanCache.invalidate(df, tmpDir("pc-empty") + "/never-created"))
