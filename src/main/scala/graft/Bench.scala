@@ -59,6 +59,37 @@ object Bench {
       if (failed) { errors += name; (-1.0, -1.0) } else (ts(0), ts(1))
     }
 
+    // Ambient-load sentinel (r13: the driver's loaded bench session cost
+    // a full adjudication pass because nothing in the artifact recorded
+    // machine load). A DATA-INDEPENDENT fixed-cost workload — one
+    // deterministic xorshift-filled in-memory sort per session core, all
+    // cores in parallel — timed FIRST and LAST, so the artifact itself
+    // shows whether the session had its CPUs: a loaded machine inflates
+    // both calibration numbers by roughly the same factor it inflates
+    // every query. Clean-machine reference is recorded in BASELINE.md's
+    // protocol note; compare calib_first_s/calib_last_s against it
+    // before reading any drift as a regression.
+    def calibrate(): Double = {
+      val n = 2000000
+      val workers = (1 to cpus.toInt).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          val a = new Array[Long](n)
+          var i = 0
+          while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+          java.util.Arrays.sort(a)
+        })
+      }
+      val t0 = System.nanoTime()
+      workers.foreach(_.start())
+      workers.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed run first: the sentinel itself JITs, and an un-warmed
+    // first number would read as phantom load next to the last one
+    calibrate()
+    val calibFirst = calibrate()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -186,7 +217,8 @@ object Bench {
     val errs = errors.map(jstr).mkString("[", ",", "]")
     val total = all.map(_._2._1).filter(_ >= 0).sum
     val totalMed = all.map(_._2._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"total_med":$totalMed,"errors":$errs,"sf":${jstr(sfDir)},"note":"action=noop-write, timed=min-of-3 after warm-up (queries=min, queries_med=median: the min-median spread is the session-noise envelope); failed queries report -1 and are excluded from totals (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady, ii2_search_steady, ii3_append_steady entries"}"""
+    val calibLast = calibrate()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_med":$qsMed,"total_med":$totalMed,"errors":$errs,"sf":${jstr(sfDir)},"calib_first_s":$calibFirst,"calib_last_s":$calibLast,"note":"action=noop-write, timed=min-of-3 after warm-up (queries=min, queries_med=median: the min-median spread is the session-noise envelope); failed queries report -1 and are excluded from totals (r6) + bench-only km_fit, d12_screen_steady, bj1_join_steady, ii2_search_steady, ii3_append_steady entries; calib_* = fixed-cost parallel in-memory sort timed before/after the suite (BASELINE.md protocol note has the clean-machine reference) — elevated values mean ambient machine load, read drift accordingly"}"""
     println(line)
     // Persist the full per-query map too — stdout tails get truncated in
     // round artifacts, making totals unauditable; the file keeps every
