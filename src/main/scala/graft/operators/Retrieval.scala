@@ -78,10 +78,13 @@ object Retrieval {
   }
 
   /** Whether the analyzed plan proves ≤ `max` rows statically: a
-    * `GlobalLimit(n ≤ max)` at the root (looking through projections,
-    * aliases and sorts — row-preserving wrappers a caller might stack on
-    * a top-k result). A one-row aggregate or literal relation would also
-    * qualify, but the limit shape is the one every retrieval stage emits.
+    * `GlobalLimit(n ≤ max)` at the root, looking through row-PRESERVING
+    * wrappers a caller might stack on a top-k result (projections,
+    * aliases, sorts) AND row-NON-INCREASING ones (filters,
+    * distinct/deduplicate — a filtered or deduped cut list is still a
+    * cut list), so fewer bounded plans pay the preflight count job. A
+    * one-row aggregate or literal relation would also qualify, but the
+    * limit shape is the one every retrieval stage emits.
     */
   private def staticallyBounded(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, max: Int): Boolean = {
@@ -92,6 +95,9 @@ object Retrieval {
       case p: Project => staticallyBounded(p.child, max)
       case s: Sort => staticallyBounded(s.child, max)
       case a: SubqueryAlias => staticallyBounded(a.child, max)
+      case f: Filter => staticallyBounded(f.child, max)
+      case d: Distinct => staticallyBounded(d.child, max)
+      case d: Deduplicate => staticallyBounded(d.child, max)
       case l: LocalRelation => l.data.lengthCompare(max) <= 0
       case _ => false
     }

@@ -65,6 +65,43 @@ class RetrievalSpec extends SparkSuite {
     assert(ex2.getMessage.contains("CUT"), ex2.getMessage)
   }
 
+  test("rrfFuse: filter/distinct over a cut list stay statically bounded (no preflight job)") {
+    val big = spark.range(0, 50).selectExpr("id AS doc_id", "id * 0.01 AS score")
+    // a filtered + deduped + re-projected cut list is still a cut list —
+    // the static walk must prove it without scheduling a count job
+    val wrapped = big.orderBy($"score".desc).limit(5)
+      .filter($"doc_id" % 2 === 0)
+      .distinct()
+      .select($"doc_id", $"score")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fused =
+      try {
+        val f = Retrieval.rrfFuse(Seq(wrapped -> "score"), "doc_id",
+          k = 60, topK = 3, maxListRows = 10)
+        Thread.sleep(300)
+        assert(jobs.get() == 0,
+          s"statically-bounded list must not pay a preflight count, saw ${jobs.get()} jobs")
+        f
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(fused.count() == 2) // top-5 is ids 45-49; evens = {46, 48}
+    // dropDuplicates on a subset (Deduplicate node) is covered too
+    val deduped = big.limit(5).dropDuplicates("doc_id")
+    assert(Retrieval.rrfFuse(Seq(deduped -> "score"), "doc_id",
+      k = 60, topK = 2, maxListRows = 10).count() == 2)
+    // a filter over an UNBOUNDED scan still falls to the counted check
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(big.filter($"doc_id" >= 0) -> "score"), "doc_id",
+        k = 60, topK = 3, maxListRows = 10)
+    }
+    assert(ex.getMessage.contains("CUT"), ex.getMessage)
+  }
+
   test("rrfFuse: ranks derive from 6dp-ROUNDED scores (cross-engine contract)") {
     // raw scores differ past the 6th decimal — the rank tiebreak must
     // treat them as EQUAL and fall to the id, or two engines disagreeing
