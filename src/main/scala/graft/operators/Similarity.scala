@@ -222,15 +222,23 @@ object Similarity {
     // The heap keys by the id's OWN type (the annCosinePairs id-preserving
     // contract): a blanket long cast would turn non-numeric ids into nulls
     // SILENTLY (Spark's string→long cast yields null) and corrupt the
-    // graph. Integral and string ids rank natively; anything else fails
+    // graph. Integral ids rank through the widest integral key, float/
+    // double ids through the double value (float→double is exact, so the
+    // round-trip is lossless), string ids natively; anything else fails
     // loudly at call time, before any work is persisted or scheduled.
+    sealed trait IdKind
+    object IntegralId extends IdKind
+    object FractionalId extends IdKind
+    object StringId extends IdKind
     val idType = df.select(col(idCol)).schema.head.dataType
-    val integralId = idType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case StringType => false
+    val idKind: IdKind = idType match {
+      case ByteType | ShortType | IntegerType | LongType => IntegralId
+      case FloatType | DoubleType => FractionalId
+      case StringType => StringId
       case other => throw new IllegalArgumentException(
-        s"annKnnGraph: unsupported id column type $other for '$idCol' — use an integral " +
-          "or string id (a silent numeric cast would null non-numeric ids and corrupt the graph)")
+        s"annKnnGraph: unsupported id column type $other for '$idCol' — use an integral, " +
+          "float/double or string id (a silent numeric cast would null non-numeric ids " +
+          "and corrupt the graph)")
     }
     // one cached projection feeds the bucket pass AND both scoring sides
     // (the annCosinePairs lifecycle: released after the first action)
@@ -252,8 +260,8 @@ object Similarity {
     // top-k by cos desc with id tiebreak; the third field carries the
     // un-negated score out (never reconstructed from the sort key, so a
     // −0.0 can't leak into the output)
-    val ranked: DataFrame =
-      if (integralId) {
+    val ranked: DataFrame = idKind match {
+      case IntegralId =>
         val scored =
           scoredBase.select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos"))
         val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
@@ -264,7 +272,18 @@ object Similarity {
           .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
           .agg(topk)
           .toDF("qid", "top")
-      } else {
+      case FractionalId =>
+        val scored =
+          scoredBase.select(col("id_a").cast("double"), col("id_b").cast("double"), col("cos"))
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering)
+          .on[(Double, Double, Double)](t => (t._1, t._2))
+        val topk =
+          new graft.functions.Aggregators.TopKAgg[(Double, Double, Double)](k, ord).toColumn
+        scored.as[(Double, Double, Double)]
+          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
+          .agg(topk)
+          .toDF("qid", "top")
+      case StringId =>
         val scored = scoredBase.select(col("id_a"), col("id_b"), col("cos"))
         val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
           .on[(Double, String, Double)](t => (t._1, t._2))
@@ -274,9 +293,10 @@ object Similarity {
           .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
           .agg(topk)
           .toDF("qid", "top")
-      }
-    // integral ids rank through the widest integral key and cast BACK to
-    // the input type on emit; string ids pass through untouched
+    }
+    // numeric ids rank through the widest key of their class and cast
+    // BACK to the input type on emit (integral→long, float/double→double
+    // — both exact round trips); string ids pass through untouched
     val result = ranked
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid").cast(idType).as(idCol), col("col._2").cast(idType).as("neighbor"),

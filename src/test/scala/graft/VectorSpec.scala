@@ -126,6 +126,23 @@ class VectorSpec extends SparkSuite {
     assert(intGraph.schema("vec_id").dataType == org.apache.spark.sql.types.IntegerType)
     assert(intGraph.schema("neighbor").dataType == org.apache.spark.sql.types.IntegerType)
     assert(intGraph.count() > 0)
+    // float ids rank through the double value (exact round trip) and
+    // come back in their OWN type — the graph agrees edge-for-edge with
+    // the same corpus under integer ids
+    val floatCorpus = Seq((1.5f, Array(1f, 0f)), (2.5f, Array(0.9f, 0.1f)),
+        (3.5f, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val floatGraph = Similarity.annKnnGraph(floatCorpus, "vec_id", "embedding", dim = 2,
+      k = 1, bits = 1, tables = 8)
+    assert(floatGraph.schema("vec_id").dataType == org.apache.spark.sql.types.FloatType)
+    assert(floatGraph.schema("neighbor").dataType == org.apache.spark.sql.types.FloatType)
+    val fEdges = floatGraph.collect()
+      .map(r => (r.getFloat(0) - 0.5f, r.getFloat(1) - 0.5f, r.getInt(2), r.getDouble(3)))
+      .toSet
+    val iEdges = intGraph.collect()
+      .map(r => (r.getInt(0).toFloat, r.getInt(1).toFloat, r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(fEdges == iEdges, s"float-id graph diverged: $fEdges vs $iEdges")
     // a non-rankable id type refuses at call time instead of nulling out
     val badCorpus = Seq((Array(1.toByte), Array(1f, 0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
