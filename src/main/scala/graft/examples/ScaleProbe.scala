@@ -337,6 +337,37 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v9_semdedup_k${k}_t$thr"}%-24s ${ts}%6.2f s")
       }
+      // --semdedup2=k1:k2[:threshold] — the HIERARCHICAL tier: coarse
+      // k-means + global residual-fine k-means (fitHierarchical, bounded
+      // sample), one fused corpus routing pass (hierarchicalCells),
+      // within-composite-cell pairs, connected components. Size per
+      // Similarity.semDedupCellsHier (k1 = k2 = ∛n — the n(k1+k2) +
+      // n²/(k1·k2) minimum, O(n^(4/3)) vs the flat tier's O(n^1.5)).
+      args.filter(_.startsWith("--semdedup2=")).foreach { a =>
+        val usage = s"--semdedup2 expects positive k1:k2[:threshold in (0,1]] (e.g. --semdedup2=13:13:0.9), got '$a'"
+        def pos(s: String) = scala.util.Try(s.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage))
+        val (k1, k2, thr) = a.stripPrefix("--semdedup2=").split(":") match {
+          case Array(a1, a2) => (pos(a1), pos(a2), 0.9)
+          case Array(a1, a2, ts) =>
+            (pos(a1), pos(a2), scala.util.Try(ts.toDouble).toOption
+              .filter(t => t > 0 && t <= 1).getOrElse(sys.error(usage)))
+          case _ => sys.error(usage)
+        }
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val ts = timed {
+          val sample = emb.limit(20000)
+          val (coarse, fine) = graft.operators.Similarity.fitHierarchical(
+            sample, "vec_id", "embedding", k1, k2, maxIters = 5)
+          val assigned = graft.operators.Similarity.hierarchicalCells(
+            emb, "vec_id", "embedding", coarse, fine)
+            .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          val pairs = graft.operators.Similarity.clusterCosinePairs(
+            assigned, "vec_id", "embedding", "cell", thr)
+          Dedup.connectedComponents(pairs, "id_a", "id_b")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v9h_semdedup2_k${k1}x${k2}_t$thr"}%-24s ${ts}%6.2f s")
+      }
       // --kmpp: the k-means|| seeded-init fit (uncached), the init path a
       // real corpus runs (first-k is the oracle gate). Honored under
       // --only so it can probe at 100× without the 1×-sized extras.

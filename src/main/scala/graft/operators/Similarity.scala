@@ -330,11 +330,89 @@ object Similarity {
     * Train the k-means model on a BOUNDED sample (centroid estimation
     * needs density, not the corpus — the published IVF training
     * convention); assignment still touches every row. Clamped to
-    * [1, 2^20] (beyond ~10^12 rows, go hierarchical).
+    * [1, 2^20] — beyond ~10^12 rows the flat cells stop shrinking; use
+    * the hierarchical tier ([[semDedupCellsHier]] + [[hierarchicalCells]],
+    * O(n^(4/3))) there.
     */
   def semDedupCells(n: Long): Int = {
     require(n > 0, s"semDedupCells needs a positive corpus size, got $n")
     math.max(1L, math.min(1L << 20, math.round(math.sqrt(n.toDouble)))).toInt
+  }
+
+  /** Cell counts (k1, k2) for the HIERARCHICAL tier ([[hierarchicalCells]])
+    * — the flat contract's next notch: with a coarse level of k1 cells
+    * and a global residual-fine level of k2, total cost ≈ n·(k1 + k2)
+    * (assignment) + n²/(k1·k2) (within-composite-cell pairs), minimized
+    * at k1 = k2 = ∛n → O(n^(4/3)) overall with ∛n-sized cells — one
+    * polynomial notch below the flat tier's O(n^1.5), and the reason to
+    * go hierarchical once √n crosses [[semDedupCells]]' 2^20 clamp
+    * (~10^12 rows): at that scale the flat tier's cells stop shrinking,
+    * while ∛n stays inside the clamp until ~10^18. Same bounded-sample
+    * training convention; each level clamps to [1, 2^20].
+    */
+  def semDedupCellsHier(n: Long): (Int, Int) = {
+    require(n > 0, s"semDedupCellsHier needs a positive corpus size, got $n")
+    val k = math.max(1L, math.min(1L << 20, math.round(math.cbrt(n.toDouble)))).toInt
+    (k, k)
+  }
+
+  /** Fit the two-level SemDeDup router on a BOUNDED sample: a coarse
+    * k-means (adapts to embedding density), then ONE GLOBAL fine k-means
+    * on the coarse residuals (x − nearest coarse centroid) — the IVF-PQ
+    * coarse+residual composition, reused here for candidate routing
+    * instead of distance quantization. A shared fine codebook is what
+    * keeps this distributed: per-coarse-cell fine models would need k1
+    * driver-loop fits, while residuals live in one space a single fit
+    * covers (their distribution is roughly centered regardless of which
+    * coarse cell produced them — the published IVF-PQ observation).
+    */
+  def fitHierarchical(sample: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, maxIters: Int = 5): (KMeans.Model, KMeans.Model) = {
+    val coarse = KMeans.fit(sample, idCol, vecCol, k1, maxIters)
+    val bc = sample.sparkSession.sparkContext.broadcast(coarse)
+    val residU = udf { (v: Seq[Double]) =>
+      val m = bc.value
+      val a = v.toArray
+      val c = m.centroids(m.nearest(a))
+      val r = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { r(i) = a(i) - c(i); i += 1 }
+      r.toSeq
+    }
+    val resid = sample.filter(col(vecCol).isNotNull)
+      .select(col(idCol), residU(col(vecCol).cast("array<double>")).as("__resid"))
+    val fine = KMeans.fit(resid, idCol, "__resid", k2, maxIters)
+    (coarse, fine)
+  }
+
+  /** Composite two-level cell assignment: (id, cell) with
+    * cell = coarse·k2 + fine(residual) — the [[KMeans.assign]] analog for
+    * the hierarchical tier, one narrow pass over the corpus (both models
+    * broadcast, coarse route + residual + fine route fused in one UDF so
+    * the vector column is read once). Feed the result to
+    * [[clusterCosinePairs]] as its `clusterCol`: candidates must agree on
+    * BOTH levels, giving ∛n-sized cells at the [[semDedupCellsHier]]
+    * keying. Null vectors are dropped (the routing would NPE); zero-norm
+    * rows are dropped downstream by clusterCosinePairs' NaN guard.
+    */
+  def hierarchicalCells(df: DataFrame, idCol: String, vecCol: String,
+      coarse: KMeans.Model, fine: KMeans.Model): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bcC = sc.broadcast(coarse)
+    val bcF = sc.broadcast(fine)
+    val cellU = udf { (v: Seq[Double]) =>
+      val mc = bcC.value
+      val mf = bcF.value
+      val a = v.toArray
+      val c = mc.nearest(a)
+      val ctr = mc.centroids(c)
+      val r = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { r(i) = a(i) - ctr(i); i += 1 }
+      c.toLong * mf.centroids.length + mf.nearest(r)
+    }
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), cellU(col(vecCol).cast("array<double>")).as("cell"))
   }
 
   /** `maxCellSize` drops degenerate hot CELLS before pair expansion —

@@ -205,6 +205,64 @@ class VectorSpec extends SparkSuite {
     assert(Similarity.AutoBits == 0 && Similarity.autoBits(n) >= 1)
   }
 
+  test("hierarchical SemDeDup tier: composite cells route both levels; pairs equal exact within-cell") {
+    import graft.operators.KMeans
+    // two well-separated coarse clusters, each with two residual offsets
+    // — the shape the coarse×fine router must split into 4 composite
+    // cells; near-identical vectors (the +0.01 jitter pairs) must share
+    // their composite cell
+    // id ORDER matters to the deterministic InitFirstK seeding: ids 1, 2
+    // (the coarse init) sit in different coarse clusters, and their
+    // RESIDUALS (the fine init) sit in different fine offsets
+    def v(base: Array[Float], j: Float) = base.map(_ + j)
+    val cA = Array(10f, 0f, 0f, 0f)
+    val cB = Array(0f, 10f, 0f, 0f)
+    val fineB = (x: Array[Float]) => x.updated(2, x(2) + 2f)
+    val rows = Seq(
+      (1L, v(cA, 0f)), (3L, v(cA, 0.01f)),                 // coarse A, fine a
+      (2L, v(fineB(cB), 0f)), (4L, v(fineB(cB), 0.01f)),   // coarse B, fine b
+      (5L, v(fineB(cA), 0f)), (6L, v(fineB(cA), 0.01f)),   // coarse A, fine b
+      (7L, v(cB, 0f)), (8L, v(cB, 0.01f))                  // coarse B, fine a
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val (coarse, fine) = Similarity.fitHierarchical(df, "vec_id", "embedding",
+      k1 = 2, k2 = 2, maxIters = 5)
+    val cells = Similarity.hierarchicalCells(df, "vec_id", "embedding", coarse, fine)
+      .as[(Long, Long)].collect().toMap
+    // composite key replays from the models' own routing arithmetic
+    rows.foreach { case (id, vec) =>
+      val a = vec.map(_.toDouble)
+      val c = coarse.nearest(a)
+      val r = a.zip(coarse.centroids(c)).map { case (x, y) => x - y }
+      assert(cells(id) == c.toLong * 2 + fine.nearest(r), s"id $id")
+    }
+    // jitter twins share a composite cell; the 4 composite cells are distinct
+    Seq((1L, 3L), (2L, 4L), (5L, 6L), (7L, 8L)).foreach { case (a, b) =>
+      assert(cells(a) == cells(b), s"twins $a/$b split: ${cells(a)} vs ${cells(b)}")
+    }
+    assert(Seq(1L, 2L, 5L, 7L).map(cells).distinct.size == 4, cells.toString)
+    // clusterCosinePairs over the composite cells equals exact pairs
+    // restricted to composite-cell equality (the flat-tier contract)
+    val assigned = cells.toSeq.toDF("vec_id", "cell")
+      .join(df, "vec_id")
+    val got = Similarity.clusterCosinePairs(assigned, "vec_id", "embedding", "cell", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.exactCosinePairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact.filter { case (a, b) => cells(a) == cells(b) }, got.toString)
+    assert(got.nonEmpty)
+    // the cbrt cost-law contract, pinned (the flat tier's √n analog)
+    assert(Similarity.semDedupCellsHier(1000000L) == ((100, 100)))
+    assert(Similarity.semDedupCellsHier(8000) == ((20, 20)))
+    assert(Similarity.semDedupCellsHier(1) == ((1, 1)))
+    assert(Similarity.semDedupCellsHier(Long.MaxValue) == (((1 << 20), (1 << 20))))
+    intercept[IllegalArgumentException](Similarity.semDedupCellsHier(0))
+    // beyond the flat clamp the hierarchical effective cell count keeps
+    // growing: k1*k2 at 10^13 rows exceeds the flat tier's frozen 2^20
+    val (h1, h2) = Similarity.semDedupCellsHier(10000000000000L)
+    assert(h1.toLong * h2 > (1L << 20))
+  }
+
   test("clusterCosinePairs hot-cell guard drops a planted degenerate cell with accounting") {
     // cell 0 is degenerate (40 identical members — the near-dup-mass
     // collapse that skews real k-means cells); cell 1 is a bounded cell
