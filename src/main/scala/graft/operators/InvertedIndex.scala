@@ -135,14 +135,16 @@ object InvertedIndex {
     * contract as [[appendTo]]: batch doc ids are new.
     */
   def appendScored(docs: DataFrame, idCol: String, textCol: String,
-      path: String): (Long, Long) = {
+      path: String, priorTotals: Option[(Long, Long)] = None): (Long, Long) = {
     import java.nio.file.{Files, Paths}
-    // prior totals BEFORE the append (sidecar, or an O(index) heal for an
-    // artifact written before sidecars existed); the sidecar is removed
+    // prior totals BEFORE the append: the caller's exact value when
+    // supplied (skips a read/heal a caller who just ran corpusTotals
+    // would duplicate), else the sidecar, else an O(index) heal for an
+    // artifact written before sidecars existed; the sidecar is removed
     // for the duration of the append so a crash between the postings
     // write and the totals rewrite leaves NO sidecar — the next attach
     // recomputes exactly instead of silently serving stale (N, avgdl)
-    val prior = readTotals(path).getOrElse {
+    val prior = priorTotals.orElse(readTotals(path)).getOrElse {
       if (hasDataFiles(path)) corpusTotals(docs.sparkSession.read.parquet(path), idCol)
       else (0L, 0L)
     }

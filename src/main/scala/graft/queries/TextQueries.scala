@@ -96,7 +96,8 @@ object TextQueries {
         .write.parquet(path)
       val totals0 = InvertedIndex.corpusTotals(s.read.parquet(path), "doc_id")
       val delta = InvertedIndex.appendScored(
-        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path,
+        priorTotals = Some(totals0))
       val scored = s.read.parquet(path)
       val probes = InvertedIndex.topTokensByDf(scored, 3)
       InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
@@ -153,7 +154,8 @@ object TextQueries {
       // day 1: the batch commits; the maintainer reads ONLY the feed
       val v2 = Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7), table)
       val feed = Snapshots.readChanges(s, table, fromVersion = v1, toVersion = Some(v2))
-      val delta = InvertedIndex.appendScored(feed, "doc_id", "text", idx)
+      val delta = InvertedIndex.appendScored(feed, "doc_id", "text", idx,
+        priorTotals = Some(totals0))
       val scored = s.read.parquet(idx)
       val probes = InvertedIndex.topTokensByDf(scored, 3)
       InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
