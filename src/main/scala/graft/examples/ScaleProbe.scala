@@ -331,7 +331,8 @@ object ScaleProbe {
           val assigned = KMeans.assign(emb, "vec_id", "embedding", model)
             .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
           val pairs = graft.operators.Similarity.clusterCosinePairs(
-            assigned, "vec_id", "embedding", "cluster", thr)
+            assigned, "vec_id", "embedding", "cluster", thr,
+            maxCellSize = Int.MaxValue) // exact: probe rows compare across rounds
           Dedup.connectedComponents(pairs, "id_a", "id_b")
             .write.format("noop").mode("overwrite").save()
         }
@@ -362,7 +363,8 @@ object ScaleProbe {
             emb, "vec_id", "embedding", coarse, fine)
             .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
           val pairs = graft.operators.Similarity.clusterCosinePairs(
-            assigned, "vec_id", "embedding", "cell", thr)
+            assigned, "vec_id", "embedding", "cell", thr,
+            maxCellSize = Int.MaxValue) // exact: probe rows compare across rounds
           Dedup.connectedComponents(pairs, "id_a", "id_b")
             .write.format("noop").mode("overwrite").save()
         }

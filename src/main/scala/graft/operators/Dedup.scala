@@ -205,7 +205,14 @@ object Dedup {
   val AutoBands: Int = 0
 
   private[operators] def resolveBands(numHashes: Int, bands: Int, threshold: Double): Int =
-    if (bands == AutoBands) autoBands(numHashes, threshold) else bands
+    if (bands != AutoBands) bands
+    // threshold >= 1 is exact-duplicate semantics (only jaccard = 1 pairs
+    // survive verification, and identical shingle sets collide in EVERY
+    // banding): one band of all hashes is the cheapest correct keying,
+    // and autoBands' S-curve domain ends below 1 — resolving here keeps
+    // the pre-AutoBands threshold domain intact instead of narrowing it
+    else if (threshold >= 1.0) 1
+    else autoBands(numHashes, threshold)
 
   def autoBands(numHashes: Int, threshold: Double, fnWeight: Double = 0.9): Int = {
     require(numHashes >= 2, s"autoBands needs numHashes >= 2, got $numHashes")

@@ -26,15 +26,19 @@ object Graph {
     * `weightCol` opts into similarity-weighted propagation — the
     * curation-relevant variant over [[Similarity.annKnnGraph]]'s output,
     * whose `sim` column carries each edge's cosine: mass flows
-    * proportionally to neighbor similarity instead of uniformly. Weights
-    * must be positive: a null or non-positive weight fails LOUDLY at
-    * execution time (`raise_error` inside the weight expression — the
-    * weightedReservoirPerGroup convention, codegen'd, no preflight job),
-    * because the silent alternative mis-ranks — sum() skips nulls in
-    * W(u), an all-non-positive source divides by zero whose null
-    * contribution the aggregate then drops, and the node still counts as
-    * non-dangling. Filter or clamp upstream if zero-weight edges are
-    * expected.
+    * proportionally to neighbor similarity instead of uniformly. Weight
+    * validation fails LOUDLY at execution time (`raise_error` inside the
+    * expressions — the weightedReservoirPerGroup convention, codegen'd,
+    * no preflight job) on the two silently-mis-ranking classes: a NULL
+    * or NEGATIVE weight (sum() skips nulls in W(u); negative mass is
+    * not a random walk), and a source whose TOTAL out-weight is ≤ 0
+    * (its w/W(u) is 0/0 = NaN, which poisons every destination sum).
+    * ZERO-weight edges are allowed — they contribute no mass, which is
+    * exactly what annKnnGraph's round(cos, 6) = 0.0 near-orthogonal
+    * edges should do — so the documented annKnnGraph ∘ pageRank
+    * composition never trips the guard on benign ties; kNN graphs with
+    * genuinely NEGATIVE cosines must be thresholded upstream (a
+    * negative-weight walk has no PageRank semantics).
     *
     * `redistributeDangling = true` opts into conserving dangling mass:
     * each round, the summed rank of nodes with NO out-edges spreads
@@ -91,18 +95,29 @@ object Graph {
     // (truncate mode releases them at the end of the call instead: the
     // rounds have already executed and the checkpoint holds the result).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // null and non-positive weights fail loudly AT EXECUTION (see
-    // Scaladoc) — the when-condition is null for a null weight, so both
-    // cases fall to the raise_error branch; codegen'd, no preflight job
+    // null and NEGATIVE weights fail loudly AT EXECUTION (see Scaladoc)
+    // — the when-condition is null for a null weight, so both cases fall
+    // to the raise_error branch; zero passes (no mass, no poison).
+    // Codegen'd, no preflight job.
     val w = weightCol.map { c =>
-      when(col(c).cast("double") > 0, col(c).cast("double"))
+      when(col(c).cast("double") >= 0, col(c).cast("double"))
         .otherwise(raise_error(concat(
-          lit(s"pageRank: null or non-positive weight in '$c' for source "),
+          lit(s"pageRank: null or negative weight in '$c' for source "),
           col(srcCol).cast("string"))))
     }.getOrElse(lit(1.0))
     val outd = edges.groupBy(col(srcCol).as("__src")).agg(sum(w).as("__deg"))
+    // a source with edges but TOTAL out-weight <= 0 would make every one
+    // of its w/W(u) terms 0/0 = NaN and poison the destination sums —
+    // the one remaining silent-NaN path, closed here at the same
+    // raise_error tier (the guard sits on the joined edge rows, so a
+    // weightless default — __deg = out-degree >= 1 — never trips it)
+    val degChecked =
+      when(col("__deg") > 0, col("__deg")).otherwise(raise_error(concat(
+        lit("pageRank: source "), col("__src").cast("string"),
+        lit(" has edges but non-positive total out-weight — filter or threshold upstream"))))
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .join(outd, "__src")
+      .select(col("__src"), col("__dst"), col("__w"), degChecked.as("__deg"))
       .persist(lvl)
     val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
     val srcs =

@@ -132,7 +132,12 @@ object InvertedIndex {
     * avgdl) update costs one batch-sized scan, NEVER the O(index)
     * [[corpusStats]] pass, and the updated stats serve CORRECT scores
     * (stale (N, avgdl) after a plain append silently mis-ranks). Caller
-    * contract as [[appendTo]]: batch doc ids are new.
+    * contract as [[appendTo]]: batch doc ids are new, and appends to one
+    * index path are SINGLE-WRITER (serialize them upstream — two
+    * concurrent appends each fold only their own delta into the sidecar
+    * and the last rename wins, silently missing the other's; the
+    * versioned-table route, [[graft.sources.Snapshots]] feeding ii6's
+    * composition, is the multi-writer-safe ingest path).
     */
   def appendScored(docs: DataFrame, idCol: String, textCol: String,
       path: String, priorTotals: Option[(Long, Long)] = None): (Long, Long) = {
@@ -167,7 +172,11 @@ object InvertedIndex {
     val scored = spark.read.parquet(path)
     val totals = readTotals(path).getOrElse {
       val t = corpusTotals(scored, idCol)
-      writeTotals(path, t)
+      // best-effort persist: a read-only mount (a consumer attaching a
+      // shared artifact it cannot write) must still get the computed
+      // stats — the next writable attach heals the sidecar instead
+      try writeTotals(path, t)
+      catch { case _: java.io.IOException | _: SecurityException => () }
       t
     }
     (scored, statsOf(totals))

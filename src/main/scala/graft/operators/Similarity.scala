@@ -97,8 +97,13 @@ object Similarity {
     * [[annCosinePairs]] / [[annKnnGraph]] the count runs over the
     * already-persisted projection (it warms the cache the pipeline reads
     * anyway — no extra corpus pass); a bare [[srpCandidatePairs]] call
-    * with auto pays one count of its input. Oracle gates pin bits
-    * explicitly so replayed results never move with the corpus.
+    * with auto pays one count of its input. NOTE the auto default makes
+    * these calls EAGER: the count is a Spark job at call time (and the
+    * projection cache materializes with it — released after the first
+    * action on the result as before, or immediately if the count itself
+    * fails); pass explicit bits to keep construction fully lazy. Oracle
+    * gates pin bits explicitly so replayed results never move with the
+    * corpus.
     */
   val AutoBits: Int = 0
 
@@ -180,8 +185,14 @@ object Similarity {
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // auto keying counts the PERSISTED projection — the count warms the
-    // cache every later pass reads, so it is not an extra corpus pass
-    val kb = if (bits == AutoBits) autoBits(math.max(1L, base.count())) else bits
+    // cache every later pass reads, so it is not an extra corpus pass;
+    // if the count itself fails, release the cache before rethrowing
+    // (nothing else will — the result it keys on was never returned)
+    val kb =
+      if (bits == AutoBits)
+        try autoBits(math.max(1L, base.count()))
+        catch { case t: Throwable => base.unpersist(); throw t }
+      else bits
     val cands = srpCandidatePairs(base, "id", "v", dim, kb, tables, seed, maxBucketSize)
     val va = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val vb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
@@ -246,8 +257,13 @@ object Similarity {
       .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // auto keying counts the PERSISTED projection (warms the cache the
-    // bucket + scoring passes read — not an extra corpus pass)
-    val kb = if (bits == AutoBits) autoBits(math.max(1L, base.count())) else bits
+    // bucket + scoring passes read — not an extra corpus pass); release
+    // the cache if the count itself fails (the result never returns)
+    val kb =
+      if (bits == AutoBits)
+        try autoBits(math.max(1L, base.count()))
+        catch { case t: Throwable => base.unpersist(); throw t }
+      else bits
     val cands = srpCandidatePairs(base, "id", "v", dim, kb, tables, seed, maxBucketSize)
     // the candidate relation is symmetric; each vector ranks neighbors in
     // BOTH directions of every collision pair
@@ -426,8 +442,13 @@ object Similarity {
     * [[semDedupCells]]' clamp note). Pass `dropMetrics` to observe
     * `dropped_buckets`/`dropped_members`; `Int.MaxValue` restores exact
     * per-cell enumeration. The cell-size pass shuffles only (cell, count)
-    * partials and the allowed-cell list broadcasts (≤2^20 rows), so the
-    * guard adds no corpus-sized shuffle.
+    * partials; the allowed-cell join strategy is left to AQE — it
+    * broadcasts at flat-tier cell counts (≤ 2^20 by [[semDedupCells]]'
+    * clamp) and falls back to a co-partitioned shuffle join at the
+    * hierarchical tier's ~n^(2/3) composite cells, where a forced
+    * broadcast would blow the driver at the very scales that tier exists
+    * for. Either way no corpus-sized shuffle is added beyond the
+    * cell-key shuffle the pair join itself performs.
     */
   def clusterCosinePairs(assigned: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, threshold: Double,
@@ -447,7 +468,7 @@ object Similarity {
       .filter(col("__csize") > 1 && col("__csize") <= maxCellSize)
       .select(col("__cell"))
     val a = base.select(col("__cell"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-      .join(broadcast(allowed), "__cell")
+      .join(allowed, "__cell")
     val b = base.select(col("__cell"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     val result = a.join(b, "__cell")
       .filter(col("id_a") < col("id_b"))

@@ -276,8 +276,12 @@ object VectorQueries {
         k = 8, maxIters = 5)
       val assigned = graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      // maxCellSize pinned to exact enumeration: the oracle replays the
+      // FULL within-cell join, so the guard (a floating default) must
+      // never silently truncate the gate as the corpus grows
       val pairs = Similarity.clusterCosinePairs(
-        assigned, "vec_id", "embedding", "cluster", 0.45)
+        assigned, "vec_id", "embedding", "cluster", 0.45,
+        maxCellSize = Int.MaxValue)
       graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },

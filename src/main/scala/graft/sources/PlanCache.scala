@@ -255,10 +255,19 @@ object PlanCache {
         Miss
       }
     // retention sweep AFTER the hit-touch above: the entry this attach
-    // serves was just refreshed, so it cannot expire under its own read
+    // serves was just refreshed, so it cannot expire under its own read.
+    // Throttled per cache dir (at most once per retention/20, floor 30 s
+    // — a fleet-shared dir with thousands of entries must not pay an
+    // O(entries) listing+stat pass on every warm Hit; expiry precision
+    // of a fraction of the retention is all the age bound needs)
     spark.conf.getOption(RetentionConf).map(_.trim.toLong).foreach { r =>
       require(r > 0, s"$RetentionConf must be positive, got $r")
-      sweepExpired(Paths.get(cacheDir), r)
+      val now = System.currentTimeMillis()
+      val minGap = math.max(30000L, r / 20)
+      val due = lastSweepMs.compute(cacheDir, (_, prev) =>
+        if (prev == null || now - prev.longValue() >= minGap) java.lang.Long.valueOf(now)
+        else prev)
+      if (due.longValue() == now) sweepExpired(Paths.get(cacheDir), r)
     }
     last = outcome
     (spark.read.parquet(target.toString), outcome)
@@ -269,6 +278,11 @@ object PlanCache {
     * sweep. Best-effort: a concurrent eviction mid-touch is tolerated.
     */
   private val AtimeFile = "_graft_atime"
+
+  /** Per-cacheDir timestamp of the last retention sweep this JVM ran —
+    * the sweep throttle's state (see the attach path).
+    */
+  private val lastSweepMs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def touchAtime(target: Path): Unit =
     try Files.write(target.resolve(AtimeFile),

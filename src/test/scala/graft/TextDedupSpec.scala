@@ -461,6 +461,12 @@ class TextDedupSpec extends SparkSuite {
     val kept = Dedup.nearDedupKeep(corpus, "doc_id", "text")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(kept == Set(1L, 3L), kept.toString) // cluster {1,2,4} keeps min id
+    // threshold = 1.0 (exact-dup semantics) stays in the accepted domain
+    // under the auto default: identical sets collide in every banding,
+    // so auto resolves to ONE band of all hashes (cheapest correct key)
+    val exactPairs = Dedup.minhashNearDupPairs(corpus, "doc_id", "text", threshold = 1.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs == Set((1L, 2L)), exactPairs.toString) // docs 1,2 identical; 4 differs
   }
 
   test("sharedSpans 128-bit keys agree with exact mode and refine the 64-bit keying") {

@@ -148,21 +148,40 @@ class GraphSpec extends SparkSuite {
     org.apache.spark.sql.graftbridge.releaseCheckpoints(truncated)
   }
 
-  test("weighted pageRank fails loudly on null or non-positive weights") {
+  test("weighted pageRank fails loudly on null/negative weights and all-zero sources; benign zeros pass") {
     val nodes = Seq(1L, 2L, 3L).toDF("id")
-    val zeroW = Seq((1L, 2L, 0.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    // a source whose TOTAL out-weight is zero would serve 0/0 = NaN to
+    // every destination — loud, named after the source
+    val zeroSrc = Seq((1L, 2L, 0.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
     val e1 = intercept[Exception] {
-      Graph.pageRank(zeroW, "src", "dst", nodes, "id", iters = 1,
+      Graph.pageRank(zeroSrc, "src", "dst", nodes, "id", iters = 1,
         weightCol = Some("w")).collect()
     }
-    assert(e1.getMessage.contains("non-positive weight"), e1.getMessage)
+    assert(e1.getMessage.contains("non-positive total out-weight"), e1.getMessage)
     val nullW = Seq((1L, 2L, Some(1.0)), (2L, 3L, Option.empty[Double]))
       .toDF("src", "dst", "w")
     val e2 = intercept[Exception] {
       Graph.pageRank(nullW, "src", "dst", nodes, "id", iters = 1,
         weightCol = Some("w")).collect()
     }
-    assert(e2.getMessage.contains("non-positive weight"), e2.getMessage)
+    assert(e2.getMessage.contains("null or negative weight"), e2.getMessage)
+    val negW = Seq((1L, 2L, -0.5), (1L, 3L, 1.0)).toDF("src", "dst", "w")
+    val e3 = intercept[Exception] {
+      Graph.pageRank(negW, "src", "dst", nodes, "id", iters = 1,
+        weightCol = Some("w")).collect()
+    }
+    assert(e3.getMessage.contains("null or negative weight"), e3.getMessage)
+    // a BENIGN zero (source still has positive total) passes — the
+    // annKnnGraph round(cos,6)=0.0 tie must not trip the guard — and a
+    // zero-weight edge carries exactly no mass
+    val benign = Seq((1L, 2L, 0.0), (1L, 3L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val got = Graph.pageRank(benign, "src", "dst", nodes, "id", iters = 2,
+        weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val exp = localWeightedPageRank(Seq(1L, 2L, 3L),
+      Seq((1L, 3L, 1.0), (2L, 3L, 1.0)), 2, 0.85, redistribute = false)
+    Seq(1L, 2L, 3L).foreach(v =>
+      assert(math.abs(got(v) - exp(v)) < 1e-12, s"node $v: ${got(v)} vs ${exp(v)}"))
   }
 
   test("pageRank matches the local replay on a random sparse digraph") {
