@@ -219,6 +219,38 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v3_srp_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
+      // --annsketch=bits:tables — the INCREMENTAL ANN screen (v10's
+      // shape) at scale: the existing corpus (vec_id % 10 != 7) is
+      // sketched ONCE to parquet (timed separately — the artifact build
+      // a pipeline amortizes), then the daily batch screens against the
+      // saved sketch (timed — the steady per-batch cost, which re-reads
+      // but never re-hashes the corpus).
+      args.filter(_.startsWith("--annsketch=")).foreach { a =>
+        val (b, tb) = a.stripPrefix("--annsketch=").split(":") match {
+          case Array(bs, ts) =>
+            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+              case _ => sys.error(s"--annsketch expects positive bits:tables, got '$a'")
+            }
+          case _ => sys.error(s"--annsketch expects bits:tables (e.g. --annsketch=13:12), got '$a'")
+        }
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val old = emb.filter(col("vec_id") % 10 =!= 7)
+        val batch = emb.filter(col("vec_id") % 10 === 7)
+        val skDir = graft.queries.QueryTmp.dir("probe-srpsk") + "/sketch"
+        val tBuild = timed {
+          graft.operators.Similarity.srpSketch(old, "vec_id", "embedding", 64, b, tb)
+            .write.mode("overwrite").parquet(skDir)
+        }
+        println(f"[probe] ${s"v10_sketch_build_b$b"}%-24s ${tBuild}%6.2f s")
+        val sk = spark.read.parquet(skDir)
+        val tScreen = timed {
+          graft.operators.Similarity.incrementalAnnKeep(batch, sk, old,
+            "vec_id", "embedding", 64, 0.45, bits = b, tables = tb)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v10_screen_b$b"}%-24s ${tScreen}%6.2f s")
+      }
       // --knn=bits:tables — annKnnGraph at the scale-contract keying
       // (the --srp twin for the kNN-graph path: v7's gate pins bits=6
       // for the oracle replay; the deployed operating point re-keys by

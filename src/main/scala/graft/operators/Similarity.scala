@@ -203,6 +203,100 @@ object Similarity {
     (result, base)
   }
 
+  /** Persistable SRP-LSH sketch of a corpus: one row per (table:bucket)
+    * key with its member-id list — [[Dedup.minhashSketch]]'s vector twin,
+    * completing the incremental-maintenance story on the embedding side
+    * (text LSH has d10-d13, the scored index ii5-ii7; without this every
+    * daily batch re-buckets the WHOLE corpus). At steady state the
+    * pipeline computes this once (or maintains it), saves it to parquet,
+    * and each batch screens against the saved sketch via
+    * [[incrementalAnnKeep]] — the 100 TB corpus's vectors are re-read
+    * only for candidate verification, never re-hashed per batch.
+    *
+    * The sketch bakes in (dim, bits, tables, seed): screening with
+    * different parameters silently finds nothing, so `bits` has NO
+    * default here — [[AutoBits]] resolution from two different frames
+    * (corpus at build, batch at screen) would key the two sides
+    * differently, the exact mismatch the explicit-parameter contract
+    * prevents (the [[Dedup.minhashSketch]] reasoning). Zero-norm vectors
+    * are excluded (they can never cosine-match — the NaN guard).
+    */
+  def srpSketch(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bits: Int, tables: Int = 12, seed: Long = 42L): DataFrame = {
+    require(bits != AutoBits, "srpSketch: pass explicit bits (an auto-resolved sketch " +
+      "cannot be screened against — the batch side would resolve a different keying)")
+    Dedup.spreadIfNarrow(
+        df.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0))
+      .select(col("id"), explode(srpKeys(col("v"), dim, bits, tables, seed)).as("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"))
+  }
+
+  /** Batch-only ANN screening against a PRE-COMPUTED sketch — the vector
+    * twin of [[Dedup.incrementalNearDupKeepWithSketch]]: only the new
+    * batch is hashed; the existing corpus contributes its saved buckets
+    * plus candidate-only vector reads for exact-cosine verification.
+    * Returns the batch with verified near-matches dropped (zero-norm
+    * batch rows are unmatchable and kept). `oldDf` must be the corpus
+    * the sketch was built from, with the SAME (dim, bits, tables, seed).
+    *
+    * Scale shape (the d10 class): the batch shuffles its (table:bucket)
+    * keys; the sketch join touches only shared buckets; the per-side
+    * `maxBucketSize` guard bounds degenerate buckets with
+    * `dropped_buckets`/`dropped_members` accounting; verification joins
+    * read vectors for candidate ids only (broadcast id filters in the
+    * scan stage — the corpus is re-READ but never re-shuffled).
+    */
+  def incrementalAnnKeep(newDf: DataFrame, oldSketch: DataFrame, oldDf: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bits: Int, tables: Int = 12, seed: Long = 42L,
+      maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
+    require(bits != AutoBits,
+      "incrementalAnnKeep: pass the sketch's explicit bits (see srpSketch)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val newBuckets = Dedup.spreadIfNarrow(
+        newDf.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("n", vecNorm(col("v"))).filter(col("n") > 0))
+      .select(col("id"), explode(srpKeys(col("v"), dim, bits, tables, seed)).as("bucket"))
+      .groupBy("bucket")
+      .agg(collect_list(col("id")).as("new_ids"))
+    val shared = newBuckets
+      .join(oldSketch.select(col("bucket"), col("ids").as("old_ids")), "bucket")
+    // per-side guard, whole-bucket loss accounting (the incrementalCore
+    // convention: predicate and member count diverge on a split bucket)
+    val droppedPred =
+      size(col("new_ids")) > maxBucketSize || size(col("old_ids")) > maxBucketSize
+    val candidates = Dedup.observeDropsWhere(
+        shared, droppedPred, size(col("new_ids")) + size(col("old_ids")), dropMetrics)
+      .filter(size(col("new_ids")) <= maxBucketSize && size(col("old_ids")) <= maxBucketSize)
+      .select(explode(col("new_ids")).as("nid"), col("old_ids"))
+      .select(col("nid"), explode(col("old_ids")).as("oid"))
+      .distinct()
+      .persist(lvl)
+    // verification ∝ |candidates|: vectors materialize only for ids that
+    // reached a shared bucket; zero-norm guards are redundant (both id
+    // sets came from norm-filtered bucketing) but kept — a NaN cosine
+    // compares TRUE under Spark's ordering and would match everything
+    val newVecs = newDf.select(col(idCol).as("nid"), col(vecCol).as("vn"))
+      .join(broadcast(candidates.select(col("nid")).distinct()), "nid")
+      .withColumn("nn", vecNorm(col("vn"))).filter(col("nn") > 0)
+    val oldVecs = oldDf.select(col(idCol).as("oid"), col(vecCol).as("vo"))
+      .join(broadcast(candidates.select(col("oid")).distinct()), "oid")
+      .withColumn("no", vecNorm(col("vo"))).filter(col("no") > 0)
+    val matched = candidates
+      .join(newVecs, "nid")
+      .join(oldVecs, "oid")
+      .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
+      .select(col("nid").as("__match_id")).distinct()
+      .localCheckpoint() // eager — lets the candidate cache go
+    candidates.unpersist()
+    // drop list is batch-bounded; AQE picks the join strategy (the
+    // nearDedupKeep reasoning — no forced broadcast)
+    newDf.join(matched, col(idCol) === col("__match_id"), "left_anti")
+  }
+
   /** ANN k-nearest-neighbor GRAPH: every vector's top-k approximate
     * cosine neighbors, candidates restricted to SRP-LSH bucket
     * collisions — the all-to-all companion of [[bruteForceKnn]] (whose

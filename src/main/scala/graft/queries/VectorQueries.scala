@@ -286,6 +286,28 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
+    // INCREMENTAL ANN screening — the d10/d12 daily-batch shape on the
+    // EMBEDDING side: the existing corpus's SRP sketch is materialized
+    // to parquet and read back (the artifact a real pipeline persists),
+    // then ONLY the batch (vec_id % 10 = 7) is hashed and screened
+    // against the saved buckets, with exact-cosine verification on
+    // candidates and the per-side bucket guard. Output = the batch with
+    // verified near-matches dropped. Hash-gated end to end: the oracle
+    // replays the hyperplane stream for BOTH sides, the split-side
+    // bucket guard, the cosine verification, and the anti-join.
+    "v10_incremental_ann_keep" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val sketchPath = s"${QueryTmp.dir("srpsketch")}/sketch"
+      Similarity.srpSketch(old, "vec_id", "embedding", DIM, bits = 6)
+        .write.mode("overwrite").parquet(sketchPath)
+      Similarity.incrementalAnnKeep(
+        batch, s.read.parquet(sketchPath), old,
+        "vec_id", "embedding", DIM, 0.45, bits = 6)
+        .select(col("vec_id"), col("label"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -731,6 +753,32 @@ object VectorQueries {
          FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
          WHERE list_dot_product(ea.v, eb.v)
                / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // v3's hyperplane replay, split into batch (vec_id % 10 = 7) and
+    // existing sides with the incremental path's PER-SIDE bucket guard
+    // (each side's bucket population <= 1000 — not the combined count),
+    // cosine-verified new-vs-old candidates, then the anti-join: the
+    // batch rows with no verified match. Zero-norm batch rows never
+    // bucket and are KEPT.
+    "v10_incremental_ann_keep" ->
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
+         nk AS (SELECT * FROM keys WHERE vec_id % 10 = 7),
+         ok AS (SELECT * FROM keys WHERE vec_id % 10 <> 7),
+         nbz AS (SELECT t, k, count(*) AS n FROM nk GROUP BY t, k),
+         obz AS (SELECT t, k, count(*) AS n FROM ok GROUP BY t, k),
+         candn AS (
+           SELECT DISTINCT a.vec_id AS nid, b.vec_id AS oid
+           FROM nk a
+           JOIN ok b ON a.t = b.t AND a.k = b.k
+           JOIN nbz sn ON sn.t = a.t AND sn.k = a.k
+           JOIN obz so ON so.t = a.t AND so.k = a.k
+           WHERE sn.n <= 1000 AND so.n <= 1000),
+         matched AS (
+           SELECT DISTINCT c.nid
+           FROM candn c JOIN ed ea ON ea.vec_id = c.nid JOIN ed eb ON eb.vec_id = c.oid
+           WHERE list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT nid FROM matched)""",
     // v3's replay re-instantiated at the scale keying (bits=10): the
     // 7680-draw hyperplane stream, 10-bit bucket keys, and the surviving
     // collisions must all agree with SrpKeys at the re-sized parameters.

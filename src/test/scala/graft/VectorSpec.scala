@@ -205,6 +205,61 @@ class VectorSpec extends SparkSuite {
     assert(Similarity.AutoBits == 0 && Similarity.autoBits(n) >= 1)
   }
 
+  test("incrementalAnnKeep equals the full-corpus screen; sketch roundtrips; guard accounts") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    // differential oracle: the incremental screen must drop exactly the
+    // batch ids that appear in a full-corpus ANN pair with an OLD id
+    val sketch = Similarity.srpSketch(old, "vec_id", "embedding", 64, bits)
+    val kept = Similarity.incrementalAnnKeep(batch, sketch, old,
+        "vec_id", "embedding", 64, 0.45, bits)
+      .select("vec_id").as[Long].collect().toSet
+    val all = Similarity.annCosinePairs(emb, "vec_id", "embedding", 64, 0.45,
+        bits = bits)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val matchedBatch = all.flatMap { case (a, b) =>
+      Seq(a, b).filter(id => id % 10 == 7 && Seq(a, b).exists(o => o % 10 != 7))
+    }.toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(kept == batchIds -- matchedBatch, s"diff: ${kept -- (batchIds -- matchedBatch)}")
+    // the sketch survives a parquet roundtrip (the artifact contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-srpsk").toString
+    sketch.write.parquet(s"$dir/sk")
+    val kept2 = Similarity.incrementalAnnKeep(batch, spark.read.parquet(s"$dir/sk"), old,
+        "vec_id", "embedding", 64, 0.45, bits)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+    // an auto-resolved sketch keying is refused loudly (the two sides
+    // would resolve different bits and silently find nothing)
+    intercept[IllegalArgumentException](
+      Similarity.srpSketch(old, "vec_id", "embedding", 64, bits = Similarity.AutoBits))
+    intercept[IllegalArgumentException](
+      Similarity.incrementalAnnKeep(batch, sketch, old,
+        "vec_id", "embedding", 64, 0.45, bits = Similarity.AutoBits))
+    // planted hot bucket: identical vectors flood one bucket on BOTH
+    // sides and are guard-dropped (107 survives the screen unmatched);
+    // a genuine small match (117 vs 50) keeps the result non-empty so
+    // AQE cannot prune the CollectMetrics subtree (the observeDrops
+    // scaladoc note) and is dropped by the screen as a real near-dup
+    val survivor = Seq(1f, -1f, 1f, -1f, 1f, -1f, 1f, -1f)
+    val hotOld = ((1L to 40L).map(i => (i, Array.fill(8)(1.0f).toSeq)) :+ ((50L, survivor)))
+      .toDF("vec_id", "embedding")
+    val hotBatch = Seq((107L, Array.fill(8)(1.0f).toSeq), (117L, survivor))
+      .toDF("vec_id", "embedding")
+    val obs = org.apache.spark.sql.Observation()
+    val hotKept = Similarity.incrementalAnnKeep(
+        hotBatch, Similarity.srpSketch(hotOld, "vec_id", "embedding", 8, bits = 2),
+        hotOld, "vec_id", "embedding", 8, 0.9, bits = 2,
+        maxBucketSize = 30, dropMetrics = Some(obs))
+      .select("vec_id").as[Long].collect().toSet
+    assert(hotKept == Set(107L), hotKept.toString) // hot bucket guarded -> 107 kept; 117 matched 50
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 1L, s"metrics=$m")
+    assert(m("dropped_members").asInstanceOf[Long] >= 41L, s"metrics=$m")
+  }
+
   test("hierarchical SemDeDup tier: composite cells route both levels; pairs equal exact within-cell") {
     import graft.operators.KMeans
     // two well-separated coarse clusters, each with two residual offsets
