@@ -370,6 +370,38 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v9_semdedup_k${k}_t$thr"}%-24s ${ts}%6.2f s")
       }
+      // --semdedupinc=k[:threshold] — the INCREMENTAL screen (v11's
+      // shape): fixed router fit on a bounded sample, both sides
+      // assigned, batch (vec_id % 10 = 7) screened against the existing
+      // corpus within shared cells. The steady per-batch cost of the
+      // SemDeDup family — strictly below the full --semdedup closure
+      // (new-vs-old pairs only, no within-corpus rescoring).
+      args.filter(_.startsWith("--semdedupinc=")).foreach { a =>
+        val usage = s"--semdedupinc expects positive k[:threshold in (0,1]], got '$a'"
+        val (k, thr) = a.stripPrefix("--semdedupinc=").split(":") match {
+          case Array(ks) =>
+            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)), 0.9)
+          case Array(ks, ts) =>
+            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)),
+              scala.util.Try(ts.toDouble).toOption.filter(t => t > 0 && t <= 1)
+                .getOrElse(sys.error(usage)))
+          case _ => sys.error(usage)
+        }
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val old = emb.filter(col("vec_id") % 10 =!= 7)
+        val batch = emb.filter(col("vec_id") % 10 === 7)
+        val model = KMeans.fit(emb.limit(20000), "vec_id", "embedding", k, 5)
+        def assigned(part: org.apache.spark.sql.DataFrame) =
+          KMeans.assign(part, "vec_id", "embedding", model)
+            .join(part.select(col("vec_id"), col("embedding")), "vec_id")
+        val ts = timed {
+          graft.operators.Similarity.incrementalSemDedupKeep(
+            assigned(batch), assigned(old), "vec_id", "embedding", "cluster", thr,
+            maxCellSize = Int.MaxValue)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v11_semdedupinc_k${k}_t$thr"}%-24s ${ts}%6.2f s")
+      }
       // --semdedup2=k1:k2[:threshold] — the HIERARCHICAL tier: coarse
       // k-means + global residual-fine k-means (fitHierarchical, bounded
       // sample), one fused corpus routing pass (hierarchicalCells),

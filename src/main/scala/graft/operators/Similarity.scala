@@ -573,6 +573,57 @@ object Similarity {
     result
   }
 
+  /** Incremental SemDeDup screening — [[clusterCosinePairs]]' daily-batch
+    * form (the d10/v10 shape on the cell-partitioned family): both sides
+    * arrive PRE-ASSIGNED with the SAME router model (a pipeline keeps a
+    * fixed router; re-fitting per batch would silently re-key every
+    * cell), candidates are restricted to new-vs-old within the shared
+    * cell, exact cosine verifies, and the batch returns with verified
+    * matches dropped. Batch-internal duplicates are deliberately NOT
+    * screened here (run the batch through [[clusterCosinePairs]] /
+    * [[Dedup]] first — the d10 caller contract).
+    *
+    * Scale shape: the batch shuffles on the cell key against the
+    * corpus's assigned frame; the per-side `maxCellSize` guard bounds
+    * degenerate cells with drop accounting ([[clusterCosinePairs]]'
+    * guard, split per side like the incremental text pipeline); the
+    * guard's cell-stat pass shuffles only (cell, count) partials.
+    * Zero-norm batch rows are unmatchable and kept.
+    */
+  def incrementalSemDedupKeep(newAssigned: DataFrame, oldAssigned: DataFrame,
+      idCol: String, vecCol: String, clusterCol: String, threshold: Double,
+      maxCellSize: Int = 10000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both projections cached: each is read twice (cell stats + the pair
+    // join) and the upstream is typically the assignment UDF over raw
+    // vectors; released after the first action on the result
+    val newBase = newAssigned
+      .select(col(clusterCol).as("__cell"), col(idCol).as("nid"), col(vecCol).as("vn"))
+      .withColumn("nn", vecNorm(col("vn"))).filter(col("nn") > 0)
+      .persist(lvl)
+    val oldBase = oldAssigned
+      .select(col(clusterCol).as("__cell"), col(idCol).as("oid"), col(vecCol).as("vo"))
+      .withColumn("no", vecNorm(col("vo"))).filter(col("no") > 0)
+      .persist(lvl)
+    // per-side guard over SHARED cells only, whole-cell loss accounting
+    val cellStats = newBase.groupBy(col("__cell")).agg(count(lit(1)).as("__nsz"))
+      .join(oldBase.groupBy(col("__cell")).agg(count(lit(1)).as("__osz")), "__cell")
+    val droppedPred = col("__nsz") > maxCellSize || col("__osz") > maxCellSize
+    val allowed = Dedup.observeDropsWhere(
+        cellStats, droppedPred, col("__nsz") + col("__osz"), dropMetrics)
+      .filter(col("__nsz") <= maxCellSize && col("__osz") <= maxCellSize)
+      .select(col("__cell"))
+    val matched = newBase.join(allowed, "__cell")
+      .join(oldBase, "__cell")
+      .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
+      .select(col("nid").as("__match_id")).distinct()
+      .localCheckpoint() // eager — both base caches can go
+    newBase.unpersist(); oldBase.unpersist()
+    // drop list is batch-bounded; AQE picks the join strategy
+    newAssigned.join(matched, col(idCol) === col("__match_id"), "left_anti")
+  }
+
   /** Cache auto-release delegated to the shared [[CacheRelease]] helper
     * (one-shot listener keyed on the CACHED frame's own relation, read
     * directly or nested inside a downstream cache).

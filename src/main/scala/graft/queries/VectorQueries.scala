@@ -286,6 +286,29 @@ object VectorQueries {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"))
     },
 
+    // INCREMENTAL SemDeDup screening — the daily-batch shape on the
+    // CELL-partitioned family: both sides assigned with the SAME cached
+    // router model (the fixed-router pipeline convention — re-fitting
+    // per batch would silently re-key every cell), candidates restricted
+    // to new-vs-old within the shared cell, exact cosine verified,
+    // matches anti-joined out of the batch. maxCellSize pinned to exact
+    // enumeration (the v9 reasoning). Hash-gated end to end: the oracle
+    // replays the km0 centroid assignment for BOTH sides, the
+    // cell-restricted new-vs-old scoring, and the anti-join.
+    "v11_incremental_semdedup" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
+        k = 8, maxIters = 5)
+      val old = e.filter(col("vec_id") % 10 =!= 7)
+      val batch = e.filter(col("vec_id") % 10 === 7)
+      def assigned(part: org.apache.spark.sql.DataFrame) =
+        graft.operators.KMeans.assign(part, "vec_id", "embedding", model)
+          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+      Similarity.incrementalSemDedupKeep(assigned(batch), assigned(old),
+          "vec_id", "embedding", "cluster", 0.45, maxCellSize = Int.MaxValue)
+        .select(col("vec_id"), col("label"))
+    },
+
     // INCREMENTAL ANN screening — the d10/d12 daily-batch shape on the
     // EMBEDDING side: the existing corpus's SRP sketch is materialized
     // to parquet and read back (the artifact a real pipeline persists),
@@ -753,6 +776,33 @@ object VectorQueries {
          FROM cand c JOIN ed ea ON ea.vec_id = c.id_a JOIN ed eb ON eb.vec_id = c.id_b
          WHERE list_dot_product(ea.v, eb.v)
                / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45""",
+    // v9's centroid-assignment replay split into batch and existing
+    // sides: matched = batch ids with a same-cell old-side cosine >= t;
+    // the result is the batch anti-joined against them.
+    "v11_incremental_semdedup" ->
+      """WITH
+         c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+               FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         dist AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+               i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN c),
+         asg0 AS (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist),
+         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+                FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
+         matched AS (
+           SELECT DISTINCT x.vec_id
+           FROM av x JOIN av y ON x.cluster = y.cluster
+           WHERE x.vec_id % 10 = 7 AND y.vec_id % 10 <> 7
+             AND list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT vec_id FROM matched)""",
     // v3's hyperplane replay, split into batch (vec_id % 10 = 7) and
     // existing sides with the incremental path's PER-SIDE bucket guard
     // (each side's bucket population <= 1000 — not the combined count),

@@ -260,6 +260,45 @@ class VectorSpec extends SparkSuite {
     assert(m("dropped_members").asInstanceOf[Long] >= 41L, s"metrics=$m")
   }
 
+  test("incrementalSemDedupKeep equals the full-corpus cell screen; guard accounts per side") {
+    import graft.operators.KMeans
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    def assigned(part: org.apache.spark.sql.DataFrame) =
+      KMeans.assign(part, "vec_id", "embedding", model)
+        .join(part.select(col("vec_id"), col("embedding")), "vec_id")
+    val kept = Similarity.incrementalSemDedupKeep(assigned(batch), assigned(old),
+        "vec_id", "embedding", "cluster", 0.45, maxCellSize = Int.MaxValue)
+      .select("vec_id").as[Long].collect().toSet
+    // differential oracle: full-corpus within-cell pairs, restricted to
+    // new-vs-old, decide exactly which batch ids drop
+    val allPairs = Similarity.clusterCosinePairs(assigned(emb),
+        "vec_id", "embedding", "cluster", 0.45, maxCellSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val matched = allPairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(id => id % 10 == 7 && Seq(a, b).exists(o => o % 10 != 7))
+    }.toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(kept == batchIds -- matched, s"diff: ${kept.diff(batchIds -- matched)}")
+    // planted hot cell: both sides flood cell 0 (guard drops it, batch
+    // twin kept); the genuine small match in cell 1 survives the guard,
+    // keeps the metrics subtree alive, and is screened out
+    val hotOld = ((1L to 40L).map(i => (i, Array(1f, 0f), 0)) :+ ((50L, Array(0f, 1f), 1)))
+      .toDF("vec_id", "embedding", "cluster")
+    val hotNew = Seq((107L, Array(1f, 0f), 0), (117L, Array(0.05f, 0.98f), 1))
+      .toDF("vec_id", "embedding", "cluster")
+    val obs = org.apache.spark.sql.Observation()
+    val hotKept = Similarity.incrementalSemDedupKeep(hotNew, hotOld,
+        "vec_id", "embedding", "cluster", 0.9,
+        maxCellSize = 30, dropMetrics = Some(obs))
+      .select("vec_id").as[Long].collect().toSet
+    assert(hotKept == Set(107L), hotKept.toString)
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] == 1L, s"metrics=$m")
+    assert(m("dropped_members").asInstanceOf[Long] == 41L, s"metrics=$m")
+  }
+
   test("hierarchical SemDeDup tier: composite cells route both levels; pairs equal exact within-cell") {
     import graft.operators.KMeans
     // two well-separated coarse clusters, each with two residual offsets
