@@ -357,6 +357,34 @@ class VectorSpec extends SparkSuite {
     assert(h1.toLong * h2 > (1L << 20))
   }
 
+  test("hierarchical routing composes with the incremental screen (fixed two-level router)") {
+    // the hierarchical tier IS just a cell assignment, so v11's
+    // incremental screen takes it unchanged: fit the two-level router
+    // ONCE, route batch and corpus with the SAME models, screen — the
+    // composition a 10^12-row SemDeDup pipeline would actually run
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val (coarse, fine) = Similarity.fitHierarchical(emb, "vec_id", "embedding",
+      k1 = 4, k2 = 4, maxIters = 5)
+    def routed(part: org.apache.spark.sql.DataFrame) =
+      Similarity.hierarchicalCells(part, "vec_id", "embedding", coarse, fine)
+        .join(part.select(col("vec_id"), col("embedding")), "vec_id")
+    val kept = Similarity.incrementalSemDedupKeep(routed(batch), routed(old),
+        "vec_id", "embedding", "cell", 0.45, maxCellSize = Int.MaxValue)
+      .select("vec_id").as[Long].collect().toSet
+    // differential: full-corpus composite-cell pairs restricted to
+    // new-vs-old decide exactly which batch ids drop
+    val allPairs = Similarity.clusterCosinePairs(routed(emb),
+        "vec_id", "embedding", "cell", 0.45, maxCellSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val matched = allPairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(id => id % 10 == 7 && Seq(a, b).exists(o => o % 10 != 7))
+    }.toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(kept == batchIds -- matched, s"diff: ${kept.diff(batchIds -- matched)}")
+    assert(kept.size < batchIds.size || matched.isEmpty) // sanity: the screen did run
+  }
+
   test("clusterCosinePairs hot-cell guard drops a planted degenerate cell with accounting") {
     // cell 0 is degenerate (40 identical members — the near-dup-mass
     // collapse that skews real k-means cells); cell 1 is a bounded cell
