@@ -26,6 +26,35 @@ object ScaleProbe {
     }.min
   }
 
+  /** Shared `--flag=bits:tables` parser — one copy so a validation tweak
+    * (e.g. a bits cap) cannot silently miss one of the probe families.
+    */
+  private def parseBitsTables(flag: String, a: String): (Int, Int) = {
+    val usage = s"$flag expects positive bits:tables (e.g. $flag=14:12), got '$a'"
+    a.stripPrefix(s"$flag=").split(":") match {
+      case Array(bs, ts) =>
+        (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
+          case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
+          case _ => sys.error(usage)
+        }
+      case _ => sys.error(usage)
+    }
+  }
+
+  /** Shared `--flag=k[:threshold]` parser (the semdedup family). */
+  private def parseKThr(flag: String, a: String): (Int, Double) = {
+    val usage = s"$flag expects positive k[:threshold in (0,1]] (e.g. $flag=45:0.9), got '$a'"
+    def pos(str: String) =
+      scala.util.Try(str.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage))
+    a.stripPrefix(s"$flag=").split(":") match {
+      case Array(ks) => (pos(ks), 0.9)
+      case Array(ks, ts) =>
+        (pos(ks), scala.util.Try(ts.toDouble).toOption
+          .filter(t => t > 0 && t <= 1).getOrElse(sys.error(usage)))
+      case _ => sys.error(usage)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // a leading flag must not be silently consumed as the data dir
     // (`--hot-bucket` as sfDir dies much later with a confusing
@@ -203,14 +232,7 @@ object ScaleProbe {
       // --srp=bits:tables — probe the ANN contract path at explicit
       // parameters (bits must grow with the corpus: ≈ log2(n / bucket))
       args.filter(_.startsWith("--srp=")).foreach { a =>
-        val (b, tb) = a.stripPrefix("--srp=").split(":") match {
-          case Array(bs, ts) =>
-            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
-              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
-              case _ => sys.error(s"--srp expects positive bits:tables (e.g. --srp=14:12), got '$a'")
-            }
-          case _ => sys.error(s"--srp expects bits:tables (e.g. --srp=14:12), got '$a'")
-        }
+        val (b, tb) = parseBitsTables("--srp", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           graft.operators.Similarity.annCosinePairs(
@@ -226,14 +248,7 @@ object ScaleProbe {
       // saved sketch (timed — the steady per-batch cost, which re-reads
       // but never re-hashes the corpus).
       args.filter(_.startsWith("--annsketch=")).foreach { a =>
-        val (b, tb) = a.stripPrefix("--annsketch=").split(":") match {
-          case Array(bs, ts) =>
-            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
-              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
-              case _ => sys.error(s"--annsketch expects positive bits:tables, got '$a'")
-            }
-          case _ => sys.error(s"--annsketch expects bits:tables (e.g. --annsketch=13:12), got '$a'")
-        }
+        val (b, tb) = parseBitsTables("--annsketch", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val old = emb.filter(col("vec_id") % 10 =!= 7)
         val batch = emb.filter(col("vec_id") % 10 === 7)
@@ -256,14 +271,7 @@ object ScaleProbe {
       // for the oracle replay; the deployed operating point re-keys by
       // autoBits, and this measures that path)
       args.filter(_.startsWith("--knn=")).foreach { a =>
-        val (b, tb) = a.stripPrefix("--knn=").split(":") match {
-          case Array(bs, ts) =>
-            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
-              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
-              case _ => sys.error(s"--knn expects positive bits:tables (e.g. --knn=14:12), got '$a'")
-            }
-          case _ => sys.error(s"--knn expects bits:tables (e.g. --knn=14:12), got '$a'")
-        }
+        val (b, tb) = parseBitsTables("--knn", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           graft.operators.Similarity.annKnnGraph(
@@ -277,14 +285,7 @@ object ScaleProbe {
       // deployed point re-keys by autoBits — PR itself is edge-linear:
       // 3 shuffle joins over k·n edges regardless of keying)
       args.filter(_.startsWith("--pagerank=")).foreach { a =>
-        val (b, tb) = a.stripPrefix("--pagerank=").split(":") match {
-          case Array(bs, ts) =>
-            (scala.util.Try(bs.toInt).toOption, scala.util.Try(ts.toInt).toOption) match {
-              case (Some(x), Some(y)) if x > 0 && y > 0 => (x, y)
-              case _ => sys.error(s"--pagerank expects positive bits:tables, got '$a'")
-            }
-          case _ => sys.error(s"--pagerank expects bits:tables (e.g. --pagerank=16:12), got '$a'")
-        }
+        val (b, tb) = parseBitsTables("--pagerank", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           val edges = graft.operators.Similarity.annKnnGraph(
@@ -346,16 +347,7 @@ object ScaleProbe {
       // cost-law minimum); the v9 gate pins k=8 / t=0.45 for the oracle
       // replay, the deployed dedup point is t ≈ 0.9.
       args.filter(_.startsWith("--semdedup=")).foreach { a =>
-        val usage = s"--semdedup expects positive k[:threshold in (0,1]] (e.g. --semdedup=45:0.9), got '$a'"
-        val (k, thr) = a.stripPrefix("--semdedup=").split(":") match {
-          case Array(ks) =>
-            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)), 0.9)
-          case Array(ks, ts) =>
-            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)),
-              scala.util.Try(ts.toDouble).toOption.filter(t => t > 0 && t <= 1)
-                .getOrElse(sys.error(usage)))
-          case _ => sys.error(usage)
-        }
+        val (k, thr) = parseKThr("--semdedup", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val ts = timed {
           val sample = emb.limit(20000)
@@ -377,16 +369,7 @@ object ScaleProbe {
       // SemDeDup family — strictly below the full --semdedup closure
       // (new-vs-old pairs only, no within-corpus rescoring).
       args.filter(_.startsWith("--semdedupinc=")).foreach { a =>
-        val usage = s"--semdedupinc expects positive k[:threshold in (0,1]], got '$a'"
-        val (k, thr) = a.stripPrefix("--semdedupinc=").split(":") match {
-          case Array(ks) =>
-            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)), 0.9)
-          case Array(ks, ts) =>
-            (scala.util.Try(ks.toInt).toOption.filter(_ > 0).getOrElse(sys.error(usage)),
-              scala.util.Try(ts.toDouble).toOption.filter(t => t > 0 && t <= 1)
-                .getOrElse(sys.error(usage)))
-          case _ => sys.error(usage)
-        }
+        val (k, thr) = parseKThr("--semdedupinc", a)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val old = emb.filter(col("vec_id") % 10 =!= 7)
         val batch = emb.filter(col("vec_id") % 10 === 7)

@@ -153,6 +153,13 @@ object VectorFunctions {
     // identical (-1, ..., -1) and the LSH silently degenerates to
     // bucketing by the sign of the coordinate sum
     require(seed != 0L, "srpKeys: seed must be non-zero (xorshift64* degenerates at 0)")
+    // bits outside [1, 63] fails SILENTLY otherwise: non-positive bits
+    // yield empty hyperplanes (every vector keys to "t:0" — the whole
+    // corpus in `tables` buckets), 64+ wraps 1L << b onto duplicate bit
+    // positions; both violate the loud-contract the keying APIs promise
+    require(bits >= 1 && bits <= 63,
+      s"srpKeys: bits must be in [1, 63] (sign bits pack into a Long), got $bits")
+    require(tables >= 1, s"srpKeys: tables must be positive, got $tables")
     graftbridge.column(SrpKeys(graftbridge.expression(vec.cast("array<double>")), dim, bits, tables, seed))
   }
 }

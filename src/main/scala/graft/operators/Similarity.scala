@@ -276,22 +276,29 @@ object Similarity {
       .distinct()
       .persist(lvl)
     // verification ∝ |candidates|: vectors materialize only for ids that
-    // reached a shared bucket; zero-norm guards are redundant (both id
-    // sets came from norm-filtered bucketing) but kept — a NaN cosine
-    // compares TRUE under Spark's ordering and would match everything
-    val newVecs = newDf.select(col(idCol).as("nid"), col(vecCol).as("vn"))
-      .join(broadcast(candidates.select(col("nid")).distinct()), "nid")
-      .withColumn("nn", vecNorm(col("vn"))).filter(col("nn") > 0)
-    val oldVecs = oldDf.select(col(idCol).as("oid"), col(vecCol).as("vo"))
-      .join(broadcast(candidates.select(col("oid")).distinct()), "oid")
-      .withColumn("no", vecNorm(col("vo"))).filter(col("no") > 0)
-    val matched = candidates
-      .join(newVecs, "nid")
-      .join(oldVecs, "oid")
-      .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
-      .select(col("nid").as("__match_id")).distinct()
-      .localCheckpoint() // eager — lets the candidate cache go
-    candidates.unpersist()
+    // reached a shared bucket. The id joins are left to AQE (no forced
+    // broadcast — the candidate set is bounded by |batch|·tables·
+    // maxBucketSize, which a large daily batch can push past the
+    // broadcast ceiling; AQE broadcasts exactly when it actually fits,
+    // same reasoning as the anti-join below). Zero-norm guards are
+    // redundant (both id sets came from norm-filtered bucketing) but
+    // kept — a NaN cosine compares TRUE under Spark's ordering and
+    // would match everything.
+    val matched =
+      try {
+        val newVecs = newDf.select(col(idCol).as("nid"), col(vecCol).as("vn"))
+          .join(candidates.select(col("nid")).distinct(), "nid")
+          .withColumn("nn", vecNorm(col("vn"))).filter(col("nn") > 0)
+        val oldVecs = oldDf.select(col(idCol).as("oid"), col(vecCol).as("vo"))
+          .join(candidates.select(col("oid")).distinct(), "oid")
+          .withColumn("no", vecNorm(col("vo"))).filter(col("no") > 0)
+        candidates
+          .join(newVecs, "nid")
+          .join(oldVecs, "oid")
+          .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
+          .select(col("nid").as("__match_id")).distinct()
+          .localCheckpoint() // eager — lets the candidate cache go
+      } finally candidates.unpersist() // on failure too: nothing else releases it
     // drop list is batch-bounded; AQE picks the join strategy (the
     // nearDedupKeep reasoning — no forced broadcast)
     newDf.join(matched, col(idCol) === col("__match_id"), "left_anti")
@@ -597,7 +604,8 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both projections cached: each is read twice (cell stats + the pair
     // join) and the upstream is typically the assignment UDF over raw
-    // vectors; released after the first action on the result
+    // vectors; released IN-CALL once the eager match checkpoint holds
+    // the result (on failure too — nothing else would release them)
     val newBase = newAssigned
       .select(col(clusterCol).as("__cell"), col(idCol).as("nid"), col(vecCol).as("vn"))
       .withColumn("nn", vecNorm(col("vn"))).filter(col("nn") > 0)
@@ -614,12 +622,13 @@ object Similarity {
         cellStats, droppedPred, col("__nsz") + col("__osz"), dropMetrics)
       .filter(col("__nsz") <= maxCellSize && col("__osz") <= maxCellSize)
       .select(col("__cell"))
-    val matched = newBase.join(allowed, "__cell")
-      .join(oldBase, "__cell")
-      .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
-      .select(col("nid").as("__match_id")).distinct()
-      .localCheckpoint() // eager — both base caches can go
-    newBase.unpersist(); oldBase.unpersist()
+    val matched =
+      try newBase.join(allowed, "__cell")
+        .join(oldBase, "__cell")
+        .filter(cosineFromNorms(col("vn"), col("vo"), col("nn"), col("no")) >= threshold)
+        .select(col("nid").as("__match_id")).distinct()
+        .localCheckpoint() // eager — both base caches can go
+      finally { newBase.unpersist(); oldBase.unpersist() }
     // drop list is batch-bounded; AQE picks the join strategy
     newAssigned.join(matched, col(idCol) === col("__match_id"), "left_anti")
   }
