@@ -143,6 +143,23 @@ object Bench {
           if (!errors.contains(name)) errors += name
           (-1.0, -1.0)
       }
+    // Steady-state incremental ANN screen (bench-only): the v10 gate
+    // rebuilds the SRP sketch every run BY DESIGN (the oracle replays
+    // the build); this twin pre-builds the artifact once and times only
+    // the per-batch screen — the steady daily cost (d12's vector twin).
+    val v10Steady = fixtureBench("v10_screen_steady") {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val old = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      val skDir = graft.queries.QueryTmp.dir("bench-v10") + "/sketch"
+      graft.operators.Similarity.srpSketch(old, "vec_id", "embedding", 64, bits = 6)
+        .write.mode("overwrite").parquet(skDir)
+      val sk = spark.read.parquet(skDir)
+      bench("v10_screen_steady") {
+        exec(graft.operators.Similarity.incrementalAnnKeep(batch, sk, old,
+          "vec_id", "embedding", 64, 0.45, bits = 6))
+      }
+    }
     val ii2Steady = fixtureBench("ii2_search_steady") {
       val iiBase = graft.queries.QueryTmp.dir("bench-ii2")
       val docsT = Tables.load(spark, sfDir, "documents")
@@ -199,7 +216,7 @@ object Bench {
     val all = results :+ ("km_fit" -> kmFit) :+ ("d12_screen_steady" -> d12Steady) :+
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
       ("ii3_append_steady" -> ii3Steady) :+ ("ii4_bm25_steady" -> ii4Steady) :+
-      ("ii5_append_steady" -> ii5Steady)
+      ("ii5_append_steady" -> ii5Steady) :+ ("v10_screen_steady" -> v10Steady)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsMed = all.map { case (k, v) => "\"" + k + "\":" + v._2 }
