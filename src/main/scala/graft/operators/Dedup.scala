@@ -411,16 +411,19 @@ object Dedup {
     // verification ∝ |candidates|: shingle sets re-materialized only for
     // ids that reached a shared bucket, read from the UN-repartitioned
     // sides — the broadcast id join filters in the scan stage, so the
-    // old corpus is never shuffled a second time
-    val matched = candidates
-      .join(candShingleSets(newRaw, candidates.select(col("nid").as("id")).distinct(), shingle)
-        .select(col("id").as("nid"), col("sh").as("sh_n")), "nid")
-      .join(candShingleSets(oldRaw, candidates.select(col("oid").as("id")).distinct(), shingle)
-        .select(col("id").as("oid"), col("sh").as("sh_o")), "oid")
-      .filter(jaccardSorted(col("sh_n"), col("sh_o")) >= threshold)
-      .select(col("nid").as("__match_id")).distinct()
-      .localCheckpoint() // eager — lets the candidate cache go
-    candidates.unpersist()
+    // old corpus is never shuffled a second time. The candidate cache
+    // releases on the FAILURE path too (a cancelled screen must not
+    // strand it for the session — the r14 incremental-twin convention).
+    val matched =
+      try candidates
+        .join(candShingleSets(newRaw, candidates.select(col("nid").as("id")).distinct(), shingle)
+          .select(col("id").as("nid"), col("sh").as("sh_n")), "nid")
+        .join(candShingleSets(oldRaw, candidates.select(col("oid").as("id")).distinct(), shingle)
+          .select(col("id").as("oid"), col("sh").as("sh_o")), "oid")
+        .filter(jaccardSorted(col("sh_n"), col("sh_o")) >= threshold)
+        .select(col("nid").as("__match_id")).distinct()
+        .localCheckpoint() // eager — lets the candidate cache go
+      finally candidates.unpersist()
     // drop list is bounded by the new batch, but AQE still decides the
     // join strategy (no forced broadcast — same reasoning as nearDedupKeep)
     newDf.join(matched, col(idCol) === col("__match_id"), "left_anti")

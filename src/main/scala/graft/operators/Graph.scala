@@ -125,7 +125,11 @@ object Graph {
       else None
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
-    (1 to iters).foreach { round =>
+    // truncate mode runs jobs INSIDE this loop — release the invariants
+    // if a round fails, else a cancelled call strands corpus-sized
+    // caches for the session (the r14 incremental-twin convention)
+    def releaseInvariants(): Unit = { e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist()) }
+    try (1 to iters).foreach { round =>
       val contrib = e.join(pr, col("__src") === col("__node"))
         .groupBy(col("__dst").as("__to"))
         .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
@@ -165,11 +169,16 @@ object Graph {
         pr = pr.persist(lvl)
         roundCaches += pr
       }
+    } catch {
+      case t: Throwable if truncateLineage =>
+        releaseInvariants()
+        roundCaches.foreach(graftbridge.releaseCheckpoints(_))
+        throw t
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
     if (truncateLineage) {
       // the rounds already executed; the invariants are done serving
-      e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist())
+      releaseInvariants()
       // the final checkpoint stays (it IS the result's data) — caller
       // releases via graftbridge.releaseCheckpoints(result) or at exit
     } else {
