@@ -15,6 +15,85 @@ import org.apache.spark.sql.graftbridge
   */
 object Graph {
 
+  /** The pinned loop invariants of a PageRank run: the degree-joined
+    * edge list, the (node, count) frame, and — dangling mode only — the
+    * distinct source-id set. All cached; [[release]] drops all three.
+    */
+  private case class PrState(e: DataFrame, ids: DataFrame, srcs: Option[DataFrame]) {
+    def release(): Unit = { e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist()); () }
+  }
+
+  /** Build and pin the loop invariants (shared by the fixed-iteration
+    * and convergence forms so the arithmetic can never diverge between
+    * them). Weight validation lives here — see [[pageRank]]'s Scaladoc.
+    */
+  private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, weightCol: Option[String],
+      redistributeDangling: Boolean): PrState = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rawIds = nodes.select(col(nodeCol).as("__node"))
+    val nTotal = rawIds.agg(count(lit(1)).cast("double").as("__cnt"))
+    // null and NEGATIVE weights fail loudly AT EXECUTION (see Scaladoc)
+    // — the when-condition is null for a null weight, so both cases fall
+    // to the raise_error branch; zero passes (no mass, no poison).
+    // Codegen'd, no preflight job.
+    val w = weightCol.map { c =>
+      when(col(c).cast("double") >= 0, col(c).cast("double"))
+        .otherwise(raise_error(concat(
+          lit(s"pageRank: null or negative weight in '$c' for source "),
+          col(srcCol).cast("string"))))
+    }.getOrElse(lit(1.0))
+    val outd = edges.groupBy(col(srcCol).as("__src")).agg(sum(w).as("__deg"))
+    // a source with edges but TOTAL out-weight <= 0 would make every one
+    // of its w/W(u) terms 0/0 = NaN and poison the destination sums —
+    // the one remaining silent-NaN path, closed here at the same
+    // raise_error tier (the guard sits on the joined edge rows, so a
+    // weightless default — __deg = out-degree >= 1 — never trips it)
+    val degChecked =
+      when(col("__deg") > 0, col("__deg")).otherwise(raise_error(concat(
+        lit("pageRank: source "), col("__src").cast("string"),
+        lit(" has edges but non-positive total out-weight — filter or threshold upstream"))))
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+      .join(outd, "__src")
+      .select(col("__src"), col("__dst"), col("__w"), degChecked.as("__deg"))
+      .persist(lvl)
+    val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
+    val srcs =
+      if (redistributeDangling) Some(e.select(col("__src").as("__node")).distinct().persist(lvl))
+      else None
+    PrState(e, ids, srcs)
+  }
+
+  /** One propagation round: `pr_{t+1}(v) = (1−d)/n + d·(Σ pr_t(u)·w/W(u)
+    * [+ S_t/n])` — the single source of the PageRank arithmetic, driven
+    * by both public forms.
+    */
+  private def prRound(st: PrState, pr: DataFrame, damping: Double): DataFrame = {
+    val contrib = st.e.join(pr, col("__src") === col("__node"))
+      .groupBy(col("__dst").as("__to"))
+      .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
+    val inMass = st.srcs match {
+      case None => coalesce(col("__m"), lit(0.0))
+      case Some(_) => coalesce(col("__m"), lit(0.0)) + col("__dm") / col("__cnt")
+    }
+    val joined = st.ids.join(contrib, col("__node") === col("__to"), "left")
+    val withDangling = st.srcs match {
+      case None => joined
+      case Some(s) =>
+        // S_t: summed rank of nodes with no out-edges this round —
+        // a 1-row broadcast, like the node count
+        val dangMass = pr.join(s, Seq("__node"), "left_anti")
+          .agg(coalesce(sum(col("__pr")), lit(0.0)).as("__dm"))
+        joined.crossJoin(broadcast(dangMass))
+    }
+    withDangling.select(col("__node"),
+      (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
+  }
+
+  /** The uniform 1/n starting vector. */
+  private def prInit(st: PrState): DataFrame =
+    st.ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
+
   /** PageRank with a FIXED iteration count — deterministic by
     * construction (no convergence test, no float epsilon in control
     * flow), so any engine replaying the same `iters` chained joins gets
@@ -63,6 +142,8 @@ object Graph {
     * until `graftbridge.releaseCheckpoints(result)` (or executor exit);
     * intermediate rounds' checkpoints release as soon as the next round
     * materializes. The default stays fully replayable for the oracle.
+    * Iterating until a tolerance instead of a fixed count →
+    * [[pageRankConverged]].
     *
     * Scale shape per iteration: one shuffle join of the edge list with
     * the rank frame on the source id, one map-side-combined sum per
@@ -71,9 +152,7 @@ object Graph {
     * count rides a broadcast 1-row total (the t6 lesson); the dangling
     * mass (when enabled) is a broadcast 1-row sum over a pinned
     * source-id anti-join — also edge-bounded. Fixed small `iters` keeps
-    * the unrolled plan shallow; a convergence-driven variant would
-    * checkpoint per iteration (the d6 pattern) and break replay — out of
-    * contract here.
+    * the unrolled plan shallow.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, iters: Int = 3,
@@ -83,72 +162,15 @@ object Graph {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    val rawIds = nodes.select(col(nodeCol).as("__node"))
-    val nTotal = rawIds.agg(count(lit(1)).cast("double").as("__cnt"))
-    // Loop-invariant frames pin for the unrolled plan — the edge list
-    // (else an expensive upstream like annKnnGraph's bucket join
-    // re-executes once per round, the x2 multi-reader lesson), the
-    // (node, count) frame (else the node set re-scans and re-counts
-    // iters+1 times per action), and — dangling mode only — the distinct
-    // source-id set the per-round anti-join probes. Released
-    // automatically after the first action on the returned frame
-    // (truncate mode releases them at the end of the call instead: the
-    // rounds have already executed and the checkpoint holds the result).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // null and NEGATIVE weights fail loudly AT EXECUTION (see Scaladoc)
-    // — the when-condition is null for a null weight, so both cases fall
-    // to the raise_error branch; zero passes (no mass, no poison).
-    // Codegen'd, no preflight job.
-    val w = weightCol.map { c =>
-      when(col(c).cast("double") >= 0, col(c).cast("double"))
-        .otherwise(raise_error(concat(
-          lit(s"pageRank: null or negative weight in '$c' for source "),
-          col(srcCol).cast("string"))))
-    }.getOrElse(lit(1.0))
-    val outd = edges.groupBy(col(srcCol).as("__src")).agg(sum(w).as("__deg"))
-    // a source with edges but TOTAL out-weight <= 0 would make every one
-    // of its w/W(u) terms 0/0 = NaN and poison the destination sums —
-    // the one remaining silent-NaN path, closed here at the same
-    // raise_error tier (the guard sits on the joined edge rows, so a
-    // weightless default — __deg = out-degree >= 1 — never trips it)
-    val degChecked =
-      when(col("__deg") > 0, col("__deg")).otherwise(raise_error(concat(
-        lit("pageRank: source "), col("__src").cast("string"),
-        lit(" has edges but non-positive total out-weight — filter or threshold upstream"))))
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
-      .join(outd, "__src")
-      .select(col("__src"), col("__dst"), col("__w"), degChecked.as("__deg"))
-      .persist(lvl)
-    val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
-    val srcs =
-      if (redistributeDangling) Some(e.select(col("__src").as("__node")).distinct().persist(lvl))
-      else None
+    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var pr = ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
+    var pr = prInit(st)
     // truncate mode runs jobs INSIDE this loop — release the invariants
     // if a round fails, else a cancelled call strands corpus-sized
     // caches for the session (the r14 incremental-twin convention)
-    def releaseInvariants(): Unit = { e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist()) }
     try (1 to iters).foreach { round =>
-      val contrib = e.join(pr, col("__src") === col("__node"))
-        .groupBy(col("__dst").as("__to"))
-        .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
-      val inMass = srcs match {
-        case None => coalesce(col("__m"), lit(0.0))
-        case Some(_) => coalesce(col("__m"), lit(0.0)) + col("__dm") / col("__cnt")
-      }
-      val joined = ids.join(contrib, col("__node") === col("__to"), "left")
-      val withDangling = srcs match {
-        case None => joined
-        case Some(s) =>
-          // S_t: summed rank of nodes with no out-edges this round —
-          // a 1-row broadcast, like the node count
-          val dangMass = pr.join(s, Seq("__node"), "left_anti")
-            .agg(coalesce(sum(col("__pr")), lit(0.0)).as("__dm"))
-          joined.crossJoin(broadcast(dangMass))
-      }
-      pr = withDangling.select(col("__node"),
-        (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
+      pr = prRound(st, pr, damping)
       if (truncateLineage) {
         // eager checkpoint: this round runs NOW as one job over the
         // previous round's blocks; the previous round's checkpoint is
@@ -171,22 +193,80 @@ object Graph {
       }
     } catch {
       case t: Throwable if truncateLineage =>
-        releaseInvariants()
+        st.release()
         roundCaches.foreach(graftbridge.releaseCheckpoints(_))
         throw t
     }
     val result = pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank"))
     if (truncateLineage) {
       // the rounds already executed; the invariants are done serving
-      releaseInvariants()
+      st.release()
       // the final checkpoint stays (it IS the result's data) — caller
       // releases via graftbridge.releaseCheckpoints(result) or at exit
     } else {
-      CacheRelease.autoRelease(result, e, () => { e.unpersist(); () })
-      CacheRelease.autoRelease(result, ids, () => { ids.unpersist(); () })
-      srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
+      CacheRelease.autoRelease(result, st.e, () => { st.e.unpersist(); () })
+      CacheRelease.autoRelease(result, st.ids, () => { st.ids.unpersist(); () })
+      st.srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
       roundCaches.foreach(c => CacheRelease.autoRelease(result, c, () => { c.unpersist(); () }))
     }
     result
+  }
+
+  /** PageRank iterated to CONVERGENCE: rounds run until
+    * `max_v |pr_{t+1}(v) − pr_t(v)| < tol` or `maxIters`, whichever
+    * comes first — what a production centrality job actually runs (a
+    * fixed count either wastes rounds or stops short as the graph's
+    * mixing time drifts with the corpus). Built on the
+    * [[pageRank]] `truncateLineage` machinery: every round is one job
+    * over the previous round's checkpointed blocks, the per-round delta
+    * check is one O(n) co-partitioned join + 1-row agg, and plan depth
+    * stays constant regardless of how many rounds convergence takes.
+    * Same propagation arithmetic as [[pageRank]] by construction (one
+    * shared round function), so `weightCol`/`redistributeDangling`
+    * behave identically.
+    *
+    * NOT oracle-replayable by design — the stopping rule is a float
+    * comparison, exactly the control-flow epsilon the fixed-iteration
+    * gate form exists to avoid; use [[pageRank]] where replay matters.
+    * Returns (ranks, roundsRun); roundsRun == maxIters with a delta
+    * still above tol means the walk had not mixed — raise maxIters or
+    * loosen tol. Eager like truncate mode: rounds execute at call time,
+    * the returned frame is a bare checkpoint read, and the final
+    * checkpoint stays cached until `graftbridge.releaseCheckpoints` (or
+    * executor exit).
+    */
+  def pageRankConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String,
+      tol: Double = 1e-8, maxIters: Int = 100,
+      damping: Double = 0.85, weightCol: Option[String] = None,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+    require(tol > 0, s"tol must be positive, got $tol")
+    require(maxIters >= 1 && maxIters <= 10000, s"maxIters must be in [1, 10000], got $maxIters")
+    require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
+    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
+    var pr = prInit(st).localCheckpoint()
+    try {
+      var rounds = 0
+      var delta = Double.PositiveInfinity
+      while (rounds < maxIters && delta >= tol) {
+        val next = prRound(st, pr, damping).localCheckpoint()
+        // both sides are materialized checkpoints: the delta is one
+        // co-partitioned join + 1-row agg (coalesce covers the
+        // empty-node-set edge, where max() aggregates nothing)
+        delta = next.join(pr.select(col("__node"), col("__pr").as("__pr0")), "__node")
+          .agg(coalesce(max(abs(col("__pr") - col("__pr0"))), lit(0.0)))
+          .head().getDouble(0)
+        graftbridge.releaseCheckpoints(pr)
+        pr = next
+        rounds += 1
+      }
+      st.release()
+      (pr.select(col("__node").as(nodeCol), col("__pr").as("pagerank")), rounds)
+    } catch {
+      case t: Throwable =>
+        st.release()
+        graftbridge.releaseCheckpoints(pr)
+        throw t
+    }
   }
 }

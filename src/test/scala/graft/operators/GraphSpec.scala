@@ -184,6 +184,47 @@ class GraphSpec extends SparkSuite {
       assert(math.abs(got(v) - exp(v)) < 1e-12, s"node $v: ${got(v)} vs ${exp(v)}"))
   }
 
+  test("pageRankConverged stops at the fixed point and matches a long fixed-iteration run") {
+    // the cycle's fixed point IS the uniform init: the first round
+    // reproduces 1/3 exactly, so convergence detects after ONE round
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (prC, roundsC) = Graph.pageRankConverged(cycle, "src", "dst", nodes, "id",
+      tol = 1e-12, maxIters = 50)
+    assert(roundsC == 1, s"cycle should converge in one round, took $roundsC")
+    prC.as[(Long, Double)].collect().foreach { case (_, p) =>
+      assert(math.abs(p - 1.0 / 3) < 1e-12)
+    }
+    org.apache.spark.sql.graftbridge.releaseCheckpoints(prC)
+    // a random digraph converges to the same ranks a LONG local
+    // fixed-iteration replay reaches (weighted + dangling mode, so the
+    // shared round function is exercised on its richest path)
+    val rnd = new scala.util.Random(23)
+    val allNodes = (1L to 30L)
+    val edges = Seq.fill(80)((rnd.nextInt(25) + 1L, rnd.nextInt(30) + 1L,
+        math.rint(rnd.nextDouble() * 100) / 100 + 0.01))
+      .filter(e => e._1 != e._2).distinctBy(e => (e._1, e._2))
+    val df = edges.toDF("src", "dst", "w")
+    val (got, rounds) = Graph.pageRankConverged(df, "src", "dst", allNodes.toDF("id"), "id",
+      tol = 1e-10, maxIters = 200, weightCol = Some("w"), redistributeDangling = true)
+    assert(rounds > 1 && rounds < 200, s"rounds = $rounds")
+    val gotMap = got.as[(Long, Double)].collect().toMap
+    val exp = localWeightedPageRank(allNodes, edges, 200, 0.85, redistribute = true)
+    allNodes.foreach(v => assert(math.abs(gotMap(v) - exp(v)) < 1e-8, s"node $v"))
+    // redistribution conserves mass at the fixed point
+    assert(math.abs(gotMap.values.sum - 1.0) < 1e-9)
+    org.apache.spark.sql.graftbridge.releaseCheckpoints(got)
+    // maxIters caps an unmixed walk and reports the rounds actually run
+    val (capped, cappedRounds) = Graph.pageRankConverged(df, "src", "dst",
+      allNodes.toDF("id"), "id", tol = 1e-300, maxIters = 2)
+    assert(cappedRounds == 2)
+    org.apache.spark.sql.graftbridge.releaseCheckpoints(capped)
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(df, "src", "dst", allNodes.toDF("id"), "id", tol = 0.0))
+    intercept[IllegalArgumentException](
+      Graph.pageRankConverged(df, "src", "dst", allNodes.toDF("id"), "id", maxIters = 0))
+  }
+
   test("pageRank matches the local replay on a random sparse digraph") {
     val rnd = new scala.util.Random(7)
     val nodes = (1L to 40L)
