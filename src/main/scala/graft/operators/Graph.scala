@@ -245,11 +245,15 @@ object Graph {
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
     var pr = prInit(st).localCheckpoint()
+    // `next` lives outside the loop so the catch can release it: the
+    // delta job (or a release) can throw AFTER the eager checkpoint
+    // materialized, and nothing else would ever unpersist those blocks
+    var next: DataFrame = null
     try {
       var rounds = 0
       var delta = Double.PositiveInfinity
       while (rounds < maxIters && delta >= tol) {
-        val next = prRound(st, pr, damping).localCheckpoint()
+        next = prRound(st, pr, damping).localCheckpoint()
         // both sides are materialized checkpoints: the delta is one
         // co-partitioned join + 1-row agg (coalesce covers the
         // empty-node-set edge, where max() aggregates nothing)
@@ -258,6 +262,7 @@ object Graph {
           .head().getDouble(0)
         graftbridge.releaseCheckpoints(pr)
         pr = next
+        next = null
         rounds += 1
       }
       st.release()
@@ -265,6 +270,7 @@ object Graph {
     } catch {
       case t: Throwable =>
         st.release()
+        if (next != null) graftbridge.releaseCheckpoints(next)
         graftbridge.releaseCheckpoints(pr)
         throw t
     }

@@ -142,22 +142,88 @@ object InvertedIndex {
   def appendScored(docs: DataFrame, idCol: String, textCol: String,
       path: String, priorTotals: Option[(Long, Long)] = None): (Long, Long) = {
     import java.nio.file.{Files, Paths}
-    // prior totals BEFORE the append: the caller's exact value when
-    // supplied (skips a read/heal a caller who just ran corpusTotals
-    // would duplicate), else the sidecar, else an O(index) heal for an
-    // artifact written before sidecars existed; the sidecar is removed
-    // for the duration of the append so a crash between the postings
-    // write and the totals rewrite leaves NO sidecar — the next attach
-    // recomputes exactly instead of silently serving stale (N, avgdl)
-    val prior = priorTotals.orElse(readTotals(path)).getOrElse {
-      if (hasDataFiles(path)) corpusTotals(docs.sparkSession.read.parquet(path), idCol)
-      else (0L, 0L)
+    Files.createDirectories(Paths.get(path))
+    // The whole append (prior read → postings append → totals rewrite)
+    // runs under an OS advisory lock on a persistent lock inode — two
+    // concurrent appends to one index path now SERIALIZE instead of each
+    // folding only its own delta into the sidecar with the last rename
+    // silently winning (the documented single-writer hazard, made safe).
+    // A wedged holder fails THIS caller loudly after the bounded wait
+    // (the Snapshots pointer-lock design: the inode is never deleted —
+    // delete-by-name reclaim is a TOCTOU that can steal a live holder's
+    // lock — and a crashed holder's OS lock releases automatically).
+    // CAVEAT: a caller passing `priorTotals` asserts it knows the exact
+    // prior — two such callers racing still serialize, but the loser's
+    // captured prior is stale and its totals wrong; only the
+    // sidecar-read path (priorTotals = None) is multi-writer exact.
+    withAppendLock(path) {
+      // prior totals BEFORE the append: the caller's exact value when
+      // supplied (skips a read/heal a caller who just ran corpusTotals
+      // would duplicate), else the sidecar, else an O(index) heal for an
+      // artifact written before sidecars existed; the sidecar is removed
+      // for the duration of the append so a crash between the postings
+      // write and the totals rewrite leaves NO sidecar — the next attach
+      // recomputes exactly instead of silently serving stale (N, avgdl)
+      val prior = priorTotals.orElse(readTotals(path)).getOrElse {
+        if (hasDataFiles(path)) corpusTotals(docs.sparkSession.read.parquet(path), idCol)
+        else (0L, 0L)
+      }
+      // in-progress marker for the append window: an attachScored racing
+      // this append must not HEAL-PERSIST a sidecar computed from
+      // partially committed postings — if this appender then crashed
+      // before its writeTotals, that healed sidecar would violate the
+      // "crash leaves NO sidecar" invariant and serve stale totals
+      // forever. Dot-prefixed (parquet listings skip it); removed after
+      // the totals rewrite; a crashed append leaves it behind, which
+      // only suppresses heal-persists (attaches still compute exact
+      // totals) until the next successful append clears it.
+      Files.write(Paths.get(path, AppendMarkerFile), Array.emptyByteArray)
+      Files.deleteIfExists(Paths.get(path, TotalsFile))
+      buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
+      val delta = batchTotals(docs, textCol)
+      writeTotals(path, mergeTotals(prior, delta))
+      Files.deleteIfExists(Paths.get(path, AppendMarkerFile))
+      delta
     }
-    Files.deleteIfExists(Paths.get(path, TotalsFile))
-    buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
-    val delta = batchTotals(docs, textCol)
-    writeTotals(path, mergeTotals(prior, delta))
-    delta
+  }
+
+  /** In-progress append marker (see [[appendScored]]). */
+  private[operators] val AppendMarkerFile = "._graft_bm25_appending"
+
+  /** Whether an [[appendScored]] is (or died) in flight on `path`. */
+  private def appendInProgress(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, AppendMarkerFile))
+
+  /** Bounded wait for the append lock: appends are batch-sized jobs, so
+    * minutes of contention means a wedged holder — fail loudly instead of
+    * hanging every writer in the fleet behind it.
+    */
+  private val AppendLockTimeoutMs = 600 * 1000L
+
+  /** Run `body` holding the index's append lock (see [[appendScored]]). */
+  private def withAppendLock[A](path: String)(body: => A): A = {
+    val lockPath = java.nio.file.Paths.get(path, "._graft_totals.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val deadline = System.nanoTime() + AppendLockTimeoutMs * 1000000L
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        // tryLock (not lock()): same-JVM contention surfaces as either a
+        // null return or OverlappingFileLockException depending on timing
+        try lock = ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => () }
+        if (lock == null) {
+          if (System.nanoTime() > deadline) throw new IllegalStateException(
+            s"appendScored: could not acquire append lock $lockPath within " +
+              s"${AppendLockTimeoutMs / 1000}s — another appender is wedged holding it " +
+              "(or the filesystem does not honor advisory FileLocks, e.g. some NFS " +
+              "mounts; route multi-writer ingest through graft.sources.Snapshots instead)")
+          Thread.sleep(10)
+        }
+      }
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   /** Reopen a scored index artifact AND its persisted exact stats — the
@@ -174,9 +240,16 @@ object InvertedIndex {
       val t = corpusTotals(scored, idCol)
       // best-effort persist: a read-only mount (a consumer attaching a
       // shared artifact it cannot write) must still get the computed
-      // stats — the next writable attach heals the sidecar instead
-      try writeTotals(path, t)
-      catch { case _: java.io.IOException | _: SecurityException => () }
+      // stats — the next writable attach heals the sidecar instead.
+      // NEVER persisted while an append is in flight (the dot-prefixed
+      // marker): totals computed from partially committed postings,
+      // persisted, then orphaned by an appender crash would violate the
+      // "crash leaves NO sidecar" invariant — compute-only here, and the
+      // next successful append (or a quiescent attach) heals durably.
+      if (!appendInProgress(path)) {
+        try writeTotals(path, t)
+        catch { case _: java.io.IOException | _: SecurityException => () }
+      }
       t
     }
     (scored, statsOf(totals))
@@ -204,8 +277,13 @@ object InvertedIndex {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Read the persisted totals sidecar; None when absent (pre-sidecar
-    * artifact or interrupted append — callers heal via [[corpusTotals]]).
+  /** Read the persisted totals sidecar; None when absent OR unparseable
+    * (pre-sidecar artifact, interrupted append, or a corrupt/truncated
+    * file — callers heal via [[corpusTotals]]). A corrupt sidecar must
+    * degrade exactly like a MISSING one: the old require/NumberFormat
+    * throw made every attach/append on the index fail until the file was
+    * deleted by hand, while a missing sidecar self-healed — same safe
+    * outcome, so same behavior.
     */
   def readTotals(path: String): Option[(Long, Long)] = {
     import java.nio.charset.StandardCharsets
@@ -214,8 +292,9 @@ object InvertedIndex {
     if (!Files.exists(f)) None
     else {
       val parts = new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.split(" ")
-      require(parts.length == 2, s"corrupt totals sidecar at $f: ${parts.mkString(" ")}")
-      Some((parts(0).toLong, parts(1).toLong))
+      try {
+        if (parts.length != 2) None else Some((parts(0).toLong, parts(1).toLong))
+      } catch { case _: NumberFormatException => None }
     }
   }
 

@@ -119,7 +119,15 @@ object Similarity {
       bits: Int = AutoBits, tables: Int = 12, seed: Long = 42L,
       maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
-    val kb = if (bits == AutoBits) autoBits(math.max(1L, df.count())) else bits
+    // auto keying counts the NORM-FILTERED view — the same population
+    // annCosinePairsImpl/annKnnGraph count — so the same corpus resolves
+    // the same bits from every entry point near an autoBits boundary
+    // (zero-norm rows still bucket in a bare call, but no downstream
+    // consumer scores them: the keying math sizes to scorable vectors)
+    val kb =
+      if (bits == AutoBits)
+        autoBits(math.max(1L, df.filter(vecNorm(col(vecCol)) > 0).count()))
+      else bits
     val buckets = df
       .select(col(idCol).as("id"), explode(srpKeys(col(vecCol), dim, kb, tables, seed)).as("bucket"))
       .groupBy("bucket")

@@ -213,6 +213,69 @@ class InvertedIndexSpec extends SparkSuite {
     assert(InvertedIndex.readTotals(s"$dir/fresh").contains((2L, 6L)))
   }
 
+  test("corrupt totals sidecar degrades like a missing one: attach heals, append proceeds") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-ii-corrupt").toString
+    InvertedIndex.materializeScored(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/p")
+    // three corruption classes: non-numeric, wrong field count, empty
+    for (garbage <- Seq("not numbers", "1 2 3", "")) {
+      Files.write(Paths.get(s"$dir/p", "_graft_bm25_totals"), garbage.getBytes("UTF-8"))
+      assert(InvertedIndex.readTotals(s"$dir/p").isEmpty, s"'$garbage' should read as None")
+      val (_, stats) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+      assert(stats == (2L, 3.0)) // healed exactly, and re-persisted
+      assert(InvertedIndex.readTotals(s"$dir/p").contains((2L, 6L)))
+    }
+    // append onto a corrupt sidecar heals the prior instead of throwing
+    Files.write(Paths.get(s"$dir/p", "_graft_bm25_totals"), "junk".getBytes("UTF-8"))
+    InvertedIndex.appendScored(Seq((4L, "green fox")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/p")
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((3L, 8L)))
+  }
+
+  test("attachScored never heal-persists while an append is in flight (marker window)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-ii-marker").toString
+    InvertedIndex.materializeScored(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/p")
+    // simulate the append window: marker present, sidecar deleted
+    Files.write(Paths.get(s"$dir/p", "._graft_bm25_appending"), Array.emptyByteArray)
+    Files.delete(Paths.get(s"$dir/p", "_graft_bm25_totals"))
+    val (_, stats) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+    assert(stats == (2L, 3.0)) // computed exactly from what's committed...
+    assert(InvertedIndex.readTotals(s"$dir/p").isEmpty,
+      "...but NOT persisted: a crash of the in-flight appender would orphan it as stale")
+    // the next successful append clears the marker and heals durably
+    InvertedIndex.appendScored(Seq((4L, "green fox")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/p")
+    assert(!Files.exists(Paths.get(s"$dir/p", "._graft_bm25_appending")))
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((3L, 8L)))
+    val (_, after) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+    assert(after == (3L, 8.0 / 3.0))
+  }
+
+  test("racing appendScored calls serialize under the append lock; totals stay exact") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-ii-race").toString
+    InvertedIndex.buildScored(docs.filter(col("doc_id") < 2), "doc_id", "text")
+      .write.parquet(s"$dir/p")
+    // two concurrent appends of disjoint batches: without the lock each
+    // would fold only its own delta over the same prior and the last
+    // sidecar rename would win, silently missing the other's delta
+    val batches = Seq(
+      Seq((10L, "alpha beta"), (11L, "gamma")),
+      Seq((20L, "delta epsilon zeta")))
+    val threads = batches.map { b =>
+      new Thread(() => {
+        InvertedIndex.appendScored(b.toDF("doc_id", "text"), "doc_id", "text", s"$dir/p")
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // totals reflect BOTH deltas: 2 base docs (6 tokens) + 3 appended (6)
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((5L, 12L)))
+    assert(InvertedIndex.corpusTotals(spark.read.parquet(s"$dir/p"), "doc_id") == (5L, 12L))
+  }
+
   test("materialize roundtrips through parquet and searches off the artifact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii").toString
     val p = InvertedIndex.materialize(docs, "doc_id", "text", s"$dir/postings")
