@@ -361,11 +361,16 @@ object KMeans {
 
   /** Cluster assignments as a DataFrame (id, cluster). The id column
     * passes through untouched (any type); only the vector is closed over.
+    * Assignment is the native [[graft.functions.CentroidFunctions]]
+    * expression (r15): bit-identical arithmetic to [[Model.nearest]] —
+    * same dim-ascending IEEE fold, same lowest-index tie rule — without
+    * the per-row Seq boxing the interpreted UDF paid on the n·k hot
+    * path. Null vectors yield a null cluster (the UDF threw).
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
-    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
-    df.select(col(idCol), nearestU(col(vecCol).cast("array<double>")).as("cluster"))
+    val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
+    df.select(col(idCol),
+      graft.functions.CentroidFunctions.nearestCentroid(col(vecCol), bc).as("cluster"))
   }
 
   /** IVF approximate nearest neighbors: corpus bucketed by nearest
@@ -377,17 +382,20 @@ object KMeans {
       model: Model, nprobe: Int, topK: Int): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
+    // corpus-side routing is the native expression (the n·k hot path);
+    // the query-side probes UDF stays interpreted — it runs over the
+    // broadcast-small query set, never the corpus
+    val bcC = spark.sparkContext.broadcast(model.centroids)
     val probesU = udf((v: Seq[Double]) => bc.value.probes(v.toArray, nprobe))
 
     // norms per row below the cell join — not per scored pair; ids pass
     // through untouched (any type)
-    // null vectors dropped (the routing UDFs would NPE); zero-norm rows
+    // null vectors dropped (the probes UDF would NPE); zero-norm rows
     // dropped too — their cosine is NaN, which Spark ranks above every
     // real neighbor
     val corpusCells = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
       .filter(col("cv").isNotNull)
-      .withColumn("cell", nearestU(col("cv")))
+      .withColumn("cell", graft.functions.CentroidFunctions.nearestCentroid(col("cv"), bcC))
       .withColumn("cn", VectorFunctions.vecNorm(col("cv"))).filter(col("cn") > 0)
 
     val queryCells = broadcast(

@@ -77,15 +77,13 @@ object Quantize {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       models: Seq[KMeans.Model]): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(models.toArray)
-    val codesU = udf((v: Seq[Double]) => {
-      val ms = bc.value
-      val d = v.length / ms.length
-      val arr = v.toArray
-      ms.indices.map(si => ms(si).nearest(java.util.Arrays.copyOfRange(arr, si * d, si * d + d)))
-    })
-    df.select(col(idCol), posexplode(codesU(col(vecCol).cast("array<double>")))
-        .as(Seq("sub_idx", "code")))
+    // native one-pass expression (r15): same slicing and Model.nearest
+    // arithmetic as the previous interpreted UDF, no per-row Seq boxing
+    // or per-subspace copyOfRange on the corpus-sized encode path
+    val bc = df.sparkSession.sparkContext.broadcast(models.map(_.centroids).toArray)
+    df.select(col(idCol),
+        posexplode(graft.functions.CentroidFunctions.pqCodes(col(vecCol), bc))
+          .as(Seq("sub_idx", "code")))
       .select(col(idCol), col("sub_idx").cast("int").as("sub_idx"),
         col("code").cast("int").as("code"))
   }
@@ -180,10 +178,11 @@ object Quantize {
     import org.apache.spark.sql.expressions.Window
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(coarse)
-    val nearestU = udf((v: Seq[Double]) => bc.value.nearest(v.toArray))
+    // corpus routing native, query probes interpreted (queries ≪ corpus)
+    val bcC = spark.sparkContext.broadcast(coarse.centroids)
     val probesU = udf((v: Seq[Double]) => bc.value.probes(v.toArray, nprobe))
     val corpusCells = corpus.select(col(idCol).cast("long").as("neighbor"),
-        nearestU(col(vecCol).cast("array<double>")).as("cell"))
+        graft.functions.CentroidFunctions.nearestCentroid(col(vecCol), bcC).as("cell"))
     val queryCells = queries.select(col(idCol).cast("long").as("qid"),
         explode(probesU(col(vecCol).cast("array<double>"))).as("cell"))
       .join(lutWideOf(queries, idCol, vecCol, codebook), "qid")

@@ -522,22 +522,17 @@ object Similarity {
     */
   def hierarchicalCells(df: DataFrame, idCol: String, vecCol: String,
       coarse: KMeans.Model, fine: KMeans.Model): DataFrame = {
+    // native fused expression (r15): coarse route + residual + fine
+    // route in one pass over the unboxed array — same arithmetic as the
+    // previous interpreted UDF (dim-ascending folds, lowest-index ties,
+    // cell = coarse·k2 + fine), which was the last per-row interpreted
+    // lambda on a corpus-sized hot path
     val sc = df.sparkSession.sparkContext
-    val bcC = sc.broadcast(coarse)
-    val bcF = sc.broadcast(fine)
-    val cellU = udf { (v: Seq[Double]) =>
-      val mc = bcC.value
-      val mf = bcF.value
-      val a = v.toArray
-      val c = mc.nearest(a)
-      val ctr = mc.centroids(c)
-      val r = new Array[Double](a.length)
-      var i = 0
-      while (i < a.length) { r(i) = a(i) - ctr(i); i += 1 }
-      c.toLong * mf.centroids.length + mf.nearest(r)
-    }
+    val bcC = sc.broadcast(coarse.centroids)
+    val bcF = sc.broadcast(fine.centroids)
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol), cellU(col(vecCol).cast("array<double>")).as("cell"))
+      .select(col(idCol),
+        graft.functions.CentroidFunctions.hierarchicalCellId(col(vecCol), bcC, bcF).as("cell"))
   }
 
   /** `maxCellSize` drops degenerate hot CELLS before pair expansion —

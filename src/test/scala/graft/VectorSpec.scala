@@ -357,6 +357,56 @@ class VectorSpec extends SparkSuite {
     assert(h1.toLong * h2 > (1L << 20))
   }
 
+  test("native nearest-centroid expression is bit-identical to Model.nearest (lowest-index ties)") {
+    import graft.operators.{KMeans, Quantize}
+    val model = KMeans.Model(Array(
+      Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0), Array(0.1, 0.1, 0.1, 0.1)))
+    // deterministic pseudorandom probes + crafted EXACT ties: (0, y, 0, 0)
+    // is equidistant from centroids 0 and 1 for every y — strict < must
+    // keep the LOWEST index, exactly like Model.nearest
+    val probes = (0 until 200).map { i =>
+      val x = (i * 2654435761L % 1000).toDouble / 500.0 - 1.0
+      (i.toLong, Array(x, x * 0.7 - 0.2, x * x - 0.5, 0.3 - x))
+    }
+    val df = probes.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val got = KMeans.assign(df, "vec_id", "embedding", model)
+      .as[(Long, Int)].collect().toMap
+    probes.foreach { case (id, v) =>
+      // the driver-side reference reads the SAME float-widened values the
+      // expression sees (the column is array<float> cast to double)
+      val widened = v.map(x => x.toFloat.toDouble)
+      assert(got(id) == model.nearest(widened), s"id $id")
+    }
+    // crafted EXACT tie, isolated in a two-centroid model so nothing can
+    // undercut the tied pair: (0, y, 0, 0) is equidistant from ±e₀ for
+    // every y — strict < must keep the LOWEST index, like Model.nearest
+    val tieModel = KMeans.Model(Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0)))
+    val tieDf = Seq((1000L, Array(0f, 0.3f, 0f, 0f)), (1001L, Array(0f, -0.9f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ties = KMeans.assign(tieDf, "vec_id", "embedding", tieModel)
+      .as[(Long, Int)].collect().toMap
+    assert(ties(1000L) == 0 && ties(1001L) == 0, "equidistant ties must take index 0")
+    // null vector → null cluster (the interpreted UDF threw; expression
+    // semantics are null-safe — operators filter upstream where needed)
+    val withNull = Seq((1L, Some(Array(1f, 0f, 0f, 0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val rows = KMeans.assign(withNull, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(rows(1L).contains(0) && rows(2L).isEmpty)
+    // PQ encode: native one-pass expression equals per-slice Model.nearest
+    val (models, codes) = Quantize.productQuantize(
+      df, "vec_id", "embedding", m = 2, k = 3, iters = 3)
+    val byId = codes.as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    probes.foreach { case (id, v) =>
+      val widened = v.map(x => x.toFloat.toDouble)
+      val want = (0 until 2).map(si =>
+        models(si).nearest(java.util.Arrays.copyOfRange(widened, si * 2, si * 2 + 2)))
+      assert(byId(id) == want, s"id $id")
+    }
+  }
+
   test("hierarchical routing composes with the incremental screen (fixed two-level router)") {
     // the hierarchical tier IS just a cell assignment, so v11's
     // incremental screen takes it unchanged: fit the two-level router
