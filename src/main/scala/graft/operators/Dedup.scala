@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -367,6 +367,37 @@ object Dedup {
     val raw = df.select(col(idCol).as("id"), col(textCol).as("text"))
     bandBuckets(withShingleSets(spreadIfNarrow(raw), shingle), numHashes, bands, "ids")
   }
+
+  /** Batch-sized maintenance for a persisted [[minhashSketch]]: shingle
+    * and minhash ONLY the accepted batch and append its (band, key, ids)
+    * rows to the saved artifact — the staleness closure of the
+    * incremental loop. Without this, every batch a screen ACCEPTS is
+    * invisible to the next day's screen until an O(corpus) re-sketch:
+    * near-dups of recently-ingested docs pass undetected. With it, the
+    * steady state is screen → append accepted → screen, each step batch-
+    * sized (the [[InvertedIndex.appendScored]] economics applied to the
+    * sketch artifact).
+    *
+    * Pass the SAME (shingleN, numHashes, bands) the sketch was built
+    * with — a mismatched append silently contributes buckets nothing
+    * will ever collide with (the [[minhashSketch]] parameter contract).
+    * Appends serialize under an OS advisory lock; a bucket touched by
+    * several appends spans several artifact rows, which the screens
+    * handle exactly and [[compactMinhashSketch]] periodically merges —
+    * fragmentation, crash recovery (re-append is screen-idempotent), and
+    * guard granularity are documented at [[SketchArtifact]].
+    */
+  def appendToMinhashSketch(batch: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit =
+    SketchArtifact.append(
+      minhashSketch(batch, idCol, textCol, shingleN, numHashes, bands), path)
+
+  /** Merge a fragment-accumulating [[appendToMinhashSketch]] artifact back
+    * to one row per (band, key) — O(sketch), no text re-read; restores
+    * exact per-bucket guard semantics (see [[SketchArtifact.compact]]).
+    */
+  def compactMinhashSketch(spark: SparkSession, path: String): Unit =
+    SketchArtifact.compact(spark, path, Seq("band", "key"))
 
   /** [[incrementalNearDupKeep]] against a PRE-COMPUTED existing-side
     * sketch ([[minhashSketch]], typically read back from parquet): the

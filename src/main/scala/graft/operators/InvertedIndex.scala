@@ -201,30 +201,13 @@ object InvertedIndex {
   private val AppendLockTimeoutMs = 600 * 1000L
 
   /** Run `body` holding the index's append lock (see [[appendScored]]). */
-  private def withAppendLock[A](path: String)(body: => A): A = {
-    val lockPath = java.nio.file.Paths.get(path, "._graft_totals.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val deadline = System.nanoTime() + AppendLockTimeoutMs * 1000000L
-      var lock: java.nio.channels.FileLock = null
-      while (lock == null) {
-        // tryLock (not lock()): same-JVM contention surfaces as either a
-        // null return or OverlappingFileLockException depending on timing
-        try lock = ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => () }
-        if (lock == null) {
-          if (System.nanoTime() > deadline) throw new IllegalStateException(
-            s"appendScored: could not acquire append lock $lockPath within " +
-              s"${AppendLockTimeoutMs / 1000}s — another appender is wedged holding it " +
-              "(or the filesystem does not honor advisory FileLocks, e.g. some NFS " +
-              "mounts; route multi-writer ingest through graft.sources.Snapshots instead)")
-          Thread.sleep(10)
-        }
-      }
-      try body finally lock.release()
-    } finally ch.close()
-  }
+  private def withAppendLock[A](path: String)(body: => A): A =
+    graft.sources.FsUtil.withFileLock(
+      java.nio.file.Paths.get(path, "._graft_totals.lock"), AppendLockTimeoutMs,
+      "appendScored",
+      "another appender is wedged holding it (or the filesystem does not honor " +
+        "advisory FileLocks, e.g. some NFS mounts; route multi-writer ingest " +
+        "through graft.sources.Snapshots instead)")(body)
 
   /** Reopen a scored index artifact AND its persisted exact stats — the
     * new-session entry point. Reads the totals sidecar when present; an

@@ -241,6 +241,31 @@ object Similarity {
       .agg(collect_list(col("id")).as("ids"))
   }
 
+  /** Batch-sized maintenance for a persisted [[srpSketch]]: hash ONLY the
+    * accepted batch and append its (bucket, ids) rows to the saved
+    * artifact — [[Dedup.appendToMinhashSketch]]'s vector twin, closing
+    * the same staleness loop: a batch [[incrementalAnnKeep]] ACCEPTS must
+    * become part of what the NEXT batch screens against, at batch cost,
+    * or near-dups of recent ingests pass undetected until an O(corpus)
+    * re-sketch. Pass the sketch's exact (dim, bits, tables, seed) — the
+    * [[srpSketch]] keying contract; `bits` has no default for the same
+    * reason it has none there. Fragmentation / crash / lock semantics:
+    * [[SketchArtifact]]; [[compactSrpSketch]] merges fragments.
+    */
+  def appendToSrpSketch(batch: DataFrame, idCol: String, vecCol: String, dim: Int,
+      path: String, bits: Int, tables: Int = 12, seed: Long = 42L): Unit = {
+    require(bits != AutoBits,
+      "appendToSrpSketch: pass the sketch's explicit bits (see srpSketch)")
+    SketchArtifact.append(srpSketch(batch, idCol, vecCol, dim, bits, tables, seed), path)
+  }
+
+  /** Merge a fragment-accumulating [[appendToSrpSketch]] artifact back to
+    * one row per bucket — O(sketch), no vectors re-read; restores exact
+    * per-bucket guard semantics (see [[SketchArtifact.compact]]).
+    */
+  def compactSrpSketch(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    SketchArtifact.compact(spark, path, Seq("bucket"))
+
   /** Batch-only ANN screening against a PRE-COMPUTED sketch — the vector
     * twin of [[Dedup.incrementalNearDupKeepWithSketch]]: only the new
     * batch is hashed; the existing corpus contributes its saved buckets
@@ -582,6 +607,22 @@ object Similarity {
     autoRelease(result, base, () => { base.unpersist(); () })
     result
   }
+
+  /** The [[incrementalSemDedupKeep]] analog of the sketch appends: fold a
+    * screened batch's ASSIGNED rows into the persisted assigned-corpus
+    * table, so the next batch's old side includes everything admitted so
+    * far — without this the SemDeDup screen, like the un-maintained
+    * sketches, silently compares against a snapshot that excludes every
+    * batch since the last full re-assign. The rows must carry the same
+    * columns as the saved table and be routed by the SAME fixed router
+    * model (the [[incrementalSemDedupKeep]] contract — a re-fit would
+    * re-key every cell and no append can fix that). Appends serialize
+    * under the [[SketchArtifact]] lock; re-appending after a crash is
+    * screen-idempotent (duplicate old-side rows add candidate pairs the
+    * match distinct collapses).
+    */
+  def appendAssigned(batchAssigned: DataFrame, path: String): Unit =
+    SketchArtifact.append(batchAssigned, path)
 
   /** Incremental SemDeDup screening — [[clusterCosinePairs]]' daily-batch
     * form (the d10/v10 shape on the cell-partitioned family): both sides

@@ -1,0 +1,94 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.FsUtil
+
+/** Shared persistence plumbing for append-maintained screening artifacts:
+  * the LSH sketches ([[Dedup.minhashSketch]], [[Similarity.srpSketch]])
+  * and the SemDeDup assigned-corpus table. No reference counterpart —
+  * the reference's caches are in-memory per-session (`cache.fs`); this is
+  * the incremental-curation extension surface, where a saved artifact
+  * outlives sessions and is maintained per accepted batch.
+  *
+  * Economics (the `InvertedIndex.appendScored` reasoning applied to
+  * sketches): a steady-state pipeline must never pay O(corpus) to admit a
+  * batch, so maintenance hashes ONLY the batch and appends its rows. An
+  * appended bucket may then span MULTIPLE artifact rows (one per append
+  * that touched it); the incremental screens union candidates across
+  * fragments (their bucket joins emit one candidate row per fragment and
+  * de-duplicate), so screen results equal a from-scratch rebuild — with
+  * one documented softening: the per-bucket hot guard (`maxBucketSize`)
+  * applies per FRAGMENT, so a bucket that crosses the cap only across
+  * fragments yields MORE candidates than a rebuilt sketch would (more
+  * recall, more verify cost — conservative in the correctness direction,
+  * never silent loss). [[compact]] merges fragments and restores exact
+  * guard semantics; run it on the rebuild cadence the fragment count
+  * dictates, not the data volume.
+  *
+  * Crash + concurrency story: appends to one artifact SERIALIZE under an
+  * OS advisory lock on a SIBLING lock file (outside the artifact dir —
+  * compaction swaps the directory itself, and a lock inode inside it
+  * would travel with the rename, silently splitting waiters across two
+  * inodes). A crashed append leaves either no new rows or a committed
+  * subset of the batch's fragment rows: screens stay CORRECT for
+  * everything previously admitted and merely under-screen against the
+  * partially-admitted batch — re-appending the same batch is
+  * screen-idempotent (duplicate ids add candidates the verify step
+  * de-duplicates), so the recovery is simply "append again".
+  */
+private[graft] object SketchArtifact {
+
+  /** Appends are batch-sized jobs; minutes of lock contention means a
+    * wedged holder — fail loudly (the appendScored bound).
+    */
+  private val LockTimeoutMs = 600 * 1000L
+
+  /** Sibling lock file for `path` (see the class note on why it must
+    * live OUTSIDE the artifact directory).
+    */
+  private[operators] def lockFile(path: String): String =
+    path.stripSuffix("/") + "._graft_sketch.lock"
+
+  private def withArtifactLock[A](path: String)(body: => A): A =
+    FsUtil.withFileLock(Paths.get(lockFile(path)), LockTimeoutMs, "sketch artifact",
+      "another maintainer is wedged holding it (or the filesystem does not honor " +
+        "advisory FileLocks, e.g. some NFS mounts; serialize sketch maintenance " +
+        "upstream there)")(body)
+
+  /** Append `rows` (already in the artifact's schema) under the lock. */
+  def append(rows: DataFrame, path: String): Unit = withArtifactLock(path) {
+    rows.write.mode("append").parquet(path)
+  }
+
+  /** Merge fragment rows back to one row per bucket key: reads the
+    * artifact (bucket keys + id lists only — never the corpus), groups on
+    * `keyCols`, flattens the id-list fragments, and atomically swaps the
+    * compacted directory in. O(artifact) — cheap next to the corpus
+    * re-sketch it replaces, since no text/vectors are read or hashed.
+    *
+    * The swap is two atomic renames under the append lock (live → `.old`,
+    * compacted → live). A crash BETWEEN them leaves the artifact path
+    * missing and the `.old` directory intact: every reader fails LOUDLY
+    * (no silent staleness — the sidecar invariant, directory-shaped);
+    * recover by renaming the `.old` directory back and re-running.
+    */
+  def compact(spark: SparkSession, path: String, keyCols: Seq[String],
+      idsCol: String = "ids"): Unit = withArtifactLock(path) {
+    val tmp = path.stripSuffix("/") + "._graft_compact_tmp"
+    val old = path.stripSuffix("/") + "._graft_compact_old"
+    // debris from a compact that crashed before its first rename
+    FsUtil.deleteTree(Paths.get(tmp))
+    FsUtil.deleteTree(Paths.get(old))
+    spark.read.parquet(path)
+      .groupBy(keyCols.map(col): _*)
+      .agg(flatten(collect_list(col(idsCol))).as(idsCol))
+      .write.mode("overwrite").parquet(tmp) // job runs HERE — reads finish before the swap
+    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    FsUtil.deleteTree(Paths.get(old))
+  }
+}

@@ -346,6 +346,13 @@ object TextQueries {
     // invocation.
     "d12_sketch_incremental_dedup" -> { (s, dir) => sketchScreen(s, dir) },
 
+    // Sketch MAINTENANCE (r15): an earlier accepted batch is appended to
+    // the persisted sketch (batch-sized — appendToMinhashSketch), then
+    // today's batch screens against the appended artifact. Closes the
+    // staleness loop d12 left open: without the append, near-dups of the
+    // % 10 = 8 batch would silently pass. Oracle = rebuild-then-screen.
+    "d17_sketch_append_screen" -> { (s, dir) => appendSketchScreen(s, dir) },
+
     // Bloom-pruned incremental EXACT dedup (d12's cheaper sibling: same
     // daily-batch split, equality instead of near-dup). The existing
     // corpus's Bloom is the persisted artifact (memoized per dir like
@@ -399,6 +406,42 @@ object TextQueries {
 
   /** Materialized-sketch path per data dir (see d12). */
   private val sketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** d17's body: the sketch-MAINTENANCE closure of d12's steady state.
+    * The persisted sketch covers only part of the existing corpus
+    * (doc_id % 10 ∉ {7, 8}); an earlier accepted batch (% 10 = 8) enters
+    * it via [[Dedup.appendToMinhashSketch]] — batch-sized, fragment rows
+    * appended under the artifact lock — and TODAY's batch (% 10 = 7)
+    * screens against the appended artifact. Semantics must equal
+    * rebuild-then-screen, so the oracle is d10's SQL verbatim (old side =
+    * everything ∉ batch 7): the hash gate fails if the appended fragments
+    * are mis-keyed, dropped, or double-screened. Fixture memoized per dir
+    * like d12 (append-once; re-appends would be screen-idempotent anyway,
+    * but the timed bench runs should measure the screen, not re-appends).
+    */
+  def appendSketchScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val existingAll = docs.filter(col("doc_id") % 10 =!= 7)
+    val out = appendSketchDir.synchronized {
+      appendSketchDir.getOrElseUpdate(dir, {
+        val d = QueryTmp.dir("sketch-append-q")
+        Dedup.minhashSketch(
+            docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8),
+            "doc_id", "text")
+          .write.mode("overwrite").parquet(d)
+        Dedup.appendToMinhashSketch(
+          docs.filter(col("doc_id") % 10 === 8), "doc_id", "text", d)
+        d
+      })
+    }
+    Dedup.incrementalNearDupKeepWithSketch(
+      docs.filter(col("doc_id") % 10 === 7), s.read.parquet(out), existingAll,
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Appended-sketch path per data dir (see d17). */
+  private val appendSketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
     "t8_normalize" ->
@@ -755,6 +798,25 @@ object TextQueries {
          WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
     // identical semantics to d10 — the sketch is a materialization detail
     "d12_sketch_incremental_dedup" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(string_split(text,' ')) - 1),
+             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+                  || ' ' || string_split(text,' ')[i+2])) AS s
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+         hit AS (
+           SELECT n.doc_id
+           FROM sh n JOIN sh o
+             ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+           WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                 / len(list_distinct(list_concat(n.s, o.s))) >= 0.8)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
+    // identical semantics to d10 again — screen-after-append must equal
+    // rebuild-then-screen, so the appended artifact is a materialization
+    // detail exactly like d12's sketch (old side = all docs ∉ batch 7,
+    // which is base ∪ the appended % 10 = 8 batch)
+    "d17_sketch_append_screen" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, len(string_split(text,' ')) - 1),

@@ -331,6 +331,56 @@ object VectorQueries {
         .select(col("vec_id"), col("label"))
     },
 
+    // Sketch MAINTENANCE on the vector side (r15, d17's twin): the saved
+    // SRP sketch covers only vec_id % 10 ∉ {7, 8}; the earlier-accepted
+    // % 10 = 8 batch enters it via appendToSrpSketch (batch-sized,
+    // fragment rows under the artifact lock), then today's batch screens
+    // against the appended artifact. Screen-after-append must equal
+    // rebuild-then-screen, so the oracle replays the hyperplane stream
+    // for the COMBINED old side. The bucket guard is pinned to exact
+    // enumeration (the v9/v11 convention) because an appended bucket
+    // spans fragment rows and the production guard is deliberately
+    // per-fragment — a floating default must never decide the gate.
+    "v12_sketch_append_screen" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 10 =!= 7)
+      val sketchPath = s"${QueryTmp.dir("srpsketch-append")}/sketch"
+      Similarity.srpSketch(
+          emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 8),
+          "vec_id", "embedding", DIM, bits = 6)
+        .write.mode("overwrite").parquet(sketchPath)
+      Similarity.appendToSrpSketch(
+        emb.filter(col("vec_id") % 10 === 8), "vec_id", "embedding", DIM,
+        sketchPath, bits = 6)
+      Similarity.incrementalAnnKeep(
+        emb.filter(col("vec_id") % 10 === 7), s.read.parquet(sketchPath), old,
+        "vec_id", "embedding", DIM, 0.45, bits = 6, maxBucketSize = Int.MaxValue)
+        .select(col("vec_id"), col("label"))
+    },
+
+    // Assigned-corpus MAINTENANCE (r15, the v11 analog of the sketch
+    // appends): the persisted assigned table covers vec_id % 10 ∉ {7, 8};
+    // the accepted % 10 = 8 batch — routed by the SAME cached km0 model,
+    // the fixed-router contract — is folded in via appendAssigned, then
+    // today's batch screens against the read-back table. Oracle = v11's
+    // replay verbatim (old side = everything ∉ batch 7).
+    "v13_assigned_append_screen" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
+        k = 8, maxIters = 5)
+      def assigned(part: org.apache.spark.sql.DataFrame) =
+        graft.operators.KMeans.assign(part, "vec_id", "embedding", model)
+          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+      val path = s"${QueryTmp.dir("assigned-append")}/assigned"
+      assigned(e.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 8))
+        .write.mode("overwrite").parquet(path)
+      Similarity.appendAssigned(assigned(e.filter(col("vec_id") % 10 === 8)), path)
+      Similarity.incrementalSemDedupKeep(
+        assigned(e.filter(col("vec_id") % 10 === 7)), s.read.parquet(path),
+        "vec_id", "embedding", "cluster", 0.45, maxCellSize = Int.MaxValue)
+        .select(col("vec_id"), col("label"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -829,6 +879,51 @@ object VectorQueries {
                  / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45)
          SELECT e.vec_id, e.label FROM embeddings e
          WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT nid FROM matched)""",
+    // v10's replay with the guard pinned off (the gate passes
+    // maxBucketSize = Int.MaxValue — see the query comment): the
+    // appended sketch must produce EXACTLY the candidates a rebuilt
+    // combined-side sketch produces, so the old side here is simply
+    // everything ∉ batch 7 (base ∪ the appended % 10 = 8 batch).
+    "v12_sketch_append_screen" ->
+      s"""WITH RECURSIVE ${srpReplayCte(6, 12)},
+         nk AS (SELECT * FROM keys WHERE vec_id % 10 = 7),
+         ok AS (SELECT * FROM keys WHERE vec_id % 10 <> 7),
+         candn AS (
+           SELECT DISTINCT a.vec_id AS nid, b.vec_id AS oid
+           FROM nk a JOIN ok b ON a.t = b.t AND a.k = b.k),
+         matched AS (
+           SELECT DISTINCT c.nid
+           FROM candn c JOIN ed ea ON ea.vec_id = c.nid JOIN ed eb ON eb.vec_id = c.oid
+           WHERE list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.45)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT nid FROM matched)""",
+    // v11's replay verbatim — the appended assigned table is a
+    // materialization detail; old side = everything ∉ batch 7.
+    "v13_assigned_append_screen" ->
+      """WITH
+         c AS (SELECT cluster, list(value ORDER BY dim_idx) AS centroid
+               FROM read_parquet('__OUT__/km0_centroids/*.parquet') GROUP BY cluster),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         dist AS (
+           SELECT e.vec_id, c.cluster,
+             list_reduce(list_prepend(0.0, list_transform(range(1, len(c.centroid) + 1),
+               i -> (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]))), (x, y) -> x + y) AS d
+           FROM ed e CROSS JOIN c),
+         asg0 AS (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM dist),
+         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+                FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
+         matched AS (
+           SELECT DISTINCT x.vec_id
+           FROM av x JOIN av y ON x.cluster = y.cluster
+           WHERE x.vec_id % 10 = 7 AND y.vec_id % 10 <> 7
+             AND list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45)
+         SELECT e.vec_id, e.label FROM embeddings e
+         WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT vec_id FROM matched)""",
     // v3's replay re-instantiated at the scale keying (bits=10): the
     // 7680-draw hyperplane stream, 10-bit bucket keys, and the surviving
     // collisions must all agree with SrpKeys at the re-sized parameters.

@@ -30,6 +30,39 @@ private[graft] object FsUtil {
       .getOrElse(own)
   }
 
+  /** Run `body` holding an exclusive OS advisory lock on `lockPath`.
+    * The lock file is created if absent and NEVER deleted — delete-by-name
+    * reclaim is a TOCTOU that can steal a live holder's lock; a crashed
+    * holder's OS lock releases automatically, so no grace heuristics.
+    * Bounded wait: a holder that outlives `timeoutMs` fails THIS caller
+    * loudly (never the holder), naming the lock file and appending
+    * `timeoutHint`. Shared by the snapshots pointer lock, the scored-index
+    * append lock, and the sketch-artifact append lock — one copy so a
+    * contention-handling fix cannot silently miss a site.
+    */
+  def withFileLock[A](lockPath: Path, timeoutMs: Long, what: String,
+      timeoutHint: String)(body: => A): A = {
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var lock: java.nio.channels.FileLock = null
+      while (lock == null) {
+        // tryLock (not lock()): same-JVM contention surfaces as either a
+        // null return or OverlappingFileLockException depending on timing
+        try lock = ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => () }
+        if (lock == null) {
+          if (System.nanoTime() > deadline) throw new IllegalStateException(
+            s"$what: could not acquire lock $lockPath within ${timeoutMs / 1000}s — " +
+              timeoutHint)
+          Thread.sleep(5)
+        }
+      }
+      try body finally lock.release()
+    } finally ch.close()
+  }
+
   /** Reclaim staging debris: delete direct children of `dir` matching
     * `glob` whose ENTIRE tree has been untouched for `graceMs` (see
     * [[newestMtimeMs]] — only a writer that truly died leaves a tree

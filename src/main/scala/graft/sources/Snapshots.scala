@@ -511,30 +511,12 @@ object Snapshots {
     * naming the lock file — the lock is never stolen (delete/steal races
     * are exactly what the persistent-inode design avoids).
     */
-  private def withPointerLock[A](tableDir: String)(body: => A): A = {
-    val lockPath = Paths.get(tableDir, "._latest.lock")
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val deadline = System.nanoTime() + PointerLockTimeoutMs * 1000000L
-      var lock: java.nio.channels.FileLock = null
-      while (lock == null) {
-        // tryLock (not lock()): same-JVM contention surfaces as either a
-        // null return or OverlappingFileLockException depending on timing
-        try lock = ch.tryLock()
-        catch { case _: java.nio.channels.OverlappingFileLockException => () }
-        if (lock == null) {
-          if (System.nanoTime() > deadline) throw new IllegalStateException(
-            s"snapshots: could not acquire pointer lock $lockPath within " +
-              s"${PointerLockTimeoutMs / 1000}s — another committer is wedged holding it " +
-              "(or the filesystem does not honor advisory FileLocks, e.g. some NFS mounts; " +
-              "on HDFS use the store's atomic rename primitive instead)")
-          Thread.sleep(2)
-        }
-      }
-      try body finally lock.release()
-    } finally ch.close()
-  }
+  private def withPointerLock[A](tableDir: String)(body: => A): A =
+    FsUtil.withFileLock(Paths.get(tableDir, "._latest.lock"), PointerLockTimeoutMs,
+      "snapshots",
+      "another committer is wedged holding it (or the filesystem does not honor " +
+        "advisory FileLocks, e.g. some NFS mounts; on HDFS use the store's atomic " +
+        "rename primitive instead)")(body)
 
   private def writePointer(tableDir: String, v: Int): Unit = {
     val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
