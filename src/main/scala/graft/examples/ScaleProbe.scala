@@ -266,6 +266,117 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v10_screen_b$b"}%-24s ${tScreen}%6.2f s")
       }
+      // --annsketchappend=bits:tables — the r15 maintenance loop at
+      // scale: the saved SRP sketch covers vec_id % 10 ∉ {7, 8}; the
+      // accepted % 10 = 8 batch is appended (timed — must stay BATCH-
+      // sized, flat across corpus decades: each timed append adds
+      // identical fragment rows, so repeat-timing is sound, the ii3
+      // reasoning); then today's batch screens against the appended
+      // artifact (timed), and a compaction pass merges fragments
+      // (timed — O(sketch), the rebuild-cadence maintenance cost).
+      args.filter(_.startsWith("--annsketchappend=")).foreach { a =>
+        val (b, tb) = parseBitsTables("--annsketchappend", a)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 8)
+        val acc = emb.filter(col("vec_id") % 10 === 8)
+        val old = emb.filter(col("vec_id") % 10 =!= 7)
+        val batch = emb.filter(col("vec_id") % 10 === 7)
+        val skDir = graft.queries.QueryTmp.dir("probe-srpapp") + "/sketch"
+        graft.operators.Similarity.srpSketch(base, "vec_id", "embedding", 64, b, tb)
+          .write.mode("overwrite").parquet(skDir)
+        val tAppend = timed {
+          graft.operators.Similarity.appendToSrpSketch(
+            acc, "vec_id", "embedding", 64, skDir, b, tb)
+        }
+        println(f"[probe] ${s"v12_sketch_append_b$b"}%-24s ${tAppend}%6.2f s")
+        val tScreen = timed {
+          graft.operators.Similarity.incrementalAnnKeep(
+            batch, spark.read.parquet(skDir), old,
+            "vec_id", "embedding", 64, 0.45, bits = b, tables = tb)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v12_screen_after_b$b"}%-24s ${tScreen}%6.2f s")
+        val tCompact = timed {
+          graft.operators.Similarity.compactSrpSketch(spark, skDir)
+        }
+        println(f"[probe] ${s"v12_compact_b$b"}%-24s ${tCompact}%6.2f s")
+      }
+      // --mhappend — the text-side maintenance loop (d17's shape): append
+      // the accepted doc_id % 10 = 8 batch to the saved minhash sketch
+      // (timed, batch-sized), screen today's batch against it (timed),
+      // compact (timed, O(sketch) — no text re-read).
+      if (args.contains("--mhappend")) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8)
+        val acc = docs.filter(col("doc_id") % 10 === 8)
+        val old = docs.filter(col("doc_id") % 10 =!= 7)
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val skDir = graft.queries.QueryTmp.dir("probe-mhapp") + "/sketch"
+        Dedup.minhashSketch(base, "doc_id", "text").write.mode("overwrite").parquet(skDir)
+        val tAppend = timed {
+          Dedup.appendToMinhashSketch(acc, "doc_id", "text", skDir)
+        }
+        println(f"[probe] ${"d17_sketch_append"}%-24s ${tAppend}%6.2f s")
+        val tScreen = timed {
+          Dedup.incrementalNearDupKeepWithSketch(
+            batch, spark.read.parquet(skDir), old, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"d17_screen_after"}%-24s ${tScreen}%6.2f s")
+        val tCompact = timed { Dedup.compactMinhashSketch(spark, skDir) }
+        println(f"[probe] ${"d17_compact"}%-24s ${tCompact}%6.2f s")
+      }
+      // --assignedappend=k[:threshold] — the v13 maintenance loop: the
+      // assigned corpus (vec_id % 10 ∉ {7, 8}, fixed router) is the saved
+      // table; appendAssigned folds the accepted batch's assigned rows in
+      // (timed — a locked parquet append of batch-assigned rows, so the
+      // assignment job IS the cost); the screen then reads the appended
+      // table (timed).
+      args.filter(_.startsWith("--assignedappend=")).foreach { a =>
+        val (k, thr) = parseKThr("--assignedappend", a)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val model = KMeans.fit(emb.limit(20000), "vec_id", "embedding", k, 5)
+        def assigned(part: org.apache.spark.sql.DataFrame) =
+          KMeans.assign(part, "vec_id", "embedding", model)
+            .join(part.select(col("vec_id"), col("embedding")), "vec_id")
+        val aDir = graft.queries.QueryTmp.dir("probe-asgapp") + "/assigned"
+        assigned(emb.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 8))
+          .write.mode("overwrite").parquet(aDir)
+        val tAppend = timed {
+          graft.operators.Similarity.appendAssigned(
+            assigned(emb.filter(col("vec_id") % 10 === 8)), aDir)
+        }
+        println(f"[probe] ${s"v13_assigned_append_k$k"}%-24s ${tAppend}%6.2f s")
+        val tScreen = timed {
+          graft.operators.Similarity.incrementalSemDedupKeep(
+            assigned(emb.filter(col("vec_id") % 10 === 7)), spark.read.parquet(aDir),
+            "vec_id", "embedding", "cluster", thr, maxCellSize = Int.MaxValue)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"v13_screen_after_k$k"}%-24s ${tScreen}%6.2f s")
+      }
+      // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
+      // the per-round checkpoint + delta machinery at tol=1e-6 on the
+      // kNN graph at the given keying; prints rounds so a cost change
+      // decomposes into rounds × per-round price.
+      args.filter(_.startsWith("--prconv=")).foreach { a =>
+        val (b, tb) = parseBitsTables("--prconv", a)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val eDir = graft.queries.QueryTmp.dir("probe-prconv") + "/edges"
+        graft.operators.Similarity.annKnnGraph(
+            emb, "vec_id", "embedding", 64, k = 3, bits = b, tables = tb)
+          .write.mode("overwrite").parquet(eDir)
+        val edges = spark.read.parquet(eDir)
+        var rounds = 0
+        val ts = timed {
+          val (pr, r) = graft.operators.Graph.pageRankConverged(
+            edges, "vec_id", "neighbor", emb, "vec_id", tol = 1e-6, maxIters = 100)
+          rounds = r
+          try pr.write.format("noop").mode("overwrite").save()
+          finally org.apache.spark.sql.graftbridge.releaseCheckpoints(pr)
+        }
+        println(f"[probe] ${s"v8c_prconv_b${b}_r$rounds"}%-24s ${ts}%6.2f s")
+      }
       // --knn=bits:tables — annKnnGraph at the scale-contract keying
       // (the --srp twin for the kNN-graph path: v7's gate pins bits=6
       // for the oracle replay; the deployed operating point re-keys by
