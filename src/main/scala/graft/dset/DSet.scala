@@ -296,10 +296,12 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
     * `persist()` cannot emulate. Attaches this DSet's plan to the
     * plan-fingerprint-keyed parquet cache under `cacheDir`: the first
     * session computes and publishes, any later session declaring the same
-    * plan re-attaches without recomputing. See
-    * [[graft.sources.PlanCache]].
+    * plan re-attaches without recomputing. Content-keyed by default
+    * since r15 (the safe tier — see [[graft.sources.PlanCache]]); pass
+    * `contentKeys = false` (or set the session conf) for the reference-
+    * parity file-list tier.
     */
-  def cacheAcrossSessions(cacheDir: String, contentKeys: Boolean = false)(
+  def cacheAcrossSessions(cacheDir: String, contentKeys: Boolean = true)(
       implicit e: Encoder[U]): DSet[U] =
     new DSet(
       graft.sources.PlanCache.readThrough(ds.toDF(), cacheDir, contentKeys).as[U], batchHint)

@@ -363,7 +363,10 @@ object FacadeQueries {
     // declarative plan is attached through `cacheAcrossSessions` twice:
     // cold from the building session (computes + publishes), then warm
     // from a NEW SparkSession (fresh session state — the "new driver"
-    // analog) which must re-attach by plan fingerprint alone. The
+    // analog) which must re-attach by the derived key alone — since the
+    // r15 default flip that key is the CONTENT tier (canonicalized plan +
+    // per-file stats), which stays stable across the two attaches because
+    // nothing rewrites the input between them. The
     // aggregate is computed from the WARM attach, so the output only
     // matches the oracle if the published artifact holds the right rows;
     // the contract booleans pin the miss→hit transition (a cache that

@@ -28,18 +28,20 @@ import org.apache.spark.sql.DataFrame
   * column pruning ON TOP of the cache, which the reference's opaque
   * serialized partition blobs cannot offer.
   *
-  * Staleness contract (same as the reference's): by default the key
-  * covers the plan and the input FILE LIST, not file contents — an
-  * in-place overwrite of an input file requires an explicit
-  * [[invalidate]], exactly as a reference container cache survives until
-  * decached. `contentKeys = true` opts into per-file (size, mtime)
-  * keying: an in-place overwrite then derives a NEW key and misses
-  * instead of serving stale bytes. The stats come from a fresh
-  * `FileSystem.getFileStatus` per input file — deliberately NOT Spark's
-  * session file-status cache, because the overwrite this mode exists to
-  * catch happens outside the session's knowledge — so content mode costs
-  * one O(files) metadata pass per attach (bounded by compaction; on HDFS
-  * this is namenode RPCs, cheap next to the scan it saves).
+  * Staleness contract: since r15 the DEFAULT key tier is CONTENT keys —
+  * per-file (size, mtime) keying, so an in-place overwrite of an input
+  * file derives a NEW key and misses instead of serving stale bytes (the
+  * safe mode; the staged migration recorded at [[ContentKeysConf]]).
+  * `contentKeys = false` (or the session conf) restores the reference-
+  * parity tier: the key covers the plan and the input FILE LIST only, an
+  * in-place overwrite requires an explicit [[invalidate]], exactly as a
+  * reference container cache survives until decached. Content stats come
+  * from a fresh `FileSystem.getFileStatus` per input file — deliberately
+  * NOT Spark's session file-status cache, because the overwrite this mode
+  * exists to catch happens outside the session's knowledge — so content
+  * mode costs one O(files) metadata pass per attach (bounded by
+  * compaction; on HDFS this is namenode RPCs, cheap next to the scan it
+  * saves).
   */
 object PlanCache {
 
@@ -47,23 +49,27 @@ object PlanCache {
   case object Hit extends Outcome
   case object Miss extends Outcome
 
-  /** Session conf that flips the DEFAULT key tier to content keys for
-    * every attach in the session: `spark.graft.planCache.contentKeys =
-    * true` makes [[readThrough]]/[[readThroughWithOutcome]] (and
-    * `cacheAcrossSessions`) behave as if `contentKeys = true` was passed.
+  /** Session-wide key-tier dial: `spark.graft.planCache.contentKeys`
+    * (true/false), when SET, decides the tier for every attach in the
+    * session, overriding per-call flags in both directions.
     *
-    * Default-flip plan (recorded decision): content keys are the SAFE
-    * mode — an in-place input overwrite misses instead of serving stale
-    * bytes — and the intent is to make them the code default in a future
-    * major revision. The migration cost is one fleet-wide cold miss (every
-    * existing entry was published under the file-list tier and its key
-    * rotates), so the flip is staged: (1) this conf lets a deployment opt
-    * in per-session today and pre-warm the content-tier entries; (2) once
-    * a fleet runs with the conf on, flipping the code default is a no-op
-    * for it. An explicit `contentKeys = true` argument always wins; the
-    * conf cannot force file-list keying (`false` + conf `true` = content
-    * keys — the conf only ever upgrades toward the safe mode, never
-    * downgrades a caller that asked for safety).
+    * Default-flip record (staged r13→r15, executed r15): content keys are
+    * the SAFE mode — an in-place input overwrite misses instead of
+    * serving stale bytes — and are now the code default. The migration
+    * cost is one fleet-wide cold miss (every pre-flip entry was published
+    * under the file-list tier and its key rotates); the retention sweep
+    * ([[RetentionConf]]) reclaims the orphaned list-tier entries. This
+    * conf is the ESCAPE HATCH for a deployment that cannot pay the
+    * per-attach O(files) stat pass (or wants reference-parity
+    * survive-until-decached semantics fleet-wide): set it to `false`.
+    * Pre-flip the conf was upgrade-only — a conf must never remove
+    * safety a call site asked for explicitly — but post-flip the default
+    * IS the safe tier, and with a `true` default an explicit `true`
+    * argument is indistinguishable from the default, so the conf is now
+    * the single deployment-wide authority when present. A call site that
+    * must NEVER serve stale bytes regardless of session conf should pair
+    * its attach with [[invalidate]] on known input rewrites rather than
+    * rely on the tier.
     */
   val ContentKeysConf = "spark.graft.planCache.contentKeys"
 
@@ -87,11 +93,13 @@ object PlanCache {
     */
   val RetentionConf = "spark.graft.planCache.retentionMs"
 
-  /** The effective key tier: the caller's flag OR'd with the session conf
-    * (see [[ContentKeysConf]] — the conf only upgrades to the safe mode).
+  /** The effective key tier: the session conf when set (the deployment-
+    * wide authority — see [[ContentKeysConf]]), else the caller's flag
+    * (whose default is the safe content tier since r15).
     */
   private def effectiveContentKeys(df: DataFrame, contentKeys: Boolean): Boolean =
-    contentKeys || df.sparkSession.conf.getOption(ContentKeysConf).exists(_.trim.toBoolean)
+    df.sparkSession.conf.getOption(ContentKeysConf)
+      .map(_.trim.toBoolean).getOrElse(contentKeys)
 
   /** Outcome of the most recent [[readThrough]] on this JVM. Convenience
     * for sequential callers — under concurrency use
@@ -225,14 +233,14 @@ object PlanCache {
     * warm re-attach); otherwise compute once, publish atomically, and read
     * the published copy so every consumer sees identical bytes.
     */
-  def readThrough(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): DataFrame =
+  def readThrough(df: DataFrame, cacheDir: String, contentKeys: Boolean = true): DataFrame =
     readThroughWithOutcome(df, cacheDir, contentKeys)._1
 
   /** [[readThrough]] plus this call's outcome (race-free, unlike
     * [[lastOutcome]]).
     */
   def readThroughWithOutcome(df: DataFrame, cacheDir: String,
-      contentKeys: Boolean = false): (DataFrame, Outcome) = {
+      contentKeys: Boolean = true): (DataFrame, Outcome) = {
     val spark = df.sparkSession
     val key = fingerprint(df, effectiveContentKeys(df, contentKeys))
     Files.createDirectories(Paths.get(cacheDir))

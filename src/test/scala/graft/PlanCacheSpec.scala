@@ -38,22 +38,29 @@ class PlanCacheSpec extends SparkSuite {
     assert(cold.map(_.toString).toSeq == warm.map(_.toString).toSeq)
   }
 
-  test("warm attach never recomputes: source deleted after publish") {
+  test("warm attach never recomputes: source deleted after publish (list tier)") {
     val cacheDir = tmpDir("pc")
     val staged = tmpDir("pc-src")
     Tables.load(spark, sf0001, "nation").write.mode("overwrite").parquet(s"$staged/nation")
     val df = spark.read.parquet(s"$staged/nation")
       .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
-    val cold = PlanCache.readThrough(df, cacheDir).collect()
+    // survive-source-deletion is the FILE-LIST tier's contract (reference
+    // parity — the artifact outlives its inputs); post-flip that tier is
+    // the explicit opt-out
+    val cold = PlanCache.readThrough(df, cacheDir, contentKeys = false).collect()
     assert(PlanCache.lastOutcome == PlanCache.Miss)
     // remove the source — a recompute would now fail at scan time
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
     rm(Paths.get(staged).toFile)
-    val warm = PlanCache.readThrough(df, cacheDir).collect()
+    val warm = PlanCache.readThrough(df, cacheDir, contentKeys = false).collect()
     assert(PlanCache.lastOutcome == PlanCache.Hit)
     assert(warm.map(_.toString).sorted.toSeq == cold.map(_.toString).sorted.toSeq)
+    // the DEFAULT (content) tier keys the vanished files as missing and
+    // MISSES — the recompute then fails loudly at scan time rather than
+    // serving bytes whose provenance it can no longer verify
+    intercept[Throwable] { PlanCache.readThrough(df, cacheDir).collect() }
   }
 
   test("different plans and different inputs get different keys") {
@@ -142,7 +149,7 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.fingerprint(nullV) != PlanCache.fingerprint(litV))
   }
 
-  test("content keys (opt-in) catch an in-place overwrite; default keys keep the list contract") {
+  test("default (content) keys catch an in-place overwrite; explicit list tier keeps the reference contract") {
     val cacheDir = tmpDir("pc-ck")
     val src = tmpDir("pc-ck-src")
     val file = Paths.get(src, "data.parquet")
@@ -164,13 +171,19 @@ class PlanCacheSpec extends SparkSuite {
     val d1 = q()
     val listKey = PlanCache.fingerprint(d1)
     val contentKey = PlanCache.fingerprint(d1, contentKeys = true)
-    assert(listKey != contentKey) // stats are part of the opt-in key
+    assert(listKey != contentKey) // stats are part of the content key
+    // the DEFAULT attach publishes under the CONTENT key (the r15 flip)
     val oldRows = PlanCache.readThrough(d1, cacheDir).collect().map(_.toString).sorted.toSeq
-    // content mode on an UNCHANGED input still hits (stable stats)
-    PlanCache.readThrough(d1, cacheDir, contentKeys = true).count()
-    assert(PlanCache.lastOutcome == PlanCache.Miss) // first content-keyed publish
+    assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
+    assert(!Files.exists(Paths.get(cacheDir, listKey)))
+    // content mode on an UNCHANGED input hits (stable stats), and an
+    // explicit contentKeys = true lands on the default's entry
     PlanCache.readThrough(q(), cacheDir, contentKeys = true).count()
     assert(PlanCache.lastOutcome == PlanCache.Hit)
+    // the list tier is now the explicit OPT-OUT: its first use publishes
+    // its own (plan + file list) entry
+    PlanCache.readThrough(d1, cacheDir, contentKeys = false).count()
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
 
     // overwrite IN PLACE: same path, new bytes; mtime bumped
     // deterministically past any filesystem timestamp granularity
@@ -180,18 +193,20 @@ class PlanCacheSpec extends SparkSuite {
       java.nio.file.attribute.FileTime.fromMillis(mtime0.toMillis + 2000))
 
     val d2 = q()
-    // default contract: same file list → same key → HIT, serving the
-    // stale (pre-overwrite) rows until an explicit invalidate
-    assert(PlanCache.fingerprint(d2) == listKey)
-    val (stale, o1) = PlanCache.readThroughWithOutcome(d2, cacheDir)
-    assert(o1 == PlanCache.Hit)
-    assert(stale.collect().map(_.toString).sorted.toSeq == oldRows)
-    // content keys: new stats → new key → MISS, recompute sees new rows
+    // DEFAULT contract post-flip: new stats → new key → MISS, the
+    // recompute sees the new rows (no silent staleness)
     assert(PlanCache.fingerprint(d2, contentKeys = true) != contentKey)
-    val (fresh, o2) = PlanCache.readThroughWithOutcome(d2, cacheDir, contentKeys = true)
+    val (fresh, o2) = PlanCache.readThroughWithOutcome(d2, cacheDir)
     assert(o2 == PlanCache.Miss)
     val freshRows = fresh.collect().map(_.toString).sorted.toSeq
     assert(freshRows.exists(_.contains("new")) && !freshRows.exists(_.contains("old")))
+    // explicit list tier (reference parity, the documented opt-out):
+    // same file list → same key → HIT, serving the stale pre-overwrite
+    // rows until an explicit invalidate
+    assert(PlanCache.fingerprint(d2) == listKey)
+    val (stale, o1) = PlanCache.readThroughWithOutcome(d2, cacheDir, contentKeys = false)
+    assert(o1 == PlanCache.Hit)
+    assert(stale.collect().map(_.toString).sorted.toSeq == oldRows)
   }
 
   test("invalidate evicts both key tiers regardless of the flag") {
@@ -204,10 +219,11 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.invalidate(df, cacheDir))
     val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = true)
     assert(o == PlanCache.Miss)
-    // and the converse: list-tier entry, content-flagged invalidate
-    PlanCache.readThrough(df, cacheDir).count()
+    // and the converse: list-tier entry (explicit opt-out), then a
+    // content-flagged invalidate must still evict it
+    PlanCache.readThrough(df, cacheDir, contentKeys = false).count()
     assert(PlanCache.invalidate(df, cacheDir, contentKeys = true))
-    val (_, o2) = PlanCache.readThroughWithOutcome(df, cacheDir)
+    val (_, o2) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = false)
     assert(o2 == PlanCache.Miss)
   }
 
@@ -240,19 +256,28 @@ class PlanCacheSpec extends SparkSuite {
     assert(!Files.exists(Paths.get(cacheDir, k1)), "stale content entry survived invalidate")
   }
 
-  test("session conf flips the default key tier to content keys") {
+  test("session conf is the deployment-wide tier authority (the post-flip escape hatch)") {
     val cacheDir = tmpDir("pc-conf")
     val df = ordersAgg(spark, sf0001)
     val listKey = PlanCache.fingerprint(df)
     val contentKey = PlanCache.fingerprint(df, contentKeys = true)
     assert(listKey != contentKey)
+    // conf = false downgrades EVERY attach — including an explicit
+    // contentKeys = true call site (post-flip the conf wins when set;
+    // see the ContentKeysConf record)
+    spark.conf.set(PlanCache.ContentKeysConf, "false")
+    try {
+      PlanCache.readThrough(df, cacheDir, contentKeys = true).count()
+      assert(Files.exists(Paths.get(cacheDir, listKey, "_SUCCESS")))
+      assert(!Files.exists(Paths.get(cacheDir, contentKey)))
+    } finally spark.conf.unset(PlanCache.ContentKeysConf)
+    // conf unset: the default publishes under the CONTENT key, and a
+    // conf = true session lands on the same entry (upgrade direction)
+    PlanCache.readThrough(df, cacheDir).count()
+    assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
     spark.conf.set(PlanCache.ContentKeysConf, "true")
     try {
-      PlanCache.readThrough(df, cacheDir).count() // publishes under the CONTENT key
-      assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
-      assert(!Files.exists(Paths.get(cacheDir, listKey)))
-      // an explicit contentKeys = true lands on the same entry: warm hit
-      val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = true)
+      val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = false)
       assert(o == PlanCache.Hit)
     } finally spark.conf.unset(PlanCache.ContentKeysConf)
   }
@@ -263,8 +288,9 @@ class PlanCacheSpec extends SparkSuite {
     val fresh = Tables.load(spark, sf0001, "nation").select(col("n_nationkey"), col("n_name"))
     PlanCache.readThrough(expired, cacheDir).count()
     PlanCache.readThrough(fresh, cacheDir).count()
-    val expKey = PlanCache.fingerprint(expired)
-    val freshKey = PlanCache.fingerprint(fresh)
+    // default attaches publish under the content tier post-flip
+    val expKey = PlanCache.fingerprint(expired, contentKeys = true)
+    val freshKey = PlanCache.fingerprint(fresh, contentKeys = true)
     // age the first entry past the retention: BOTH its last-use signals
     // (the atime marker and the publish-time _SUCCESS) into the past
     val old = java.nio.file.attribute.FileTime.fromMillis(
@@ -354,7 +380,7 @@ class PlanCacheSpec extends SparkSuite {
     val rows = PlanCache.readThrough(df, cacheDir).collect().map(_.toString).sorted.toSeq
     // simulate a crash mid-invalidate: the published dir survives but
     // its _SUCCESS marker is gone
-    val target = Paths.get(cacheDir, PlanCache.fingerprint(df))
+    val target = Paths.get(cacheDir, PlanCache.fingerprint(df, contentKeys = true))
     Files.delete(target.resolve("_SUCCESS"))
     val (again, outcome) = PlanCache.readThroughWithOutcome(df, cacheDir)
     assert(outcome == PlanCache.Miss) // recomputed and re-published
