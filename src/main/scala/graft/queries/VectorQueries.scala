@@ -28,6 +28,12 @@ object VectorQueries {
     */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[(String, String), Seq[graft.operators.KMeans.Model]]
+
+  /** Fitted two-level router per data dir (see v14) — one fit per dir so
+    * bench repeats time the screen, not the (deterministic) refits.
+    */
+  private val hierModels = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.operators.KMeans.Model, graft.operators.KMeans.Model)]
   private def pqFit(s: SparkSession, dir: String): Seq[graft.operators.KMeans.Model] =
     pqModels.synchronized {
       val emb = Tables.load(s, dir, "embeddings")
@@ -381,6 +387,33 @@ object VectorQueries {
         .select(col("vec_id"), col("label"))
     },
 
+    // Hierarchical-router INCREMENTAL SemDeDup (r15, the composition the
+    // r14 spec pinned, promoted to a declared oracle gate): both sides
+    // routed by the SAME fixed TWO-LEVEL router (fitHierarchical on the
+    // full corpus — coarse k=8 then fine k=4 on coarse residuals, both
+    // the exact fixed-point Lloyd's the km0 oracle replays), composite
+    // cell = coarse·k2 + fine via the fused native expression, then the
+    // v11 screen on the cell key. The oracle is fully self-contained:
+    // it replays BOTH Lloyd's fits (the fine one over replayed
+    // residuals), the two-level routing for every vector, and the
+    // cell-restricted new-vs-old cosine screen. maxCellSize pinned
+    // exact (the v9/v11 convention).
+    "v14_incremental_semdedup_hier" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val (coarse, fine) = hierModels.synchronized {
+        hierModels.getOrElseUpdate(dir,
+          Similarity.fitHierarchical(e, "vec_id", "embedding", k1 = 8, k2 = 4, maxIters = 5))
+      }
+      def assignedH(part: org.apache.spark.sql.DataFrame) =
+        Similarity.hierarchicalCells(part, "vec_id", "embedding", coarse, fine)
+          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+      Similarity.incrementalSemDedupKeep(
+        assignedH(e.filter(col("vec_id") % 10 === 7)),
+        assignedH(e.filter(col("vec_id") % 10 =!= 7)),
+        "vec_id", "embedding", "cell", 0.45, maxCellSize = Int.MaxValue)
+        .select(col("vec_id"), col("label"))
+    },
+
     // Vector norms via the codegen'd VectorDot expression.
     "v4_vector_norms" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings").select(
@@ -461,7 +494,13 @@ object VectorQueries {
     * replay arithmetic — tie order, empty-cluster carry, quantization
     * rounding — lands once instead of drifting between the two oracles.
     */
-  private def lloydChain(tg: String, off: Int, d: Int, k: Int, iters: Int, S: String): String = {
+  /** `srcSelect` overrides the quantized-input CTE body (`SELECT vec_id,
+    * ... AS qv FROM ...`) so the same fixed-point Lloyd's replay can run
+    * over a DERIVED vector table (the v14 fine fit over residuals); the
+    * default replays the raw embedding slice exactly as before.
+    */
+  private def lloydChain(tg: String, off: Int, d: Int, k: Int, iters: Int, S: String,
+      srcSelect: Option[String] = None): String = {
     val dims = s"(SELECT unnest(range(1, ${d + 1})) AS r) t"
     def iterBlock(i: Int): String = {
       val prev = s"${tg}c${i - 1}"
@@ -491,11 +530,13 @@ object VectorQueries {
            LEFT JOIN ${tg}n$i n ON n.cluster = g.cluster
            GROUP BY g.cluster)"""
     }
-    s"""${tg}ed AS (
-         SELECT vec_id,
+    val src = srcSelect.getOrElse(
+      s"""SELECT vec_id,
                 list_transform(embedding[${off + 1}:${off + d}],
                   x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
-         FROM embeddings),
+         FROM embeddings""")
+    s"""${tg}ed AS (
+         $src),
        ${tg}eq AS (
          SELECT vec_id, t.r AS dim_idx, qv[t.r] AS q
          FROM ${tg}ed, $dims),
@@ -518,6 +559,61 @@ object VectorQueries {
           FROM p${si}c$iters c, $dims"""
     }.mkString("\nUNION ALL\n")
     s"WITH $chains\n$finals"
+  }
+
+  /** v14's self-contained replay: coarse Lloyd's fit (the km0 chain) →
+    * coarse routing of every vector → residuals → FINE Lloyd's fit over
+    * the replayed residuals (the same chain, source overridden) → fine
+    * routing → composite cell = coarse·k2 + fine → the v11 screen on the
+    * cell key. Negative residual parity is exact: DuckDB `//` truncates
+    * toward zero like the JVM's long division, and `floor(x·S + 0.5)`
+    * quantizes negatives identically on both sides.
+    */
+  private def v14OracleSql(k1: Int, k2: Int, dim: Int, iters: Int, scale: Long): String = {
+    val S = s"$scale.0"
+    val fineSrc =
+      s"""SELECT vec_id,
+                list_transform(rv, x -> CAST(floor(x::DOUBLE * $S + 0.5) AS BIGINT)) AS qv
+         FROM residv"""
+    def sqdist(vexpr: String, cexpr: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}),
+           j -> ($vexpr[j] - $cexpr[j]) * ($vexpr[j] - $cexpr[j]))), (x, y) -> x + y)"""
+    s"""WITH ${lloydChain("", 0, dim, k1, iters, S)},
+       cdc AS MATERIALIZED (SELECT cluster, list_transform(cq, x -> x::DOUBLE / $S) AS cd FROM c$iters),
+       edd AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       cdist AS (
+         SELECT e.vec_id, c.cluster, ${sqdist("e.v", "c.cd")} AS d
+         FROM edd e CROSS JOIN cdc c),
+       casg AS MATERIALIZED (
+         SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM cdist) WHERE rn = 1),
+       residv AS MATERIALIZED (
+         SELECT e.vec_id,
+                list_transform(range(1, ${dim + 1}), j -> e.v[j] - c.cd[j]) AS rv
+         FROM edd e JOIN casg a USING (vec_id) JOIN cdc c ON c.cluster = a.cluster),
+       ${lloydChain("f", 0, dim, k2, iters, S, Some(fineSrc))},
+       fdc AS MATERIALIZED (SELECT cluster, list_transform(cq, x -> x::DOUBLE / $S) AS cd FROM fc$iters),
+       rdist AS (
+         SELECT r.vec_id, c.cluster, ${sqdist("r.rv", "c.cd")} AS d
+         FROM residv r CROSS JOIN fdc c),
+       fasg AS MATERIALIZED (
+         SELECT vec_id, cluster FROM (
+           SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
+           FROM rdist) WHERE rn = 1),
+       av AS MATERIALIZED (
+         SELECT c.vec_id, c.cluster * $k2 + f.cluster AS cell, e.v
+         FROM casg c JOIN fasg f USING (vec_id) JOIN edd e USING (vec_id)),
+       matched AS (
+         SELECT DISTINCT x.vec_id
+         FROM av x JOIN av y ON x.cell = y.cell
+         WHERE x.vec_id % 10 = 7 AND y.vec_id % 10 <> 7
+           AND list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.45)
+       SELECT e.vec_id, e.label FROM embeddings e
+       WHERE e.vec_id % 10 = 7 AND e.vec_id NOT IN (SELECT vec_id FROM matched)"""
   }
 
   private def km0OracleSql(k: Int, dim: Int, iters: Int, scale: Long): String = {
@@ -579,6 +675,8 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "km0_centroids" -> km0OracleSql(8, DIM, 5, graft.operators.KMeans.QuantScale),
+    "v14_incremental_semdedup_hier" ->
+      v14OracleSql(8, 4, DIM, 5, graft.operators.KMeans.QuantScale),
     "pq0_codebooks" -> pqOracleSql(PqM, PqK, DIM / PqM, PqIters, graft.operators.KMeans.QuantScale),
     // assignment replay from the pq0 export (km1's pattern, per
     // subspace): same double arithmetic (slice cast, dim-ascending
@@ -843,7 +941,7 @@ object VectorQueries {
            SELECT vec_id, cluster,
              row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
            FROM dist),
-         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+         av AS MATERIALIZED (SELECT a0.vec_id, a0.cluster, ed.v
                 FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
          matched AS (
            SELECT DISTINCT x.vec_id
@@ -914,7 +1012,7 @@ object VectorQueries {
            SELECT vec_id, cluster,
              row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
            FROM dist),
-         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+         av AS MATERIALIZED (SELECT a0.vec_id, a0.cluster, ed.v
                 FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
          matched AS (
            SELECT DISTINCT x.vec_id
@@ -1053,7 +1151,7 @@ object VectorQueries {
            SELECT vec_id, cluster,
              row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rn
            FROM dist),
-         av AS (SELECT a0.vec_id, a0.cluster, ed.v
+         av AS MATERIALIZED (SELECT a0.vec_id, a0.cluster, ed.v
                 FROM asg0 a0 JOIN ed USING (vec_id) WHERE a0.rn = 1),
          pr AS (
            SELECT x.vec_id AS da, y.vec_id AS db
