@@ -234,6 +234,24 @@ object Bench {
           batchAssigned, oldAssigned, "vec_id", "embedding", "cluster", 0.45))
       }
     }
+    // Sketch-append maintenance (bench-only, the ii3/ii5 pattern on the
+    // r15 maintenance ops): each timed append hashes ONLY the batch and
+    // adds identical fragment rows to a pre-built SRP sketch — append
+    // cost is batch-sized and independent of artifact size, so
+    // repeat-timing is sound and a regression here means the maintenance
+    // loop's economics broke.
+    val v12Steady = fixtureBench("v12_append_steady") {
+      val emb2 = Tables.load(spark, sfDir, "embeddings")
+      val skDir = graft.queries.QueryTmp.dir("bench-v12") + "/sketch"
+      graft.operators.Similarity.srpSketch(
+          emb2.filter(col("vec_id") % 10 =!= 7), "vec_id", "embedding", 64, bits = 6)
+        .write.mode("overwrite").parquet(skDir)
+      val batch = emb2.filter(col("vec_id") % 10 === 7)
+      bench("v12_append_steady") {
+        graft.operators.Similarity.appendToSrpSketch(
+          batch, "vec_id", "embedding", 64, skDir, bits = 6)
+      }
+    }
     // Convergence-driven PageRank (bench-only): the production stopping
     // rule has no oracle gate BY DESIGN (float stopping rule — the gates
     // exercise the fixed-iteration twin on the same shared round engine),
@@ -260,7 +278,8 @@ object Bench {
       ("bj1_join_steady" -> bj1Steady) :+ ("ii2_search_steady" -> ii2Steady) :+
       ("ii3_append_steady" -> ii3Steady) :+ ("ii4_bm25_steady" -> ii4Steady) :+
       ("ii5_append_steady" -> ii5Steady) :+ ("v10_screen_steady" -> v10Steady) :+
-      ("v11_screen_steady" -> v11Steady) :+ ("v8c_pagerank_converged" -> v8cSteady)
+      ("v11_screen_steady" -> v11Steady) :+ ("v8c_pagerank_converged" -> v8cSteady) :+
+      ("v12_append_steady" -> v12Steady)
     // bench-only = appended after the declared-query sweep; DERIVED here
     // so the artifact's note can never again under-enumerate them (the
     // r14 ADVICE finding: the hand-written list missed three entries)

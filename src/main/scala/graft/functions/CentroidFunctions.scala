@@ -32,9 +32,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * `isNotNull` upstream, as they already did for the UDF (which NPE'd
   * on null instead — the one deliberate behavior change, null-in →
   * null-out, strictly more graceful and unreachable on the gated
-  * corpora).
+  * corpora). A null ELEMENT inside a non-null vector fails LOUDLY:
+  * `ArrayData.getDouble` on a null slot would read 0.0 and route the
+  * row to a plausible-but-wrong cell — the silent-corruption direction —
+  * where the interpreted UDF threw; the guard keeps that failure loud.
   */
 object CentroidFunctions {
+
+  /** See the class note: null SLOTS must not silently read as 0.0. */
+  private def requireNoNullSlots(arr: ArrayData, what: String): Unit = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$what: vector has a null element at index $i — it would silently " +
+          "route as 0.0; filter or repair null slots upstream")
+      i += 1
+    }
+  }
 
   /** Index of the nearest centroid by squared L2 — `Model.nearest` over
     * the unboxed array. The loop runs over the INPUT's length (a vector
@@ -80,8 +95,11 @@ object CentroidFunctions {
     @transient private lazy val centroids = bc.value
     override def dataType: DataType = IntegerType
     override def prettyName: String = "nearest_centroid"
-    override def nullSafeEval(input: Any): Any =
-      nearestIdx(input.asInstanceOf[ArrayData], centroids)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      requireNoNullSlots(arr, prettyName)
+      nearestIdx(arr, centroids)
+    }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -100,6 +118,7 @@ object CentroidFunctions {
     override def prettyName: String = "hierarchical_cell_id"
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
+      requireNoNullSlots(arr, prettyName)
       val n = arr.numElements()
       val a = new Array[Double](n)
       var i = 0
@@ -128,6 +147,7 @@ object CentroidFunctions {
     override def prettyName: String = "pq_codes"
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
+      requireNoNullSlots(arr, prettyName)
       val n = arr.numElements()
       val a = new Array[Double](n)
       var i = 0

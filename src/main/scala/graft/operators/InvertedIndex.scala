@@ -200,10 +200,14 @@ object InvertedIndex {
     */
   private val AppendLockTimeoutMs = 600 * 1000L
 
+  /** The append lock's inode (see [[appendScored]]/[[withAppendLock]]). */
+  private def appendLockPath(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "._graft_totals.lock")
+
   /** Run `body` holding the index's append lock (see [[appendScored]]). */
   private def withAppendLock[A](path: String)(body: => A): A =
     graft.sources.FsUtil.withFileLock(
-      java.nio.file.Paths.get(path, "._graft_totals.lock"), AppendLockTimeoutMs,
+      appendLockPath(path), AppendLockTimeoutMs,
       "appendScored",
       "another appender is wedged holding it (or the filesystem does not honor " +
         "advisory FileLocks, e.g. some NFS mounts; route multi-writer ingest " +
@@ -222,15 +226,24 @@ object InvertedIndex {
     val totals = readTotals(path).getOrElse {
       val t = corpusTotals(scored, idCol)
       // best-effort persist: a read-only mount (a consumer attaching a
-      // shared artifact it cannot write) must still get the computed
-      // stats — the next writable attach heals the sidecar instead.
-      // NEVER persisted while an append is in flight (the dot-prefixed
-      // marker): totals computed from partially committed postings,
-      // persisted, then orphaned by an appender crash would violate the
-      // "crash leaves NO sidecar" invariant — compute-only here, and the
-      // next successful append (or a quiescent attach) heals durably.
+      // shared artifact it cannot write — opening the lock file throws
+      // there) must still get the computed stats; the next writable
+      // attach heals the sidecar instead. The persist runs under a
+      // NON-BLOCKING grab of the append lock with BOTH conditions
+      // re-checked inside it: the unlocked marker check alone was a
+      // TOCTOU — an append could run END TO END during this attach's
+      // corpusTotals job, after which persisting `t` (computed from
+      // pre-append postings) would overwrite the append's fresh sidecar
+      // with stale totals forever; and an append STARTING mid-persist
+      // could crash and orphan this sidecar, violating "crash leaves NO
+      // sidecar". Under the lock no append is mid-flight, a leftover
+      // marker means one crashed (skip — the next append heals), and a
+      // present sidecar is FRESHER than t (skip). tryLock, not a wait:
+      // a live appender supersedes this heal anyway.
       if (!appendInProgress(path)) {
-        try writeTotals(path, t)
+        try graft.sources.FsUtil.tryWithFileLock(appendLockPath(path)) {
+          if (!appendInProgress(path) && readTotals(path).isEmpty) writeTotals(path, t)
+        }: Unit
         catch { case _: java.io.IOException | _: SecurityException => () }
       }
       t

@@ -123,7 +123,12 @@ object Similarity {
     // annCosinePairsImpl/annKnnGraph count — so the same corpus resolves
     // the same bits from every entry point near an autoBits boundary
     // (zero-norm rows still bucket in a bare call, but no downstream
-    // consumer scores them: the keying math sizes to scorable vectors)
+    // consumer scores them: the keying math sizes to scorable vectors).
+    // COST: unlike the impl paths, which count a projection they persist
+    // and reuse, a bare auto call pays one extra vector-reading scan for
+    // this count (the norm filter decodes every vector) on TOP of the
+    // bucket pass — at scale pass explicit bits, which also keeps
+    // construction lazy (the AutoBits doc)
     val kb =
       if (bits == AutoBits)
         autoBits(math.max(1L, df.filter(vecNorm(col(vecCol)) > 0).count()))

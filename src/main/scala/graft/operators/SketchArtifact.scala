@@ -73,14 +73,23 @@ private[graft] object SketchArtifact {
     * The swap is two atomic renames under the append lock (live → `.old`,
     * compacted → live). A crash BETWEEN them leaves the artifact path
     * missing and the `.old` directory intact: every reader fails LOUDLY
-    * (no silent staleness — the sidecar invariant, directory-shaped);
-    * recover by renaming the `.old` directory back and re-running.
+    * (no silent staleness — the sidecar invariant, directory-shaped),
+    * and the next [[compact]] AUTO-RECOVERS by renaming `.old` back
+    * before it sweeps debris — a blind sweep in that state would delete
+    * the only surviving copies (the original under `.old`, the compacted
+    * rows under the tmp dir) and lose the artifact outright.
     */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
       idsCol: String = "ids"): Unit = withArtifactLock(path) {
     val tmp = path.stripSuffix("/") + "._graft_compact_tmp"
     val old = path.stripSuffix("/") + "._graft_compact_old"
-    // debris from a compact that crashed before its first rename
+    // crash-between-renames state: live path missing, pre-compaction copy
+    // under `.old` — restore it FIRST (see the scaladoc; order matters:
+    // recovery before sweep, never the reverse)
+    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(old)))
+      Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    // debris from a compact that crashed before its second rename is now
+    // safe to sweep: the live path exists (or this read fails loudly)
     FsUtil.deleteTree(Paths.get(tmp))
     FsUtil.deleteTree(Paths.get(old))
     spark.read.parquet(path)

@@ -63,6 +63,22 @@ private[graft] object FsUtil {
     } finally ch.close()
   }
 
+  /** Non-blocking [[withFileLock]]: one `tryLock` attempt — `None` when
+    * the lock is held elsewhere (the caller's slow path must be safe to
+    * skip, e.g. a best-effort heal that a concurrent writer supersedes).
+    */
+  def tryWithFileLock[A](lockPath: Path)(body: => A): Option[A] = {
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lock == null) None
+      else try Some(body) finally lock.release()
+    } finally ch.close()
+  }
+
   /** Reclaim staging debris: delete direct children of `dir` matching
     * `glob` whose ENTIRE tree has been untouched for `graceMs` (see
     * [[newestMtimeMs]] — only a writer that truly died leaves a tree

@@ -49,27 +49,27 @@ object PlanCache {
   case object Hit extends Outcome
   case object Miss extends Outcome
 
-  /** Session-wide key-tier dial: `spark.graft.planCache.contentKeys`
-    * (true/false), when SET, decides the tier for every attach in the
-    * session, overriding per-call flags in both directions.
+  /** Session conf that UPGRADES the key tier to content keys:
+    * `spark.graft.planCache.contentKeys = true` makes every attach
+    * behave as if `contentKeys = true` was passed. Upgrade-only, both
+    * before and after the default flip: a conf value of `false` is the
+    * same as unset, because a session conf that could force the
+    * stale-serving file-list tier onto a call site that explicitly
+    * asked for content keys would silently remove requested safety — a
+    * caller cannot distinguish "default true" from "explicit true", so
+    * the only sound downgrade is the per-call `contentKeys = false`.
     *
-    * Default-flip record (staged r13→r15, executed r15): content keys are
-    * the SAFE mode — an in-place input overwrite misses instead of
-    * serving stale bytes — and are now the code default. The migration
-    * cost is one fleet-wide cold miss (every pre-flip entry was published
-    * under the file-list tier and its key rotates); the retention sweep
-    * ([[RetentionConf]]) reclaims the orphaned list-tier entries. This
-    * conf is the ESCAPE HATCH for a deployment that cannot pay the
-    * per-attach O(files) stat pass (or wants reference-parity
-    * survive-until-decached semantics fleet-wide): set it to `false`.
-    * Pre-flip the conf was upgrade-only — a conf must never remove
-    * safety a call site asked for explicitly — but post-flip the default
-    * IS the safe tier, and with a `true` default an explicit `true`
-    * argument is indistinguishable from the default, so the conf is now
-    * the single deployment-wide authority when present. A call site that
-    * must NEVER serve stale bytes regardless of session conf should pair
-    * its attach with [[invalidate]] on known input rewrites rather than
-    * rely on the tier.
+    * Default-flip record (staged r13→r14, executed r15): content keys
+    * are the SAFE mode — an in-place input overwrite misses instead of
+    * serving stale bytes — and are now the code default for
+    * [[fingerprint]]/[[readThrough]]/[[readThroughWithOutcome]] (and
+    * `cacheAcrossSessions`). The migration cost is one fleet-wide cold
+    * miss (every pre-flip entry was published under the file-list tier
+    * and its key rotates); the retention sweep ([[RetentionConf]])
+    * reclaims the orphaned list-tier entries. A deployment that cannot
+    * pay the per-attach O(files) stat pass (or wants reference-parity
+    * survive-until-decached semantics) opts out PER CALL SITE with
+    * `contentKeys = false` — deliberately no fleet-wide downgrade knob.
     */
   val ContentKeysConf = "spark.graft.planCache.contentKeys"
 
@@ -93,13 +93,12 @@ object PlanCache {
     */
   val RetentionConf = "spark.graft.planCache.retentionMs"
 
-  /** The effective key tier: the session conf when set (the deployment-
-    * wide authority — see [[ContentKeysConf]]), else the caller's flag
-    * (whose default is the safe content tier since r15).
+  /** The effective key tier: the caller's flag (default = the safe
+    * content tier since r15) OR'd with the session conf (see
+    * [[ContentKeysConf]] — the conf only upgrades, never downgrades).
     */
   private def effectiveContentKeys(df: DataFrame, contentKeys: Boolean): Boolean =
-    df.sparkSession.conf.getOption(ContentKeysConf)
-      .map(_.trim.toBoolean).getOrElse(contentKeys)
+    contentKeys || df.sparkSession.conf.getOption(ContentKeysConf).exists(_.trim.toBoolean)
 
   /** Outcome of the most recent [[readThrough]] on this JVM. Convenience
     * for sequential callers — under concurrency use
@@ -122,8 +121,15 @@ object PlanCache {
     * upgrade (or a refactor here) that rotates the canonicalized-plan
     * serialization turns a silent fleet-wide cache miss into a named
     * test failure with an explicit migration note.
+    *
+    * The default tier tracks [[readThrough]]'s (content keys since r15),
+    * so `fingerprint(df)` names the entry a default attach creates.
+    * Deliberately does NOT consult [[ContentKeysConf]] — the plan-id
+    * marker hashes `contentKeys = false` and must stay list-tier under
+    * any session conf; in a conf-upgraded session, mirror an
+    * explicit-false attach by passing the tier explicitly.
     */
-  def fingerprint(df: DataFrame, contentKeys: Boolean = false): String = {
+  def fingerprint(df: DataFrame, contentKeys: Boolean = true): String = {
     val md = MessageDigest.getInstance("SHA-256")
     def put(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
     // BOTH serializations are hashed, because each elides what the other

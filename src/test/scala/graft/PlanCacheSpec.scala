@@ -115,7 +115,10 @@ class PlanCacheSpec extends SparkSuite {
     // (rotated once within r10 — pre-release — when local-data hashing
     // gained per-field boundaries; no deployed caches existed under the
     // earlier keys)
-    assert(PlanCache.fingerprint(df) == "06ed7ed1a8436d5647bc61f55a79cf15",
+    // local-data plans have no file inputs, so both key tiers hash the
+    // same bytes — pinned at the list tier explicitly anyway so the
+    // golden value survives any future default change
+    assert(PlanCache.fingerprint(df, contentKeys = false) == "06ed7ed1a8436d5647bc61f55a79cf15",
       "fingerprint rotated — cross-version cache keys no longer match; " +
         "see migration note in this test")
   }
@@ -169,8 +172,8 @@ class PlanCacheSpec extends SparkSuite {
       spark.read.parquet(file.toString).groupBy(col("s")).agg(count(lit(1)).as("n"))
     }
     val d1 = q()
-    val listKey = PlanCache.fingerprint(d1)
-    val contentKey = PlanCache.fingerprint(d1, contentKeys = true)
+    val listKey = PlanCache.fingerprint(d1, contentKeys = false)
+    val contentKey = PlanCache.fingerprint(d1) // default tracks readThrough's (content)
     assert(listKey != contentKey) // stats are part of the content key
     // the DEFAULT attach publishes under the CONTENT key (the r15 flip)
     val oldRows = PlanCache.readThrough(d1, cacheDir).collect().map(_.toString).sorted.toSeq
@@ -203,7 +206,7 @@ class PlanCacheSpec extends SparkSuite {
     // explicit list tier (reference parity, the documented opt-out):
     // same file list → same key → HIT, serving the stale pre-overwrite
     // rows until an explicit invalidate
-    assert(PlanCache.fingerprint(d2) == listKey)
+    assert(PlanCache.fingerprint(d2, contentKeys = false) == listKey)
     val (stale, o1) = PlanCache.readThroughWithOutcome(d2, cacheDir, contentKeys = false)
     assert(o1 == PlanCache.Hit)
     assert(stale.collect().map(_.toString).sorted.toSeq == oldRows)
@@ -256,29 +259,30 @@ class PlanCacheSpec extends SparkSuite {
     assert(!Files.exists(Paths.get(cacheDir, k1)), "stale content entry survived invalidate")
   }
 
-  test("session conf is the deployment-wide tier authority (the post-flip escape hatch)") {
+  test("session conf upgrades the tier; it can never downgrade (explicit false is the only opt-out)") {
     val cacheDir = tmpDir("pc-conf")
     val df = ordersAgg(spark, sf0001)
-    val listKey = PlanCache.fingerprint(df)
-    val contentKey = PlanCache.fingerprint(df, contentKeys = true)
+    val listKey = PlanCache.fingerprint(df, contentKeys = false)
+    val contentKey = PlanCache.fingerprint(df) // default = content since r15
     assert(listKey != contentKey)
-    // conf = false downgrades EVERY attach — including an explicit
-    // contentKeys = true call site (post-flip the conf wins when set;
-    // see the ContentKeysConf record)
-    spark.conf.set(PlanCache.ContentKeysConf, "false")
-    try {
-      PlanCache.readThrough(df, cacheDir, contentKeys = true).count()
-      assert(Files.exists(Paths.get(cacheDir, listKey, "_SUCCESS")))
-      assert(!Files.exists(Paths.get(cacheDir, contentKey)))
-    } finally spark.conf.unset(PlanCache.ContentKeysConf)
-    // conf unset: the default publishes under the CONTENT key, and a
-    // conf = true session lands on the same entry (upgrade direction)
-    PlanCache.readThrough(df, cacheDir).count()
-    assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
+    // conf = true upgrades even an explicit contentKeys = false call —
+    // the conf moves toward safety only
     spark.conf.set(PlanCache.ContentKeysConf, "true")
     try {
-      val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir, contentKeys = false)
-      assert(o == PlanCache.Hit)
+      PlanCache.readThrough(df, cacheDir, contentKeys = false).count()
+      assert(Files.exists(Paths.get(cacheDir, contentKey, "_SUCCESS")))
+      assert(!Files.exists(Paths.get(cacheDir, listKey)))
+    } finally spark.conf.unset(PlanCache.ContentKeysConf)
+    // conf = false is the same as unset: it cannot force the
+    // stale-serving file-list tier onto anyone — a default attach still
+    // lands on the content entry, and only an explicit per-call false
+    // publishes the list-tier entry
+    spark.conf.set(PlanCache.ContentKeysConf, "false")
+    try {
+      val (_, o) = PlanCache.readThroughWithOutcome(df, cacheDir)
+      assert(o == PlanCache.Hit) // the content entry published above
+      PlanCache.readThrough(df, cacheDir, contentKeys = false).count()
+      assert(Files.exists(Paths.get(cacheDir, listKey, "_SUCCESS")))
     } finally spark.conf.unset(PlanCache.ContentKeysConf)
   }
 

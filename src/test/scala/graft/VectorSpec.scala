@@ -394,6 +394,19 @@ class VectorSpec extends SparkSuite {
     val rows = KMeans.assign(withNull, "vec_id", "embedding", model)
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
     assert(rows(1L).contains(0) && rows(2L).isEmpty)
+    // a null ELEMENT inside a non-null vector fails LOUDLY: ArrayData
+    // would read the slot as 0.0 and route to a plausible-but-wrong
+    // cluster — the silent-corruption direction the guard closes (the
+    // UDF threw an NPE here; the expression names the slot instead)
+    val withNullSlot = Seq((1L, Seq[java.lang.Float](1f, null, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      KMeans.assign(withNullSlot, "vec_id", "embedding", model).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("null element")), s"wrong failure: $err")
     // PQ encode: native one-pass expression equals per-slice Model.nearest
     val (models, codes) = Quantize.productQuantize(
       df, "vec_id", "embedding", m = 2, k = 3, iters = 3)

@@ -252,6 +252,32 @@ class InvertedIndexSpec extends SparkSuite {
     assert(after == (3L, 8.0 / 3.0))
   }
 
+  test("attachScored skips the heal-persist while another writer holds the append lock") {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val dir = Files.createTempDirectory("graft-ii-lockheal").toString
+    InvertedIndex.materializeScored(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/p")
+    Files.delete(Paths.get(s"$dir/p", "_graft_bm25_totals"))
+    // hold the append lock the way a live appendScored does — the
+    // unlocked-marker TOCTOU this pins: an append running end-to-end
+    // during the attach's corpusTotals job must not have its fresh
+    // sidecar clobbered by the attach's stale heal, so the heal-persist
+    // takes a NON-BLOCKING grab of the same lock and skips when held
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(s"$dir/p", "._graft_totals.lock"),
+      StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+    val lock = ch.lock()
+    try {
+      val (_, stats) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+      assert(stats == (2L, 3.0)) // computed exactly...
+      assert(InvertedIndex.readTotals(s"$dir/p").isEmpty,
+        "...but not persisted while a writer holds the lock")
+    } finally { lock.release(); ch.close() }
+    // lock released: the next attach heals durably
+    val (_, after) = InvertedIndex.attachScored(spark, s"$dir/p", "doc_id")
+    assert(after == (2L, 3.0))
+    assert(InvertedIndex.readTotals(s"$dir/p").contains((2L, 6L)))
+  }
+
   test("racing appendScored calls serialize under the append lock; totals stay exact") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-ii-race").toString

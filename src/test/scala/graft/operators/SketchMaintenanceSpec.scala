@@ -161,6 +161,35 @@ class SketchMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("compact auto-recovers the crash-between-renames state instead of sweeping the only copies") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val bits = 4
+    val old = emb.filter(col("vec_id") % 10 =!= 7)
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+    val path = tmp("graft-srp-crash")
+    Similarity.srpSketch(old, "vec_id", "embedding", 64, bits)
+      .write.mode("overwrite").parquet(path)
+    def screen() = keptIds(Similarity.incrementalAnnKeep(
+      batch, spark.read.parquet(path), old, "vec_id", "embedding", 64, 0.45, bits,
+      maxBucketSize = Int.MaxValue))
+    val want = screen()
+    // simulate a compact that died between its two renames: the live
+    // path is gone, the pre-compaction copy sits under `.old`, and a
+    // half-written tmp dir is also present
+    Files.move(Paths.get(path), Paths.get(path + "._graft_compact_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(Paths.get(path + "._graft_compact_tmp"))
+    Files.write(Paths.get(path + "._graft_compact_tmp", "part-junk.parquet"),
+      "debris".getBytes("UTF-8"))
+    // a retried compact must RESTORE the artifact, not delete the only
+    // surviving copy as "debris" and then fail the read
+    Similarity.compactSrpSketch(spark, path)
+    assert(Files.exists(Paths.get(path)), "artifact not restored")
+    assert(!Files.exists(Paths.get(path + "._graft_compact_old")))
+    assert(!Files.exists(Paths.get(path + "._graft_compact_tmp")))
+    assert(screen() == want, "recovered-then-compacted artifact must screen identically")
+  }
+
   // ---- assigned corpus (SemDeDup) ----
 
   test("appendAssigned: screen against the appended table == screen against the directly-assigned old side") {
