@@ -326,6 +326,29 @@ object ScaleProbe {
         val tCompact = timed { Dedup.compactMinhashSketch(spark, skDir) }
         println(f"[probe] ${"d17_compact"}%-24s ${tCompact}%6.2f s")
       }
+      // --shappend — the SimHash maintenance loop (d19/d20's shape): the
+      // self-sufficient sketch means the screen reads NO corpus text —
+      // append the accepted batch (timed, batch-sized), screen today's
+      // batch against the appended artifact (timed), compact (timed).
+      if (args.contains("--shappend")) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8)
+        val acc = docs.filter(col("doc_id") % 10 === 8)
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+        val skDir = graft.queries.QueryTmp.dir("probe-shapp") + "/sketch"
+        Dedup.simhashSketch(base, "doc_id", "text").write.mode("overwrite").parquet(skDir)
+        val tAppend = timed {
+          Dedup.appendToSimhashSketch(acc, "doc_id", "text", skDir)
+        }
+        println(f"[probe] ${"d20_sketch_append"}%-24s ${tAppend}%6.2f s")
+        val tScreen = timed {
+          Dedup.incrementalSimhashKeep(batch, spark.read.parquet(skDir), "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"d20_screen_after"}%-24s ${tScreen}%6.2f s")
+        val tCompact = timed { Dedup.compactSimhashSketch(spark, skDir) }
+        println(f"[probe] ${"d20_compact"}%-24s ${tCompact}%6.2f s")
+      }
       // --assignedappend=k[:threshold] — the v13 maintenance loop: the
       // assigned corpus (vec_id % 10 ∉ {7, 8}, fixed router) is the saved
       // table; appendAssigned folds the accepted batch's assigned rows in

@@ -1311,35 +1311,8 @@ object Dedup {
     // chunk and the pair silently never becomes a candidate
     require(maxHamming <= 3,
       s"simhashNearDupPairs: 4-chunk blocking covers maxHamming <= 3, got $maxHamming")
-    // same integral-id contract as connectedComponents: a silent
-    // cast("long") of string/UUID ids yields NULLs (ANSI off) that the
-    // typed map then rejects mid-job, or CAST_INVALID_INPUT (ANSI on),
-    // and numeric strings "7"/"07" would silently collapse
-    locally {
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = df.schema(idCol).dataType
-      require(Set[org.apache.spark.sql.types.DataType](
-          ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"simhashNearDupPairs: id column '$idCol' must be integral, got $dt — " +
-          "hash or re-key non-numeric ids first")
-    }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sketches = df
-      // null-tolerant like the MinHash path: a null id or text drops out
-      // instead of NPE-ing the typed map
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(text)) }
-      .toDF("id", "sim")
-
-    val buckets = sketches.select(
-      col("id"), col("sim"),
-      posexplode(array((0 until 4).map(j => shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("id", "sim", "chunk", "val")
-      .groupBy("chunk", "val")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+    val buckets = simhashBuckets(simhashFrame(df, idCol, textCol, "simhashNearDupPairs"),
+      "members")
     observeDrops(buckets, size(col("members")), maxBucketSize, dropMetrics)
       .filter(size(col("members")) > 1 && size(col("members")) <= maxBucketSize)
       .select(explode(col("members")).as("x"), col("members"))
@@ -1349,5 +1322,116 @@ object Dedup {
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Per-doc (id, sim) SimHash frame — the sketch pass shared by the
+    * all-pairs, incremental, and artifact paths.
+    */
+  private def simhashFrame(df: DataFrame, idCol: String, textCol: String,
+      what: String): DataFrame = {
+    // same integral-id contract as connectedComponents: a silent
+    // cast("long") of string/UUID ids yields NULLs (ANSI off) that the
+    // typed map then rejects mid-job, or CAST_INVALID_INPUT (ANSI on),
+    // and numeric strings "7"/"07" would silently collapse
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(idCol).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$what: id column '$idCol' must be integral, got $dt — " +
+          "hash or re-key non-numeric ids first")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    df
+      // null-tolerant like the MinHash path: a null id or text drops out
+      // instead of NPE-ing the typed map
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("id", "sim")
+  }
+
+  /** (chunk, val) buckets over a sketch frame, members = (id, sim)
+    * structs. The groupBy formulation evaluates the sketch pipeline ONCE
+    * (a self-join would run the upstream map on both sides).
+    */
+  private def simhashBuckets(sketches: DataFrame, membersCol: String): DataFrame =
+    sketches.select(
+      col("id"), col("sim"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sim", "chunk", "val")
+      .groupBy("chunk", "val")
+      .agg(collect_list(struct(col("id"), col("sim"))).as(membersCol))
+
+  /** Persistable SimHash sketch of a corpus: one row per (chunk, val)
+    * bucket with its member (id, sim) structs — [[minhashSketch]]'s
+    * SimHash twin, and a SELF-SUFFICIENT one: Hamming verification needs
+    * only the 64-bit sketches, which ride IN the artifact, so the
+    * incremental screen ([[incrementalSimhashKeep]]) never re-reads the
+    * existing corpus at all (the minhash screen must re-read candidate
+    * text for Jaccard verification; the SRP screen re-reads candidate
+    * vectors for cosine). Maintain with [[appendToSimhashSketch]];
+    * compact with [[compactSimhashSketch]].
+    */
+  def simhashSketch(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashBuckets(simhashFrame(spreadIfNarrow(df), idCol, textCol, "simhashSketch"),
+      "members")
+
+  /** Batch-sized maintenance for a persisted [[simhashSketch]] — the
+    * [[appendToMinhashSketch]] economics on the SimHash family: sketch
+    * ONLY the accepted batch, append its (chunk, val, members) rows under
+    * the [[SketchArtifact]] lock. Fragmentation / crash / re-append
+    * idempotence: [[SketchArtifact]].
+    */
+  def appendToSimhashSketch(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    SketchArtifact.append(simhashSketch(batch, idCol, textCol), path)
+
+  /** Merge a fragment-accumulating [[appendToSimhashSketch]] artifact back
+    * to one row per (chunk, val) — O(sketch); restores exact per-bucket
+    * guard semantics (see [[SketchArtifact.compact]]).
+    */
+  def compactSimhashSketch(spark: SparkSession, path: String): Unit =
+    SketchArtifact.compact(spark, path, Seq("chunk", "val"), "members")
+
+  /** Incremental SimHash screening — the d10/v10 daily-batch shape on the
+    * SimHash family, completing the incremental matrix's fourth near-dup
+    * signal: ONLY the batch is sketched; candidates are new-vs-old within
+    * shared (chunk, val) buckets of the SAVED sketch; verification is
+    * `bit_count(xor)` over the sims BOTH sides already carry (zero
+    * corpus re-reads — see [[simhashSketch]]); verified matches anti-join
+    * out of the batch. Per-side `maxBucketSize` guard with whole-bucket
+    * drop accounting (the incrementalCore convention); batch-internal
+    * dups are deliberately not screened (the d10 caller contract).
+    */
+  def incrementalSimhashKeep(newDf: DataFrame, oldSketch: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame = {
+    require(maxHamming <= 3,
+      s"incrementalSimhashKeep: 4-chunk blocking covers maxHamming <= 3, got $maxHamming")
+    val newBuckets = simhashBuckets(
+      simhashFrame(spreadIfNarrow(newDf), idCol, textCol, "incrementalSimhashKeep"),
+      "new_members")
+    val shared = newBuckets
+      .join(oldSketch.select(col("chunk"), col("val"), col("members").as("old_members")),
+        Seq("chunk", "val"))
+    val droppedPred =
+      size(col("new_members")) > maxBucketSize || size(col("old_members")) > maxBucketSize
+    val matched = observeDropsWhere(
+        shared, droppedPred, size(col("new_members")) + size(col("old_members")), dropMetrics)
+      .filter(size(col("new_members")) <= maxBucketSize &&
+        size(col("old_members")) <= maxBucketSize)
+      .select(explode(col("new_members")).as("x"), col("old_members"))
+      .select(col("x"), explode(col("old_members")).as("y"))
+      .filter(bit_count(col("x.sim").bitwiseXOR(col("y.sim"))) <= maxHamming)
+      .select(col("x.id").as("__match_id")).distinct()
+    // verification already happened inline (sims ride in both sides), so
+    // no candidate cache/checkpoint lifecycle is needed — the whole
+    // screen is ONE lazy pipeline; AQE picks the anti-join strategy
+    newDf.join(matched, col(idCol).cast("long") === col("__match_id"), "left_anti")
   }
 }

@@ -353,6 +353,22 @@ object TextQueries {
     // % 10 = 8 batch would silently pass. Oracle = rebuild-then-screen.
     "d17_sketch_append_screen" -> { (s, dir) => appendSketchScreen(s, dir) },
 
+    // Incremental SimHash screening (r15): the fourth near-dup signal
+    // joins the incremental matrix (minhash d10-d13, SRP v10/v12,
+    // SemDeDup v11/v13/v14). The saved sketch is SELF-SUFFICIENT — the
+    // 64-bit sims ride in the artifact, so verification is bit_count(xor)
+    // with ZERO corpus re-reads. Guard pinned to exact enumeration
+    // (chunk blocking is exhaustive at hamming <= 3 by pigeonhole, so
+    // the oracle enumerates all cross pairs with no guard replay).
+    "d19_simhash_incremental" -> { (s, dir) => simhashScreen(s, dir, append = false) },
+
+    // d19's MAINTENANCE twin (the d17 shape on the SimHash family): the
+    // accepted % 10 = 8 batch enters the saved sketch via
+    // appendToSimhashSketch, then today's batch screens against the
+    // appended artifact. Oracle identical to d19 (screen-after-append ≡
+    // rebuild-then-screen).
+    "d20_simhash_append_screen" -> { (s, dir) => simhashScreen(s, dir, append = true) },
+
     // Bloom-pruned incremental EXACT dedup (d12's cheaper sibling: same
     // daily-batch split, equality instead of near-dup). The existing
     // corpus's Bloom is the persisted artifact (memoized per dir like
@@ -442,6 +458,77 @@ object TextQueries {
 
   /** Appended-sketch path per data dir (see d17). */
   private val appendSketchDir = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** d19/d20's body: screen today's batch (doc_id % 10 = 7) against a
+    * persisted SimHash sketch — built over the whole old side (d19), or
+    * built over ∉ {7, 8} and MAINTAINED by appending the accepted
+    * % 10 = 8 batch (d20). Both must hash-match the same oracle:
+    * screen-after-append ≡ rebuild-then-screen. Fixtures memoized per
+    * (dir, variant) like d12/d17.
+    */
+  def simhashScreen(s: SparkSession, dir: String, append: Boolean): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val out = simhashSketchDir.synchronized {
+      simhashSketchDir.getOrElseUpdate((dir, append), {
+        val d = QueryTmp.dir(if (append) "shsketch-append-q" else "shsketch-q")
+        if (append) {
+          Dedup.simhashSketch(
+              docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8),
+              "doc_id", "text")
+            .write.mode("overwrite").parquet(d)
+          Dedup.appendToSimhashSketch(
+            docs.filter(col("doc_id") % 10 === 8), "doc_id", "text", d)
+        } else {
+          Dedup.simhashSketch(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+            .write.mode("overwrite").parquet(d)
+        }
+        d
+      })
+    }
+    Dedup.incrementalSimhashKeep(
+      docs.filter(col("doc_id") % 10 === 7), s.read.parquet(out),
+      "doc_id", "text", maxBucketSize = Int.MaxValue)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Materialized SimHash-sketch path per (data dir, appended) (see d19/d20). */
+  private val simhashSketchDir =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
+
+  /** Shared d19/d20 replay (see the oracle-map comment). */
+  private val simhashIncrementalOracle: String =
+    """WITH tok AS (
+         SELECT d.doc_id, u.t
+         FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
+         WHERE u.t <> ''),
+       th AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(14695981039346656037::HUGEINT,
+               list_transform(string_split(t,''), c -> ascii(c)::HUGEINT)),
+             (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+         FROM tok),
+       bits AS (
+         SELECT th.doc_id, i.i,
+                sum(CASE WHEN (th.h >> i.i) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM th, (SELECT unnest(range(64)) AS i) i
+         GROUP BY th.doc_id, i.i),
+       sims AS (
+         SELECT b.doc_id,
+                sum(CASE WHEN b.acc > 0 THEN (1::HUGEINT << b.i) ELSE 0::HUGEINT END) AS usim
+         FROM bits b GROUP BY b.doc_id),
+       s2 AS MATERIALIZED (
+         SELECT d.doc_id,
+                COALESCE(CASE WHEN s.usim >= 9223372036854775808::HUGEINT
+                     THEN (s.usim - 18446744073709551616::HUGEINT)::BIGINT
+                     ELSE s.usim::BIGINT END, 0) AS sim
+         FROM documents d LEFT JOIN sims s USING (doc_id)),
+       matched AS (
+         SELECT DISTINCT n.doc_id
+         FROM s2 n JOIN s2 o ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+         WHERE bit_count(xor(n.sim, o.sim)) <= 3)
+       SELECT doc_id, lang FROM documents
+       WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM matched)"""
 
   val oracles: Map[String, String] = Map(
     "t8_normalize" ->
@@ -831,6 +918,15 @@ object TextQueries {
                  / len(list_distinct(list_concat(n.s, o.s))) >= 0.8)
          SELECT doc_id, lang FROM documents
          WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM hit)""",
+    // d5's full SimHash replay (FNV-1a + bit tally in HUGEINT), split
+    // into batch/existing sides: matched = batch docs with ANY old-side
+    // doc at hamming <= 3 (blocking exhaustive at that radius by
+    // pigeonhole, so the enumeration needs no bucket replay); the result
+    // is the batch anti-joined against them. Shared by d19 (sketch built
+    // whole) and d20 (sketch maintained by append) — the artifact's
+    // construction must be a materialization detail.
+    "d19_simhash_incremental" -> simhashIncrementalOracle,
+    "d20_simhash_append_screen" -> simhashIncrementalOracle,
     // exact-equality screen: Bloom + verification join ≡ NOT EXISTS
     "d13_bloom_incremental_exact" ->
       """SELECT n.doc_id, n.lang FROM documents n

@@ -124,6 +124,43 @@ class SketchMaintenanceSpec extends SparkSuite {
       "after racing appends the artifact must hold BOTH batches' buckets")
   }
 
+  // ---- SimHash (text, self-sufficient artifact) ----
+
+  test("simhash incremental screen: differential vs all-pairs; append == rebuild; compaction preserves") {
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    // differential oracle: kept = batch ids minus those in any CROSS-side
+    // all-pairs simhash match (within-batch dups are kept by contract)
+    val crossMatched = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        maxBucketSize = Int.MaxValue)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        Seq(a, b).filter(id => id % 10 == 7 && Seq(a, b).exists(o => o % 10 != 7))
+      }.toSet
+    val batchIds = keptIds(batch.select(col("doc_id")))
+    val path = tmp("graft-sh-full")
+    Dedup.simhashSketch(old, "doc_id", "text").write.mode("overwrite").parquet(path)
+    def screen(p: String) = keptIds(Dedup.incrementalSimhashKeep(
+      batch, spark.read.parquet(p), "doc_id", "text", maxBucketSize = Int.MaxValue))
+    assert(screen(path) == batchIds -- crossMatched)
+    assert(crossMatched.nonEmpty, "fixture must drop at least one batch id")
+    // maintenance: base ∌ {7,8} + appended 8 must equal the full rebuild
+    val path2 = tmp("graft-sh-append")
+    Dedup.simhashSketch(
+        docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8),
+        "doc_id", "text")
+      .write.mode("overwrite").parquet(path2)
+    Dedup.appendToSimhashSketch(docs.filter(col("doc_id") % 10 === 8),
+      "doc_id", "text", path2)
+    assert(screen(path2) == screen(path),
+      "appended SimHash sketch must screen like a rebuilt one")
+    // compaction merges (chunk, val) fragments of STRUCT members exactly
+    Dedup.compactSimhashSketch(spark, path2)
+    assert(spark.read.parquet(path2)
+      .groupBy("chunk", "val").count().filter(col("count") > 1).count() == 0)
+    assert(screen(path2) == screen(path), "compaction must preserve the screen")
+  }
+
   // ---- SRP (vectors) ----
 
   private lazy val emb = Tables.load(spark, sf0001, "embeddings")
