@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** ScreenedIngest: the r15 maintenance loop as one continuous streaming
+  * pipeline — each micro-batch screens against the CURRENT sketch and
+  * the accepted batch enters it before the next batch arrives.
+  */
+class ScreenedIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def stageJson(dropDir: String, name: String, mtimeMs: Long,
+      rows: Seq[(Long, String)]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val t = Files.createTempDirectory("graft-si-b").toString
+    rows.toDF("doc_id", "text").repartition(1).write.mode("overwrite").json(t)
+    val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".json")).head.toPath
+    val dst = Paths.get(dropDir, name)
+    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+  }
+
+  private def runStream(dropDir: String, sketch: String, corpus: String): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(dropDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-si-ckpt").toString
+    val q = graft.streaming.ScreenedIngest.start(
+      stream, "doc_id", "text", sketch, corpus, ckpt)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def corpusIds(corpus: String): Set[Long] =
+    spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+
+  test("each batch screens against everything admitted so far; reruns are idempotent") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-si-drop").toString
+    val corpus = Files.createTempDirectory("graft-si").toString + "/corpus"
+    val sketch = Files.createTempDirectory("graft-si").toString + "/sketch"
+    val baseText = "totally unrelated base document about alpha beta gamma delta"
+    val yText = "a brand new unique document mentioning epsilon zeta eta theta"
+    val zText = "yet another one of a kind text regarding iota kappa lambda mu"
+    val base = Seq((1L, baseText)).toDF("doc_id", "text")
+    base.write.mode("overwrite").parquet(corpus)
+    Dedup.simhashSketch(base, "doc_id", "text").write.mode("overwrite").parquet(sketch)
+    // batch 1: a dup of the BASE (dropped) + a unique doc (kept);
+    // batch 2: a dup of batch 1's KEPT doc — dropped ONLY if the kept
+    // batch actually entered the sketch (the staleness closure, live) —
+    // plus another unique doc (kept)
+    stageJson(drop, "b0.json", 1700000000000L, Seq((10L, baseText), (11L, yText)))
+    stageJson(drop, "b1.json", 1700000060000L, Seq((20L, yText), (21L, zText)))
+    runStream(drop, sketch, corpus)
+    assert(corpusIds(corpus) == Set(1L, 11L, 21L),
+      "batch 2's dup of batch 1's kept doc must be caught by the MAINTAINED sketch")
+    // rerun over the same fixture with a fresh checkpoint: every batch
+    // fully self-matches in the sketch and appends nothing — the
+    // redelivery-idempotence contract, end to end
+    runStream(drop, sketch, corpus)
+    assert(corpusIds(corpus) == Set(1L, 11L, 21L), "rerun must be a corpus no-op")
+    assert(spark.read.parquet(corpus).count() == 3, "no duplicate corpus rows either")
+  }
+}
