@@ -1410,12 +1410,40 @@ object Dedup {
   def incrementalSimhashKeep(newDf: DataFrame, oldSketch: DataFrame,
       idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      dropMetrics: Option[Observation] = None): DataFrame =
+    incrementalSimhashKeepFromSims(newDf,
+      simhashFrame(spreadIfNarrow(newDf), idCol, textCol, "incrementalSimhashKeep"),
+      oldSketch, idCol, maxHamming, maxBucketSize, dropMetrics)
+
+  /** The batch's (id, sim) SimHash frame as a public building block —
+    * compute it ONCE and feed both [[incrementalSimhashKeepFromSims]]
+    * and [[appendToSimhashSketchFromSims]] (the
+    * [[graft.streaming.ScreenedIngest]] shape: one hashing pass per
+    * micro-batch instead of screen + append each re-hashing the text).
+    * Null-id / null-text rows drop out (they cannot sketch).
+    */
+  def simhashSims(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFrame(df, idCol, textCol, "simhashSims")
+
+  /** Append pre-computed (id, sim) rows' buckets to a persisted
+    * [[simhashSketch]] — [[appendToSimhashSketch]] without the re-hash,
+    * for callers that already hold the batch's [[simhashSims]] frame.
+    */
+  def appendToSimhashSketchFromSims(sims: DataFrame, path: String): Unit =
+    SketchArtifact.append(simhashBuckets(sims, "members"), path)
+
+  /** [[incrementalSimhashKeep]] with the batch's (id, sim) frame supplied
+    * by the caller (see [[simhashSims]]). `sims` must cover exactly
+    * `newDf`'s sketchable rows — rows absent from it (null id/text) are
+    * unmatchable and kept, as in the text/vector screens.
+    */
+  def incrementalSimhashKeepFromSims(newDf: DataFrame, sims: DataFrame,
+      oldSketch: DataFrame, idCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
       dropMetrics: Option[Observation] = None): DataFrame = {
     require(maxHamming <= 3,
       s"incrementalSimhashKeep: 4-chunk blocking covers maxHamming <= 3, got $maxHamming")
-    val newBuckets = simhashBuckets(
-      simhashFrame(spreadIfNarrow(newDf), idCol, textCol, "incrementalSimhashKeep"),
-      "new_members")
+    val newBuckets = simhashBuckets(sims, "new_members")
     val shared = newBuckets
       .join(oldSketch.select(col("chunk"), col("val"), col("members").as("old_members")),
         Seq("chunk", "val"))

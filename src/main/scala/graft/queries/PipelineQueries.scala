@@ -688,32 +688,7 @@ object PipelineQueries {
     // corpus is base plus every kept set. Chunk blocking is exhaustive
     // at hamming <= 3 (pigeonhole), so no bucket replay is needed.
     "st4_screened_ingest" ->
-      """WITH tok AS (
-           SELECT d.doc_id, u.t
-           FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
-           WHERE u.t <> ''),
-         th AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(string_split(t,''), c -> ascii(c)::HUGEINT)),
-               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-           FROM tok),
-         bits AS (
-           SELECT th.doc_id, i.i,
-                  sum(CASE WHEN (th.h >> i.i) % 2 = 1 THEN 1 ELSE -1 END) AS acc
-           FROM th, (SELECT unnest(range(64)) AS i) i
-           GROUP BY th.doc_id, i.i),
-         sims AS (
-           SELECT b.doc_id,
-                  sum(CASE WHEN b.acc > 0 THEN (1::HUGEINT << b.i) ELSE 0::HUGEINT END) AS usim
-           FROM bits b GROUP BY b.doc_id),
-         s2 AS MATERIALIZED (
-           SELECT d.doc_id,
-                  COALESCE(CASE WHEN s.usim >= 9223372036854775808::HUGEINT
-                       THEN (s.usim - 18446744073709551616::HUGEINT)::BIGINT
-                       ELSE s.usim::BIGINT END, 0) AS sim
-           FROM documents d LEFT JOIN sims s USING (doc_id)),
+      s"""WITH ${TextQueries.simhashReplayCtes},
          a1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (7, 8, 9)),
          k1 AS MATERIALIZED (
            SELECT n.doc_id FROM s2 n WHERE n.doc_id % 10 = 7 AND NOT EXISTS (

@@ -495,9 +495,18 @@ object TextQueries {
   private val simhashSketchDir =
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), String]
 
-  /** Shared d19/d20 replay (see the oracle-map comment). */
-  private val simhashIncrementalOracle: String =
-    """WITH tok AS (
+  /** ONE copy of the SimHash replay (FNV-1a token hash + bit tally in
+    * mod-2^64 HUGEINT, signed conversion, per-doc `sim`) — shared by the
+    * d5 pair oracle, the d19/d20 incremental oracles, and st4's
+    * sequential closure (PipelineQueries), so a fix to the replay can
+    * never desynchronize one gate from the others. `s2` carries only
+    * docs with NON-NULL text, exactly the population `simhashFrame`
+    * sketches — a null-text doc must be invisible to matching (the impl
+    * keeps it on the batch side, unmatchable), not a phantom sim-0 row.
+    * Empty-but-non-null text legitimately sketches to 0 (the COALESCE).
+    */
+  private[queries] val simhashReplayCtes: String =
+    """tok AS (
          SELECT d.doc_id, u.t
          FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
          WHERE u.t <> ''),
@@ -522,7 +531,12 @@ object TextQueries {
                 COALESCE(CASE WHEN s.usim >= 9223372036854775808::HUGEINT
                      THEN (s.usim - 18446744073709551616::HUGEINT)::BIGINT
                      ELSE s.usim::BIGINT END, 0) AS sim
-         FROM documents d LEFT JOIN sims s USING (doc_id)),
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         LEFT JOIN sims s USING (doc_id))"""
+
+  /** Shared d19/d20 replay (see the oracle-map comment). */
+  private val simhashIncrementalOracle: String =
+    s"""WITH $simhashReplayCtes,
        matched AS (
          SELECT DISTINCT n.doc_id
          FROM s2 n JOIN s2 o ON n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
@@ -825,32 +839,7 @@ object TextQueries {
     // tally over token occurrences, sign -> bit, then all pairs at
     // hamming <= 3 (equivalent to the 4x16-bit chunk blocking at radius 3).
     "d5_simhash_neardup" ->
-      """WITH tok AS (
-           SELECT d.doc_id, u.t
-           FROM documents d, UNNEST(string_split(d.text, ' ')) AS u(t)
-           WHERE u.t <> ''),
-         th AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(string_split(t,''), c -> ascii(c)::HUGEINT)),
-               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-           FROM tok),
-         bits AS (
-           SELECT th.doc_id, i.i,
-                  sum(CASE WHEN (th.h >> i.i) % 2 = 1 THEN 1 ELSE -1 END) AS acc
-           FROM th, (SELECT unnest(range(64)) AS i) i
-           GROUP BY th.doc_id, i.i),
-         sims AS (
-           SELECT b.doc_id,
-                  sum(CASE WHEN b.acc > 0 THEN (1::HUGEINT << b.i) ELSE 0::HUGEINT END) AS usim
-           FROM bits b GROUP BY b.doc_id),
-         s2 AS (
-           SELECT d.doc_id,
-                  COALESCE(CASE WHEN s.usim >= 9223372036854775808::HUGEINT
-                       THEN (s.usim - 18446744073709551616::HUGEINT)::BIGINT
-                       ELSE s.usim::BIGINT END, 0) AS sim
-           FROM documents d LEFT JOIN sims s USING (doc_id))
+      s"""WITH $simhashReplayCtes
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
          FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -16,51 +17,98 @@ import graft.operators.Dedup
   *
   * Batch semantics (the d10 contract per micro-batch): cross-side
   * near-dups drop, within-batch dups pass (chain a batch-local
-  * [[Dedup.nearDedupKeep]] upstream if needed). The SimHash sketch is
-  * self-sufficient ([[Dedup.simhashSketch]]), so the screen reads no
-  * corpus text — per-batch cost is batch-sized regardless of corpus
-  * size, the property that lets this run as a CONTINUOUS query.
+  * [[Dedup.nearDedupKeep]] upstream if needed). Each batch is hashed
+  * ONCE ([[Dedup.simhashSims]], checkpointed) and the frame feeds both
+  * the screen and the sketch append. The self-sufficient sketch means
+  * the screen reads no corpus text — per-batch cost is batch-sized
+  * regardless of corpus size (plus the optional `idScreen` id read,
+  * below), the property that lets this run as a CONTINUOUS query.
   *
-  * The kept frame is eagerly `localCheckpoint`ed before either write:
-  * the screen's plan READS `sketchPath`, and the sketch append WRITES
-  * it — without the checkpoint the append job would re-evaluate the
-  * screen against the directory it is mutating. The checkpoint also
-  * freezes ONE kept set across the two writes; its blocks release at
-  * the end of each batch (failure path included).
+  * Identity contract: `idCol` is each row's durable identity; rows with
+  * a NULL id are EXCLUDED from ingest (no identity → no idempotence
+  * story — count them upstream if loss matters). Rows with null TEXT
+  * keep their identity, pass the screen unmatched (they cannot sketch),
+  * and rely on `idScreen` for redelivery protection.
   *
   * Redelivery (foreachBatch is at-least-once): after BOTH writes
-  * committed, a redelivered batch fully self-matches in the sketch and
-  * appends nothing — net exactly-once. A crash BETWEEN the two writes
+  * committed, a redelivered batch normally self-matches in the sketch
+  * and appends nothing. Two leaks make that "normally": a doc whose
+  * EVERY chunk bucket is hot (the `maxBucketSize` guard drops the
+  * shared rows, so it never self-matches) and null-text rows (never in
+  * the sketch at all). `idScreen = true` (the default) closes both with
+  * an id anti-join against the corpus — a column-pruned id scan per
+  * batch, the one non-batch-sized term; disable it only when upstream
+  * guarantees globally-fresh ids AND redelivery routes through an
+  * id-keyed sink ([[SnapshotSink]]'s batch-id tag, the st3 machinery,
+  * or [[graft.operators.Upsert]]). A crash BETWEEN the two writes
   * redelivers into a window where the corpus holds rows the sketch
-  * doesn't know: those re-keep and append twice. Deployments that need
-  * exactly-once through that window route the corpus write through the
-  * versioned-table sink's batch-id tag ([[SnapshotSink]], the st3
-  * machinery) or an id-keyed upsert ([[graft.operators.Upsert]]); the
-  * sketch side needs nothing — re-appends are screen-idempotent
-  * ([[graft.operators.SketchArtifact]]).
+  * doesn't know: with `idScreen` those are dropped by id; without it
+  * they re-keep and append twice. The write order (corpus first, then
+  * sketch) is still deliberate — the reverse would turn that window
+  * into silent data LOSS (sketch-knows-but-corpus-missing) instead of
+  * collapsible duplicates.
+  *
+  * Day-zero bootstrap: a missing sketch artifact is seeded EMPTY at
+  * [[start]] (first deployment needs no pre-built sketch); a missing
+  * corpus directory simply skips the id screen until the first batch
+  * lands.
   */
 object ScreenedIngest {
 
+  /** Local-filesystem artifact check (the SketchArtifact/InvertedIndex
+    * convention — these artifact ops are single-filesystem by contract).
+    */
+  private def hasParquet(dir: String): Boolean = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.isDirectory(d) && {
+      val s = java.nio.file.Files.list(d)
+      try s.anyMatch(p => !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      finally s.close()
+    }
+  }
+
   def start(docs: DataFrame, idCol: String, textCol: String,
       sketchPath: String, corpusDir: String, checkpointDir: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 1000): StreamingQuery =
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      idScreen: Boolean = true): StreamingQuery = {
+    // day-zero bootstrap: seed an EMPTY sketch so the first micro-batch
+    // reads a valid (vacuous) old side instead of failing on the path
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sketchPath))) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Dedup.simhashSketch(
+          Seq.empty[(Long, String)].toDF(idCol, textCol), idCol, textCol)
+        .write.mode("overwrite").parquet(sketchPath)
+    }
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val kept = Dedup.incrementalSimhashKeep(
-            batch, spark.read.parquet(sketchPath), idCol, textCol,
-            maxHamming, maxBucketSize)
-          .localCheckpoint()
+        val admissible = batch.filter(col(idCol).isNotNull)
+        // ONE hashing pass per batch, frozen: the screen and the sketch
+        // append both read this frame, and the screen's plan must not
+        // re-evaluate against the sketch directory the append mutates
+        val sims = Dedup.simhashSims(admissible, idCol, textCol).localCheckpoint()
         try {
-          // corpus first, then sketch: a crash between the two leaves
-          // admitted-but-unscreenable rows that the redelivery re-keeps
-          // (duplicate corpus rows an id-keyed sink collapses); the
-          // reverse order would instead DROP the redelivered rows —
-          // sketch-knows-but-corpus-missing is silent data loss
-          kept.write.mode("append").parquet(corpusDir)
-          Dedup.appendToSimhashSketch(kept, idCol, textCol, sketchPath)
-        } finally graftbridge.releaseCheckpoints(kept)
+          val screened = Dedup.incrementalSimhashKeepFromSims(
+            admissible, sims, spark.read.parquet(sketchPath), idCol,
+            maxHamming, maxBucketSize)
+          val kept = (
+            if (idScreen && hasParquet(corpusDir))
+              screened.join(spark.read.parquet(corpusDir).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else screened
+          ).localCheckpoint()
+          try {
+            kept.write.mode("append").parquet(corpusDir)
+            Dedup.appendToSimhashSketchFromSims(
+              sims.join(kept.select(col(idCol).cast("long").as("id")),
+                Seq("id"), "left_semi"),
+              sketchPath)
+          } finally graftbridge.releaseCheckpoints(kept)
+        } finally graftbridge.releaseCheckpoints(sims)
       }
       .start()
+  }
 }

@@ -39,6 +39,68 @@ class ScreenedIngestSpec extends SparkSuite {
   private def corpusIds(corpus: String): Set[Long] =
     spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
 
+  test("day-zero bootstrap: no pre-built sketch, no corpus dir — the first batch seeds both") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-si0-drop").toString
+    val root = Files.createTempDirectory("graft-si0").toString
+    val corpus = root + "/corpus"
+    val sketch = root + "/sketch"
+    stageJson(drop, "b0.json", 1700000000000L,
+      Seq((1L, "first ever document alpha beta"), (2L, "first ever document alpha beta")))
+    runStream(drop, sketch, corpus)
+    // within-batch dups pass by contract; both rows land and both sketch
+    assert(corpusIds(corpus) == Set(1L, 2L))
+    // a second batch duplicating batch 1 is now fully screened
+    stageJson(drop, "b1.json", 1700000060000L, Seq((3L, "first ever document alpha beta")))
+    runStream(drop, sketch, corpus)
+    assert(corpusIds(corpus) == Set(1L, 2L))
+  }
+
+  test("idScreen closes the redelivery leaks: null-text rows and hot-bucket drops never duplicate") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-si2-drop").toString
+    val root = Files.createTempDirectory("graft-si2").toString
+    val corpus = root + "/corpus"
+    val sketch = root + "/sketch"
+    // 60 identical docs make every (chunk, val) bucket of that text hot
+    // past maxBucketSize = 50 — the guard then drops the shared rows, so
+    // doc 500 can never SELF-match on redelivery; and doc 900's null
+    // text never sketches at all. Without the id screen, a whole-stream
+    // rerun (the redelivery shape) would append both again.
+    val hotText = "hot templated boilerplate row"
+    val base = (1L to 60L).map(i => (i, hotText)).toDF("doc_id", "text")
+    base.write.mode("overwrite").parquet(corpus)
+    Dedup.simhashSketch(base, "doc_id", "text").write.mode("overwrite").parquet(sketch)
+    val t = Files.createTempDirectory("graft-si2-b").toString
+    Seq((500L, Some(hotText)), (900L, Option.empty[String])).toDF("doc_id", "text")
+      .repartition(1).write.mode("overwrite").json(t)
+    val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".json")).head.toPath
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(drop, "b0.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def run(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      val stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(drop)
+      val ckpt = Files.createTempDirectory("graft-si2-ckpt").toString
+      val q = graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
+        sketch, corpus, ckpt, maxBucketSize = 50)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // doc 500 was admitted UNSCREENED (all its buckets are hot — the
+    // documented guard tradeoff); doc 900 is unmatchable — both land once
+    assert(corpusIds(corpus) == (1L to 60L).toSet + 500L + 900L)
+    val afterFirst = spark.read.parquet(corpus).count()
+    // redelivery shape: rerun the whole stream with a fresh checkpoint —
+    // neither leak row may duplicate (the id screen catches both)
+    run()
+    assert(spark.read.parquet(corpus).count() == afterFirst,
+      "idScreen must keep hot-bucket and null-text rows exactly-once")
+  }
+
   test("each batch screens against everything admitted so far; reruns are idempotent") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("graft-si-drop").toString
