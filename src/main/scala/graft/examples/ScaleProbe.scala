@@ -378,6 +378,56 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v13_screen_after_k$k"}%-24s ${tScreen}%6.2f s")
       }
+      // --ingest — the screened streaming ingest (st4's probe): three
+      // ordered daily batches stream through ScreenedIngest against a
+      // pre-seeded base corpus + sketch. Two numbers: the FIRST pass
+      // (real ingest — screens, corpus appends, sketch appends) and the
+      // rerun min-of-3 (the redelivery shape: every batch self-matches
+      // and appends nothing — the steady floor of the loop's fixed
+      // costs). Both must stay ~flat per batch as the corpus decade
+      // grows or the continuous-query claim is wrong.
+      if (args.contains("--ingest")) {
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val root = graft.queries.QueryTmp.dir("probe-ingest")
+        val drop = s"$root/drop"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+        val corpus = s"$root/corpus"
+        val sketch = s"$root/sketch"
+        val base = docs.filter(col("doc_id") % 10 =!= 7 &&
+          col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
+        base.write.mode("overwrite").parquet(corpus)
+        graft.operators.Dedup.simhashSketch(base, "doc_id", "text")
+          .write.mode("overwrite").parquet(sketch)
+        Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
+          val t = graft.queries.QueryTmp.dir(s"probe-ingest-b$i")
+          docs.filter(col("doc_id") % 10 === m)
+            .repartition(1).write.mode("overwrite").json(t)
+          val part = new java.io.File(t).listFiles()
+            .filter(_.getName.endsWith(".json")).head.toPath
+          val dst = java.nio.file.Paths.get(drop, s"b$i.json")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        val schema = docs.schema
+        def run(): Unit = {
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "32")
+          val stream = ss.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").json(drop)
+          val q = graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
+            sketch, corpus, graft.queries.QueryTmp.dir("probe-ingest-ckpt"))
+          try q.processAllAvailable() finally q.stop()
+        }
+        val t0 = System.nanoTime()
+        run()
+        val tFirst = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] ${"st4_ingest_first"}%-24s ${tFirst}%6.2f s")
+        val tRerun = timed { run() }
+        println(f"[probe] ${"st4_ingest_rerun"}%-24s ${tRerun}%6.2f s")
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change
