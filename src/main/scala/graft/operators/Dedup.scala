@@ -1423,7 +1423,7 @@ object Dedup {
     * Null-id / null-text rows drop out (they cannot sketch).
     */
   def simhashSims(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashFrame(df, idCol, textCol, "simhashSims")
+    simhashFrame(spreadIfNarrow(df), idCol, textCol, "simhashSims")
 
   /** Append pre-computed (id, sim) rows' buckets to a persisted
     * [[simhashSketch]] — [[appendToSimhashSketch]] without the re-hash,
