@@ -251,6 +251,18 @@ final class DSet[U](val ds: Dataset[U], val batchHint: Int = -1) {
   /** Replicate the whole DSet to every executor (reference
     * `DSetGenerics.fs:1315-1345`, `multicast` — `MulticastAcrossNetwork`;
     * Spark-first this is a broadcast variable).
+    *
+    * DRIVER-MEMORY CONTRACT (loud, the foldWithCommonStatePerNode
+    * convention): this `collect()`s the ENTIRE DSet into the driver heap
+    * before broadcasting — the right shape for the broadcast-join niche
+    * it serves (a small dimension side, fx9), and a driver OOM for
+    * anything corpus-sized. The reference streams partitions peer-to-peer
+    * and has no such bound; at 100 TB the equivalents are `broadcast()`
+    * hints on a DataFrame join (Spark ships blocks, never one driver
+    * array) or a co-partitioned join for sides too big to replicate at
+    * all. Rule of thumb: if the side wouldn't fit in
+    * `spark.sql.autoBroadcastJoinThreshold` territory (MBs, not GBs),
+    * don't multicast it.
     */
   def multicast()(implicit ct: ClassTag[U]): Broadcast[Array[U]] =
     spark.sparkContext.broadcast(ds.collect())

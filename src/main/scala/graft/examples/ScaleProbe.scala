@@ -648,6 +648,95 @@ object ScaleProbe {
         }
         println(f"[probe] ${"bm25_search_steady"}%-24s ${t}%6.2f s")
       }
+      // --bm25batch: the SERVING-TIER economics of searchBm25Batch — N
+      // probe sets (top-24 df tokens split into 8 triples) served as N
+      // independent searchBm25 calls (N pruned postings reads) vs ONE
+      // batched call (one union-pruned read). Index + stats are
+      // pre-built (the ii4-steady convention); the separate/batched
+      // ratio is the claimed sub-linearity, and it should WIDEN with
+      // scale as each read's fixed scan cost grows.
+      if (args.contains("--bm25batch")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+        val dir = graft.queries.QueryTmp.dir("probe-bm25b")
+        val scored = InvertedIndex.materializeScored(docs, "doc_id", "text", s"$dir/scored")
+        val stats = InvertedIndex.corpusStats(scored, "doc_id")
+        val queries = InvertedIndex.topTokensByDf(scored, 24).grouped(3).toSeq
+        val tSep = timed {
+          queries.foreach { q =>
+            InvertedIndex.searchBm25(scored, "doc_id", q, topK = 10, stats = Some(stats))
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        println(f"[probe] ${"bm25_separate_x8"}%-24s ${tSep}%6.2f s")
+        val tBatch = timed {
+          InvertedIndex.searchBm25Batch(scored, "doc_id", queries, topK = 10,
+              stats = Some(stats))
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"bm25_batched_x8"}%-24s ${tBatch}%6.2f s")
+      }
+      // --mhsig: the MEASURE-FIRST probe for the proposed MinHash
+      // signature middle tier (r15 residual #2): would carrying the
+      // 64-hash signatures (fixed 512 B/doc) in the sketch pay, by
+      // pre-filtering candidates on ESTIMATED Jaccard before the exact
+      // text re-read? Reports, for the d17-shaped screen (batch = %10=7
+      // vs old corpus): candidate pair count, distinct old ids whose
+      // text the verify step re-reads (the cost the tier would cut), the
+      // pairs/ids prunable at est-J cutoffs below the 0.8 threshold, and
+      // — the correctness constraint — FALSE DROPS (est < cutoff but
+      // exact >= 0.8), which must be zero for the gate to stay
+      // rebuild-exact. Decision recorded in BASELINE.md.
+      if (args.contains("--mhsig")) {
+        import graft.operators.Dedup
+        val docs = Tables.load(spark, sfDir, "documents")
+        val old = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id").as("id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id").as("id"), col("text"))
+        val sh = Dedup.wordShingleHashes(col("text"), 3)
+        def sets(raw: org.apache.spark.sql.DataFrame) = raw
+          .repartition(32)
+          .select(col("id"), sh.as("shs")).filter(size(col("shs")) > 0)
+          .select(col("id"), col("shs"),
+            Dedup.minhashSignature(col("shs"), 64).as("sig"))
+        def buckets(s: org.apache.spark.sql.DataFrame, ids: String) = s
+          .select(col("id"), posexplode(Dedup.bandKeys(col("sig"), 64, 16)))
+          .toDF("id", "band", "key")
+          .groupBy("band", "key").agg(collect_list(col("id")).as(ids))
+        val oldSets = sets(old).persist()
+        val newSets = sets(batch).persist()
+        val pairs = buckets(newSets, "new_ids").join(buckets(oldSets, "old_ids"),
+            Seq("band", "key"))
+          .filter(size(col("new_ids")) <= 1000 && size(col("old_ids")) <= 1000)
+          .select(explode(col("new_ids")).as("nid"), col("old_ids"))
+          .select(col("nid"), explode(col("old_ids")).as("oid"))
+          .distinct()
+        val est = expr("aggregate(zip_with(sig_n, sig_o, (a, b) -> " +
+          "CASE WHEN a = b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) / 64.0")
+        val scoredPairs = pairs
+          .join(newSets.select(col("id").as("nid"), col("shs").as("sh_n"),
+            col("sig").as("sig_n")), "nid")
+          .join(oldSets.select(col("id").as("oid"), col("shs").as("sh_o"),
+            col("sig").as("sig_o")), "oid")
+          .select(col("nid"), col("oid"), est.as("est"),
+            Dedup.jaccardSorted(col("sh_n"), col("sh_o")).as("exact"))
+          .persist()
+        val nPairs = scoredPairs.count()
+        val nOids = scoredPairs.select("oid").distinct().count()
+        val nReal = scoredPairs.filter(col("exact") >= 0.8).count()
+        println(f"[probe] mhsig_candidates        pairs=$nPairs oids_reread=$nOids exact_ge_0.8=$nReal")
+        for (cut <- Seq(0.5, 0.6, 0.65, 0.7)) {
+          val pruned = scoredPairs.filter(col("est") < cut)
+          val nPruned = pruned.count()
+          val falseDrops = pruned.filter(col("exact") >= 0.8).count()
+          // oids still needed after pruning — the residual re-read volume
+          val oidsLeft = scoredPairs.filter(col("est") >= cut)
+            .select("oid").distinct().count()
+          println(f"[probe] mhsig_cut_$cut%-12s pruned=$nPruned%5d oids_left=$oidsLeft%5d false_drops=$falseDrops")
+        }
+        scoredPairs.unpersist(); oldSets.unpersist(); newSets.unpersist()
+      }
       // --buckets: perplexity bucketing in BOTH boundary modes — exact
       // per-stratum rank window (the f4 oracle surface) vs the
       // percentile_approx sketch boundary (the 100 TB operating point:

@@ -402,6 +402,65 @@ object InvertedIndex {
       .limit(topK)
   }
 
+  /** Batched BM25: serve N probe sets from ONE pruned postings read —
+    * the high-QPS serving tier over the standing scored index (a
+    * per-query [[searchBm25]] loop pays N separate postings reads whose
+    * fixed scan/filter cost dominates once queries arrive faster than
+    * single-digit QPS; SCALING.md's batched-retrieval gap). Returns
+    * (query_ix, idCol, score) — per-query rows identical to N
+    * independent [[searchBm25]] calls (pinned by spec and by the ii8
+    * oracle): same idf/tf-saturation arithmetic, same round-to-6-before-
+    * rank, same (score desc, id asc) deterministic cut.
+    *
+    * Scale shape: the postings read is pruned to the UNION of all probe
+    * tokens (cost ∝ Σ df over DISTINCT probed tokens — sub-linear vs N
+    * separate reads whenever queries share tokens, and one scan's fixed
+    * cost regardless); df per token comes from a count over the token
+    * window of that union-pruned set BEFORE the query join (postings are
+    * unique per (doc, token), so per-token row count = document
+    * frequency no matter which queries probe it — joining first would
+    * double-count tokens shared across queries); the (query_ix, token)
+    * probe map is a broadcast join (N·tokens rows — driver-sized by
+    * construction); per-query scoring is one groupBy over the matched
+    * rows; the final top-k is a row_number window per query_ix — the
+    * sort covers only CANDIDATE rows (Σ df, never corpus), partitioned
+    * across queries.
+    */
+  def searchBm25Batch(scored: DataFrame, idCol: String, queries: Seq[Seq[String]],
+      topK: Int, k1: Double = 1.2, b: Double = 0.75,
+      stats: Option[(Long, Double)] = None): DataFrame = {
+    require(queries.nonEmpty, "searchBm25Batch needs at least one query")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.nonEmpty, s"searchBm25Batch: query $i has no tokens")
+    }
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val (nDocs, avgDl) = stats.getOrElse(corpusStats(scored, idCol))
+    // per-query distinct (duplicate probes must not raise a token's
+    // contribution — the searchBm25 convention), union-distinct for the
+    // one pruned read
+    val probePairs = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.distinct.map(t => (i, t))
+    }
+    val unionTokens = probePairs.map(_._2).distinct
+    val probeMap = probePairs.toDF("query_ix", "token")
+    val matched = scored.filter(col("token").isin(unionTokens: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    val tfNorm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgDl))
+    matched.join(broadcast(probeMap), "token")
+      .groupBy(col("query_ix"), col(idCol))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_ix"))
+          .orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("__rn") <= topK)
+      .select(col("query_ix"), col(idCol), col("score"))
+  }
+
   /** Top-k tokens by document frequency (tiebreak token asc) — the
     * deterministic probe-selection helper the ii1 gate uses. Driver
     * collect of k rows is the intended boundary.

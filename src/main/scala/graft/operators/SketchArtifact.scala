@@ -78,6 +78,19 @@ private[graft] object SketchArtifact {
     * before it sweeps debris — a blind sweep in that state would delete
     * the only surviving copies (the original under `.old`, the compacted
     * rows under the tmp dir) and lose the artifact outright.
+    *
+    * READER concurrency contract: the append lock serializes WRITERS
+    * only — screens take no lock (a screen is a plain parquet read, and
+    * locking every reader would serialize the whole screening fleet
+    * behind maintenance). A screen whose plan resolves the path inside
+    * the rename window of a normal, non-crashed compact can therefore
+    * fail transiently with FileNotFoundException. That failure is safe
+    * (loud, never a stale or torn read — the compacted directory that
+    * appears moments later is screen-equivalent) but it is the CALLER's
+    * to handle: do not schedule [[compact]] while a live screen loop
+    * (e.g. [[graft.streaming.ScreenedIngest]]) reads the same artifact —
+    * run it in the ingest's maintenance window, or simply retry the
+    * failed screen once (the window is two rename syscalls wide).
     */
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
       idsCol: String = "ids"): Unit = withArtifactLock(path) {

@@ -687,23 +687,31 @@ object PipelineQueries {
     // chained in fixture order (% 10 = 7, then 8, then 9); the final
     // corpus is base plus every kept set. Chunk blocking is exhaustive
     // at hamming <= 3 (pigeonhole), so no bucket replay is needed.
+    // Batch membership comes FROM documents (s2 left-joined for sims,
+    // the d19/d20 convention): a null-text batch doc is absent from s2
+    // but must stay in the kept set — ScreenedIngest keeps it (it cannot
+    // sketch, so it passes unmatched; idScreen covers redelivery), and
+    // its NULL sim makes the NOT EXISTS probe vacuously keep it here.
     "st4_screened_ingest" ->
       s"""WITH ${TextQueries.simhashReplayCtes},
          a1 AS (SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (7, 8, 9)),
          k1 AS MATERIALIZED (
-           SELECT n.doc_id FROM s2 n WHERE n.doc_id % 10 = 7 AND NOT EXISTS (
+           SELECT n.doc_id FROM documents n LEFT JOIN s2 ns USING (doc_id)
+           WHERE n.doc_id % 10 = 7 AND NOT EXISTS (
              SELECT 1 FROM a1 a JOIN s2 o ON o.doc_id = a.doc_id
-             WHERE bit_count(xor(n.sim, o.sim)) <= 3)),
+             WHERE bit_count(xor(ns.sim, o.sim)) <= 3)),
          a2 AS (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM k1),
          k2 AS MATERIALIZED (
-           SELECT n.doc_id FROM s2 n WHERE n.doc_id % 10 = 8 AND NOT EXISTS (
+           SELECT n.doc_id FROM documents n LEFT JOIN s2 ns USING (doc_id)
+           WHERE n.doc_id % 10 = 8 AND NOT EXISTS (
              SELECT 1 FROM a2 a JOIN s2 o ON o.doc_id = a.doc_id
-             WHERE bit_count(xor(n.sim, o.sim)) <= 3)),
+             WHERE bit_count(xor(ns.sim, o.sim)) <= 3)),
          a3 AS (SELECT doc_id FROM a2 UNION ALL SELECT doc_id FROM k2),
          k3 AS (
-           SELECT n.doc_id FROM s2 n WHERE n.doc_id % 10 = 9 AND NOT EXISTS (
+           SELECT n.doc_id FROM documents n LEFT JOIN s2 ns USING (doc_id)
+           WHERE n.doc_id % 10 = 9 AND NOT EXISTS (
              SELECT 1 FROM a3 a JOIN s2 o ON o.doc_id = a.doc_id
-             WHERE bit_count(xor(n.sim, o.sim)) <= 3)),
+             WHERE bit_count(xor(ns.sim, o.sim)) <= 3)),
          fin AS (SELECT doc_id FROM a3 UNION ALL SELECT doc_id FROM k3)
          SELECT d.doc_id, d.lang FROM documents d JOIN fin USING (doc_id)""",
     "sq1_sessions" ->

@@ -131,6 +131,23 @@ object TextQueries {
         .withColumn("from_sidecar", lit(fromSidecar))
     },
 
+    // BATCHED ranked retrieval (the serving tier): THREE probe sets —
+    // the top-9 df tokens split 3/3/3, replayed by the oracle — served
+    // from ONE union-pruned postings read, per-query results identical
+    // to three independent ii4 searches (same arithmetic, same
+    // round-before-rank, same deterministic cut; the equivalence is also
+    // spec-pinned). A df computed after the query join (double-counting
+    // shared tokens), a leaked cross-query contribution, or a per-query
+    // re-read all fail the hash.
+    "ii8_bm25_batch" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("bm25idx8")
+      val scored = InvertedIndex.materializeScored(docs, "doc_id", "text", s"$idxDir/postings")
+      val probes = InvertedIndex.topTokensByDf(scored, 9)
+      InvertedIndex.searchBm25Batch(scored, "doc_id", probes.grouped(3).toSeq, topK = 10)
+    },
+
     // The INCREMENTAL PIPELINE end to end: the corpus lives in a
     // versioned snapshot table (commitAppend per ingest day), and the
     // index maintainer consumes the CHANGED-DATA FEED — readChanges
@@ -654,6 +671,38 @@ object TextQueries {
            FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
            GROUP BY m.doc_id)
          SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // batched == N independent: each query's rows replay ii4's
+    // arithmetic exactly — probe = top-9 df tokens (df desc, token asc)
+    // split into consecutive triples; df per token over the union match
+    // (probe tokens are distinct across queries, so the probe join
+    // never multiplies rows); per-query top-10 via the same
+    // (score desc, doc_id asc) deterministic cut
+    "ii8_bm25_batch" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token,
+             ((row_number() OVER (ORDER BY dfp DESC, token ASC) - 1) // 3)::INT AS query_ix
+           FROM (SELECT token, count(*) AS dfp FROM tf GROUP BY token
+                 ORDER BY dfp DESC, token ASC LIMIT 9)),
+         m AS (SELECT tf.*, pr.query_ix FROM tf JOIN probe pr USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.query_ix, m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.query_ix, m.doc_id)
+         SELECT query_ix, doc_id, score FROM sc
+         QUALIFY row_number() OVER (PARTITION BY query_ix
+           ORDER BY score DESC, doc_id ASC) <= 10""",
     // sidecar-attached == rebuild: a new session attaching the appended
     // artifact off disk state alone must serve the full-corpus ranking
     "ii7_bm25_attach" ->

@@ -52,8 +52,34 @@ import graft.operators.Dedup
   * [[start]] (first deployment needs no pre-built sketch); a missing
   * corpus directory simply skips the id screen until the first batch
   * lands.
+  *
+  * Maintenance: do NOT run sketch compaction against `sketchPath` while
+  * this query is live — compact's directory swap can transiently fail a
+  * concurrent micro-batch's sketch read (loud, never stale; see
+  * [[graft.operators.SketchArtifact.compact]]'s reader-concurrency
+  * contract). Stop the query, compact, restart — or retry the batch.
   */
 object ScreenedIngest {
+
+  /** The artifact paths are LOCAL-FILESYSTEM by contract (the
+    * SketchArtifact/InvertedIndex convention): bootstrap and the id
+    * screen probe them with `java.nio` — on a scheme'd URI
+    * (`hdfs://`, `s3a://`, …) those checks are ALWAYS false, so every
+    * [[start]] would silently overwrite an existing sketch with an empty
+    * one (artifact destruction, screening disabled) and the id screen
+    * would silently never engage. Out-of-contract input must fail
+    * LOUDLY instead (the appendScored NFS-guidance convention), so any
+    * scheme-prefixed path is rejected up front. `file:` URIs are
+    * rejected too: the Spark writes would honor them but the `java.nio`
+    * probes would treat them as relative paths — one path string must
+    * mean one location everywhere it is read.
+    */
+  private def requireLocalPath(what: String, path: String): Unit =
+    require(!path.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"),
+      s"ScreenedIngest: $what must be a scheme-less local-filesystem path " +
+        s"(got '$path') — the sketch/corpus artifact machinery is " +
+        "single-filesystem by contract; for distributed stores, screen via " +
+        "the batch operators over your own FileSystem-checked paths")
 
   /** Local-filesystem artifact check (the SketchArtifact/InvertedIndex
     * convention — these artifact ops are single-filesystem by contract).
@@ -72,6 +98,8 @@ object ScreenedIngest {
       sketchPath: String, corpusDir: String, checkpointDir: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
       idScreen: Boolean = true): StreamingQuery = {
+    requireLocalPath("sketchPath", sketchPath)
+    requireLocalPath("corpusDir", corpusDir)
     // day-zero bootstrap: seed an EMPTY sketch so the first micro-batch
     // reads a valid (vacuous) old side instead of failing on the path
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sketchPath))) {

@@ -114,6 +114,11 @@ class DSetSpec extends SparkSuite {
   }
 
   test("multicast broadcasts full content") {
+    // DRIVER-MEMORY CONTRACT (see the operator's scaladoc): multicast
+    // collects the WHOLE DSet to the driver before broadcasting — it is
+    // for small dimension sides (the fx9 broadcast-join niche), and a
+    // corpus-sized DSet here is a driver OOM; use broadcast() join hints
+    // or co-partitioned joins at scale.
     val bc = nums(50, 4).multicast()
     assert(bc.value.sorted.toSeq == (0 until 50))
     bc.destroy()

@@ -129,6 +129,41 @@ class InvertedIndexSpec extends SparkSuite {
       .as[(Long, Double)].collect().toSet == got.toSet)
   }
 
+  test("searchBm25Batch equals N independent searchBm25 calls, incl. shared tokens") {
+    val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
+    // three queries; "red" and "fox" are SHARED across queries — the
+    // union-pruned df must still be per-token document frequency, never
+    // inflated by the probe join's row multiplication
+    val queries = Seq(Seq("red", "fox"), Seq("red"), Seq("fox", "dog", "zzz"))
+    val got = InvertedIndex.searchBm25Batch(scored, "doc_id", queries, topK = 3)
+      .as[(Int, Long, Double)].collect().toSet
+    val expected = queries.zipWithIndex.flatMap { case (q, i) =>
+      InvertedIndex.searchBm25(scored, "doc_id", q, topK = 3)
+        .as[(Long, Double)].collect().map { case (id, s) => (i, id, s) }
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // per-query top-k cut is per query, not global: topK=1 keeps exactly
+    // the best row of EACH query
+    val top1 = InvertedIndex.searchBm25Batch(scored, "doc_id", queries, topK = 1)
+      .as[(Int, Long, Double)].collect()
+    assert(top1.map(_._1).sorted.toSeq == Seq(0, 1, 2), top1.mkString(","))
+    // duplicate probes within one query must not double-score (the
+    // searchBm25 convention, applied per query)
+    assert(InvertedIndex.searchBm25Batch(scored, "doc_id", Seq(Seq("red", "red")), 3)
+      .as[(Int, Long, Double)].collect().toSet ==
+      InvertedIndex.searchBm25Batch(scored, "doc_id", Seq(Seq("red")), 3)
+        .as[(Int, Long, Double)].collect().toSet)
+    // precomputed stats agree
+    val stats = InvertedIndex.corpusStats(scored, "doc_id")
+    assert(InvertedIndex.searchBm25Batch(scored, "doc_id", queries, 3, stats = Some(stats))
+      .as[(Int, Long, Double)].collect().toSet == got)
+    // empty inputs fail loudly
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchBm25Batch(scored, "doc_id", Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchBm25Batch(scored, "doc_id", Seq(Seq("red"), Seq.empty), 3))
+  }
+
   test("appendScored: appended index + merged stats equal scratch rebuild exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii5").toString
     val existing = docs.filter(col("doc_id") < 2)

@@ -56,6 +56,27 @@ class ScreenedIngestSpec extends SparkSuite {
     assert(corpusIds(corpus) == Set(1L, 2L))
   }
 
+  test("scheme'd artifact paths are rejected loudly (the silent-overwrite hazard)") {
+    // the java.nio bootstrap/id-screen probes are always-false on a
+    // scheme'd URI: start() would silently overwrite an existing remote
+    // sketch with an empty one — out-of-contract input must fail up front
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      .json(java.nio.file.Files.createTempDirectory("graft-si-scheme").toString)
+    for (bad <- Seq("hdfs://nn/sketch", "s3a://bucket/sketch", "file:/tmp/sketch")) {
+      val ex = intercept[IllegalArgumentException](
+        graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
+          bad, "/tmp/ok-corpus", "/tmp/ok-ckpt"))
+      assert(ex.getMessage.contains("scheme-less local-filesystem path"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException](
+        graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
+          "/tmp/ok-sketch", bad, "/tmp/ok-ckpt"))
+      assert(ex2.getMessage.contains("scheme-less local-filesystem path"), ex2.getMessage)
+    }
+  }
+
   test("idScreen closes the redelivery leaks: null-text rows and hot-bucket drops never duplicate") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("graft-si2-drop").toString
