@@ -77,6 +77,59 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Per-query reciprocal-rank fusion — [[rrfFuse]] for the BATCHED
+    * serving tier: each input list carries a `queryIxCol` alongside
+    * (id, score), ranks derive PER QUERY (row_number partitioned by the
+    * query index, same (score-rounded-6 desc, id asc) order), and the
+    * fused top-k cut is per query. Per-query rows are identical to N
+    * independent [[rrfFuse]] calls over the per-query sub-lists
+    * (spec-pinned), so the batched composition
+    * `searchBm25Batch + bruteForceKnn → rrfFuseBatch` serves exactly
+    * what N single-query hybrid stacks would — from ONE pruned postings
+    * read and ONE corpus scoring pass.
+    *
+    * Scale shape: unlike [[rrfFuse]]'s single-partition window, the
+    * rank windows here hash-partition by query index — N queries spread
+    * across the cluster, each sorting only its own candidate list. The
+    * cut-list contract still applies per query (inputs are each leg's
+    * per-query top-N); `maxListRows` bounds each list's TOTAL rows
+    * (≈ N · per-query cut) with the same loud preflight, sized for
+    * batches by default. No static-plan fast path: batched legs end in
+    * per-query rank filters, not a root limit, so the bound is counted
+    * (bounded by limit(max+1), one cheap job per list — persist lists
+    * with expensive lineage first, the [[rrfFuse]] caveat).
+    */
+  def rrfFuseBatch(lists: Seq[(DataFrame, String)], idCol: String, queryIxCol: String,
+      k: Int = 60, topK: Int = 10, maxListRows: Int = 1000000): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
+    require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
+    require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
+    lists.zipWithIndex.foreach { case ((df, _), i) =>
+      val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
+      val n = df.limit(cap).count()
+      require(n <= maxListRows,
+        s"rrfFuseBatch: input list #$i has more than $maxListRows total rows — RRF fuses " +
+          "CUT candidate lists (each leg's per-query top-N); cut upstream or raise " +
+          "maxListRows if the ceiling is genuinely intended.")
+    }
+    val contribs = lists.map { case (df, scoreCol) =>
+      df.select(col(queryIxCol), col(idCol),
+          round(col(scoreCol).cast("double"), 6).as("s"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col(queryIxCol)).orderBy(col("s").desc, col(idCol).asc)))
+        .select(col(queryIxCol), col(idCol),
+          (lit(1.0) / (lit(k.toDouble) + col("r"))).as("contrib"))
+    }
+    contribs.reduce(_ unionByName _)
+      .groupBy(col(queryIxCol), col(idCol))
+      .agg(round(sum(col("contrib")), 6).as("rrf_score"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryIxCol))
+          .orderBy(col("rrf_score").desc, col(idCol).asc)))
+      .filter(col("__rn") <= topK)
+      .select(col(queryIxCol), col(idCol), col("rrf_score"))
+  }
+
   /** Whether the analyzed plan proves ≤ `max` rows statically: a
     * `GlobalLimit(n ≤ max)` at the root, looking through row-PRESERVING
     * wrappers a caller might stack on a top-k result (projections,

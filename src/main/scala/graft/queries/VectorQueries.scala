@@ -246,6 +246,40 @@ object VectorQueries {
       Retrieval.rrfFuse(Seq(lex -> "score", sem -> "score"), "doc_id", k = 60, topK = 10)
     },
 
+    // BATCHED hybrid search — the serving-tier composition end to end:
+    // THREE hybrid queries (lexical probe triples from the top-9 df
+    // tokens; semantic query vectors = the 3 smallest vec_ids, mapped to
+    // query_ix by vec_id rank) served from ONE union-pruned postings
+    // read (searchBm25Batch, top-20 per query) + ONE corpus scoring pass
+    // (bruteForceKnn already broadcasts all queries, top-20 per query),
+    // fused per query by rrfFuseBatch at the published k=60. Per-query
+    // rows equal three independent x2-shaped stacks (spec-pinned); the
+    // oracle replays both legs, both per-query rank derivations, and
+    // the per-query fused cut.
+    "x3_hybrid_search_batch" -> { (s, dir) =>
+      import graft.operators.{InvertedIndex, Retrieval}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val scored = InvertedIndex.materializeScored(
+        docs, "doc_id", "text", QueryTmp.dir("x3idx") + "/postings")
+      val triples = InvertedIndex.topTokensByDf(scored, 9).grouped(3).toSeq
+      val lex = InvertedIndex.searchBm25Batch(scored, "doc_id", triples, topK = 20)
+      val emb = Tables.load(s, dir, "embeddings")
+      val qv = emb.orderBy(col("vec_id").asc).limit(3)
+      // query_ix = rank of the SELECTED vec_ids ascending (assigned
+      // before the knn's zero-norm query filter, so a zero-norm query
+      // would keep its slot and simply return no rows — replayable)
+      val ixMap = qv.select(col("vec_id").as("qid"))
+        .withColumn("query_ix",
+          (row_number().over(Window.orderBy(col("qid").asc)) - 1).cast("int"))
+      val sem = Similarity.bruteForceKnn(
+          qv, emb, "vec_id", "embedding", "vec_id", "embedding", k = 20)
+        .join(ixMap, "qid")
+        .select(col("query_ix"), col("neighbor").as("doc_id"), col("sim").as("score"))
+      Retrieval.rrfFuseBatch(Seq(lex -> "score", sem -> "score"), "doc_id", "query_ix",
+        k = 60, topK = 10)
+    },
+
     "x1_hybrid_dedup_groups" -> { (s, dir) =>
       val txt = graft.operators.Dedup.minhashNearDupPairs(
         Tables.load(s, dir, "documents"), "doc_id", "text", bands = 16)
@@ -835,6 +869,71 @@ object VectorQueries {
     // LSH == this at the declared thresholds); embedding side: the SRP
     // hyperplane replay (v3/v6's CTE) — the oracle runs the SAME ANN
     // candidate set the Spark plan does, cosine-verified.
+    // batched == N independent hybrid stacks: the ii8 lexical replay at
+    // top-20 per query + the x2 cosine replay for the 3 smallest
+    // vec_ids (query_ix by vec_id rank), per-query rank derivations and
+    // the per-query fused cut — one desynchronized leg, a cross-query
+    // contribution leak, or a global (not per-query) cut all fail the hash
+    "x3_hybrid_search_batch" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token,
+             ((row_number() OVER (ORDER BY dfp DESC, token ASC) - 1) // 3)::INT AS query_ix
+           FROM (SELECT token, count(*) AS dfp FROM tf GROUP BY token
+                 ORDER BY dfp DESC, token ASC LIMIT 9)),
+         m AS (SELECT tf.*, pr.query_ix FROM tf JOIN probe pr USING (token)),
+         dfq AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         bm AS (
+           SELECT m.query_ix, m.doc_id,
+             round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.query_ix, m.doc_id),
+         lex AS (
+           SELECT query_ix, doc_id, score FROM bm
+           QUALIFY row_number() OVER (PARTITION BY query_ix
+             ORDER BY score DESC, doc_id ASC) <= 20),
+         ed AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         qs AS (
+           SELECT vec_id, v,
+             (row_number() OVER (ORDER BY vec_id ASC))::INT - 1 AS query_ix
+           FROM ed ORDER BY vec_id ASC LIMIT 3),
+         pairs AS (
+           SELECT q.query_ix, e.vec_id AS doc_id,
+             list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+           FROM qs q JOIN ed e ON e.vec_id <> q.vec_id
+           WHERE list_dot_product(q.v, q.v) > 0 AND list_dot_product(e.v, e.v) > 0),
+         semr AS (
+           SELECT query_ix, doc_id, round(cos, 6) AS score,
+             row_number() OVER (PARTITION BY query_ix
+               ORDER BY cos DESC, doc_id ASC) AS rk
+           FROM pairs),
+         sem AS (SELECT query_ix, doc_id, score FROM semr WHERE rk <= 20),
+         lr AS (SELECT query_ix, doc_id,
+             row_number() OVER (PARTITION BY query_ix
+               ORDER BY score DESC, doc_id ASC) AS r FROM lex),
+         sr AS (SELECT query_ix, doc_id,
+             row_number() OVER (PARTITION BY query_ix
+               ORDER BY score DESC, doc_id ASC) AS r FROM sem),
+         u AS (
+           SELECT query_ix, doc_id, 1.0::DOUBLE / (60 + r) AS c FROM lr
+           UNION ALL
+           SELECT query_ix, doc_id, 1.0::DOUBLE / (60 + r) AS c FROM sr),
+         fin AS (
+           SELECT query_ix, doc_id, round(sum(c), 6) AS rrf_score FROM u
+           GROUP BY query_ix, doc_id)
+         SELECT query_ix, doc_id, rrf_score FROM fin
+         QUALIFY row_number() OVER (PARTITION BY query_ix
+           ORDER BY rrf_score DESC, doc_id ASC) <= 10""",
     "x2_hybrid_search_rrf" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts

@@ -112,6 +112,41 @@ class RetrievalSpec extends SparkSuite {
     assert(got.map(_._1) == Seq(3L, 9L), got.mkString(","))
   }
 
+  test("rrfFuseBatch equals N independent rrfFuse calls over per-query sub-lists") {
+    // two queries with OVERLAPPING docs across queries — per-query ranks
+    // and per-query cuts must never leak between query indices
+    val lex = Seq(
+      (0, 1L, 0.9), (0, 2L, 0.8), (0, 3L, 0.7),
+      (1, 2L, 0.95), (1, 5L, 0.6)).toDF("query_ix", "doc_id", "score")
+    val sem = Seq(
+      (0, 2L, 0.99), (0, 4L, 0.5),
+      (1, 1L, 0.9), (1, 2L, 0.1)).toDF("query_ix", "doc_id", "score")
+    val got = Retrieval.rrfFuseBatch(
+        Seq(lex -> "score", sem -> "score"), "doc_id", "query_ix", k = 60, topK = 10)
+      .as[(Int, Long, Double)].collect().toSet
+    val expected = Seq(0, 1).flatMap { ix =>
+      Retrieval.rrfFuse(
+          Seq(lex.filter($"query_ix" === ix).drop("query_ix") -> "score",
+            sem.filter($"query_ix" === ix).drop("query_ix") -> "score"),
+          "doc_id", k = 60, topK = 10)
+        .as[(Long, Double)].collect().map { case (id, s) => (ix, id, s) }
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // per-query top-k cut: topK=1 keeps the best row of EACH query
+    val top1 = Retrieval.rrfFuseBatch(
+        Seq(lex -> "score", sem -> "score"), "doc_id", "query_ix", k = 60, topK = 1)
+      .as[(Int, Long, Double)].collect()
+    assert(top1.map(_._1).sorted.toSeq == Seq(0, 1), top1.mkString(","))
+    // the preflight bounds TOTAL rows and fails loudly past it
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseBatch(Seq(lex -> "score"), "doc_id", "query_ix",
+        k = 60, topK = 3, maxListRows = 3)
+    }
+    assert(ex.getMessage.contains("CUT"), ex.getMessage)
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuseBatch(Seq.empty, "doc_id", "query_ix"))
+  }
+
   test("rrfFuse: invalid arguments fail loudly") {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, "doc_id"))
     val a = Seq((1L, 0.5)).toDF("doc_id", "score")
