@@ -676,6 +676,37 @@ object ScaleProbe {
         }
         println(f"[probe] ${"bm25_batched_x8"}%-24s ${tBatch}%6.2f s")
       }
+      // --phrasebatch: the phrase-search serving-tier economics (the
+      // --bm25batch twin on the positional index): the corpus's top-4
+      // df bigrams as 4 phrases — 4 independent searchPhrase fold-join
+      // plans (each its own postings reads) vs ONE searchPhraseBatch
+      // anchor-vote pass (one union-pruned read, one groupBy).
+      if (args.contains("--phrasebatch")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+        val dir = graft.queries.QueryTmp.dir("probe-phb")
+        val postings = InvertedIndex.materializePositional(docs, "doc_id", "text", s"$dir/p")
+        // deterministic multi-phrase probe: top-4 df bigrams (the
+        // topGramByDf ranking extended to 4 rows, same tiebreak)
+        val phrases = docs
+          .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
+            .as(Seq("g", "cd")))
+          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("g").asc)
+          .limit(4).collect().map(_.getString(0).split(" ").toSeq).toSeq
+        val tSep = timed {
+          phrases.foreach { ph =>
+            InvertedIndex.searchPhrase(postings, "doc_id", ph)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        println(f"[probe] ${"phrase_separate_x4"}%-24s ${tSep}%6.2f s")
+        val tBatch = timed {
+          InvertedIndex.searchPhraseBatch(postings, "doc_id", phrases)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${"phrase_batched_x4"}%-24s ${tBatch}%6.2f s")
+      }
       // --mhsig: the MEASURE-FIRST probe for the proposed MinHash
       // signature middle tier (r15 residual #2): would carrying the
       // 64-hash signatures (fixed 512 B/doc) in the sketch pay, by

@@ -92,6 +92,47 @@ object InvertedIndex {
     }.select(col(idCol)).distinct()
   }
 
+  /** Batched phrase search: N phrases served from ONE pruned positional-
+    * postings read — [[searchBm25Batch]]'s twin for [[searchPhrase]].
+    * Returns (query_ix, idCol) rows, per-query identical to N
+    * independent [[searchPhrase]] calls (spec-pinned and ii9-gated).
+    *
+    * Formulation: instead of per-phrase adjacency join chains (k−1
+    * joins each re-filtering the postings), every phrase explodes into
+    * broadcast (query_ix, token, offset, plen) rows; a posting matching
+    * (token, offset) votes for the phrase STARTING at
+    * `anchor = pos − offset`, and an anchor where all `plen` distinct
+    * offsets voted is a match (repeated tokens inside a phrase vote at
+    * each of their offsets, and count_distinct(offset) keeps the bar at
+    * plen — "red red" needs BOTH adjacent positions). Scale shape: one
+    * postings read pruned to the union of all phrase tokens (the filter
+    * reaches the parquet scan), one broadcast join, ONE groupBy on
+    * (query_ix, doc, anchor) over the matched rows — O(Σ df) shuffled
+    * once, vs the fold form's shuffle per phrase token.
+    */
+  def searchPhraseBatch(postings: DataFrame, idCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty, "searchPhraseBatch needs at least one phrase")
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      require(p.nonEmpty, s"searchPhraseBatch: phrase $i has no tokens")
+    }
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val probePairs = phrases.zipWithIndex.flatMap { case (p, ix) =>
+      p.zipWithIndex.map { case (t, off) => (ix, t, off, p.length.toLong) }
+    }
+    val probeMap = probePairs.toDF("query_ix", "token", "offset", "plen")
+    val unionTokens = probePairs.map(_._2).distinct
+    postings.filter(col("token").isin(unionTokens: _*))
+      .join(broadcast(probeMap), "token")
+      .select(col("query_ix"), col(idCol),
+        (col("pos") - col("offset")).as("__anchor"), col("offset"), col("plen"))
+      .groupBy(col("query_ix"), col(idCol), col("__anchor"), col("plen"))
+      .agg(count_distinct(col("offset")).as("__no"))
+      .filter(col("__no") === col("plen"))
+      .select(col("query_ix"), col(idCol)).distinct()
+  }
+
   /** Scored postings: one row per (doc, token) with its term frequency
     * and the doc's token count — the ranking-ready index layout
     * ([[build]] keeps only membership). Same build shape: one explode +

@@ -94,10 +94,13 @@ object Retrieval {
     * cut-list contract still applies per query (inputs are each leg's
     * per-query top-N); `maxListRows` bounds each list's TOTAL rows
     * (≈ N · per-query cut) with the same loud preflight, sized for
-    * batches by default. No static-plan fast path: batched legs end in
-    * per-query rank filters, not a root limit, so the bound is counted
-    * (bounded by limit(max+1), one cheap job per list — persist lists
-    * with expensive lineage first, the [[rrfFuse]] caveat).
+    * batches by default. The static-plan fast path applies here too —
+    * batched legs end in per-query rank filters, not a root limit, so
+    * append a semantic-no-op `.limit(N · perQueryTopK)` to prove the
+    * bound for free (the x2/x3 gate convention); otherwise the bound is
+    * counted (bounded by limit(max+1), one cheap job per list that
+    * RE-EXECUTES unmaterialized lineage — persist expensive lists
+    * first, the [[rrfFuse]] caveat).
     */
   def rrfFuseBatch(lists: Seq[(DataFrame, String)], idCol: String, queryIxCol: String,
       k: Int = 60, topK: Int = 10, maxListRows: Int = 1000000): DataFrame = {
@@ -105,12 +108,14 @@ object Retrieval {
     require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
     require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
     lists.zipWithIndex.foreach { case ((df, _), i) =>
-      val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
-      val n = df.limit(cap).count()
-      require(n <= maxListRows,
-        s"rrfFuseBatch: input list #$i has more than $maxListRows total rows — RRF fuses " +
-          "CUT candidate lists (each leg's per-query top-N); cut upstream or raise " +
-          "maxListRows if the ceiling is genuinely intended.")
+      if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
+        val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
+        val n = df.limit(cap).count()
+        require(n <= maxListRows,
+          s"rrfFuseBatch: input list #$i has more than $maxListRows total rows — RRF fuses " +
+            "CUT candidate lists (each leg's per-query top-N); cut upstream or raise " +
+            "maxListRows if the ceiling is genuinely intended.")
+      }
     }
     val contribs = lists.map { case (df, scoreCol) =>
       df.select(col(queryIxCol), col(idCol),

@@ -197,6 +197,29 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // BATCHED phrase search (ii2's serving-tier twin, the ii8 pattern on
+    // the positional index): TWO phrases of DIFFERENT lengths — the
+    // corpus's top doc-frequency bigram and trigram, both replayed by
+    // the oracle — served from ONE union-pruned postings read via the
+    // anchor-vote formulation (a posting at (token, pos) votes for the
+    // phrase starting at pos − offset; all plen distinct offsets voting
+    // is a match). Per-phrase rows equal independent ii2 searches
+    // (spec-pinned); a cross-phrase vote leak or an anchor arithmetic
+    // slip fails the hash.
+    "ii9_phrase_batch" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("posidx9")
+      val postings = InvertedIndex.materializePositional(
+        docs, "doc_id", "text", s"$idxDir/postings")
+      val phrases = Seq(
+        InvertedIndex.topGramByDf(docs, "text", 2),
+        InvertedIndex.topGramByDf(docs, "text", 3))
+      InvertedIndex.searchPhraseBatch(postings, "doc_id", phrases)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("query_ix"), col("doc_id"), col("lang"))
+    },
+
     // Canonical text normalization (lowercase, punctuation → space,
     // whitespace collapse) — the scan-stage preprocessing ahead of
     // exact dedup / fingerprinting; pure codegen Column expressions,
@@ -612,6 +635,42 @@ object TextQueries {
                     ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1, w
                   WHERE p1.token = w.w1 AND p2.token = w.w2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
+    // batched == N independent phrase searches: both probes replayed
+    // (top df bigram AND trigram, tie toward the smallest gram), each
+    // phrase's membership via the same adjacency semantics as ii2 —
+    // the anchor-vote formulation is a plan detail under the hash
+    "ii9_phrase_batch" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         gr2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g
+                FROM tk WHERE len(ts) >= 2),
+         top2 AS (SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS n_docs FROM gr2 GROUP BY g
+                    ORDER BY n_docs DESC, g ASC LIMIT 1)),
+         gr3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+                FROM tk WHERE len(ts) >= 3),
+         top3 AS (SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS n_docs FROM gr3 GROUP BY g
+                    ORDER BY n_docs DESC, g ASC LIMIT 1)),
+         w2 AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM top2),
+         w3 AS (SELECT string_split(g, ' ')[1] AS u1, string_split(g, ' ')[2] AS u2,
+                       string_split(g, ' ')[3] AS u3 FROM top3),
+         pos AS (SELECT doc_id, ts[i] AS token, i AS pos
+                 FROM tk, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+         h0 AS (SELECT DISTINCT p1.doc_id
+                FROM pos p1 JOIN pos p2
+                  ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1, w2
+                WHERE p1.token = w2.w1 AND p2.token = w2.w2),
+         h1 AS (SELECT DISTINCT p1.doc_id
+                FROM pos p1 JOIN pos p2
+                  ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2, w3
+                WHERE p1.token = w3.u1 AND p2.token = w3.u2 AND p3.token = w3.u3),
+         hits AS (SELECT 0::INT AS query_ix, doc_id FROM h0
+                  UNION ALL SELECT 1::INT, doc_id FROM h1)
+         SELECT h.query_ix, h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii1_inverted_search" ->
       """WITH p AS (
            SELECT DISTINCT doc_id, u.t AS token FROM (

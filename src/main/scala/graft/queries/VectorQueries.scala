@@ -272,12 +272,18 @@ object VectorQueries {
       val ixMap = qv.select(col("vec_id").as("qid"))
         .withColumn("query_ix",
           (row_number().over(Window.orderBy(col("qid").asc)) - 1).cast("int"))
+      // .limit(60) on each leg is a semantic no-op (3 queries × top-20
+      // per query by construction) that makes the cut-list bound
+      // STATICALLY provable, so rrfFuseBatch's preflight passes without
+      // count jobs re-executing the batched-search / knn lineage (the
+      // x2 convention)
       val sem = Similarity.bruteForceKnn(
           qv, emb, "vec_id", "embedding", "vec_id", "embedding", k = 20)
         .join(ixMap, "qid")
         .select(col("query_ix"), col("neighbor").as("doc_id"), col("sim").as("score"))
-      Retrieval.rrfFuseBatch(Seq(lex -> "score", sem -> "score"), "doc_id", "query_ix",
-        k = 60, topK = 10)
+        .limit(60)
+      Retrieval.rrfFuseBatch(Seq(lex.limit(60) -> "score", sem -> "score"),
+        "doc_id", "query_ix", k = 60, topK = 10)
     },
 
     "x1_hybrid_dedup_groups" -> { (s, dir) =>

@@ -80,6 +80,28 @@ class InvertedIndexSpec extends SparkSuite {
     assert(appended == scratch)
   }
 
+  test("searchPhraseBatch equals N independent searchPhrase calls") {
+    val p = InvertedIndex.buildPositional(docs, "doc_id", "text")
+    // mixed lengths, a repeated-token phrase, shared tokens across
+    // phrases, and a no-hit phrase — per-phrase votes must not leak
+    val phrases = Seq(
+      Seq("red", "fox"), Seq("red", "red"), Seq("red", "fox", "jumps"),
+      Seq("blue"), Seq("fox", "red"))
+    val got = InvertedIndex.searchPhraseBatch(p, "doc_id", phrases)
+      .as[(Int, Long)].collect().toSet
+    val expected = phrases.zipWithIndex.flatMap { case (ph, ix) =>
+      InvertedIndex.searchPhrase(p, "doc_id", ph)
+        .as[Long].collect().map(id => (ix, id))
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got == Set((0, 0L), (1, 1L), (2, 0L), (3, 2L))) // phrase 4 has no hits
+    // empty inputs fail loudly
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchPhraseBatch(p, "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchPhraseBatch(p, "doc_id", Seq(Seq("red"), Seq.empty)))
+  }
+
   test("buildScored carries tf and doc length; corpusStats sees tokenized docs only") {
     val scored = InvertedIndex.buildScored(docs, "doc_id", "text")
       .select("doc_id", "token", "tf", "dl").as[(Long, String, Long, Long)].collect().toSet

@@ -143,6 +143,16 @@ class RetrievalSpec extends SparkSuite {
         k = 60, topK = 3, maxListRows = 3)
     }
     assert(ex.getMessage.contains("CUT"), ex.getMessage)
+    // a root limit ≤ ceiling proves the bound statically (no count job,
+    // the rrfFuse fast path shared by the batch form); above the
+    // ceiling it still falls to the counted check
+    assert(Retrieval.rrfFuseBatch(Seq(lex.limit(3) -> "score"), "doc_id", "query_ix",
+      k = 60, topK = 10, maxListRows = 3).count() > 0)
+    val ex2 = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseBatch(Seq(lex.limit(5) -> "score"), "doc_id", "query_ix",
+        k = 60, topK = 10, maxListRows = 4)
+    }
+    assert(ex2.getMessage.contains("CUT"), ex2.getMessage)
     intercept[IllegalArgumentException](
       Retrieval.rrfFuseBatch(Seq.empty, "doc_id", "query_ix"))
   }
