@@ -686,14 +686,9 @@ object ScaleProbe {
         val docs = Tables.load(spark, sfDir, "documents")
         val dir = graft.queries.QueryTmp.dir("probe-phb")
         val postings = InvertedIndex.materializePositional(docs, "doc_id", "text", s"$dir/p")
-        // deterministic multi-phrase probe: top-4 df bigrams (the
-        // topGramByDf ranking extended to 4 rows, same tiebreak)
-        val phrases = docs
-          .select(explode(graft.functions.TextFunctions.tokenGramCounts(col("text"), 2))
-            .as(Seq("g", "cd")))
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("n_docs").desc, col("g").asc)
-          .limit(4).collect().map(_.getString(0).split(" ").toSeq).toSeq
+        // deterministic multi-phrase probe via the SHARED gram ranking
+        // (topGramsByDf — the same selection the ii2/ii9 gates replay)
+        val phrases = InvertedIndex.topGramsByDf(docs, "text", 2, 4)
         val tSep = timed {
           phrases.foreach { ph =>
             InvertedIndex.searchPhrase(postings, "doc_id", ph)

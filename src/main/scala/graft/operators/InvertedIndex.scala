@@ -429,18 +429,33 @@ object InvertedIndex {
       stats: Option[(Long, Double)] = None): DataFrame = {
     require(tokens.nonEmpty, "searchBm25 needs at least one token")
     require(topK > 0, s"topK must be positive, got $topK")
-    import org.apache.spark.sql.expressions.Window
-    val probe = tokens.distinct
     val (nDocs, avgDl) = stats.getOrElse(corpusStats(scored, idCol))
+    val (matched, contrib) = bm25Contrib(scored, tokens.distinct, nDocs, avgDl, k1, b)
+    matched.groupBy(col(idCol))
+      .agg(round(sum(contrib), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** ONE copy of the BM25 scoring arithmetic — the pruned+df-windowed
+    * postings frame and each matched row's idf·tf-saturation
+    * contribution — shared by [[searchBm25]] and [[searchBm25Batch]] so
+    * the batch form's "same arithmetic" contract is true by
+    * construction, never by parallel maintenance of two expression
+    * blocks. df comes from a count over the token window of the pruned
+    * set (postings are unique per (doc, token), so per-token row count
+    * IS document frequency regardless of which probe set pruned).
+    */
+  private def bm25Contrib(scored: DataFrame, probe: Seq[String],
+      nDocs: Long, avgDl: Double, k1: Double, b: Double)
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.expressions.Window
     val matched = scored.filter(col("token").isin(probe: _*))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
     val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
     val tfNorm = col("tf") * (k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgDl))
-    matched.groupBy(col(idCol))
-      .agg(round(sum(idf * tfNorm), 6).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(topK)
+    (matched, idf * tfNorm)
   }
 
   /** Batched BM25: serve N probe sets from ONE pruned postings read —
@@ -485,16 +500,15 @@ object InvertedIndex {
     val probePairs = queries.zipWithIndex.flatMap { case (q, i) =>
       q.distinct.map(t => (i, t))
     }
-    val unionTokens = probePairs.map(_._2).distinct
     val probeMap = probePairs.toDF("query_ix", "token")
-    val matched = scored.filter(col("token").isin(unionTokens: _*))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))).cast("double"))
-    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1)
-    val tfNorm = col("tf") * (k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgDl))
+    // ONE shared arithmetic block with searchBm25 (bm25Contrib); df is
+    // windowed over the union-pruned set BEFORE the query join — joining
+    // first would double-count tokens shared across queries
+    val (matched, contrib) = bm25Contrib(
+      scored, probePairs.map(_._2).distinct, nDocs, avgDl, k1, b)
     matched.join(broadcast(probeMap), "token")
       .groupBy(col("query_ix"), col(idCol))
-      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .agg(round(sum(contrib), 6).as("score"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_ix"))
           .orderBy(col("score").desc, col(idCol).asc)))
@@ -522,16 +536,26 @@ object InvertedIndex {
     * row is the intended boundary; fails loudly on a corpus with no
     * n-token document instead of a bare ArrayIndexOutOfBounds.
     */
-  def topGramByDf(docs: DataFrame, textCol: String, n: Int): Seq[String] = {
+  def topGramByDf(docs: DataFrame, textCol: String, n: Int): Seq[String] =
+    topGramsByDf(docs, textCol, n, 1).head
+
+  /** The k-gram generalization of [[topGramByDf]] (ONE ranking shared by
+    * the gates and the probe harness, so multi-phrase probe selection
+    * cannot de-synchronize either): the corpus's top-k doc-frequency
+    * n-grams in rank order, each split into its tokens. Driver collect
+    * of k rows is the intended boundary.
+    */
+  def topGramsByDf(docs: DataFrame, textCol: String, n: Int, k: Int): Seq[Seq[String]] = {
+    require(k > 0, s"topGramsByDf needs k > 0, got $k")
     val rows = docs
       .select(explode(graft.functions.TextFunctions.tokenGramCounts(col(textCol), n))
         .as(Seq("g", "cd")))
       .groupBy("g").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("g").asc)
-      .limit(1).collect()
+      .limit(k).collect()
     require(rows.nonEmpty,
-      s"topGramByDf: no document holds an $n-token gram (empty or too-short corpus)")
-    rows(0).getString(0).split(" ").toSeq
+      s"topGramsByDf: no document holds an $n-token gram (empty or too-short corpus)")
+    rows.map(_.getString(0).split(" ").toSeq).toSeq
   }
 
   /** Convenience: build-or-attach via the cross-session plan cache. */

@@ -51,20 +51,8 @@ object Retrieval {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
     require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
-    lists.zipWithIndex.foreach { case ((df, _), i) =>
-      if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
-        // limit(max+1) bounds the preflight itself: on a corpus-sized
-        // misuse the count stops after max+1 rows instead of scanning it
-        // (saturating — maxListRows = Int.MaxValue must not wrap negative)
-        val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
-        val n = df.limit(cap).count()
-        require(n <= maxListRows,
-          s"rrfFuse: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
-            "candidate lists (each retrieval stage's own top-N); an uncut corpus-sized list " +
-            "would serialize through the single-partition rank window. Cut the list upstream " +
-            "(limit/top-k), or raise maxListRows if the ceiling is genuinely intended.")
-      }
-    }
+    requireCutLists(lists, maxListRows, "rrfFuse",
+      "an uncut corpus-sized list would serialize through the single-partition rank window")
     val contribs = lists.map { case (df, scoreCol) =>
       df.select(col(idCol), round(col(scoreCol).cast("double"), 6).as("s"))
         .withColumn("r", row_number().over(Window.orderBy(col("s").desc, col(idCol).asc)))
@@ -107,16 +95,8 @@ object Retrieval {
     require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
     require(k > 0 && topK > 0, s"k and topK must be positive, got k=$k topK=$topK")
     require(maxListRows > 0, s"maxListRows must be positive, got $maxListRows")
-    lists.zipWithIndex.foreach { case ((df, _), i) =>
-      if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
-        val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
-        val n = df.limit(cap).count()
-        require(n <= maxListRows,
-          s"rrfFuseBatch: input list #$i has more than $maxListRows total rows — RRF fuses " +
-            "CUT candidate lists (each leg's per-query top-N); cut upstream or raise " +
-            "maxListRows if the ceiling is genuinely intended.")
-      }
-    }
+    requireCutLists(lists, maxListRows, "rrfFuseBatch",
+      "each leg must carry only its per-query top-N")
     val contribs = lists.map { case (df, scoreCol) =>
       df.select(col(queryIxCol), col(idCol),
           round(col(scoreCol).cast("double"), 6).as("s"))
@@ -134,6 +114,26 @@ object Retrieval {
       .filter(col("__rn") <= topK)
       .select(col(queryIxCol), col(idCol), col("rrf_score"))
   }
+
+  /** ONE copy of the cut-list preflight shared by [[rrfFuse]] and
+    * [[rrfFuseBatch]]: static proof first ([[staticallyBounded]] — free),
+    * else a count bounded by `limit(max+1)` (saturating —
+    * maxListRows = Int.MaxValue must not wrap negative), failing loudly
+    * past the ceiling. A fix to the preflight (bound saturation, new
+    * provable plan shapes) lands in both entry points by construction.
+    */
+  private def requireCutLists(lists: Seq[(DataFrame, String)], maxListRows: Int,
+      what: String, why: String): Unit =
+    lists.zipWithIndex.foreach { case ((df, _), i) =>
+      if (!staticallyBounded(df.queryExecution.analyzed, maxListRows)) {
+        val cap = if (maxListRows == Int.MaxValue) maxListRows else maxListRows + 1
+        val n = df.limit(cap).count()
+        require(n <= maxListRows,
+          s"$what: input list #$i has more than $maxListRows rows — RRF is defined on CUT " +
+            s"candidate lists (each retrieval stage's own top-N); $why. Cut the list " +
+            "upstream (limit/top-k), or raise maxListRows if the ceiling is genuinely intended.")
+      }
+    }
 
   /** Whether the analyzed plan proves ≤ `max` rows statically: a
     * `GlobalLimit(n ≤ max)` at the root, looking through row-PRESERVING

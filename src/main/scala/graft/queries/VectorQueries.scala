@@ -258,20 +258,25 @@ object VectorQueries {
     // the per-query fused cut.
     "x3_hybrid_search_batch" -> { (s, dir) =>
       import graft.operators.{InvertedIndex, Retrieval}
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val scored = InvertedIndex.materializeScored(
         docs, "doc_id", "text", QueryTmp.dir("x3idx") + "/postings")
       val triples = InvertedIndex.topTokensByDf(scored, 9).grouped(3).toSeq
       val lex = InvertedIndex.searchBm25Batch(scored, "doc_id", triples, topK = 20)
       val emb = Tables.load(s, dir, "embeddings")
-      val qv = emb.orderBy(col("vec_id").asc).limit(3)
+      // the 3 smallest vec_ids collected ONCE (3-row driver boundary,
+      // the probe-selector convention) — feeding both the query-side
+      // filter and the ix map from one pass, where a shared sort-limit
+      // subtree would re-scan and re-sort the table in each consumer
+      val qids = emb.select(col("vec_id")).orderBy(col("vec_id").asc).limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      val qv = emb.filter(col("vec_id").isin(qids: _*))
       // query_ix = rank of the SELECTED vec_ids ascending (assigned
       // before the knn's zero-norm query filter, so a zero-norm query
       // would keep its slot and simply return no rows — replayable)
-      val ixMap = qv.select(col("vec_id").as("qid"))
-        .withColumn("query_ix",
-          (row_number().over(Window.orderBy(col("qid").asc)) - 1).cast("int"))
+      import s.implicits._
+      val ixMap = qids.sorted.zipWithIndex
+        .map { case (id, ix) => (id, ix) }.toDF("qid", "query_ix")
       // .limit(60) on each leg is a semantic no-op (3 queries × top-20
       // per query by construction) that makes the cut-list bound
       // STATICALLY provable, so rrfFuseBatch's preflight passes without

@@ -75,7 +75,10 @@ object ScreenedIngest {
     * mean one location everywhere it is read.
     */
   private def requireLocalPath(what: String, path: String): Unit =
-    require(!path.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"),
+    // scheme needs 2+ chars: a Windows drive-letter path ("C:/data") is
+    // a local path, not a URI — every real filesystem scheme (hdfs, s3a,
+    // file, abfss, gs, wasb) is at least two characters
+    require(!path.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*"),
       s"ScreenedIngest: $what must be a scheme-less local-filesystem path " +
         s"(got '$path') — the sketch/corpus artifact machinery is " +
         "single-filesystem by contract; for distributed stores, screen via " +
