@@ -56,6 +56,37 @@ object InvertedIndex {
       .select(col(idCol))
   }
 
+  /** Batched AND-search: N probe sets from ONE pruned postings read —
+    * [[searchAll]]'s serving-tier twin (the ii8/ii9 pattern on the
+    * membership index). Returns (query_ix, idCol) rows, per-query
+    * identical to N independent [[searchAll]] calls (spec-pinned and
+    * ii10-gated). Each query's bar is ITS OWN distinct-token count
+    * (carried in the broadcast probe map — duplicate probes within a
+    * query must not raise it, the searchAll convention); one pruned
+    * read + one broadcast join + one groupBy for all N queries.
+    */
+  def searchAllBatch(postings: DataFrame, idCol: String,
+      queries: Seq[Seq[String]]): DataFrame = {
+    require(queries.nonEmpty, "searchAllBatch needs at least one query")
+    queries.zipWithIndex.foreach { case (q, i) =>
+      require(q.nonEmpty, s"searchAllBatch: query $i has no tokens")
+    }
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val probePairs = queries.zipWithIndex.flatMap { case (q, ix) =>
+      val distinctQ = q.distinct
+      distinctQ.map(t => (ix, t, distinctQ.length.toLong))
+    }
+    val probeMap = probePairs.toDF("query_ix", "token", "__nq")
+    val unionTokens = probePairs.map(_._2).distinct
+    postings.filter(col("token").isin(unionTokens: _*))
+      .join(broadcast(probeMap), "token")
+      .groupBy(col("query_ix"), col(idCol), col("__nq"))
+      .agg(count_distinct(col("token")).as("__nt"))
+      .filter(col("__nt") === col("__nq"))
+      .select(col("query_ix"), col(idCol))
+  }
+
   /** Positional postings (token, doc_id, pos) over the empty-filtered
     * token sequence — the phrase-query form of [[build]]. `pos` is the
     * 0-based index in the filtered sequence, so adjacency (`pos + 1`)
@@ -72,6 +103,17 @@ object InvertedIndex {
     buildPositional(docs, idCol, textCol).write.mode("overwrite").parquet(path)
     docs.sparkSession.read.parquet(path)
   }
+
+  /** Incremental maintenance for the POSITIONAL index — [[appendTo]]'s
+    * twin for the phrase layout: tokenize ONLY the batch and append its
+    * (doc, pos, token) rows (positions are per-doc, and a doc lives
+    * wholly inside one batch, so the appended rows are exactly what a
+    * full [[buildPositional]] rebuild would produce for those docs).
+    * Same caller contract as [[appendTo]]: batch doc ids are new.
+    */
+  def appendPositional(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    buildPositional(docs, idCol, textCol).write.mode("append").parquet(path)
 
   /** Doc ids containing the exact phrase — `phrase` tokens adjacent in
     * order. Each probe filters the postings to ONE token (O(df) rows

@@ -197,6 +197,23 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // BATCHED AND-search (ii1's serving-tier twin, completing the
+    // batched tier across all four search forms: AND ii10, phrase ii9,
+    // ranked ii8, hybrid x3): TWO 2-token probe sets — the top-4 df
+    // tokens split in consecutive pairs, replayed by the oracle — from
+    // ONE union-pruned postings read; each query's AND bar is its own
+    // distinct-token count carried in the broadcast probe map.
+    "ii10_and_batch" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val idxDir = QueryTmp.dir("invidx10")
+      val postings = InvertedIndex.materialize(docs, "doc_id", "text", s"$idxDir/postings")
+      val queries = InvertedIndex.topTokensByDf(postings, 4).grouped(2).toSeq
+      InvertedIndex.searchAllBatch(postings, "doc_id", queries)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("query_ix"), col("doc_id"), col("lang"))
+    },
+
     // BATCHED phrase search (ii2's serving-tier twin, the ii8 pattern on
     // the positional index): TWO phrases of DIFFERENT lengths — the
     // corpus's top doc-frequency bigram and trigram, both replayed by
@@ -218,6 +235,28 @@ object TextQueries {
       InvertedIndex.searchPhraseBatch(postings, "doc_id", phrases)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("query_ix"), col("doc_id"), col("lang"))
+    },
+
+    // Incrementally-maintained POSITIONAL index (ii3's phrase-layout
+    // twin): built WITHOUT the daily batch (doc_id % 10 = 7), then only
+    // the batch is tokenized and appended — positions are per-doc, so
+    // the appended rows equal a rebuild's. The ii2 phrase search runs
+    // off the appended artifact against the FULL-corpus oracle: a lost
+    // append, a double append, or stale probe selection all fail the
+    // hash.
+    "ii11_positional_append" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs = Tables.load(s, dir, "documents")
+      val path = s"${QueryTmp.dir("posidx11")}/postings"
+      InvertedIndex.buildPositional(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text")
+        .write.parquet(path)
+      InvertedIndex.appendPositional(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path)
+      val postings = s.read.parquet(path)
+      val top = InvertedIndex.topGramByDf(docs, "text", 2)
+      InvertedIndex.searchPhrase(postings, "doc_id", top)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
     },
 
     // Canonical text normalization (lowercase, punctuation → space,
@@ -618,6 +657,27 @@ object TextQueries {
            SELECT doc_id FROM p JOIN top2 USING (token)
            GROUP BY doc_id HAVING count(DISTINCT token) = 2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
+    // append == rebuild for the positional layout: the incrementally-
+    // appended index must serve exactly the full-corpus phrase search
+    // (ii2's oracle verbatim — the appended artifact is a
+    // materialization detail, the d12/d17 convention)
+    "ii11_positional_append" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+                     FROM documents),
+         gr AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS g
+                FROM tk WHERE len(ts) >= 2),
+         top1 AS (SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS n_docs FROM gr GROUP BY g
+                    ORDER BY n_docs DESC, g ASC LIMIT 1)),
+         w AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM top1),
+         pos AS (SELECT doc_id, ts[i] AS token, i AS pos
+                 FROM tk, UNNEST(range(1, len(ts) + 1)) AS u(i)),
+         hits AS (SELECT DISTINCT p1.doc_id
+                  FROM pos p1 JOIN pos p2
+                    ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1, w
+                  WHERE p1.token = w.w1 AND p2.token = w.w2)
+         SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii2_phrase_search" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
                      FROM documents),
@@ -635,6 +695,23 @@ object TextQueries {
                     ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1, w
                   WHERE p1.token = w.w1 AND p2.token = w.w2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
+    // batched == N independent AND searches: top-4 df tokens (df desc,
+    // token asc) split in consecutive pairs; membership per query via
+    // ii1's count-distinct bar, query_ix-tagged
+    "ii10_and_batch" ->
+      """WITH p AS (
+           SELECT DISTINCT doc_id, u.t AS token FROM (
+             SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+             FROM documents), UNNEST(ts) AS u(t)),
+         top4 AS (
+           SELECT token,
+             ((row_number() OVER (ORDER BY df DESC, token ASC) - 1) // 2)::INT AS query_ix
+           FROM (SELECT token, count(*) AS df FROM p GROUP BY token
+                 ORDER BY df DESC, token ASC LIMIT 4)),
+         hits AS (
+           SELECT t.query_ix, p.doc_id FROM p JOIN top4 t USING (token)
+           GROUP BY t.query_ix, p.doc_id HAVING count(DISTINCT p.token) = 2)
+         SELECT h.query_ix, h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     // batched == N independent phrase searches: both probes replayed
     // (top df bigram AND trigram, tie toward the smallest gram), each
     // phrase's membership via the same adjacency semantics as ii2 —

@@ -80,6 +80,25 @@ class InvertedIndexSpec extends SparkSuite {
     assert(appended == scratch)
   }
 
+  test("searchAllBatch equals N independent searchAll calls") {
+    val p = InvertedIndex.build(docs, "doc_id", "text")
+    // shared tokens across queries, a duplicate probe, and a no-hit
+    // query — each query's AND bar must be its own distinct count
+    val queries = Seq(
+      Seq("red", "fox"), Seq("fox"), Seq("red", "red"), Seq("red", "missing"))
+    val got = InvertedIndex.searchAllBatch(p, "doc_id", queries)
+      .as[(Int, Long)].collect().toSet
+    val expected = queries.zipWithIndex.flatMap { case (q, ix) =>
+      InvertedIndex.searchAll(p, "doc_id", q).as[Long].collect().map(id => (ix, id))
+    }.toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got == Set((0, 0L), (1, 0L), (1, 2L), (2, 0L), (2, 1L)))
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchAllBatch(p, "doc_id", Seq.empty))
+    intercept[IllegalArgumentException](
+      InvertedIndex.searchAllBatch(p, "doc_id", Seq(Seq("red"), Seq.empty)))
+  }
+
   test("searchPhraseBatch equals N independent searchPhrase calls") {
     val p = InvertedIndex.buildPositional(docs, "doc_id", "text")
     // mixed lengths, a repeated-token phrase, shared tokens across
@@ -184,6 +203,24 @@ class InvertedIndexSpec extends SparkSuite {
       InvertedIndex.searchBm25Batch(scored, "doc_id", Seq.empty, 3))
     intercept[IllegalArgumentException](
       InvertedIndex.searchBm25Batch(scored, "doc_id", Seq(Seq("red"), Seq.empty), 3))
+  }
+
+  test("appendPositional: appended positional index equals scratch rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ii11").toString
+    InvertedIndex.buildPositional(docs.filter(col("doc_id") < 2), "doc_id", "text")
+      .write.parquet(s"$dir/p")
+    InvertedIndex.appendPositional(
+      docs.filter(col("doc_id") >= 2), "doc_id", "text", s"$dir/p")
+    // sorted-seq compare (the appendTo convention): a double append
+    // would duplicate (doc, pos, token) rows invisibly under set equality
+    val appended = spark.read.parquet(s"$dir/p").select("doc_id", "pos", "token")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    val scratch = InvertedIndex.buildPositional(docs, "doc_id", "text")
+      .select("doc_id", "pos", "token").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(appended == scratch)
+    // phrase search off the appended artifact matches the rebuild's
+    assert(InvertedIndex.searchPhrase(spark.read.parquet(s"$dir/p"), "doc_id",
+      Seq("red", "fox")).as[Long].collect().toSet == Set(0L))
   }
 
   test("appendScored: appended index + merged stats equal scratch rebuild exactly") {
