@@ -428,6 +428,55 @@ object ScaleProbe {
         val tRerun = timed { run() }
         println(f"[probe] ${"st4_ingest_rerun"}%-24s ${tRerun}%6.2f s")
       }
+      // --ixingest — the continuously-maintained BM25 index (st5's
+      // probe, the --ingest pattern on the retrieval side): three daily
+      // batches stream into a pre-seeded scored index. FIRST pass =
+      // real maintenance (batch tokenize + locked append + totals
+      // fold + the column-pruned id screen); rerun min-of-3 = the
+      // redelivery floor (every batch screens to empty and appends
+      // nothing). Both must stay ~flat per batch as the corpus decade
+      // grows or the continuous-maintenance claim is wrong.
+      if (args.contains("--ixingest")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val root = graft.queries.QueryTmp.dir("probe-ixingest")
+        val drop = s"$root/drop"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(drop))
+        val index = s"$root/postings"
+        InvertedIndex.materializeScored(
+          docs.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8 &&
+            col("doc_id") % 10 =!= 9),
+          "doc_id", "text", index)
+        Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
+          val t = graft.queries.QueryTmp.dir(s"probe-ixingest-b$i")
+          docs.filter(col("doc_id") % 10 === m)
+            .repartition(1).write.mode("overwrite").json(t)
+          val part = new java.io.File(t).listFiles()
+            .filter(_.getName.endsWith(".json")).head.toPath
+          val dst = java.nio.file.Paths.get(drop, s"b$i.json")
+          java.nio.file.Files.move(part, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+        val schema = docs.schema
+        def run(): Unit = {
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "32")
+          val stream = ss.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").json(drop)
+          val q = graft.streaming.IndexIngest.start(stream, "doc_id", "text",
+            index, graft.queries.QueryTmp.dir("probe-ixingest-ckpt"))
+          try q.processAllAvailable() finally q.stop()
+        }
+        val t0 = System.nanoTime()
+        run()
+        val tFirst = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] ${"st5_ixingest_first"}%-24s ${tFirst}%6.2f s")
+        val tRerun = timed { run() }
+        println(f"[probe] ${"st5_ixingest_rerun"}%-24s ${tRerun}%6.2f s")
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change

@@ -35,6 +35,14 @@ object PipelineQueries {
   private val screenedStage =
     scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
 
+  /** st5's JSON drop dir per data dir (the st4 staging pattern on the
+    * index-ingest fixture; the INDEX dir is deliberately NOT memoized —
+    * each invocation streams into a fresh artifact, since a reused one
+    * would turn every re-run into an all-screened no-op and the gate
+    * would stop exercising the append path).
+    */
+  private val indexStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Bound ports of the rp1 fixture service, one entry per data dir
     * (daemon accept threads live for the session — one pair total
     * instead of one pair per invocation).
@@ -546,6 +554,61 @@ object PipelineQueries {
       s.read.parquet(corpus).select(col("doc_id"), col("lang"))
     },
 
+    // Continuously-maintained BM25 index (st4's retrieval twin): three
+    // daily batches stream into a standing scored-index artifact via
+    // IndexIngest — each micro-batch tokenizes only itself and folds
+    // exact integer totals through appendScored — then the WHOLE stream
+    // is re-delivered (second run, fresh checkpoint) and the id screen
+    // must make it a no-op. The ii4 search served off the final
+    // artifact from DISK STATE ALONE (attachScored) must equal the
+    // full-corpus oracle: a lost/doubled append, a stale sidecar, or a
+    // leaky redelivery screen all fail the hash.
+    "st5_index_ingest" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val docs0 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val stage = indexStage.synchronized {
+        indexStage.getOrElseUpdate(dir, {
+          val d = tmpDir("ixingest-src")
+          Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
+            val t = tmpDir(s"ixingest-b$i")
+            docs0.filter(col("doc_id") % 10 === m)
+              .repartition(1).write.mode("overwrite").json(t)
+            val part = new java.io.File(t).listFiles()
+              .filter(_.getName.endsWith(".json")).head.toPath
+            val dst = java.nio.file.Paths.get(d, s"b$i.json")
+            java.nio.file.Files.move(part, dst,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          }
+          d
+        })
+      }
+      // fresh artifact per invocation (see indexStage's note): day 0 =
+      // the base corpus materialized with its exact-totals sidecar
+      val index = tmpDir("ixingest-idx") + "/postings"
+      InvertedIndex.materializeScored(
+        docs0.filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 8 &&
+          col("doc_id") % 10 =!= 9),
+        "doc_id", "text", index)
+      val schema = docs0.schema
+      def run(): Unit = {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").json(stage)
+        val q = graft.streaming.IndexIngest.start(
+          stream, "doc_id", "text", index, tmpDir("ixingest-ckpt"))
+        try q.processAllAvailable() finally q.stop()
+      }
+      run()
+      run() // full redelivery: the id screen must append nothing
+      val (scored, stats) = InvertedIndex.attachScored(s, index, "doc_id")
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10, stats = Some(stats))
+    },
+
     // Custom Catalyst expressions callable from plain SQL text (vec_dot
     // registered on the session) — the engine's SQL surface.
     "qsql_vec_norm" -> { (s, dir) =>
@@ -714,6 +777,31 @@ object PipelineQueries {
              WHERE bit_count(xor(ns.sim, o.sim)) <= 3)),
          fin AS (SELECT doc_id FROM a3 UNION ALL SELECT doc_id FROM k3)
          SELECT d.doc_id, d.lang FROM documents d JOIN fin USING (doc_id)""",
+    // stream-maintained == rebuild: the index fed by three streamed
+    // appends (+ a fully-redelivered second pass) must serve exactly
+    // the full-corpus ranking — ii4's oracle verbatim
+    "st5_index_ingest" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
     "sq1_sessions" ->
       """WITH w AS (
            SELECT user_id, ts, value,

@@ -61,48 +61,13 @@ import graft.operators.Dedup
   */
 object ScreenedIngest {
 
-  /** The artifact paths are LOCAL-FILESYSTEM by contract (the
-    * SketchArtifact/InvertedIndex convention): bootstrap and the id
-    * screen probe them with `java.nio` — on a scheme'd URI
-    * (`hdfs://`, `s3a://`, …) those checks are ALWAYS false, so every
-    * [[start]] would silently overwrite an existing sketch with an empty
-    * one (artifact destruction, screening disabled) and the id screen
-    * would silently never engage. Out-of-contract input must fail
-    * LOUDLY instead (the appendScored NFS-guidance convention), so any
-    * scheme-prefixed path is rejected up front. `file:` URIs are
-    * rejected too: the Spark writes would honor them but the `java.nio`
-    * probes would treat them as relative paths — one path string must
-    * mean one location everywhere it is read.
-    */
-  private def requireLocalPath(what: String, path: String): Unit =
-    // scheme needs 2+ chars: a Windows drive-letter path ("C:/data") is
-    // a local path, not a URI — every real filesystem scheme (hdfs, s3a,
-    // file, abfss, gs, wasb) is at least two characters
-    require(!path.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*"),
-      s"ScreenedIngest: $what must be a scheme-less local-filesystem path " +
-        s"(got '$path') — the sketch/corpus artifact machinery is " +
-        "single-filesystem by contract; for distributed stores, screen via " +
-        "the batch operators over your own FileSystem-checked paths")
-
-  /** Local-filesystem artifact check (the SketchArtifact/InvertedIndex
-    * convention — these artifact ops are single-filesystem by contract).
-    */
-  private def hasParquet(dir: String): Boolean = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.isDirectory(d) && {
-      val s = java.nio.file.Files.list(d)
-      try s.anyMatch(p => !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith("."))
-      finally s.close()
-    }
-  }
-
   def start(docs: DataFrame, idCol: String, textCol: String,
       sketchPath: String, corpusDir: String, checkpointDir: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
       idScreen: Boolean = true): StreamingQuery = {
-    requireLocalPath("sketchPath", sketchPath)
-    requireLocalPath("corpusDir", corpusDir)
+    // loud local-path contract + artifact probes: [[ArtifactPaths]]
+    ArtifactPaths.requireLocal("ScreenedIngest", "sketchPath", sketchPath)
+    ArtifactPaths.requireLocal("ScreenedIngest", "corpusDir", corpusDir)
     // day-zero bootstrap: seed an EMPTY sketch so the first micro-batch
     // reads a valid (vacuous) old side instead of failing on the path
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sketchPath))) {
@@ -126,7 +91,7 @@ object ScreenedIngest {
             admissible, sims, spark.read.parquet(sketchPath), idCol,
             maxHamming, maxBucketSize)
           val kept = (
-            if (idScreen && hasParquet(corpusDir))
+            if (idScreen && ArtifactPaths.hasParquet(corpusDir))
               screened.join(spark.read.parquet(corpusDir).select(col(idCol)),
                 Seq(idCol), "left_anti")
             else screened
