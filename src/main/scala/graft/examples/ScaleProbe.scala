@@ -400,16 +400,9 @@ object ScaleProbe {
         graft.operators.Dedup.simhashSketch(base, "doc_id", "text")
           .write.mode("overwrite").parquet(sketch)
         Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
-          val t = graft.queries.QueryTmp.dir(s"probe-ingest-b$i")
-          docs.filter(col("doc_id") % 10 === m)
-            .repartition(1).write.mode("overwrite").json(t)
-          val part = new java.io.File(t).listFiles()
-            .filter(_.getName.endsWith(".json")).head.toPath
-          val dst = java.nio.file.Paths.get(drop, s"b$i.json")
-          java.nio.file.Files.move(part, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          graft.queries.QueryTmp.stageJsonBatch(
+            docs.filter(col("doc_id") % 10 === m),
+            drop, s"b$i.json", 1700000000000L + i * 60000L)
         }
         val schema = docs.schema
         def run(): Unit = {
@@ -449,16 +442,9 @@ object ScaleProbe {
             col("doc_id") % 10 =!= 9),
           "doc_id", "text", index)
         Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
-          val t = graft.queries.QueryTmp.dir(s"probe-ixingest-b$i")
-          docs.filter(col("doc_id") % 10 === m)
-            .repartition(1).write.mode("overwrite").json(t)
-          val part = new java.io.File(t).listFiles()
-            .filter(_.getName.endsWith(".json")).head.toPath
-          val dst = java.nio.file.Paths.get(drop, s"b$i.json")
-          java.nio.file.Files.move(part, dst,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+          graft.queries.QueryTmp.stageJsonBatch(
+            docs.filter(col("doc_id") % 10 === m),
+            drop, s"b$i.json", 1700000000000L + i * 60000L)
         }
         val schema = docs.schema
         def run(): Unit = {
@@ -744,12 +730,16 @@ object ScaleProbe {
               .write.format("noop").mode("overwrite").save()
           }
         }
-        println(f"[probe] ${"phrase_separate_x4"}%-24s ${tSep}%6.2f s")
+        // labels carry the ACTUAL phrase count: topGramsByDf returns
+        // fewer than requested on a gram-poor corpus, and a silently
+        // mislabeled xN row would corrupt cross-round comparisons (the
+        // no-silent-caps convention)
+        println(f"[probe] ${s"phrase_separate_x${phrases.length}"}%-24s ${tSep}%6.2f s")
         val tBatch = timed {
           InvertedIndex.searchPhraseBatch(postings, "doc_id", phrases)
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"[probe] ${"phrase_batched_x4"}%-24s ${tBatch}%6.2f s")
+        println(f"[probe] ${s"phrase_batched_x${phrases.length}"}%-24s ${tBatch}%6.2f s")
       }
       // --mhsig: the MEASURE-FIRST probe for the proposed MinHash
       // signature middle tier (r15 residual #2): would carrying the

@@ -273,8 +273,14 @@ object InvertedIndex {
   /** In-progress append marker (see [[appendScored]]). */
   private[operators] val AppendMarkerFile = "._graft_bm25_appending"
 
-  /** Whether an [[appendScored]] is (or died) in flight on `path`. */
-  private def appendInProgress(path: String): Boolean =
+  /** Whether an [[appendScored]] is (or died) in flight on `path` —
+    * `private[graft]` so [[graft.streaming.IndexIngest]] can refuse
+    * LOUDLY to ingest over a crashed append (partial postings for the
+    * dying batch's docs may be visible; its id screen would otherwise
+    * silently drop those docs forever — see IndexIngest's crash
+    * contract).
+    */
+  private[graft] def appendInProgress(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, AppendMarkerFile))
 
   /** Bounded wait for the append lock: appends are batch-sized jobs, so
@@ -379,21 +385,11 @@ object InvertedIndex {
 
   /** Whether `path` holds any data files (non-`_`/`.`-prefixed) — the
     * "does an index already live here" probe [[appendScored]] uses to
-    * decide between healing totals and starting from zero.
+    * decide between healing totals and starting from zero
+    * ([[graft.sources.FsUtil.hasDataFiles]], the one shared copy).
     */
-  private def hasDataFiles(path: String): Boolean = {
-    import java.nio.file.{Files, Paths}
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) false
-    else {
-      val it = Files.list(dir)
-      try it.anyMatch { p =>
-        val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      finally it.close()
-    }
-  }
+  private def hasDataFiles(path: String): Boolean =
+    graft.sources.FsUtil.hasDataFiles(path)
 
   /** A batch's exact (docs, total tokens) — one batch-sized scan, the
     * delta [[mergeTotals]] folds into corpus totals. Zero-token docs are

@@ -527,16 +527,8 @@ object PipelineQueries {
           // closure is order-SENSITIVE, so the fixture pins the order
           // the oracle replays
           Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
-            val t = tmpDir(s"screened-b$i")
-            docs.filter(col("doc_id") % 10 === m)
-              .repartition(1).write.mode("overwrite").json(t)
-            val part = new java.io.File(t).listFiles()
-              .filter(_.getName.endsWith(".json")).head.toPath
-            val dst = java.nio.file.Paths.get(d, s"b$i.json")
-            java.nio.file.Files.move(part, dst,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+            QueryTmp.stageJsonBatch(docs.filter(col("doc_id") % 10 === m),
+              d, s"b$i.json", 1700000000000L + i * 60000L)
           }
           (d, corpusDir, sketchDir)
         })
@@ -571,16 +563,8 @@ object PipelineQueries {
         indexStage.getOrElseUpdate(dir, {
           val d = tmpDir("ixingest-src")
           Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
-            val t = tmpDir(s"ixingest-b$i")
-            docs0.filter(col("doc_id") % 10 === m)
-              .repartition(1).write.mode("overwrite").json(t)
-            val part = new java.io.File(t).listFiles()
-              .filter(_.getName.endsWith(".json")).head.toPath
-            val dst = java.nio.file.Paths.get(d, s"b$i.json")
-            java.nio.file.Files.move(part, dst,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+            QueryTmp.stageJsonBatch(docs0.filter(col("doc_id") % 10 === m),
+              d, s"b$i.json", 1700000000000L + i * 60000L)
           }
           d
         })

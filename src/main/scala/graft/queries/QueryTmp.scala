@@ -50,4 +50,26 @@ private[graft] object QueryTmp {
     }, s"graft-tmp-clean-$tag"))
     d.toString
   }
+
+  /** Stage `df` as ONE JSON file at `dstDir/name` with a pinned mtime —
+    * the streaming-fixture protocol (the file source processes
+    * oldest-first, so strictly-increasing mtimes pin micro-batch order)
+    * in ONE copy, shared by the st4/st5 gates, the `--ingest`/
+    * `--ixingest` probes, and the ingest specs: a change to the staging
+    * mechanics (part-file naming, the mtime convention) cannot drift
+    * between them.
+    */
+  def stageJsonBatch(df: org.apache.spark.sql.DataFrame, dstDir: String,
+      name: String, mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val t = dir("stage-json")
+    df.repartition(1).write.mode("overwrite").json(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".json")).head.toPath
+    Files.createDirectories(Paths.get(dstDir))
+    val dst = Paths.get(dstDir, name)
+    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
+  }
 }

@@ -111,4 +111,23 @@ private[graft] object FsUtil {
       }
     } finally stream.close()
   }
+
+  /** Whether `dir` holds any DATA files (non-`_`/`.`-prefixed) — the
+    * "does an artifact already live here" probe. ONE copy for every
+    * artifact family (index appends, streaming ingest bootstrap /
+    * id-screen probes), so the artifact-presence semantics (which
+    * prefixes are bookkeeping) can never diverge between them.
+    * Single-filesystem by contract, like the rest of this object.
+    */
+  def hasDataFiles(dir: String): Boolean = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.isDirectory(d) && {
+      val s = java.nio.file.Files.list(d)
+      try s.anyMatch { p =>
+        val n = p.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      finally s.close()
+    }
+  }
 }

@@ -26,15 +26,8 @@ private[streaming] object ArtifactPaths {
         "your own FileSystem-checked paths")
 
   /** Whether `dir` holds any non-`_`/`.`-prefixed files — the "does an
-    * artifact already live here" probe (single-filesystem by contract).
+    * artifact already live here" probe ([[graft.sources.FsUtil.hasDataFiles]],
+    * the one shared copy).
     */
-  def hasParquet(dir: String): Boolean = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.isDirectory(d) && {
-      val s = java.nio.file.Files.list(d)
-      try s.anyMatch(p => !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith("."))
-      finally s.close()
-    }
-  }
+  def hasParquet(dir: String): Boolean = graft.sources.FsUtil.hasDataFiles(dir)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, filter, length, size, split}
 import org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -22,19 +22,35 @@ import graft.operators.InvertedIndex
   *
   * Identity contract (the ScreenedIngest convention): `idCol` is each
   * row's durable identity; NULL-id rows are excluded (no identity → no
-  * idempotence story). Null/empty-TEXT rows contribute no postings and
-  * no totals (a rebuild would not count them either), so they pass
-  * through as no-ops.
+  * idempotence story). Null/empty/untokenizable-TEXT rows are dropped
+  * BEFORE the screen and the append: they would contribute no postings
+  * and no totals anyway (a rebuild would not count them either), and
+  * because they never enter the index their ids never enter the id
+  * screen — kept in the batch, every redelivery would re-run a
+  * pointless empty append (lock churn plus a sidecar-absent window
+  * during which a concurrent attach pays a spurious O(index) heal).
   *
   * Redelivery (foreachBatch is at-least-once): `idScreen = true` (the
   * default) anti-joins each batch against the index's doc ids, so a
-  * redelivered batch appends nothing. appendScored's own lock + marker
-  * machinery covers crash windows WITHIN an append (a crash leaves no
-  * sidecar — the next attach heals exactly). Disable `idScreen` only
-  * when upstream guarantees globally-fresh ids AND exactly-once
-  * delivery; without it a redelivered batch double-appends its postings
-  * AND double-folds its totals (both wrong, loudly visible against a
-  * rebuild — the ii5 oracle property).
+  * redelivered batch appends nothing. Disable it only when upstream
+  * guarantees globally-fresh ids AND exactly-once delivery; without it
+  * a redelivered batch double-appends its postings AND double-folds
+  * its totals (both wrong, loudly visible against a rebuild — the ii5
+  * oracle property).
+  *
+  * Crash contract: a crash BETWEEN batches redelivers a fully-committed
+  * batch, which the id screen makes a no-op. A crash WITHIN an append
+  * is the dangerous window: a subset of the dying batch's postings may
+  * already be committed, so its doc ids are VISIBLE to the screen and a
+  * redelivery would silently drop those docs with their remaining
+  * postings missing forever (appendScored's marker machinery keeps the
+  * TOTALS sidecar exact — absent until healed — but cannot un-commit
+  * partial postings). [[start]]'s micro-batch therefore checks the
+  * append-in-progress marker FIRST and fails the query LOUDLY when a
+  * prior append died mid-flight: remediation is a rebuild of the
+  * artifact ([[InvertedIndex.materializeScored]] over the corpus of
+  * record) — the loud-over-silent-loss convention (the sidecar
+  * invariant, applied to postings).
   *
   * Day-zero bootstrap: a missing index directory simply starts the
   * artifact from zero (appendScored's `(0, 0)` prior) and skips the id
@@ -53,7 +69,24 @@ object IndexIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // crashed-append tripwire (see the crash contract above): the
+        // marker can only be live here if a PRIOR append died mid-flight
+        // (this query's batches are sequential; a concurrent writer on
+        // the same path is out of contract) — partial postings may be
+        // visible, and screening over them silently loses documents
+        require(!InvertedIndex.appendInProgress(indexPath),
+          s"IndexIngest: a previous append to '$indexPath' died mid-flight " +
+            "(append marker present) — partial postings for its batch may be " +
+            "committed, and continuing would silently drop those documents. " +
+            "Rebuild the artifact (InvertedIndex.materializeScored over the " +
+            "corpus of record), then restart the ingest.")
+        // tokenizable rows only: an untokenizable row would never enter
+        // the index, so its id would never enter the screen and every
+        // redelivery would re-run an empty append (see the identity
+        // contract)
         val admissible = batch.filter(col(idCol).isNotNull)
+          .filter(size(filter(split(col(textCol), " "),
+            t => length(t) > 0)) > 0)
         val fresh = (
           if (idScreen && ArtifactPaths.hasParquet(indexPath))
             admissible.join(

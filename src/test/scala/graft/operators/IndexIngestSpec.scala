@@ -12,15 +12,9 @@ class IndexIngestSpec extends SparkSuite {
   import spark.implicits._
 
   private def stageJson(dropDir: String, name: String, mtimeMs: Long,
-      rows: Seq[(java.lang.Long, String)]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val t = Files.createTempDirectory("graft-ix-b").toString
-    rows.toDF("doc_id", "text").repartition(1).write.mode("overwrite").json(t)
-    val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".json")).head.toPath
-    val dst = Paths.get(dropDir, name)
-    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
-  }
+      rows: Seq[(java.lang.Long, String)]): Unit =
+    graft.queries.QueryTmp.stageJsonBatch(
+      rows.toDF("doc_id", "text"), dropDir, name, mtimeMs)
 
   private def runStream(dropDir: String, index: String): Unit = {
     val ss = spark.newSession()
@@ -63,6 +57,25 @@ class IndexIngestSpec extends SparkSuite {
     assert(InvertedIndex.readTotals(index).contains((4L, 11L)))
   }
 
+  test("a crashed append (marker present) fails the ingest loudly, never screens over it") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-ixc-drop").toString
+    val index = Files.createTempDirectory("graft-ixc-root").toString + "/postings"
+    InvertedIndex.materializeScored(
+      Seq((0L, "seed doc")).toDF("doc_id", "text"), "doc_id", "text", index)
+    // simulate an append that died mid-flight: partial postings may be
+    // visible, so continuing would silently drop that batch's docs
+    Files.write(java.nio.file.Paths.get(index, "._graft_bm25_appending"),
+      Array.emptyByteArray)
+    stageJson(drop, "b0.json", 1700000000000L, Seq((1L, "new doc"): (java.lang.Long, String)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runStream(drop, index))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => Option(c.getMessage).exists(_.contains("died mid-flight"))),
+      ex.toString)
+  }
+
   test("day-zero bootstrap, null ids excluded, null text a no-op, scheme'd path loud") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("graft-ix0-drop").toString
@@ -77,6 +90,17 @@ class IndexIngestSpec extends SparkSuite {
     // count it either)
     assert(spark.read.parquet(index).select("doc_id").distinct()
       .as[Long].collect().toSet == Set(10L))
+    assert(InvertedIndex.readTotals(index).contains((1L, 3L)))
+    // untokenizable rows are dropped BEFORE the screen, so a redelivery
+    // of this batch is a TRUE no-op — no lock churn, no empty append
+    // fragment, no sidecar-absent window (doc 11 never enters the index
+    // so the id screen alone could not have protected it)
+    def dataFiles() = new java.io.File(index).listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = dataFiles()
+    runStream(drop, index)
+    assert(dataFiles() == before,
+      "redelivery with untokenizable rows must not re-append")
     assert(InvertedIndex.readTotals(index).contains((1L, 3L)))
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(

@@ -13,15 +13,9 @@ class ScreenedIngestSpec extends SparkSuite {
   import spark.implicits._
 
   private def stageJson(dropDir: String, name: String, mtimeMs: Long,
-      rows: Seq[(Long, String)]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val t = Files.createTempDirectory("graft-si-b").toString
-    rows.toDF("doc_id", "text").repartition(1).write.mode("overwrite").json(t)
-    val part = new java.io.File(t).listFiles().filter(_.getName.endsWith(".json")).head.toPath
-    val dst = Paths.get(dropDir, name)
-    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
-    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
-  }
+      rows: Seq[(Long, String)]): Unit =
+    graft.queries.QueryTmp.stageJsonBatch(
+      rows.toDF("doc_id", "text"), dropDir, name, mtimeMs)
 
   private def runStream(dropDir: String, sketch: String, corpus: String): Unit = {
     val ss = spark.newSession()
