@@ -421,6 +421,37 @@ object ScaleProbe {
         val tRerun = timed { run() }
         println(f"[probe] ${"st4_ingest_rerun"}%-24s ${tRerun}%6.2f s")
       }
+      // --ivfbatch: the vector-side serving-tier economics (the
+      // --bm25batch analog on IVF ANN): ivfKnn already takes N queries
+      // per call — 8 queries (vec_id % 100 == 1, capped at 8) served
+      // as 8 single-query calls (each re-routes and re-reads the
+      // corpus cells) vs ONE 8-query call (one corpus routing pass,
+      // probes broadcast). The per-call corpus routing pass is the
+      // fixed cost the batch amortizes, exactly the postings-read
+      // argument on the vector side.
+      if (args.contains("--ivfbatch")) {
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val model = KMeans.fit(emb.limit(20000), "vec_id", "embedding", 8, 5)
+        val qs = emb.filter(col("vec_id") % 100 === 1).limit(8)
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        import spark.implicits._
+        def qdf(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+        val tSep = timed {
+          qs.foreach { q =>
+            KMeans.ivfKnn(qdf(Seq(q)), emb, "vec_id", "embedding", model,
+                nprobe = 2, topK = 10)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+        println(f"[probe] ${s"ivf_separate_x${qs.length}"}%-24s ${tSep}%6.2f s")
+        val tBatch = timed {
+          KMeans.ivfKnn(qdf(qs.toSeq), emb, "vec_id", "embedding", model,
+              nprobe = 2, topK = 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[probe] ${s"ivf_batched_x${qs.length}"}%-24s ${tBatch}%6.2f s")
+      }
       // --ixingest — the continuously-maintained BM25 index (st5's
       // probe, the --ingest pattern on the retrieval side): three daily
       // batches stream into a pre-seeded scored index. FIRST pass =
