@@ -494,6 +494,37 @@ object ScaleProbe {
         val tRerun = timed { run() }
         println(f"[probe] ${"st5_ixingest_rerun"}%-24s ${tRerun}%6.2f s")
       }
+      // --fsappend — the ArtifactIo seam's price (r17): the SAME
+      // incremental scored-index maintenance loop (build base without
+      // the doc_id%10==7 batch, append the batch, attach, one ii4-style
+      // search) run twice — once on a scheme-less LOCAL path (java.nio
+      // primitives, OS advisory lock) and once on the IDENTICAL
+      // directory via the file: scheme (Hadoop FileSystem/FileContext
+      // primitives, create-exclusive lock file). The parquet jobs are
+      // byte-identical by construction; any delta is the io seam's own
+      // cost (lock protocol + sidecar publish + probes), which must be
+      // noise-level or the hdfs://-deployment claim carries a hidden tax.
+      if (args.contains("--fsappend")) {
+        import graft.operators.InvertedIndex
+        val docs = Tables.load(spark, sfDir, "documents")
+        def loop(path: String): Double = timed {
+          graft.sources.ArtifactIo.forPath(path)
+            .deleteTree(path) // fresh artifact per timed run
+          InvertedIndex.materializeScored(
+            docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", path): Unit
+          InvertedIndex.appendScored(
+            docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path): Unit
+          val (scored, stats) = InvertedIndex.attachScored(spark, path, "doc_id")
+          InvertedIndex.searchBm25(scored, "doc_id",
+              InvertedIndex.topTokensByDf(scored, 3), 10, stats = Some(stats))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val root = graft.queries.QueryTmp.dir("probe-fsappend")
+        val tLocal = loop(s"$root/local-postings")
+        println(f"[probe] ${"fsappend_local"}%-24s ${tLocal}%6.2f s")
+        val tHadoop = loop(s"file:$root/hadoop-postings")
+        println(f"[probe] ${"fsappend_hadoop_file"}%-24s ${tHadoop}%6.2f s")
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change

@@ -38,9 +38,19 @@ object InvertedIndex {
     * contract: batch doc ids are new (run the batch through
     * [[Upsert.upsertByKey]] / dedup first), matching every append-only
     * postings store.
+    *
+    * Same hardening as [[appendScored]] (minus the sidecar the membership
+    * layout doesn't have): the append runs under the per-path advisory
+    * lock (two concurrent appends serialize instead of interleaving
+    * commits) with the in-progress marker set for its duration — a crash
+    * mid-append leaves the marker, [[appendInProgress]] turns true, and
+    * index-maintaining consumers refuse loudly instead of serving (and
+    * screening against) a partial batch.
     */
   def appendTo(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
-    build(docs, idCol, textCol).write.mode("append").parquet(path)
+    appendGuarded(path) {
+      build(docs, idCol, textCol).write.mode("append").parquet(path)
+    }
 
   /** Doc ids containing ALL of `tokens` (AND search): filter postings to
     * the probe set, count distinct probe tokens per doc, keep full
@@ -109,11 +119,30 @@ object InvertedIndex {
     * (doc, pos, token) rows (positions are per-doc, and a doc lives
     * wholly inside one batch, so the appended rows are exactly what a
     * full [[buildPositional]] rebuild would produce for those docs).
-    * Same caller contract as [[appendTo]]: batch doc ids are new.
+    * Same caller contract as [[appendTo]]: batch doc ids are new — and
+    * same lock + crash-marker hardening (a crashed positional append must
+    * not leave silently-partial phrase postings; see [[appendTo]]).
     */
   def appendPositional(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
-    buildPositional(docs, idCol, textCol).write.mode("append").parquet(path)
+    appendGuarded(path) {
+      buildPositional(docs, idCol, textCol).write.mode("append").parquet(path)
+    }
+
+  /** Lock + in-progress-marker envelope shared by the membership and
+    * positional appends ([[appendScored]] inlines the same shape around
+    * its sidecar dance): serialize on the per-path append lock, keep the
+    * marker up while parquet commits, clear it only on success.
+    */
+  private def appendGuarded(path: String)(append: => Unit): Unit = {
+    val io = artifactIo(path)
+    io.createDirs(path)
+    withAppendLock(path) {
+      io.touch(markerPath(path))
+      append
+      io.delete(markerPath(path))
+    }
+  }
 
   /** Doc ids containing the exact phrase — `phrase` tokens adjacent in
     * order. Each probe filters the postings to ONE token (O(df) rows
@@ -224,8 +253,8 @@ object InvertedIndex {
     */
   def appendScored(docs: DataFrame, idCol: String, textCol: String,
       path: String, priorTotals: Option[(Long, Long)] = None): (Long, Long) = {
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(Paths.get(path))
+    val io = artifactIo(path)
+    io.createDirs(path)
     // The whole append (prior read → postings append → totals rewrite)
     // runs under an OS advisory lock on a persistent lock inode — two
     // concurrent appends to one index path now SERIALIZE instead of each
@@ -260,20 +289,42 @@ object InvertedIndex {
       // the totals rewrite; a crashed append leaves it behind, which
       // only suppresses heal-persists (attaches still compute exact
       // totals) until the next successful append clears it.
-      Files.write(Paths.get(path, AppendMarkerFile), Array.emptyByteArray)
-      Files.deleteIfExists(Paths.get(path, TotalsFile))
+      io.touch(markerPath(path))
+      io.delete(totalsPath(path))
       buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
       val delta = batchTotals(docs, textCol)
       writeTotals(path, mergeTotals(prior, delta))
-      Files.deleteIfExists(Paths.get(path, AppendMarkerFile))
+      io.delete(markerPath(path))
       delta
     }
   }
 
-  /** In-progress append marker (see [[appendScored]]). */
+  /** In-progress append marker, shared by all three index layouts (see
+    * [[appendScored]]/[[appendGuarded]] — one marker so one
+    * [[appendInProgress]] check covers whichever layout a consumer
+    * maintains).
+    */
   private[operators] val AppendMarkerFile = "._graft_bm25_appending"
 
-  /** Whether an [[appendScored]] is (or died) in flight on `path` —
+  /** The store-appropriate I/O primitives for `path` — local `java.nio`
+    * for scheme-less paths (the historical byte-identical behavior),
+    * Hadoop `FileSystem` for rename-atomic scheme'd stores, loud
+    * rejection otherwise ([[graft.sources.ArtifactIo.forPath]]).
+    */
+  private def artifactIo(path: String): graft.sources.ArtifactIo =
+    graft.sources.ArtifactIo.forPath(path)
+
+  /** Child-path join as a plain string suffix — valid for local paths and
+    * scheme'd URIs alike (`java.nio.Paths.get` would mangle a scheme).
+    */
+  private def childPath(dir: String, name: String): String =
+    dir.stripSuffix("/") + "/" + name
+
+  private def markerPath(path: String): String = childPath(path, AppendMarkerFile)
+
+  private def totalsPath(path: String): String = childPath(path, TotalsFile)
+
+  /** Whether an append is (or died) in flight on `path` —
     * `private[graft]` so [[graft.streaming.IndexIngest]] can refuse
     * LOUDLY to ingest over a crashed append (partial postings for the
     * dying batch's docs may be visible; its id screen would otherwise
@@ -281,7 +332,7 @@ object InvertedIndex {
     * contract).
     */
   private[graft] def appendInProgress(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, AppendMarkerFile))
+    artifactIo(path).exists(markerPath(path))
 
   /** Bounded wait for the append lock: appends are batch-sized jobs, so
     * minutes of contention means a wedged holder — fail loudly instead of
@@ -290,14 +341,14 @@ object InvertedIndex {
   private val AppendLockTimeoutMs = 600 * 1000L
 
   /** The append lock's inode (see [[appendScored]]/[[withAppendLock]]). */
-  private def appendLockPath(path: String): java.nio.file.Path =
-    java.nio.file.Paths.get(path, "._graft_totals.lock")
+  private def appendLockPath(path: String): String =
+    childPath(path, "._graft_totals.lock")
 
   /** Run `body` holding the index's append lock (see [[appendScored]]). */
   private def withAppendLock[A](path: String)(body: => A): A =
-    graft.sources.FsUtil.withFileLock(
+    artifactIo(path).withLock(
       appendLockPath(path), AppendLockTimeoutMs,
-      "appendScored",
+      "index append",
       "another appender is wedged holding it (or the filesystem does not honor " +
         "advisory FileLocks, e.g. some NFS mounts; route multi-writer ingest " +
         "through graft.sources.Snapshots instead)")(body)
@@ -330,7 +381,7 @@ object InvertedIndex {
       // present sidecar is FRESHER than t (skip). tryLock, not a wait:
       // a live appender supersedes this heal anyway.
       if (!appendInProgress(path)) {
-        try graft.sources.FsUtil.tryWithFileLock(appendLockPath(path)) {
+        try artifactIo(path).tryWithLock(appendLockPath(path)) {
           if (!appendInProgress(path) && readTotals(path).isEmpty) writeTotals(path, t)
         }: Unit
         catch { case _: java.io.IOException | _: SecurityException => () }
@@ -347,19 +398,16 @@ object InvertedIndex {
 
   /** Persist exact integer (docs, tokens) totals as a sidecar inside the
     * index directory, atomically (temp + rename — a reader never sees a
-    * torn write). Single-filesystem contract like the snapshot/plan-cache
-    * stores; on a rename-less object store pair this with an external
-    * commit protocol.
+    * torn write). Store-aware via [[graft.sources.ArtifactIo]]: local
+    * paths keep the `java.nio` ATOMIC_MOVE behavior; rename-atomic
+    * scheme'd stores (`hdfs://`, `abfss://`, …) go through Hadoop
+    * `FileContext`; rename-by-copy stores are rejected loudly at entry.
     */
   def writeTotals(path: String, totals: (Long, Long)): Unit = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, "." + TotalsFile, ".tmp")
-    Files.write(tmp, s"${totals._1} ${totals._2}".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(TotalsFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val io = artifactIo(path)
+    io.createDirs(path)
+    io.writeAtomic(totalsPath(path),
+      s"${totals._1} ${totals._2}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Read the persisted totals sidecar; None when absent OR unparseable
@@ -370,26 +418,23 @@ object InvertedIndex {
     * deleted by hand, while a missing sidecar self-healed — same safe
     * outcome, so same behavior.
     */
-  def readTotals(path: String): Option[(Long, Long)] = {
-    import java.nio.charset.StandardCharsets
-    import java.nio.file.{Files, Paths}
-    val f = Paths.get(path, TotalsFile)
-    if (!Files.exists(f)) None
-    else {
-      val parts = new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim.split(" ")
+  def readTotals(path: String): Option[(Long, Long)] =
+    artifactIo(path).readBytes(totalsPath(path)).flatMap { bytes =>
+      val parts =
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
       try {
         if (parts.length != 2) None else Some((parts(0).toLong, parts(1).toLong))
       } catch { case _: NumberFormatException => None }
     }
-  }
 
   /** Whether `path` holds any data files (non-`_`/`.`-prefixed) — the
     * "does an index already live here" probe [[appendScored]] uses to
-    * decide between healing totals and starting from zero
-    * ([[graft.sources.FsUtil.hasDataFiles]], the one shared copy).
+    * decide between healing totals and starting from zero (the
+    * [[graft.sources.ArtifactIo]] copy of the FsUtil semantics, so the
+    * probe works on every supported store).
     */
   private def hasDataFiles(path: String): Boolean =
-    graft.sources.FsUtil.hasDataFiles(path)
+    artifactIo(path).hasDataFiles(path)
 
   /** A batch's exact (docs, total tokens) — one batch-sized scan, the
     * delta [[mergeTotals]] folds into corpus totals. Zero-token docs are

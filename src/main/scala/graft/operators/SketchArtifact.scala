@@ -1,11 +1,9 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.FsUtil
+import graft.sources.ArtifactIo
 
 /** Shared persistence plumbing for append-maintained screening artifacts:
   * the LSH sketches ([[Dedup.minhashSketch]], [[Similarity.srpSketch]])
@@ -53,8 +51,15 @@ private[graft] object SketchArtifact {
   private[operators] def lockFile(path: String): String =
     path.stripSuffix("/") + "._graft_sketch.lock"
 
+  /** Store-appropriate primitives for `path` — local `java.nio` for
+    * scheme-less paths (historical behavior, byte-identical), Hadoop
+    * `FileSystem` for rename-atomic scheme'd stores, loud rejection for
+    * rename-by-copy ones ([[graft.sources.ArtifactIo.forPath]]).
+    */
+  private def io(path: String): ArtifactIo = ArtifactIo.forPath(path)
+
   private def withArtifactLock[A](path: String)(body: => A): A =
-    FsUtil.withFileLock(Paths.get(lockFile(path)), LockTimeoutMs, "sketch artifact",
+    io(path).withLock(lockFile(path), LockTimeoutMs, "sketch artifact",
       "another maintainer is wedged holding it (or the filesystem does not honor " +
         "advisory FileLocks, e.g. some NFS mounts; serialize sketch maintenance " +
         "upstream there)")(body)
@@ -86,31 +91,78 @@ private[graft] object SketchArtifact {
     * the rename window of a normal, non-crashed compact can therefore
     * fail transiently with FileNotFoundException. That failure is safe
     * (loud, never a stale or torn read — the compacted directory that
-    * appears moments later is screen-equivalent) but it is the CALLER's
-    * to handle: do not schedule [[compact]] while a live screen loop
-    * (e.g. [[graft.streaming.ScreenedIngest]]) reads the same artifact —
-    * run it in the ingest's maintenance window, or simply retry the
-    * failed screen once (the window is two rename syscalls wide).
+    * appears moments later is screen-equivalent) and [[screenRetrying]]
+    * is the blessed way to absorb it: wrap the screen's read+execute in
+    * the thunk and the one retry rebuilds against the compacted
+    * directory ([[graft.streaming.ScreenedIngest]] does this per
+    * micro-batch, so compacting under a live ingest is supported).
     */
+  /** Run `screen` tolerating ONE transient missing-file failure from a
+    * concurrent [[compact]]'s rename window — the retry-once reader that
+    * removes the "don't compact while a live screen reads" operational
+    * constraint (the r16 documented workaround was a maintenance window).
+    *
+    * Caller contract: `screen` must BUILD AND EXECUTE its artifact read
+    * inside the thunk (`spark.read.parquet(path)` + the action), never
+    * close over a pre-built DataFrame — a stale plan pins the OLD file
+    * listing and would re-fail identically on retry; re-reading resolves
+    * the freshly-compacted (screen-equivalent) directory. Side-effecting
+    * writes stay OUTSIDE the thunk: a retry re-runs all of it.
+    *
+    * The window is two rename syscalls wide, so one retry after a short
+    * sleep suffices; a SECOND failure propagates — a genuinely missing
+    * artifact stays loud (never a silent skip), exactly as before.
+    */
+  def screenRetrying[A](retryDelayMs: Long = 100L)(screen: => A): A =
+    try screen
+    catch {
+      case e: Exception if isTransientMissingFile(e) =>
+        Thread.sleep(retryDelayMs)
+        screen
+    }
+
+  /** Whether `t`'s cause chain is a missing-file/path failure — the only
+    * shape a compact's rename window produces (Spark wraps the task-side
+    * FileNotFoundException in SparkException layers; a read-time listing
+    * miss surfaces as AnalysisException PATH_NOT_FOUND).
+    */
+  private def isTransientMissingFile(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      val missing = cur match {
+        case _: java.io.FileNotFoundException => true
+        case a: org.apache.spark.sql.AnalysisException =>
+          val m = a.getMessage
+          m != null && (m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist"))
+        case _ => false
+      }
+      if (missing) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
   def compact(spark: SparkSession, path: String, keyCols: Seq[String],
       idsCol: String = "ids"): Unit = withArtifactLock(path) {
+    val fs = io(path)
     val tmp = path.stripSuffix("/") + "._graft_compact_tmp"
     val old = path.stripSuffix("/") + "._graft_compact_old"
     // crash-between-renames state: live path missing, pre-compaction copy
     // under `.old` — restore it FIRST (see the scaladoc; order matters:
     // recovery before sweep, never the reverse)
-    if (!Files.exists(Paths.get(path)) && Files.exists(Paths.get(old)))
-      Files.move(Paths.get(old), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     // debris from a compact that crashed before its second rename is now
     // safe to sweep: the live path exists (or this read fails loudly)
-    FsUtil.deleteTree(Paths.get(tmp))
-    FsUtil.deleteTree(Paths.get(old))
+    fs.deleteTree(tmp)
+    fs.deleteTree(old)
     spark.read.parquet(path)
       .groupBy(keyCols.map(col): _*)
       .agg(flatten(collect_list(col(idsCol))).as(idsCol))
       .write.mode("overwrite").parquet(tmp) // job runs HERE — reads finish before the swap
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    FsUtil.deleteTree(Paths.get(old))
+    fs.rename(path, old)
+    fs.rename(tmp, path)
+    fs.deleteTree(old)
   }
 }

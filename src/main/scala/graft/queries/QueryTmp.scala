@@ -68,7 +68,21 @@ private[graft] object QueryTmp {
       .filter(_.getName.endsWith(".json")).head.toPath
     Files.createDirectories(Paths.get(dstDir))
     val dst = Paths.get(dstDir, name)
-    Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // the staging temp dir (java.io.tmpdir, often tmpfs) and dstDir can
+      // live on different filesystems, where a cross-device ATOMIC_MOVE
+      // throws — stage a copy INSIDE dstDir (dot-prefixed so the file
+      // source never lists the partial write), fsync it, then publish
+      // with a same-directory atomic rename
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        val staged = Paths.get(dstDir, s".$name.staging")
+        Files.copy(part, staged, StandardCopyOption.REPLACE_EXISTING)
+        val ch = java.nio.channels.FileChannel.open(staged,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.force(true) finally ch.close()
+        Files.move(staged, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
     Files.setLastModifiedTime(dst,
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs)): Unit
   }

@@ -104,6 +104,33 @@ object TextQueries {
         stats = Some(InvertedIndex.statsOf(InvertedIndex.mergeTotals(totals0, delta))))
     },
 
+    // Object-store-capable artifact maintenance (the r17 ArtifactIo
+    // seam): the SAME incremental build → append → new-session attach →
+    // search loop as ii5/ii7, with EVERY filesystem primitive the
+    // machinery touches — sidecar temp+atomic-rename, crash marker,
+    // append lock, artifact-presence probe — routed through the Hadoop
+    // FileSystem-backed io instead of java.nio, exercised on the local
+    // store via the `file:` scheme (the identical API a hdfs://-
+    // or abfss://-homed deployment runs; rename-by-copy schemes are
+    // rejected loudly at entry). Served from disk state on the scheme'd
+    // path against the full-corpus oracle: a torn sidecar write, a lost
+    // or doubled append, or a probe misreading the scheme'd path all
+    // fail the hash.
+    "ii12_fs_artifact" -> { (s, dir) =>
+      import graft.operators.InvertedIndex
+      val path = "file:" + QueryTmp.dir("bm25idx12") + "/postings"
+      val docs = Tables.load(s, dir, "documents")
+      InvertedIndex.materializeScored(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", path): Unit
+      InvertedIndex.appendScored(
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", path): Unit
+      val s2 = s.newSession()
+      val (scored, stats) = InvertedIndex.attachScored(s2, path, "doc_id")
+      val probes = InvertedIndex.topTokensByDf(scored, 3)
+      InvertedIndex.searchBm25(scored, "doc_id", probes, topK = 10,
+        stats = Some(stats))
+    },
+
     // CROSS-SESSION index attach (the fx16 contract for the BM25
     // artifact): build + append persist the exact integer totals as a
     // sidecar INSIDE the index directory, then a NEW SparkSession (fresh
@@ -762,6 +789,31 @@ object TextQueries {
            GROUP BY doc_id HAVING count(DISTINCT token) = 2)
          SELECT h.doc_id, d.lang FROM hits h JOIN documents d USING (doc_id)""",
     "ii4_bm25_rank" ->
+      """WITH tk AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+           FROM documents),
+         tf AS (
+           SELECT doc_id, u.t AS token, count(*)::DOUBLE AS tf
+           FROM tk, UNNEST(ts) AS u(t) GROUP BY doc_id, u.t),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+         probe AS (
+           SELECT token FROM tf GROUP BY token
+           ORDER BY count(*) DESC, token ASC LIMIT 3),
+         m AS (SELECT tf.* FROM tf JOIN probe USING (token)),
+         df AS (SELECT token, count(*)::DOUBLE AS df FROM m GROUP BY token),
+         sc AS (
+           SELECT m.doc_id,
+             round(sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * m.tf * (1.2 + 1)
+               / (m.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))), 6) AS score
+           FROM m JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY m.doc_id)
+         SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+    // FileSystem-abstracted maintenance == local maintenance == rebuild:
+    // the file:-scheme'd artifact must serve exactly the full-corpus
+    // ranking (the ii5 replay — the store must be invisible)
+    "ii12_fs_artifact" ->
       """WITH tk AS (
            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
            FROM documents),

@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, Path => HPath}
+
+/** Filesystem primitives for the artifact machinery (sketch fragments,
+  * scored/positional index appends, totals sidecars, marker files, append
+  * locks) behind ONE seam, so the artifact layer runs against either the
+  * local filesystem (`java.nio`, the historical contract) or a Hadoop
+  * `FileSystem` (`hdfs://`, `abfss://`, …) — the reference abstracts its
+  * stores the same way (`storage.fs:37-51` keys HDD vs Azure behind
+  * `StorageKind`).
+  *
+  * Resolution ([[ArtifactIo.forPath]]): a scheme-less path gets
+  * [[LocalArtifactIo]] — byte-identical behavior to the pre-abstraction
+  * code (OS advisory `FileLock`s, `ATOMIC_MOVE` renames). A scheme'd path
+  * gets [[HadoopArtifactIo]] IF the scheme is on the rename-atomic
+  * allowlist; anything else (s3a, gs, wasb, …) fails LOUDLY at entry —
+  * the artifact commit protocol is temp-file + atomic rename and
+  * create-exclusive lock files, and a store that renames by copy+delete
+  * would turn every "atomic" sidecar swap into a torn-read window. Route
+  * object-store ingest through [[Snapshots]] versioned tables instead
+  * (the ii6 composition), whose pointer protocol is written for that.
+  *
+  * ONE path string must mean ONE location and ONE protocol everywhere it
+  * is read: `/data/x` (LocalIo, OS locks) and `file:/data/x` (HadoopIo,
+  * lock FILES) are the same directory under two different lock protocols
+  * — writers must agree on the path form, exactly as they must agree on
+  * the path itself. The streaming loops' path guard enforces the same
+  * doctrine.
+  *
+  * Lock-protocol difference, stated loudly: the local impl holds an OS
+  * advisory lock on a persistent inode — a crashed holder's lock releases
+  * AUTOMATICALLY. The Hadoop impl acquires by atomic CREATE-EXCLUSIVE of
+  * the lock file and releases by deleting it — a crashed holder LEAVES
+  * the file behind, and the next writer fails loudly after the bounded
+  * wait with remediation in the message (verify no live writer, delete
+  * the lock file). No silent mtime-based stealing: expiry heuristics can
+  * steal a live slow holder's lock, which is worse than an operator page.
+  */
+private[graft] sealed trait ArtifactIo {
+
+  def exists(path: String): Boolean
+
+  def isDirectory(path: String): Boolean
+
+  def createDirs(path: String): Unit
+
+  /** Create-or-truncate an empty file (marker semantics). */
+  def touch(path: String): Unit
+
+  /** Delete a file if present; idempotent. */
+  def delete(path: String): Unit
+
+  /** Recursive delete; missing path is a no-op. */
+  def deleteTree(path: String): Unit
+
+  /** Full contents, or None when the file is absent. */
+  def readBytes(path: String): Option[Array[Byte]]
+
+  /** Publish `bytes` at `path` atomically (same-directory temp + atomic
+    * rename-with-replace): a reader sees the old contents or the new,
+    * never a torn write.
+    */
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit
+
+  /** Atomic move, destination must not exist (file or directory — the
+    * compact swap's primitive).
+    */
+  def rename(src: String, dst: String): Unit
+
+  /** Whether `dir` holds any non-`_`/`.`-prefixed entries — the "does an
+    * artifact already live here" probe ([[FsUtil.hasDataFiles]]'s
+    * semantics on every store).
+    */
+  def hasDataFiles(dir: String): Boolean
+
+  /** Run `body` holding this store's exclusive lock on `lockPath`
+    * (bounded wait, loud timeout — see the trait note for the per-store
+    * protocol).
+    */
+  def withLock[A](lockPath: String, timeoutMs: Long, what: String,
+      timeoutHint: String)(body: => A): A
+
+  /** Non-blocking [[withLock]]: one acquisition attempt, `None` when held
+    * elsewhere (callers' slow path must be safe to skip).
+    */
+  def tryWithLock[A](lockPath: String)(body: => A): Option[A]
+}
+
+private[graft] object ArtifactIo {
+
+  /** Matches [[graft.streaming.ArtifactPaths]]'s scheme test: 2+ chars so
+    * a Windows drive letter stays a local path.
+    */
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]+):/.*".r
+
+  /** Stores whose rename is atomic (file: delegates to the OS rename;
+    * HDFS-family renames are namespace metadata ops; ABFS atomic-renames
+    * on hierarchical namespaces, Ozone likewise).
+    */
+  private val RenameAtomicSchemes =
+    Set("file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "o3fs")
+
+  def forPath(path: String): ArtifactIo = path match {
+    case SchemeRe(scheme) =>
+      require(RenameAtomicSchemes.contains(scheme.toLowerCase),
+        s"artifact store: scheme '$scheme' ($path) is not on the rename-atomic " +
+          s"allowlist ${RenameAtomicSchemes.toSeq.sorted.mkString("{", ", ", "}")} — " +
+          "the artifact commit protocol needs atomic rename + create-exclusive, " +
+          "which copy+delete stores (s3a, gs, wasb, …) cannot provide; route " +
+          "object-store ingest through graft.sources.Snapshots versioned tables " +
+          "(the ii6 composition) instead")
+      new HadoopArtifactIo(hadoopConf())
+    case _ => LocalArtifactIo
+  }
+
+  /** The active session's Hadoop conf when one exists (fs.* overrides,
+    * kerberos, …); a bare default otherwise (tests, driver-side tools).
+    */
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+}
+
+/** The historical local-filesystem behavior, verbatim: `java.nio` probes,
+  * `ATOMIC_MOVE` renames, OS advisory locks on persistent inodes
+  * ([[FsUtil.withFileLock]] — crashed holders release automatically).
+  */
+private[graft] object LocalArtifactIo extends ArtifactIo {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+
+  def isDirectory(path: String): Boolean = Files.isDirectory(Paths.get(path))
+
+  def createDirs(path: String): Unit = { Files.createDirectories(Paths.get(path)): Unit }
+
+  def touch(path: String): Unit = { Files.write(Paths.get(path), Array.emptyByteArray): Unit }
+
+  def delete(path: String): Unit = { Files.deleteIfExists(Paths.get(path)): Unit }
+
+  def deleteTree(path: String): Unit = FsUtil.deleteTree(Paths.get(path))
+
+  def readBytes(path: String): Option[Array[Byte]] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None else Some(Files.readAllBytes(p))
+  }
+
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val dst = Paths.get(path)
+    val dir = dst.getParent
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "." + dst.getFileName.toString, ".tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dst,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  def hasDataFiles(dir: String): Boolean = FsUtil.hasDataFiles(dir)
+
+  def withLock[A](lockPath: String, timeoutMs: Long, what: String,
+      timeoutHint: String)(body: => A): A =
+    FsUtil.withFileLock(Paths.get(lockPath), timeoutMs, what, timeoutHint)(body)
+
+  def tryWithLock[A](lockPath: String)(body: => A): Option[A] =
+    FsUtil.tryWithFileLock(Paths.get(lockPath))(body)
+}
+
+/** Hadoop `FileSystem`-backed primitives for scheme'd artifact paths.
+  * Renames go through [[FileContext]] (the API with first-class atomic
+  * OVERWRITE rename); the lock protocol is create-exclusive + delete (see
+  * the trait note — a crashed holder needs operator cleanup, stated in
+  * the timeout message rather than healed by a stealable heuristic).
+  */
+private[graft] final class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
+
+  private def fs(p: HPath) = p.getFileSystem(conf)
+
+  private def fc(p: HPath) = FileContext.getFileContext(p.toUri, conf)
+
+  def exists(path: String): Boolean = { val p = new HPath(path); fs(p).exists(p) }
+
+  def isDirectory(path: String): Boolean = {
+    val p = new HPath(path)
+    fs(p).exists(p) && fs(p).getFileStatus(p).isDirectory
+  }
+
+  def createDirs(path: String): Unit = {
+    val p = new HPath(path); fs(p).mkdirs(p): Unit
+  }
+
+  def touch(path: String): Unit = {
+    val p = new HPath(path)
+    fs(p).create(p, true).close()
+  }
+
+  def delete(path: String): Unit = {
+    val p = new HPath(path); fs(p).delete(p, false): Unit
+  }
+
+  def deleteTree(path: String): Unit = {
+    val p = new HPath(path); fs(p).delete(p, true): Unit
+  }
+
+  def readBytes(path: String): Option[Array[Byte]] = {
+    val p = new HPath(path)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val len = f.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  def writeAtomic(path: String, bytes: Array[Byte]): Unit = {
+    val dst = new HPath(path)
+    val dir = dst.getParent
+    val f = fs(dst)
+    f.mkdirs(dir): Unit
+    val tmp = new HPath(dir,
+      s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fc(dst).rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  def rename(src: String, dst: String): Unit = {
+    val d = new HPath(dst)
+    fc(d).rename(new HPath(src), d, Options.Rename.NONE)
+  }
+
+  def hasDataFiles(dir: String): Boolean = {
+    val p = new HPath(dir)
+    val f = fs(p)
+    f.exists(p) && f.getFileStatus(p).isDirectory && f.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  def withLock[A](lockPath: String, timeoutMs: Long, what: String,
+      timeoutHint: String)(body: => A): A = {
+    val p = new HPath(lockPath)
+    val f = fs(p)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      acquired = tryAcquire(f, p)
+      if (!acquired) {
+        if (System.nanoTime() > deadline) throw new IllegalStateException(
+          s"$what: could not acquire lock $lockPath within ${timeoutMs / 1000}s — " +
+            s"$timeoutHint. NOTE: on this store a CRASHED holder leaves the lock " +
+            "file behind (no OS auto-release) — verify no live writer exists, " +
+            "then delete the lock file to recover.")
+        Thread.sleep(50)
+      }
+    }
+    try body finally { f.delete(p, false): Unit }
+  }
+
+  def tryWithLock[A](lockPath: String)(body: => A): Option[A] = {
+    val p = new HPath(lockPath)
+    val f = fs(p)
+    if (!tryAcquire(f, p)) None
+    else try Some(body) finally { f.delete(p, false): Unit }
+  }
+
+  /** One atomic create-exclusive attempt; the holder string is for
+    * operator forensics only (who/when), never for expiry decisions.
+    */
+  private def tryAcquire(f: org.apache.hadoop.fs.FileSystem, p: HPath): Boolean =
+    try {
+      val out = f.create(p, false)
+      try out.write(
+        (s"${java.net.InetAddress.getLocalHost.getHostName} pid=${ProcessHandle.current.pid} " +
+          s"epochMs=${System.currentTimeMillis()}").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+      // some stores signal the exists-race as a bare IOException; only
+      // treat it as contention when the lock file is actually there
+      case e: java.io.IOException => if (f.exists(p)) false else throw e
+    }
+}

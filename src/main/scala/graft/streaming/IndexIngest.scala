@@ -64,7 +64,16 @@ object IndexIngest {
   def start(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpointDir: String,
       idScreen: Boolean = true): StreamingQuery = {
-    ArtifactPaths.requireLocal("IndexIngest", "indexPath", indexPath)
+    ArtifactPaths.requireStore("IndexIngest", "indexPath", indexPath)
+    // crashed-append preflight (the per-batch tripwire's start()-time
+    // twin): a marker left by a crash is caught HERE, before the stream
+    // wires up — not only at the next micro-batch, during whose wait the
+    // attach/search path would happily read the partial index
+    require(!InvertedIndex.appendInProgress(indexPath),
+      s"IndexIngest: a previous append to '$indexPath' died mid-flight " +
+        "(append marker present) — partial postings for its batch may be " +
+        "committed. Rebuild the artifact (InvertedIndex.materializeScored " +
+        "over the corpus of record), then restart the ingest.")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -88,11 +97,18 @@ object IndexIngest {
           .filter(size(filter(split(col(textCol), " "),
             t => length(t) > 0)) > 0)
         val fresh = (
-          if (idScreen && ArtifactPaths.hasParquet(indexPath))
-            admissible.join(
-              spark.read.parquet(indexPath).select(col(idCol)).distinct(),
-              Seq(idCol), "left_anti")
-          else admissible
+          if (idScreen && ArtifactPaths.hasParquet(indexPath)) {
+            val idx = spark.read.parquet(indexPath)
+            // loud layout check: a wrong path (or a membership/positional
+            // artifact) must name the contract, not die in a generic
+            // unresolved-column AnalysisException deep in the anti-join
+            val missing = Seq(idCol, "token", "tf", "dl").filterNot(idx.columns.contains)
+            require(missing.isEmpty,
+              s"IndexIngest: '$indexPath' is not a scored index artifact " +
+                s"(missing columns: ${missing.mkString(", ")}; expected " +
+                s"($idCol, token, tf, dl)) — wrong path, or a different index layout")
+            admissible.join(idx.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          } else admissible
         // frozen: the anti-join's plan reads the directory the append
         // mutates — materialize the kept set BEFORE writing (the
         // ScreenedIngest convention)

@@ -53,11 +53,13 @@ import graft.operators.Dedup
   * corpus directory simply skips the id screen until the first batch
   * lands.
   *
-  * Maintenance: do NOT run sketch compaction against `sketchPath` while
-  * this query is live — compact's directory swap can transiently fail a
-  * concurrent micro-batch's sketch read (loud, never stale; see
-  * [[graft.operators.SketchArtifact.compact]]'s reader-concurrency
-  * contract). Stop the query, compact, restart — or retry the batch.
+  * Maintenance: sketch compaction against a live `sketchPath` is safe —
+  * each micro-batch's screen runs under
+  * [[graft.operators.SketchArtifact.screenRetrying]], which absorbs the
+  * one transient missing-file failure a concurrent [[compact]]'s rename
+  * window can produce by rebuilding the read once (the compacted
+  * directory is screen-equivalent); a second failure still propagates
+  * loudly (a genuinely missing artifact is never silently skipped).
   */
 object ScreenedIngest {
 
@@ -65,12 +67,12 @@ object ScreenedIngest {
       sketchPath: String, corpusDir: String, checkpointDir: String,
       maxHamming: Int = 3, maxBucketSize: Int = 1000,
       idScreen: Boolean = true): StreamingQuery = {
-    // loud local-path contract + artifact probes: [[ArtifactPaths]]
-    ArtifactPaths.requireLocal("ScreenedIngest", "sketchPath", sketchPath)
-    ArtifactPaths.requireLocal("ScreenedIngest", "corpusDir", corpusDir)
+    // loud artifact-store contract + artifact probes: [[ArtifactPaths]]
+    ArtifactPaths.requireStore("ScreenedIngest", "sketchPath", sketchPath)
+    ArtifactPaths.requireStore("ScreenedIngest", "corpusDir", corpusDir)
     // day-zero bootstrap: seed an EMPTY sketch so the first micro-batch
     // reads a valid (vacuous) old side instead of failing on the path
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(sketchPath))) {
+    if (!ArtifactPaths.exists(sketchPath)) {
       val spark = docs.sparkSession
       import spark.implicits._
       Dedup.simhashSketch(
@@ -87,15 +89,20 @@ object ScreenedIngest {
         // re-evaluate against the sketch directory the append mutates
         val sims = Dedup.simhashSims(admissible, idCol, textCol).localCheckpoint()
         try {
-          val screened = Dedup.incrementalSimhashKeepFromSims(
-            admissible, sims, spark.read.parquet(sketchPath), idCol,
-            maxHamming, maxBucketSize)
-          val kept = (
-            if (idScreen && ArtifactPaths.hasParquet(corpusDir))
-              screened.join(spark.read.parquet(corpusDir).select(col(idCol)),
-                Seq(idCol), "left_anti")
-            else screened
-          ).localCheckpoint()
+          // the whole read-build-and-execute runs inside the retry thunk
+          // (fresh spark.read.parquet each attempt — see screenRetrying's
+          // contract); the corpus/sketch WRITES stay outside it
+          val kept = graft.operators.SketchArtifact.screenRetrying() {
+            val screened = Dedup.incrementalSimhashKeepFromSims(
+              admissible, sims, spark.read.parquet(sketchPath), idCol,
+              maxHamming, maxBucketSize)
+            (
+              if (idScreen && ArtifactPaths.hasParquet(corpusDir))
+                screened.join(spark.read.parquet(corpusDir).select(col(idCol)),
+                  Seq(idCol), "left_anti")
+              else screened
+            ).localCheckpoint()
+          }
           try {
             kept.write.mode("append").parquet(corpusDir)
             Dedup.appendToSimhashSketchFromSims(

@@ -57,23 +57,39 @@ class IndexIngestSpec extends SparkSuite {
     assert(InvertedIndex.readTotals(index).contains((4L, 11L)))
   }
 
-  test("a crashed append (marker present) fails the ingest loudly, never screens over it") {
+  test("a crashed append (marker present) fails the ingest loudly AT SUBMISSION, never screens over it") {
     import java.nio.file.Files
     val drop = Files.createTempDirectory("graft-ixc-drop").toString
     val index = Files.createTempDirectory("graft-ixc-root").toString + "/postings"
     InvertedIndex.materializeScored(
       Seq((0L, "seed doc")).toDF("doc_id", "text"), "doc_id", "text", index)
     // simulate an append that died mid-flight: partial postings may be
-    // visible, so continuing would silently drop that batch's docs
+    // visible, so continuing would silently drop that batch's docs.
+    // start()'s preflight catches it BEFORE the stream wires up (the
+    // r16 tripwire only fired at the NEXT micro-batch, leaving a window
+    // where attach/search could read the partial index unchallenged)
     Files.write(java.nio.file.Paths.get(index, "._graft_bm25_appending"),
       Array.emptyByteArray)
+    stageJson(drop, "b0.json", 1700000000000L, Seq((1L, "new doc"): (java.lang.Long, String)))
+    val ex = intercept[IllegalArgumentException](runStream(drop, index))
+    assert(ex.getMessage.contains("died mid-flight"), ex.getMessage)
+  }
+
+  test("a non-scored-layout artifact at indexPath names the contract, not a generic analysis error") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-ixw-drop").toString
+    val index = Files.createTempDirectory("graft-ixw-root").toString + "/postings"
+    // a MEMBERSHIP-layout artifact (no tf/dl) at the scored path — e.g. a
+    // wrong path wiring — must fail with the layout message
+    InvertedIndex.build(Seq((0L, "seed doc")).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(index)
     stageJson(drop, "b0.json", 1700000000000L, Seq((1L, "new doc"): (java.lang.Long, String)))
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
       runStream(drop, index))
     def causes(t: Throwable): Seq[Throwable] =
       if (t == null) Seq.empty else t +: causes(t.getCause)
-    assert(causes(ex).exists(c => Option(c.getMessage).exists(_.contains("died mid-flight"))),
-      ex.toString)
+    assert(causes(ex).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("not a scored index artifact") && m.contains("tf, dl"))), ex.toString)
   }
 
   test("day-zero bootstrap, null ids excluded, null text a no-op, scheme'd path loud") {
@@ -109,7 +125,32 @@ class IndexIngestSpec extends SparkSuite {
       .json(drop)
     val ex = intercept[IllegalArgumentException](
       graft.streaming.IndexIngest.start(stream, "doc_id", "text",
-        "hdfs://nn/idx", "/tmp/ok-ckpt"))
-    assert(ex.getMessage.contains("scheme-less local-filesystem path"), ex.getMessage)
+        "s3a://bucket/idx", "/tmp/ok-ckpt"))
+    assert(ex.getMessage.contains("rename-atomic allowlist"), ex.getMessage)
+  }
+
+  test("file:-scheme'd index path runs the whole ingest through the Hadoop-backed io") {
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-ixf-drop").toString
+    val root = Files.createTempDirectory("graft-ixf-root").toString
+    val index = "file:" + root + "/postings"
+    stageJson(drop, "b0.json", 1700000000000L, Seq((0L, "red fox jumps"): (java.lang.Long, String)))
+    stageJson(drop, "b1.json", 1700000060000L, Seq((1L, "blue fox"): (java.lang.Long, String)))
+    runStream(drop, index)
+    val scratch = InvertedIndex.buildScored(
+        Seq((0L, "red fox jumps"), (1L, "blue fox")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    assert(spark.read.parquet(index).select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq == scratch)
+    // totals sidecar written through the Hadoop io, read back the same way
+    assert(InvertedIndex.readTotals(index).contains((2L, 5L)))
+    // redelivery with a fresh checkpoint: the id screen (reading the
+    // file:-scheme'd artifact) drops everything — a true no-op
+    runStream(drop, index)
+    assert(InvertedIndex.readTotals(index).contains((2L, 5L)))
+    assert(spark.read.parquet(index).select("doc_id", "token", "tf", "dl")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq == scratch)
   }
 }

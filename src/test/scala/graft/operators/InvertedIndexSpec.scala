@@ -223,6 +223,29 @@ class InvertedIndexSpec extends SparkSuite {
       Seq("red", "fox")).as[Long].collect().toSet == Set(0L))
   }
 
+  test("membership/positional appends carry the crash marker + lock hardening (the scored-path envelope)") {
+    // a successful append leaves NO marker; a crashed one (simulated by
+    // touching the marker) flips appendInProgress so maintaining
+    // consumers refuse loudly — previously only the SCORED layout had
+    // this, and a crashed positional append could silently serve
+    // partial phrase postings
+    val dir = java.nio.file.Files.createTempDirectory("graft-iimark").toString
+    InvertedIndex.appendTo(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/m")
+    assert(!InvertedIndex.appendInProgress(s"$dir/m"))
+    InvertedIndex.appendPositional(
+      docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/p")
+    assert(!InvertedIndex.appendInProgress(s"$dir/p"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/p", "._graft_bm25_appending"),
+      Array.emptyByteArray)
+    assert(InvertedIndex.appendInProgress(s"$dir/p"))
+    // the next successful append clears a stale crash marker (the
+    // appendScored convention: the append is the recovery)
+    InvertedIndex.appendPositional(
+      docs.filter(col("doc_id") >= 2), "doc_id", "text", s"$dir/p")
+    assert(!InvertedIndex.appendInProgress(s"$dir/p"))
+  }
+
   test("appendScored: appended index + merged stats equal scratch rebuild exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii5").toString
     val existing = docs.filter(col("doc_id") < 2)

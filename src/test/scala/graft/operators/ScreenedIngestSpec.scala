@@ -50,25 +50,51 @@ class ScreenedIngestSpec extends SparkSuite {
     assert(corpusIds(corpus) == Set(1L, 2L))
   }
 
-  test("scheme'd artifact paths are rejected loudly (the silent-overwrite hazard)") {
-    // the java.nio bootstrap/id-screen probes are always-false on a
-    // scheme'd URI: start() would silently overwrite an existing remote
-    // sketch with an empty one — out-of-contract input must fail up front
+  test("rename-by-copy store schemes are rejected loudly (the torn-commit hazard)") {
+    // s3a & co. rename by copy+delete: the artifact machinery's
+    // temp+atomic-rename commit protocol would tear there — out-of-
+    // allowlist input must fail up front with the capability message
+    // (rename-atomic schemes like hdfs:// and file: now pass the guard
+    // and route through the Hadoop-backed ArtifactIo)
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
       .json(java.nio.file.Files.createTempDirectory("graft-si-scheme").toString)
-    for (bad <- Seq("hdfs://nn/sketch", "s3a://bucket/sketch", "file:/tmp/sketch")) {
+    for (bad <- Seq("s3a://bucket/sketch", "gs://bucket/sketch", "wasb://c@a/sketch")) {
       val ex = intercept[IllegalArgumentException](
         graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
           bad, "/tmp/ok-corpus", "/tmp/ok-ckpt"))
-      assert(ex.getMessage.contains("scheme-less local-filesystem path"), ex.getMessage)
+      assert(ex.getMessage.contains("rename-atomic allowlist"), ex.getMessage)
+      assert(ex.getMessage.contains("sketchPath"), ex.getMessage)
       val ex2 = intercept[IllegalArgumentException](
         graft.streaming.ScreenedIngest.start(stream, "doc_id", "text",
           "/tmp/ok-sketch", bad, "/tmp/ok-ckpt"))
-      assert(ex2.getMessage.contains("scheme-less local-filesystem path"), ex2.getMessage)
+      assert(ex2.getMessage.contains("rename-atomic allowlist"), ex2.getMessage)
     }
+  }
+
+  test("file:-scheme'd artifact paths run the whole ingest loop through the Hadoop-backed io") {
+    // the r17 capability: the same streaming loop, every artifact probe /
+    // lock / append routed through HadoopArtifactIo instead of java.nio —
+    // exercised on the local store via the file: scheme
+    import java.nio.file.Files
+    val drop = Files.createTempDirectory("graft-sif-drop").toString
+    val root = Files.createTempDirectory("graft-sif").toString
+    val corpus = "file:" + root + "/corpus"
+    val sketch = "file:" + root + "/sketch"
+    stageJson(drop, "b0.json", 1700000000000L,
+      Seq((1L, "hadoop io document alpha beta gamma"), (2L, "totally different text here now")))
+    runStream(drop, sketch, corpus)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // a duplicate of doc 1 in a later batch screens OFF the file:-scheme'd
+    // sketch (cross-side drop); a fresh doc passes
+    stageJson(drop, "b1.json", 1700000060000L,
+      Seq((3L, "hadoop io document alpha beta gamma"), (4L, "unrelated brand new content words")))
+    runStream(drop, sketch, corpus)
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 4L))
   }
 
   test("idScreen closes the redelivery leaks: null-text rows and hot-bucket drops never duplicate") {

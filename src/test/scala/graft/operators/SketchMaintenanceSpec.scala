@@ -227,6 +227,42 @@ class SketchMaintenanceSpec extends SparkSuite {
     assert(screen() == want, "recovered-then-compacted artifact must screen identically")
   }
 
+  test("screenRetrying absorbs the compact rename window: stale first attempt, fresh retry wins") {
+    import graft.operators.SketchArtifact
+    val path = tmp("graft-retry")
+    Seq((1L, Seq(10L)), (2L, Seq(20L))).toDF("bucket", "ids")
+      .write.parquet(path)
+    SketchArtifact.append(Seq((1L, Seq(30L))).toDF("bucket", "ids"), path)
+    // a reader whose plan resolved BEFORE the compact pins the old file
+    // listing — exactly what a live screen racing a compact holds
+    val stale = spark.read.parquet(path)
+    SketchArtifact.compact(spark, path, Seq("bucket"))
+    var attempts = 0
+    val total = SketchArtifact.screenRetrying(retryDelayMs = 1L) {
+      attempts += 1
+      // attempt 1 executes the stale plan (its part files are gone —
+      // the task-side FileNotFoundException, Spark-wrapped); the retry
+      // follows the contract and re-reads the path fresh
+      val frame = if (attempts == 1) stale else spark.read.parquet(path)
+      frame.select(explode(col("ids")).as("id")).count()
+    }
+    assert(attempts == 2, "first attempt must fail against the swapped files")
+    assert(total == 3L, "retry must read the compacted (screen-equivalent) artifact")
+  }
+
+  test("screenRetrying stays loud when the artifact is genuinely missing") {
+    import graft.operators.SketchArtifact
+    val missing = tmp("graft-retry-missing") + "/never-written"
+    var attempts = 0
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SketchArtifact.screenRetrying(retryDelayMs = 1L) {
+        attempts += 1
+        spark.read.parquet(missing).count()
+      }
+    }
+    assert(attempts == 2, "one retry, then the failure propagates")
+  }
+
   // ---- assigned corpus (SemDeDup) ----
 
   test("appendAssigned: screen against the appended table == screen against the directly-assigned old side") {
