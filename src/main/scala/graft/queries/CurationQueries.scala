@@ -126,6 +126,35 @@ object CurationQueries {
         .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
     },
 
+    // Snapshots on the FileSystem-abstracted store (ii12's lakehouse
+    // twin, r17): the tv3 composition — commit, tagged-append, a
+    // dataChange=false compactVersion between two appends, readChanges
+    // from both baselines — with the tableDir on a file:-scheme'd path,
+    // so every Snapshots primitive (claim rename, pointer-lock publish,
+    // carry-forward (byte copy on Hadoop stores — no hard links), delta
+    // manifests, the CDF chain walk, compaction byte accounting) runs
+    // through HadoopArtifactIo instead of java.nio. Same full-replay
+    // oracle as tv3: the store must be invisible.
+    "tv4_fs_snapshots" -> { (s, dir) =>
+      import graft.sources.{Compact, Snapshots}
+      val table = "file:" + QueryTmp.dir("snapfs") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs, table)
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L), table, tag = Some("batch-1")): Unit
+      val (vc, _) = Compact.compactVersion(s, table, targetBytes = 1L << 30)
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 20000000L), table, tag = Some("batch-2")): Unit
+      def agg(df: DataFrame, since: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("since", lit(since))
+      agg(Snapshots.readChanges(s, table, v1), 1)
+        .unionByName(agg(Snapshots.readChanges(s, table, vc), 2))
+        .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -856,6 +885,20 @@ object CurationQueries {
     // The two appended batches replayed from the source corpus; the
     // interleaved compaction must contribute nothing to either slice.
     "tv3_snapshot_changes" ->
+      """WITH b2 AS (SELECT doc_id + 10000000 AS doc_id, lang, text
+                     FROM documents WHERE doc_id % 10 = 3),
+           b3 AS (SELECT doc_id + 20000000 AS doc_id, lang, text
+                  FROM documents WHERE doc_id % 10 = 7),
+           since1 AS (SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+         SELECT 1 AS since, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM since1 GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM b3 GROUP BY lang""",
+    // the tv3 replay verbatim — the FileSystem-abstracted store must
+    // serve the identical feed
+    "tv4_fs_snapshots" ->
       """WITH b2 AS (SELECT doc_id + 10000000 AS doc_id, lang, text
                      FROM documents WHERE doc_id % 10 = 3),
            b3 AS (SELECT doc_id + 20000000 AS doc_id, lang, text

@@ -71,6 +71,49 @@ private[graft] sealed trait ArtifactIo {
     */
   def rename(src: String, dst: String): Unit
 
+  /** Plain create-or-truncate write (NOT atomic — pair with
+    * [[renameReplace]] for the temp-then-publish protocol when the temp
+    * name matters to a debris sweep; use [[writeAtomic]] otherwise).
+    */
+  def writeFile(path: String, bytes: Array[Byte]): Unit
+
+  /** Atomic move that REPLACES an existing destination (the pointer
+    * publish primitive).
+    */
+  def renameReplace(src: String, dst: String): Unit
+
+  /** Atomic no-replace move returning `false` when the destination
+    * already exists (the version-claim primitive — the caller advances
+    * and retries).
+    */
+  def tryRenameNoReplace(src: String, dst: String): Boolean
+
+  /** Child names of `dir` (not paths); empty when `dir` is missing or
+    * not a directory.
+    */
+  def listNames(dir: String): Seq[String]
+
+  /** (name, isDirectory, size) of each child of `dir`; empty when `dir`
+    * is missing or not a directory (the compaction byte-accounting
+    * primitive).
+    */
+  def listEntries(dir: String): Seq[(String, Boolean, Long)]
+
+  /** Same-store copy of one file, by hard link where the store supports
+    * it (POSIX link counting keeps shared bytes alive until the last
+    * name drops) and by byte copy otherwise (HDFS exposes no user-facing
+    * hard links — the carry-forward cost there is O(bytes), the
+    * documented deployment note).
+    */
+  def linkOrCopy(src: String, dst: String): Unit
+
+  /** Reclaim staging debris: delete direct children of `dir` whose name
+    * starts with `prefix` and whose ENTIRE tree has been untouched for
+    * `graceMs` (a live writer keeps its leaves fresh — top-dir mtime is
+    * not enough). Missing `dir` is a no-op; best-effort under races.
+    */
+  def sweepStale(dir: String, prefix: String, graceMs: Long): Unit
+
   /** Whether `dir` holds any non-`_`/`.`-prefixed entries — the "does an
     * artifact already live here" probe ([[FsUtil.hasDataFiles]]'s
     * semantics on every store).
@@ -164,6 +207,68 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
     Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
+  def writeFile(path: String, bytes: Array[Byte]): Unit = {
+    Files.write(Paths.get(path), bytes): Unit
+  }
+
+  def renameReplace(src: String, dst: String): Unit = {
+    Files.move(Paths.get(src), Paths.get(dst),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def tryRenameNoReplace(src: String, dst: String): Boolean =
+    try {
+      Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      // some filesystems report the collision as a generic move failure;
+      // only a collision is a retryable claim loss
+      case _: java.nio.file.FileSystemException if Files.exists(Paths.get(dst)) => false
+    }
+
+  def listNames(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        it.iterator().forEachRemaining(p => buf += p.getFileName.toString)
+        buf.toSeq
+      } finally it.close()
+    }
+  }
+
+  def listEntries(dir: String): Seq[(String, Boolean, Long)] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val it = Files.list(d)
+      try {
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Boolean, Long)]()
+        it.iterator().forEachRemaining { p =>
+          val isDir = Files.isDirectory(p)
+          buf += ((p.getFileName.toString, isDir, if (isDir) 0L else Files.size(p)))
+        }
+        buf.toSeq
+      } finally it.close()
+    }
+  }
+
+  def linkOrCopy(src: String, dst: String): Unit = {
+    try Files.createLink(Paths.get(dst), Paths.get(src))
+    catch {
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.copy(Paths.get(src), Paths.get(dst),
+          StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    ()
+  }
+
+  def sweepStale(dir: String, prefix: String, graceMs: Long): Unit =
+    FsUtil.sweepStale(Paths.get(dir), prefix + "*", graceMs)
+
   def hasDataFiles(dir: String): Boolean = FsUtil.hasDataFiles(dir)
 
   def withLock[A](lockPath: String, timeoutMs: Long, what: String,
@@ -240,6 +345,71 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
   def rename(src: String, dst: String): Unit = {
     val d = new HPath(dst)
     fc(d).rename(new HPath(src), d, Options.Rename.NONE)
+  }
+
+  def writeFile(path: String, bytes: Array[Byte]): Unit = {
+    val p = new HPath(path)
+    val out = fs(p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def renameReplace(src: String, dst: String): Unit = {
+    val d = new HPath(dst)
+    fc(d).rename(new HPath(src), d, Options.Rename.OVERWRITE)
+  }
+
+  def tryRenameNoReplace(src: String, dst: String): Boolean = {
+    val d = new HPath(dst)
+    try { fc(d).rename(new HPath(src), d, Options.Rename.NONE); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException => if (fs(d).exists(d)) false else throw e
+    }
+  }
+
+  def listNames(dir: String): Seq[String] = {
+    val p = new HPath(dir)
+    val f = fs(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  def listEntries(dir: String): Seq[(String, Boolean, Long)] = {
+    val p = new HPath(dir)
+    val f = fs(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Seq.empty
+    else f.listStatus(p).map(st =>
+      (st.getPath.getName, st.isDirectory, if (st.isDirectory) 0L else st.getLen)).toSeq
+  }
+
+  def linkOrCopy(src: String, dst: String): Unit = {
+    // no user-facing hard links on Hadoop stores — byte copy (the
+    // documented carry-forward deployment cost there)
+    val s = new HPath(src)
+    val d = new HPath(dst)
+    org.apache.hadoop.fs.FileUtil.copy(fs(s), s, fs(d), d,
+      /* deleteSource = */ false, /* overwrite = */ false, conf): Unit
+  }
+
+  def sweepStale(dir: String, prefix: String, graceMs: Long): Unit = {
+    val p = new HPath(dir)
+    val f = fs(p)
+    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        (try f.listStatus(st.getPath).toSeq.map(newestMtime)
+         catch { case _: java.io.IOException => Seq.empty })).max
+    try {
+      f.listStatus(p).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix)) {
+          try { if (newestMtime(st) < cutoff) f.delete(st.getPath, true): Unit }
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   def hasDataFiles(dir: String): Boolean = {

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction — the housekeeping a continuously-appended
@@ -27,8 +25,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Compact {
 
+  /** The store-appropriate primitives for `path` (scheme-less → local
+    * `java.nio` verbatim; rename-atomic scheme'd stores → Hadoop io —
+    * the [[Snapshots]] store contract, shared).
+    */
+  private def io(path: String): ArtifactIo = ArtifactIo.forPath(path)
+
   /** Bytes of data files under a parquet dir (bookkeeping excluded). */
-  def dataBytes(path: String): Long = listDataFiles(path).map(Files.size).sum
+  def dataBytes(path: String): Long = listDataFiles(path).map(_._2).sum
 
   /** Number of parquet data files under the dir. */
   def dataFileCount(path: String): Int = listDataFiles(path).length
@@ -44,24 +48,25 @@ object Compact {
     require(targetBytes > 0, "targetBytes must be positive")
     require(!hasPartitionDirs(path),
       s"$path has a partitioned (col=value) layout — compact each partition directory")
+    val fs = io(path)
     val n = math.max(1, math.ceil(dataBytes(path).toDouble / targetBytes).toInt)
-    val tmp = Paths.get(path + s".compact-${java.util.UUID.randomUUID()}")
-    try spark.read.parquet(path).coalesce(n).write.parquet(tmp.toString)
-    catch { case e: Throwable => deleteTree(tmp); throw e }
-    val old = Paths.get(path + s".old-${java.util.UUID.randomUUID()}")
-    try Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: Throwable => deleteTree(tmp); throw e } // rewrite discarded, path untouched
-    try Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    val tmp = path + s".compact-${java.util.UUID.randomUUID()}"
+    try spark.read.parquet(path).coalesce(n).write.parquet(tmp)
+    catch { case e: Throwable => fs.deleteTree(tmp); throw e }
+    val old = path + s".old-${java.util.UUID.randomUUID()}"
+    try fs.rename(path, old)
+    catch { case e: Throwable => fs.deleteTree(tmp); throw e } // rewrite discarded, path untouched
+    try fs.rename(tmp, path)
     catch {
       case e: Throwable =>
         // roll the original back so `path` never stays missing; a failed
         // rollback must not MASK the root cause — suppress it instead
-        try Files.move(old, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+        try fs.rename(old, path)
         catch { case rb: Throwable => e.addSuppressed(rb) }
-        deleteTree(tmp)
+        fs.deleteTree(tmp)
         throw e
     }
-    deleteTree(old)
+    fs.deleteTree(old)
     dataFileCount(path)
   }
 
@@ -102,30 +107,15 @@ object Compact {
   }
 
   /** True if the directory uses a hive-style `col=value/` partition layout. */
-  private def hasPartitionDirs(path: String): Boolean = {
-    val it = Files.list(Paths.get(path))
-    try {
-      var found = false
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (Files.isDirectory(p) && fn.contains("=") && !fn.startsWith(".")) found = true
-      }
-      found
-    } finally it.close()
-  }
+  private def hasPartitionDirs(path: String): Boolean =
+    io(path).listEntries(path).exists { case (fn, isDir, _) =>
+      isDir && fn.contains("=") && !fn.startsWith(".")
+    }
 
-  private def listDataFiles(path: String): Seq[Path] = {
-    val it = Files.list(Paths.get(path))
-    try {
-      val b = Seq.newBuilder[Path]
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (Files.isRegularFile(p) && !fn.startsWith("_") && !fn.startsWith("."))
-          b += p
-      }
-      b.result()
-    } finally it.close()
-  }
-
-  private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
+  /** (name, bytes) of the dir's data files (bookkeeping excluded). */
+  private def listDataFiles(path: String): Seq[(String, Long)] =
+    io(path).listEntries(path).collect {
+      case (fn, false, size) if !fn.startsWith("_") && !fn.startsWith(".") =>
+        (fn, size)
+    }
 }

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -18,8 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one version directory. Combine with [[Compact]] per version dir and
   * [[PlanCache]] for derived artifacts. Retention (dropping versions no
   * run pins) is an explicit [[drop]], never implicit.
+  *
+  * Store contract (r17): every filesystem primitive routes through
+  * [[ArtifactIo]] — scheme-less table dirs keep the historical
+  * `java.nio` + OS-advisory-pointer-lock behavior verbatim;
+  * rename-atomic scheme'd stores (`hdfs://`, `abfss://`, `file:`, …)
+  * run the Hadoop equivalents (create-exclusive pointer-lock files,
+  * `FileContext` renames, carry-forward by byte COPY — no user-facing
+  * hard links there, so an append's carry cost is O(table bytes) on
+  * those stores until a manifest-of-files tier exists); rename-by-copy
+  * schemes are rejected loudly at the first touch. One path string =
+  * one location = one lock protocol — all committers to a table must
+  * use the same path form.
   */
 object Snapshots {
+
+  /** The store-appropriate primitives for this table (and its staged
+    * children — same store by construction).
+    */
+  private def io(tableDir: String): ArtifactIo = ArtifactIo.forPath(tableDir)
+
+  /** Child-path join as a plain string suffix (scheme-safe). */
+  private def child(dir: String, names: String*): String =
+    (dir.stripSuffix("/") +: names).mkString("/")
 
   /** Commit `df` as the next version; returns the new version number.
     * The `_latest` pointer is published by atomic rename, so a reader
@@ -45,15 +65,15 @@ object Snapshots {
   def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int,
       dataChange: Boolean = true): Option[Int] = {
     val v = claimStaged(tableDir) { stage =>
-      df.write.parquet(stage.toString)
+      df.write.parquet(stage)
       // dataChange=false is the maintenance-commit marker (the Delta Lake
       // `dataChange` flag): the rewrite holds the SAME rows as its base —
       // record an empty delta manifest so [[readChanges]] walks through
       // it without re-baselining consumers (compaction must not replay a
       // whole table into every incremental feed). Default true = a
       // logical replace, which breaks the additions chain by design.
-      if (!dataChange) writeDelta(stage, Seq.empty)
-      writeBase(stage, Some(expectedBase))
+      if (!dataChange) writeDelta(tableDir, stage, Seq.empty)
+      writeBase(tableDir, stage, Some(expectedBase))
     }
     val published = withPointerLock(tableDir) {
       if (latestVersion(tableDir).contains(expectedBase)) {
@@ -136,7 +156,7 @@ object Snapshots {
               // history (a full commit can cut a published version out of
               // the CURRENT chain) and deleting it would sever a pinned
               // consumer's readChanges walk over that history
-              Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
+              io(tableDir).delete(child(tableDir, s"v=$v", TagFile))
               false
             }
           }
@@ -152,21 +172,22 @@ object Snapshots {
           // TagFile ONLY (not the base edge) — see the stale-orphan
           // branch above: the version may be published history whose
           // chain a pinned consumer still walks
-          Files.deleteIfExists(Paths.get(tableDir, s"v=$v", TagFile))
+          io(tableDir).delete(child(tableDir, s"v=$v", TagFile))
         case None => ()
       }
       val base = latestVersion(tableDir)
       val v = claimStaged(tableDir) { stage =>
-        df.write.parquet(stage.toString)
+        df.write.parquet(stage)
         // at this point the stage holds EXACTLY the batch's new files
         // (carry-forward hasn't run) — record them as the version's delta
         // manifest, the file-level changed-data feed [[readChanges]] serves
-        writeDelta(stage, listStageDataFiles(stage))
+        writeDelta(tableDir, stage, listStageDataFiles(tableDir, stage))
         tag.foreach { t =>
-          Files.write(stage.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
+          io(tableDir).writeFile(child(stage, TagFile),
+            t.getBytes(StandardCharsets.UTF_8))
         }
-        writeBase(stage, base)
-        base.foreach(b => carryForward(Paths.get(tableDir, s"v=$b"), stage))
+        writeBase(tableDir, stage, base)
+        base.foreach(b => carryForward(tableDir, child(tableDir, s"v=$b"), stage))
       }
       val published: Either[Int, Boolean] = withPointerLock(tableDir) {
         // Re-verify the idempotence tag under the SAME lock hold as the
@@ -210,7 +231,7 @@ object Snapshots {
     * latest.
     */
   def rollbackTo(tableDir: String, version: Int): Int = {
-    require(Files.isDirectory(Paths.get(tableDir, s"v=$version")),
+    require(io(tableDir).isDirectory(child(tableDir, s"v=$version")),
       s"rollbackTo: no version directory v=$version under $tableDir")
     // the directory existing is NOT enough: a commit that crashed after
     // its atomic v=N rename but before the pointer publish leaves an
@@ -222,7 +243,7 @@ object Snapshots {
     // in the pointer-move-to-marker-write window and covers pre-marker
     // tables' recent lineage; only unmarked UNREACHABLE directories (the
     // orphan case) refuse.
-    require(Files.exists(Paths.get(tableDir, s"v=$version", PubFile))
+    require(io(tableDir).exists(child(tableDir, s"v=$version", PubFile))
         || inPublishedChain(tableDir, version),
       s"rollbackTo: v=$version of $tableDir was never published (a crashed commit's " +
         "orphan directory) — refusing to restore content that was never table state")
@@ -236,9 +257,9 @@ object Snapshots {
       val v = claimStaged(tableDir) { stage =>
         // the parquet-writing commit paths create the stage dir as a side
         // effect; a pure carry-forward must create it itself
-        Files.createDirectories(stage)
-        carryForward(Paths.get(tableDir, s"v=$version"), stage)
-        writeBase(stage, base)
+        io(tableDir).createDirs(stage)
+        carryForward(tableDir, child(tableDir, s"v=$version"), stage)
+        writeBase(tableDir, stage, base)
       }
       val published = withPointerLock(tableDir) {
         if (latestVersion(tableDir) == base) { writePointer(tableDir, v); true }
@@ -263,8 +284,8 @@ object Snapshots {
     * pointer lock, so this check cannot race a publish of THIS version.
     */
   private def discardClaim(tableDir: String, v: Int): Unit =
-    if (!Files.exists(Paths.get(tableDir, s"v=$v", PubFile)))
-      FsUtil.deleteTree(Paths.get(tableDir, s"v=$v"))
+    if (!io(tableDir).exists(child(tableDir, s"v=$v", PubFile)))
+      io(tableDir).deleteTree(child(tableDir, s"v=$v"))
   private val DeltaFile = "_graft_delta"
 
   /** Record the version's delta manifest: the data files THIS commit
@@ -272,25 +293,17 @@ object Snapshots {
     * maintenance rewrite). `_`-prefixed, so carry-forward leaves it
     * behind — each version describes only its own delta.
     */
-  private def writeDelta(stage: java.nio.file.Path, names: Seq[String]): Unit =
-    Files.write(stage.resolve(DeltaFile),
+  private def writeDelta(tableDir: String, stage: String, names: Seq[String]): Unit =
+    io(tableDir).writeFile(child(stage, DeltaFile),
       names.mkString("\n").getBytes(StandardCharsets.UTF_8))
 
   /** Data-file names currently in a freshly-written stage (markers and
     * dot-files excluded) — called BEFORE carry-forward, so the listing
     * is exactly the committing batch's own files.
     */
-  private def listStageDataFiles(stage: java.nio.file.Path): Seq[String] = {
-    val it = Files.list(stage)
-    try {
-      val buf = scala.collection.mutable.ArrayBuffer[String]()
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (!fn.startsWith("_") && !fn.startsWith(".")) buf += fn
-      }
-      buf.toSeq
-    } finally it.close()
-  }
+  private def listStageDataFiles(tableDir: String, stage: String): Seq[String] =
+    io(tableDir).listNames(stage)
+      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
 
   /** Incremental consumption — the changed-data feed: the rows ADDED
     * after `fromVersion`, up to `toVersion` (default: the published
@@ -323,19 +336,19 @@ object Snapshots {
     val delta = scala.collection.mutable.ArrayBuffer[String]()
     var cur = to
     while (cur > fromVersion) {
-      val mf = Paths.get(tableDir, s"v=$cur", DeltaFile)
-      if (!Files.exists(mf)) throw new IllegalStateException(
+      val mf = io(tableDir).readBytes(child(tableDir, s"v=$cur", DeltaFile))
+      if (mf.isEmpty) throw new IllegalStateException(
         s"readChanges: v=$cur of $tableDir carries no delta manifest — a full commit, " +
           "a dataChange rewrite, or a rollback replaced the table content here, so the " +
           s"[$fromVersion, $to] change is not expressible as additions; re-baseline by " +
           "reading the full version instead")
-      new String(Files.readAllBytes(mf), StandardCharsets.UTF_8)
+      new String(mf.get, StandardCharsets.UTF_8)
         .split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { fn =>
-          val p = Paths.get(tableDir, s"v=$cur", fn)
-          if (!Files.exists(p)) throw new IllegalStateException(
+          val p = child(tableDir, s"v=$cur", fn)
+          if (!io(tableDir).exists(p)) throw new IllegalStateException(
             s"readChanges: v=$cur's delta manifest names $fn but the file is gone " +
               s"under $tableDir — version data was dropped while a feed still read it")
-          delta += p.toString
+          delta += p
         }
       cur = baseOf(tableDir, cur).getOrElse(throw new IllegalStateException(
         s"readChanges: v=$cur of $tableDir records no base — the chain does not " +
@@ -355,20 +368,17 @@ object Snapshots {
   /** Record the version `stage` was derived from (0 = none — first
     * version of the table); the chain edge [[inPublishedChain]] walks.
     */
-  private def writeBase(stage: java.nio.file.Path, base: Option[Int]): Unit =
-    Files.write(stage.resolve(BaseFile),
+  private def writeBase(tableDir: String, stage: String, base: Option[Int]): Unit =
+    io(tableDir).writeFile(child(stage, BaseFile),
       base.getOrElse(0).toString.getBytes(StandardCharsets.UTF_8))
 
   /** The recorded base of `v=N`: Some(0) = explicit first version;
     * None = no base recorded (a full [[commit]], or the directory is
     * gone) — the chain cannot be followed through it.
     */
-  private def baseOf(tableDir: String, v: Int): Option[Int] = {
-    val p = Paths.get(tableDir, s"v=$v", BaseFile)
-    if (Files.exists(p))
-      scala.util.Try(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt).toOption
-    else None
-  }
+  private def baseOf(tableDir: String, v: Int): Option[Int] =
+    io(tableDir).readBytes(child(tableDir, s"v=$v", BaseFile)).flatMap(b =>
+      scala.util.Try(new String(b, StandardCharsets.UTF_8).trim.toInt).toOption)
 
   /** Whether `v` is an ancestor of (or is) the published latest, walking
     * the recorded base chain. False for unpublished orphans, for
@@ -392,47 +402,33 @@ object Snapshots {
     * the smallest version number.
     */
   def taggedVersion(tableDir: String, t: String): Option[Int] = {
-    if (!Files.isDirectory(Paths.get(tableDir))) return None
-    val it = Files.list(Paths.get(tableDir))
-    val matches = try {
-      val buf = scala.collection.mutable.ArrayBuffer[Int]()
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (fn.startsWith("v=")) {
-          val tf = p.resolve(TagFile)
-          if (Files.exists(tf) &&
-              new String(Files.readAllBytes(tf), StandardCharsets.UTF_8) == t)
-            scala.util.Try(fn.stripPrefix("v=").toInt).foreach(buf += _)
-        }
-      }
-      buf.toSeq.sorted
-    } finally it.close()
+    val matches = io(tableDir).listNames(tableDir).flatMap { fn =>
+      if (!fn.startsWith("v=")) None
+      else io(tableDir).readBytes(child(tableDir, fn, TagFile))
+        .filter(new String(_, StandardCharsets.UTF_8) == t)
+        .flatMap(_ => scala.util.Try(fn.stripPrefix("v=").toInt).toOption)
+    }.sorted
     if (matches.lengthCompare(1) <= 0) matches.headOption
     else matches.find(inPublishedChain(tableDir, _)).orElse(matches.headOption)
   }
 
-  /** Hard-link (copy fallback) every data file of `from` into `stage`.
+  /** Hard-link (copy fallback; always copy on Hadoop stores — no
+    * user-facing links there) every data file of `from` into `stage`.
     * Hidden files (`_SUCCESS`, the tag, dot-files) stay behind — each
     * version carries its own markers. Name collisions (astronomically
     * unlikely: parquet part names embed a job UUID) get a base prefix
     * rather than a silent overwrite.
     */
-  private def carryForward(from: java.nio.file.Path, stage: java.nio.file.Path): Unit = {
-    val it = Files.list(from)
-    try {
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (!fn.startsWith("_") && !fn.startsWith(".")) {
-          var dst = stage.resolve(fn)
-          if (Files.exists(dst)) dst = stage.resolve(s"carry-${from.getFileName}-$fn")
-          try Files.createLink(dst, p)
-          catch {
-            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              Files.copy(p, dst, StandardCopyOption.COPY_ATTRIBUTES)
-          }
-        }
+  private def carryForward(tableDir: String, from: String, stage: String): Unit = {
+    val fs = io(tableDir)
+    val fromName = from.stripSuffix("/").split('/').last
+    fs.listNames(from).foreach { fn =>
+      if (!fn.startsWith("_") && !fn.startsWith(".")) {
+        var dst = child(stage, fn)
+        if (fs.exists(dst)) dst = child(stage, s"carry-$fromName-$fn")
+        fs.linkOrCopy(child(from, fn), dst)
       }
-    } finally it.close()
+    }
   }
 
   /** How long an abandoned `.commit-*` / `._latest-*` staging artifact
@@ -444,39 +440,30 @@ object Snapshots {
 
   /** Write `df` under the next free `v=N` directory (no pointer publish). */
   private def claimVersion(df: DataFrame, tableDir: String): Int =
-    claimStaged(tableDir)(stage => df.write.parquet(stage.toString))
+    claimStaged(tableDir)(stage => df.write.parquet(stage))
 
   /** Stage-then-claim: `fill` populates a private tmp dir, which is then
     * renamed to the next free `v=N` (no pointer publish) — the one
     * claiming path behind [[commit]]/[[commitIfLatest]]/[[commitAppend]].
     */
-  private def claimStaged(tableDir: String)(fill: java.nio.file.Path => Unit): Int = {
-    Files.createDirectories(Paths.get(tableDir))
+  private def claimStaged(tableDir: String)(fill: String => Unit): Int = {
+    val fs = io(tableDir)
+    fs.createDirs(tableDir)
     // reclaim staging debris from crashed committers — the same sweep
     // PlanCache runs for its .tmp-* dirs; without it crash-retry loops
     // accumulate unbounded orphan data under tableDir
-    FsUtil.sweepStale(Paths.get(tableDir), ".commit-*", CommitGraceMs)
-    FsUtil.sweepStale(Paths.get(tableDir), "._latest-*", CommitGraceMs)
+    fs.sweepStale(tableDir, ".commit-", CommitGraceMs)
+    fs.sweepStale(tableDir, "._latest-", CommitGraceMs)
     // write to a private tmp dir first, so a crashed commit never leaves
     // a partial (or orphaned complete) v=N directory to collide with
-    val data = Paths.get(tableDir, s".commit-${java.util.UUID.randomUUID()}")
+    val data = child(tableDir, s".commit-${java.util.UUID.randomUUID()}")
     fill(data)
     // claim the next version by atomic rename; on a concurrent (or
     // orphaned-crash) collision, advance and retry — maxVersionDir, not
     // _latest, drives the numbering, so a commit that died before its
     // pointer publish cannot wedge the table
     var v = math.max(latestVersion(tableDir).getOrElse(0), maxVersionDir(tableDir)) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        Files.move(data, Paths.get(tableDir, s"v=$v"), StandardCopyOption.ATOMIC_MOVE)
-        claimed = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-        case _: java.nio.file.FileSystemException
-            if Files.exists(Paths.get(tableDir, s"v=$v")) => v += 1
-      }
-    }
+    while (!fs.tryRenameNoReplace(data, child(tableDir, s"v=$v"))) v += 1
     v
   }
 
@@ -512,38 +499,33 @@ object Snapshots {
     * are exactly what the persistent-inode design avoids).
     */
   private def withPointerLock[A](tableDir: String)(body: => A): A =
-    FsUtil.withFileLock(Paths.get(tableDir, "._latest.lock"), PointerLockTimeoutMs,
+    io(tableDir).withLock(child(tableDir, "._latest.lock"), PointerLockTimeoutMs,
       "snapshots",
       "another committer is wedged holding it (or the filesystem does not honor " +
         "advisory FileLocks, e.g. some NFS mounts; on HDFS use the store's atomic " +
         "rename primitive instead)")(body)
 
   private def writePointer(tableDir: String, v: Int): Unit = {
-    val tmp = Paths.get(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(tableDir, "_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val fs = io(tableDir)
+    val tmp = child(tableDir, s"._latest-${java.util.UUID.randomUUID()}")
+    fs.writeFile(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    fs.renameReplace(tmp, child(tableDir, "_latest"))
     // permanent was-ever-published record (`_`-prefixed: carry-forward
     // leaves it behind) — the pointer itself only names the CURRENT
     // latest, but [[rollbackTo]] must distinguish genuinely-published
     // history from a crashed commit's unpublished orphan directory
-    val mark = Paths.get(tableDir, s"v=$v", PubFile)
-    if (!Files.exists(mark)) Files.write(mark, Array.emptyByteArray)
+    val mark = child(tableDir, s"v=$v", PubFile)
+    if (!fs.exists(mark)) fs.touch(mark)
   }
 
   /** Highest v=N directory present (claimed versions, published or not). */
-  private def maxVersionDir(tableDir: String): Int = {
-    val it = Files.list(Paths.get(tableDir))
-    try {
-      var mx = 0
-      it.iterator().forEachRemaining { p =>
-        val fn = p.getFileName.toString
-        if (fn.startsWith("v="))
-          scala.util.Try(fn.stripPrefix("v=").toInt).foreach(n => mx = math.max(mx, n))
-      }
-      mx
-    } finally it.close()
-  }
+  private def maxVersionDir(tableDir: String): Int =
+    io(tableDir).listNames(tableDir).foldLeft(0) { (mx, fn) =>
+      if (fn.startsWith("v="))
+        scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+          .fold(mx)(math.max(mx, _))
+      else mx
+    }
 
   /** Read a pinned version, or the latest when `version` is None. */
   def read(spark: SparkSession, tableDir: String, version: Option[Int] = None): DataFrame = {
@@ -553,12 +535,9 @@ object Snapshots {
   }
 
   /** Highest committed version, if any. */
-  def latestVersion(tableDir: String): Option[Int] = {
-    val p = Paths.get(tableDir, "_latest")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
-    else None
-  }
+  def latestVersion(tableDir: String): Option[Int] =
+    io(tableDir).readBytes(child(tableDir, "_latest"))
+      .map(b => new String(b, StandardCharsets.UTF_8).trim.toInt)
 
   /** Retention policy: [[drop]] every version strictly below
     * `latest − keep + 1`, keeping the newest `keep`. Returns the dropped
@@ -577,16 +556,11 @@ object Snapshots {
       case None => Seq.empty
       case Some(latest) =>
         val floor = latest - keep + 1
-        val it = Files.list(Paths.get(tableDir))
-        val claimed = try {
-          val buf = scala.collection.mutable.ArrayBuffer[Int]()
-          it.iterator().forEachRemaining { p =>
-            val fn = p.getFileName.toString
-            if (fn.startsWith("v="))
-              scala.util.Try(fn.stripPrefix("v=").toInt).foreach(buf += _)
-          }
-          buf.toSeq
-        } finally it.close()
+        val claimed = io(tableDir).listNames(tableDir).flatMap { fn =>
+          if (fn.startsWith("v="))
+            scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+          else None
+        }
         claimed.filter(_ < floor).sorted.filter(v => drop(tableDir, v))
     }
   }
@@ -604,9 +578,9 @@ object Snapshots {
     require(latestVersion(tableDir).exists(_ > version),
       s"refusing to drop v=$version: not strictly below the published latest " +
         s"(${latestVersion(tableDir)}) — it is the live pointer target or an in-flight claim")
-    val p = Paths.get(tableDir, s"v=$version")
-    val existed = Files.exists(p)
-    if (existed) FsUtil.deleteTree(p)
+    val p = child(tableDir, s"v=$version")
+    val existed = io(tableDir).exists(p)
+    if (existed) io(tableDir).deleteTree(p)
     existed
   }
 }

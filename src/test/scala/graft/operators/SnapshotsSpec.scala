@@ -324,4 +324,39 @@ class SnapshotsSpec extends SparkSuite {
     assert(Snapshots.readChanges(spark, table, 4).as[Long].collect().toSeq == Seq(5L))
     intercept[IllegalArgumentException](Snapshots.retainLast(table, 0))
   }
+
+  test("file:-scheme'd table runs the whole snapshot lifecycle through the Hadoop-backed io") {
+    // the r17 store contract: commit, tagged append + exactly-once
+    // replay, rollback, CDF, retention — all primitives (claim rename,
+    // pointer-lock publish, carry-forward by copy, manifests) on the
+    // Hadoop io instead of java.nio, exercised via the file: scheme
+    val table = "file:" +
+      java.nio.file.Files.createTempDirectory("graft-snap-fs").toString + "/t"
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    val v2 = Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), table,
+      tag = Some("b-1"))
+    assert((v1, v2) == (1, 2))
+    // tagged replay is a no-op (exactly-once off the tag record)
+    assert(Snapshots.commitAppend(Seq((3L, "dup")).toDF("id", "s"), table,
+      tag = Some("b-1")) == v2)
+    assert(Snapshots.read(spark, table).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // pinned read + CDF off the scheme'd store
+    assert(Snapshots.read(spark, table, Some(v1)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(Snapshots.readChanges(spark, table, v1).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+    // rollback publishes a NEW carried-forward version; v2 stays pinned
+    val v3 = Snapshots.rollbackTo(table, v1)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, table).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(Snapshots.read(spark, table, Some(v2)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // retention through the scheme'd io; the dropped version's feed
+    // fails loudly, the survivors read in full
+    assert(Snapshots.drop(table, v1))
+    assert(Snapshots.read(spark, table, Some(v2)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
