@@ -99,6 +99,9 @@ private[graft] sealed trait ArtifactIo {
     */
   def listEntries(dir: String): Seq[(String, Boolean, Long)]
 
+  /** Last-modified time of `path` in epoch ms; None when missing. */
+  def mtimeMs(path: String): Option[Long]
+
   /** Same-store copy of one file, by hard link where the store supports
     * it (POSIX link counting keeps shared bytes alive until the last
     * name drops) and by byte copy otherwise (HDFS exposes no user-facing
@@ -256,6 +259,11 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
     }
   }
 
+  def mtimeMs(path: String): Option[Long] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) None else Some(Files.getLastModifiedTime(p).toMillis)
+  }
+
   def linkOrCopy(src: String, dst: String): Unit = {
     try Files.createLink(Paths.get(dst), Paths.get(src))
     catch {
@@ -381,6 +389,12 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
     if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Seq.empty
     else f.listStatus(p).map(st =>
       (st.getPath.getName, st.isDirectory, if (st.isDirectory) 0L else st.getLen)).toSeq
+  }
+
+  def mtimeMs(path: String): Option[Long] = {
+    val p = new HPath(path)
+    val f = fs(p)
+    if (!f.exists(p)) None else Some(f.getFileStatus(p).getModificationTime)
   }
 
   def linkOrCopy(src: String, dst: String): Unit = {

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
@@ -21,12 +20,17 @@ import org.apache.spark.sql.DataFrame
   *
   * Scale notes (100 TB): `cacheDir` would be a shared filesystem path
   * (HDFS/DBFS); the publish step relies on atomic directory rename, which
-  * HDFS provides. On rename-less object stores the `_SUCCESS`-marker check
-  * below is still the commit point — writers targeting the same key write
-  * the same bytes, so a double publish is idempotent, not corrupt. The
-  * cached artifact is plain parquet: readers get predicate pushdown and
-  * column pruning ON TOP of the cache, which the reference's opaque
-  * serialized partition blobs cannot offer.
+  * HDFS provides — and since r17 every filesystem primitive here routes
+  * through [[ArtifactIo]], so a `hdfs://`/`abfss://`/`file:`-scheme'd
+  * cacheDir works end to end (scheme-less dirs keep the historical
+  * `java.nio` behavior verbatim; rename-by-copy schemes are rejected
+  * loudly). On rename-less object stores the `_SUCCESS`-marker check
+  * below would still be the commit point — writers targeting the same
+  * key write the same bytes, so a double publish is idempotent, not
+  * corrupt — but the loud allowlist keeps them out until that path is
+  * proven. The cached artifact is plain parquet: readers get predicate
+  * pushdown and column pruning ON TOP of the cache, which the
+  * reference's opaque serialized partition blobs cannot offer.
   *
   * Staleness contract: since r15 the DEFAULT key tier is CONTENT keys —
   * per-file (size, mtime) keying, so an in-place overwrite of an input
@@ -249,23 +253,24 @@ object PlanCache {
       contentKeys: Boolean = true): (DataFrame, Outcome) = {
     val spark = df.sparkSession
     val key = fingerprint(df, effectiveContentKeys(df, contentKeys))
-    Files.createDirectories(Paths.get(cacheDir))
-    sweepStaleTmp(Paths.get(cacheDir))
-    val target = Paths.get(cacheDir, key)
+    val fs = io(cacheDir)
+    fs.createDirs(cacheDir)
+    sweepStaleTmp(cacheDir)
+    val target = child(cacheDir, key)
     val outcome =
-      if (isPublished(target)) { touchAtime(target); Hit }
+      if (isPublished(cacheDir, target)) { touchAtime(cacheDir, target); Hit }
       else {
-        val tmp = Paths.get(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
-        df.write.parquet(tmp.toString)
+        val tmp = child(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
+        df.write.parquet(tmp)
         // Plan-id marker (`_`-prefixed — parquet readers skip it): the
         // FILE-LIST-tier fingerprint of the plan that produced this
         // entry. A content-keyed entry's key embeds the input stats AT
         // PUBLISH TIME, so after an in-place input change [[invalidate]]
         // can no longer re-derive that key — the marker lets it find and
         // evict every entry of this plan by one directory scan instead.
-        Files.write(tmp.resolve(PlanIdFile),
+        fs.writeFile(child(tmp, PlanIdFile),
           fingerprint(df, contentKeys = false).getBytes("UTF-8"))
-        publish(tmp, target)
+        publish(cacheDir, tmp, target)
         Miss
       }
     // retention sweep AFTER the hit-touch above: the entry this attach
@@ -281,11 +286,20 @@ object PlanCache {
       val due = lastSweepMs.compute(cacheDir, (_, prev) =>
         if (prev == null || now - prev.longValue() >= minGap) java.lang.Long.valueOf(now)
         else prev)
-      if (due.longValue() == now) sweepExpired(Paths.get(cacheDir), r)
+      if (due.longValue() == now) sweepExpired(cacheDir, r)
     }
     last = outcome
-    (spark.read.parquet(target.toString), outcome)
+    (spark.read.parquet(target), outcome)
   }
+
+  /** The store-appropriate primitives for `cacheDir` (the ArtifactIo
+    * contract shared with the artifact and Snapshots layers).
+    */
+  private def io(dir: String): ArtifactIo = ArtifactIo.forPath(dir)
+
+  /** Child-path join as a plain string suffix (scheme-safe). */
+  private def child(dir: String, names: String*): String =
+    (dir.stripSuffix("/") +: names).mkString("/")
 
   /** Last-attach marker inside a published entry (`_`-prefixed — parquet
     * readers skip it); refreshed on every hit, read by the retention
@@ -298,8 +312,8 @@ object PlanCache {
     */
   private val lastSweepMs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  private def touchAtime(target: Path): Unit =
-    try Files.write(target.resolve(AtimeFile),
+  private def touchAtime(cacheDir: String, target: String): Unit =
+    try io(cacheDir).writeFile(child(target, AtimeFile),
       System.currentTimeMillis().toString.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () }
 
@@ -309,23 +323,19 @@ object PlanCache {
     * their own crash-grace sweep; unpublished corpses are reclaimed by
     * [[publish]]'s retry path — both are skipped here.
     */
-  private def sweepExpired(dir: Path, retentionMs: Long): Unit = {
-    if (!Files.isDirectory(dir)) return
+  private def sweepExpired(cacheDir: String, retentionMs: Long): Unit = {
+    val fs = io(cacheDir)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = Files.list(dir)
-    try {
-      it.iterator().forEachRemaining { p =>
-        try {
-          if (!p.getFileName.toString.startsWith(".") && isPublished(p)) {
-            val atime = p.resolve(AtimeFile)
-            val lastUsed =
-              if (Files.exists(atime)) Files.getLastModifiedTime(atime).toMillis
-              else Files.getLastModifiedTime(p.resolve("_SUCCESS")).toMillis
-            if (lastUsed < cutoff) deleteTree(p)
-          }
-        } catch { case _: java.io.IOException => () } // racing evict/publish
-      }
-    } finally it.close()
+    fs.listNames(cacheDir).foreach { fn =>
+      val p = child(cacheDir, fn)
+      try {
+        if (!fn.startsWith(".") && isPublished(cacheDir, p)) {
+          val lastUsed = fs.mtimeMs(child(p, AtimeFile))
+            .orElse(fs.mtimeMs(child(p, "_SUCCESS")))
+          if (lastUsed.exists(_ < cutoff)) fs.deleteTree(p)
+        }
+      } catch { case _: java.io.IOException => () } // racing evict/publish
+    }
   }
 
   /** Explicit eviction (the reference's decache). Returns true if a
@@ -354,35 +364,27 @@ object PlanCache {
     * dir should always set it.
     */
   def invalidate(df: DataFrame, cacheDir: String, contentKeys: Boolean = false): Boolean = {
+    val fs = io(cacheDir)
     val listKey = fingerprint(df, contentKeys = false)
     val keys = Seq(listKey, fingerprint(df, contentKeys = true)).distinct
     var existed = false
-    def evict(target: Path): Unit = {
-      if (isPublished(target)) existed = true
-      if (Files.exists(target)) deleteTree(target)
+    def evict(target: String): Unit = {
+      if (isPublished(cacheDir, target)) existed = true
+      if (fs.exists(target)) fs.deleteTree(target)
     }
-    keys.foreach(k => evict(Paths.get(cacheDir, k)))
+    keys.foreach(k => evict(child(cacheDir, k)))
     // stale-stat content-keyed entries: match by the plan-id marker
-    val dirP = Paths.get(cacheDir)
-    if (Files.isDirectory(dirP)) {
-      val it = Files.list(dirP)
-      try {
-        it.iterator().forEachRemaining { p =>
-          // the marker read races concurrent invalidates: an entry that
-          // vanishes between exists() and readAllBytes() is ALREADY
-          // evicted — treat it as such instead of aborting the sweep
-          val markerMatches =
-            try {
-              val marker = p.resolve(PlanIdFile)
-              Files.exists(marker) &&
-                new String(Files.readAllBytes(marker), "UTF-8") == listKey
-            } catch { case _: java.io.IOException => false }
-          if (!p.getFileName.toString.startsWith(".") && markerMatches)
-            evict(p)
-        }
-      } finally it.close()
+    fs.listNames(cacheDir).foreach { fn =>
+      val p = child(cacheDir, fn)
+      // the marker read races concurrent invalidates: an entry that
+      // vanishes between listing and read is ALREADY evicted — treat it
+      // as such instead of aborting the sweep
+      val markerMatches =
+        try fs.readBytes(child(p, PlanIdFile)).exists(new String(_, "UTF-8") == listKey)
+        catch { case _: java.io.IOException => false }
+      if (!fn.startsWith(".") && markerMatches) evict(p)
     }
-    sweepStaleTmp(dirP)
+    sweepStaleTmp(cacheDir)
     existed
   }
 
@@ -403,11 +405,11 @@ object PlanCache {
     * Runs on every attach/invalidate — one directory listing plus a walk
     * of any candidate older than the grace.
     */
-  private def sweepStaleTmp(cacheDir: Path, graceMs: Long = TmpGraceMs): Unit =
-    FsUtil.sweepStale(cacheDir, ".tmp-*", graceMs)
+  private def sweepStaleTmp(cacheDir: String, graceMs: Long = TmpGraceMs): Unit =
+    io(cacheDir).sweepStale(cacheDir, ".tmp-", graceMs)
 
-  private def isPublished(target: Path): Boolean =
-    Files.exists(target.resolve("_SUCCESS"))
+  private def isPublished(cacheDir: String, target: String): Boolean =
+    io(cacheDir).exists(child(target, "_SUCCESS"))
 
   /** Atomic rename commit; on a concurrent publish keep the winner and
     * discard our copy (both hold identical bytes by construction). A
@@ -417,19 +419,20 @@ object PlanCache {
     * reclaim it and retry the rename instead of discarding our good copy
     * and wedging the key forever.
     */
-  private def publish(tmp: Path, target: Path): Unit = {
+  private def publish(cacheDir: String, tmp: String, target: String): Unit = {
+    val fs = io(cacheDir)
     var attempts = 0
     while (attempts < 3) {
-      try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); return }
-      catch {
-        case e @ (_: FileAlreadyExistsException | _: java.nio.file.FileSystemException) =>
-          if (isPublished(target)) { deleteTree(tmp); return } // winner holds identical bytes
-          deleteTree(target) // unpublished corpse — reclaim and retry
-          attempts += 1
-          if (attempts >= 3) { deleteTree(tmp); throw e }
+      if (fs.tryRenameNoReplace(tmp, target)) return
+      if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
+      fs.deleteTree(target) // unpublished corpse — reclaim and retry
+      attempts += 1
+      if (attempts >= 3) {
+        fs.deleteTree(tmp)
+        throw new IllegalStateException(
+          s"plan cache: could not publish $target after $attempts collisions with " +
+            "unpublished corpses — a concurrent invalidate/publish loop is thrashing this key")
       }
     }
   }
-
-  private def deleteTree(p: Path): Unit = FsUtil.deleteTree(p)
 }

@@ -431,4 +431,29 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.lastOutcome == PlanCache.Hit)
     assert(again.toSeq.toList.sorted == ds.toSeq.toList.sorted)
   }
+
+  test("file:-scheme'd cacheDir runs the whole cache lifecycle through the Hadoop-backed io") {
+    // the r17 store contract applied to the plan cache: publish (claim
+    // rename + plan-id marker), cross-session hit + atime touch,
+    // three-sweep invalidate — all primitives on the Hadoop io instead
+    // of java.nio, exercised via the file: scheme
+    val cacheDir = "file:" + tmpDir("pc-fs")
+    val df = ordersAgg(spark, sf0001)
+    val cold = PlanCache.readThrough(df, cacheDir).collect().sortBy(_.getString(0))
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+    val s2 = spark.newSession()
+    val warm = PlanCache.readThrough(ordersAgg(s2, sf0001), cacheDir)
+      .collect().sortBy(_.getString(0))
+    assert(PlanCache.lastOutcome == PlanCache.Hit)
+    assert(cold.map(_.toString).toSeq == warm.map(_.toString).toSeq)
+    // invalidate finds the published entry on the scheme'd store and the
+    // next attach recomputes
+    assert(PlanCache.invalidate(df, cacheDir, contentKeys = true))
+    PlanCache.readThrough(df, cacheDir): Unit
+    assert(PlanCache.lastOutcome == PlanCache.Miss)
+    // rename-by-copy schemes stay out, loudly
+    val ex = intercept[IllegalArgumentException](
+      PlanCache.readThrough(df, "s3a://bucket/cache"))
+    assert(ex.getMessage.contains("rename-atomic allowlist"), ex.getMessage)
+  }
 }
