@@ -525,6 +525,40 @@ object ScaleProbe {
         val tHadoop = loop(s"file:$root/hadoop-postings")
         println(f"[probe] ${"fsappend_hadoop_file"}%-24s ${tHadoop}%6.2f s")
       }
+      // --fssnap — the Snapshots store seam's price (r17, --fsappend's
+      // lakehouse twin): one full lifecycle per store — commit the base
+      // corpus (docs with doc_id%10 ∉ {7,8,9}), then three commitAppend
+      // batches — on a scheme-less LOCAL table and on the IDENTICAL
+      // directory via file:. The commit legs must match (same parquet
+      // job); the APPEND legs price the one documented store difference:
+      // carry-forward is hard-link O(files) locally but byte-copy
+      // O(table bytes) on Hadoop stores — this probe puts the real
+      // number on that note instead of leaving it a scaladoc claim.
+      if (args.contains("--fssnap")) {
+        import graft.sources.Snapshots
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val base = docs.filter(col("doc_id") % 10 =!= 7 &&
+          col("doc_id") % 10 =!= 8 && col("doc_id") % 10 =!= 9)
+        def once(table: String): (Double, Double) = {
+          graft.sources.ArtifactIo.forPath(table).deleteTree(table)
+          val t0 = System.nanoTime()
+          Snapshots.commit(base, table): Unit
+          val tCommit = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          Seq(7, 8, 9).foreach { m =>
+            Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === m), table): Unit
+          }
+          ((tCommit, (System.nanoTime() - t1) / 1e9))
+        }
+        val root = graft.queries.QueryTmp.dir("probe-fssnap")
+        val (cL, aL) = once(s"$root/local-table")
+        println(f"[probe] ${"fssnap_local_commit"}%-24s ${cL}%6.2f s")
+        println(f"[probe] ${"fssnap_local_appends3"}%-24s ${aL}%6.2f s")
+        val (cH, aH) = once(s"file:$root/hadoop-table")
+        println(f"[probe] ${"fssnap_hadoop_commit"}%-24s ${cH}%6.2f s")
+        println(f"[probe] ${"fssnap_hadoop_appends3"}%-24s ${aH}%6.2f s")
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change
