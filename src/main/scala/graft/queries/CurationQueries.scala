@@ -155,6 +155,40 @@ object CurationQueries {
         .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
     },
 
+    // Manifest-carry appends (the r17 O(batch)-on-any-store tier): the
+    // tv4 composition with carry = CarryManifest on a file:-scheme'd
+    // table — each append writes ONLY its batch plus a _graft_carry
+    // manifest naming the inherited files; compactVersion resolves the
+    // manifest (re-basing the chain self-contained) and the CDF feed
+    // walks through it with an empty delta. Three oracle legs: the
+    // since-v1 feed, the since-compaction feed, and a PINNED READ of
+    // the manifest version itself (read must resolve own + carried
+    // files exactly — a dropped carried file, a double-resolved
+    // fragment, or a manifest that missed the base's own files all
+    // fail the hash).
+    "tv5_manifest_appends" -> { (s, dir) =>
+      import graft.sources.{Compact, Snapshots}
+      val table = "file:" + QueryTmp.dir("snapman") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val v1 = Snapshots.commit(docs, table)
+      val v2 = Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L), table,
+        carry = Snapshots.CarryManifest)
+      val (vc, _) = Compact.compactVersion(s, table, targetBytes = 1L << 30)
+      Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 20000000L), table,
+        carry = Snapshots.CarryManifest): Unit
+      def agg(df: DataFrame, since: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("since", lit(since))
+      agg(Snapshots.readChanges(s, table, v1), 1)
+        .unionByName(agg(Snapshots.readChanges(s, table, vc), 2))
+        .unionByName(agg(Snapshots.read(s, table, Some(v2)), 3))
+        .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -910,6 +944,26 @@ object CurationQueries {
          UNION ALL
          SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
          FROM b3 GROUP BY lang""",
+    // the tv3 replay plus a pinned read of the manifest version itself
+    // (base ∪ batch-2 exactly — resolution must be complete and
+    // duplicate-free)
+    "tv5_manifest_appends" ->
+      """WITH b2 AS (SELECT doc_id + 10000000 AS doc_id, lang, text
+                     FROM documents WHERE doc_id % 10 = 3),
+           b3 AS (SELECT doc_id + 20000000 AS doc_id, lang, text
+                  FROM documents WHERE doc_id % 10 = 7),
+           since1 AS (SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+           v2full AS (SELECT doc_id, lang, text FROM documents
+                      UNION ALL SELECT * FROM b2)
+         SELECT 1 AS since, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum
+         FROM since1 GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM b3 GROUP BY lang
+         UNION ALL
+         SELECT 3, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM v2full GROUP BY lang""",
     "dq1_quality_checks" ->
       """SELECT 'unique:o_orderkey' AS check_name,
            (count(*) - count(DISTINCT o_orderkey))::BIGINT AS metric,

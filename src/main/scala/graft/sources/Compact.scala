@@ -87,17 +87,25 @@ object Compact {
     while (attempts < 5) {
       val v = Snapshots.latestVersion(tableDir)
         .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
-      val src = s"$tableDir/v=$v"
-      val n = math.max(1, math.ceil(dataBytes(src).toDouble / targetBytes).toInt)
+      // RESOLVED accounting + read: a CarryManifest version's directory
+      // holds only its own batch — the compaction must see (and rewrite)
+      // the full inherited file set. Identical numbers to the plain
+      // directory listing for a self-contained version. The rewrite is
+      // always self-contained, so compaction RE-BASES a manifest chain —
+      // after it, retention can reclaim the referenced predecessors.
+      val (cnt, bytes) = Snapshots.resolvedStats(tableDir, v)
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       // already at (or under) the target layout: a scheduled compaction
       // on a compacted table must not re-read the corpus and accrete a
-      // redundant version per run
-      if (dataFileCount(src) <= n) return (v, dataFileCount(src))
+      // redundant version per run — UNLESS the version carries a
+      // manifest, where the rewrite is also the re-base that frees its
+      // referenced predecessors for retention
+      if (cnt <= n && !Snapshots.hasCarry(tableDir, v)) return (v, cnt)
       // dataChange = false: the rewrite holds the same rows as its base,
       // so an incremental feed (Snapshots.readChanges) walks through the
       // compaction with an empty delta instead of re-baselining
-      Snapshots.commitIfLatest(spark.read.parquet(src).coalesce(n), tableDir, v,
-          dataChange = false) match {
+      Snapshots.commitIfLatest(Snapshots.read(spark, tableDir, Some(v)).coalesce(n),
+          tableDir, v, dataChange = false) match {
         case Some(newV) => return (newV, dataFileCount(s"$tableDir/v=$newV"))
         case None       => attempts += 1 // base moved — re-read and retry
       }

@@ -32,6 +32,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Snapshots {
 
+  /** How [[commitAppend]] inherits the base version's data (the r17
+    * manifest tier — `--fssnap` priced the difference):
+    *
+    *  - [[CarryLinks]] (default, the historical behavior): every
+    *    inherited file is hard-linked (byte-copied on Hadoop stores —
+    *    no user-facing links there) into the new version directory, so
+    *    each `v=N` is SELF-CONTAINED: any version can be dropped
+    *    independently, at the price of O(existing files) metadata ops
+    *    per append locally and O(table bytes) per append on Hadoop
+    *    stores.
+    *  - [[CarryManifest]]: the new version writes ONLY the batch's
+    *    files plus a `_graft_carry` manifest naming the inherited
+    *    files in their ORIGINAL version directories — O(batch) per
+    *    append on ANY store (the object-store append answer). Reads
+    *    resolve the manifest (flattened at write time: one level, no
+    *    recursive walk). The price moves to retention: a version
+    *    REFERENCED by a surviving manifest refuses [[drop]] loudly
+    *    (and [[retainLast]] skips it) until a [[Compact.compactVersion]]
+    *    rewrite re-bases the chain on a self-contained version — the
+    *    standard lakehouse vacuum-after-checkpoint rhythm.
+    *
+    * Modes mix freely within one table: a Links append on a manifest
+    * base materializes the RESOLVED file set (self-contained again),
+    * and a manifest append on a Links base references it.
+    */
+  sealed trait CarryMode
+  case object CarryLinks extends CarryMode
+  case object CarryManifest extends CarryMode
+
   /** The store-appropriate primitives for this table (and its staged
     * children — same store by construction).
     */
@@ -123,7 +152,8 @@ object Snapshots {
     * a batch committed before it is not part of the new table state and
     * a replay legitimately re-appends.
     */
-  def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None): Int = {
+  def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None,
+      carry: CarryMode = CarryLinks): Int = {
     var committed: Option[Int] = None
     while (committed.isEmpty) {
       tag.flatMap(t => taggedVersion(tableDir, t)) match {
@@ -187,7 +217,12 @@ object Snapshots {
             t.getBytes(StandardCharsets.UTF_8))
         }
         writeBase(tableDir, stage, base)
-        base.foreach(b => carryForward(tableDir, child(tableDir, s"v=$b"), stage))
+        base.foreach { b =>
+          carry match {
+            case CarryLinks    => carryForwardResolved(tableDir, b, stage)
+            case CarryManifest => writeCarry(tableDir, stage, b)
+          }
+        }
       }
       val published: Either[Int, Boolean] = withPointerLock(tableDir) {
         // Re-verify the idempotence tag under the SAME lock hold as the
@@ -256,9 +291,12 @@ object Snapshots {
       if (base.contains(version)) return version
       val v = claimStaged(tableDir) { stage =>
         // the parquet-writing commit paths create the stage dir as a side
-        // effect; a pure carry-forward must create it itself
+        // effect; a pure carry-forward must create it itself. Rollback
+        // always MATERIALIZES (Links semantics, resolving a manifest
+        // base): restores are rare and the restored version must be
+        // independently retainable.
         io(tableDir).createDirs(stage)
-        carryForward(tableDir, child(tableDir, s"v=$version"), stage)
+        carryForwardResolved(tableDir, version, stage)
         writeBase(tableDir, stage, base)
       }
       val published = withPointerLock(tableDir) {
@@ -413,22 +451,99 @@ object Snapshots {
   }
 
   /** Hard-link (copy fallback; always copy on Hadoop stores — no
-    * user-facing links there) every data file of `from` into `stage`.
-    * Hidden files (`_SUCCESS`, the tag, dot-files) stay behind — each
-    * version carries its own markers. Name collisions (astronomically
-    * unlikely: parquet part names embed a job UUID) get a base prefix
-    * rather than a silent overwrite.
+    * user-facing links there) every data file of version `fromV` —
+    * RESOLVED through its carry manifest if it has one, so a Links
+    * append on a manifest base re-materializes the full content —
+    * into `stage`. Hidden files (`_SUCCESS`, the tag, dot-files) stay
+    * behind — each version carries its own markers. Name collisions
+    * (astronomically unlikely: parquet part names embed a job UUID,
+    * and carried entries from different versions keep distinct UUIDs
+    * too) get a source prefix rather than a silent overwrite.
     */
-  private def carryForward(tableDir: String, from: String, stage: String): Unit = {
+  private def carryForwardResolved(tableDir: String, fromV: Int, stage: String): Unit = {
     val fs = io(tableDir)
-    val fromName = from.stripSuffix("/").split('/').last
-    fs.listNames(from).foreach { fn =>
-      if (!fn.startsWith("_") && !fn.startsWith(".")) {
-        var dst = child(stage, fn)
-        if (fs.exists(dst)) dst = child(stage, s"carry-$fromName-$fn")
-        fs.linkOrCopy(child(from, fn), dst)
-      }
+    resolvedDataFiles(tableDir, fromV).foreach { rel =>
+      val fn = rel.split('/').last
+      var dst = child(stage, fn)
+      if (fs.exists(dst))
+        dst = child(stage, s"carry-${rel.split('/').head}-$fn")
+      fs.linkOrCopy(child(tableDir, rel), dst)
     }
+  }
+
+  /** Carry manifest filename: newline-separated version-relative data
+    * file paths (`v=K/part-….parquet`) a manifest-mode version inherits
+    * (see [[CarryMode]]). `_`-prefixed: parquet listings skip it, and a
+    * later carry-forward leaves it behind.
+    */
+  private val CarryFile = "_graft_carry"
+
+  /** The version-relative paths `v` inherits via its carry manifest
+    * (empty when self-contained).
+    */
+  private def readCarry(tableDir: String, v: Int): Seq[String] =
+    io(tableDir).readBytes(child(tableDir, s"v=$v", CarryFile))
+      .map(new String(_, StandardCharsets.UTF_8).split("\n").toSeq
+        .map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** Record the files `stage` inherits from version `base`: base's own
+    * data files plus base's OWN carry entries — flattened at write
+    * time, so resolution is always one manifest deep and a long append
+    * chain never walks recursively at read.
+    */
+  private def writeCarry(tableDir: String, stage: String, base: Int): Unit = {
+    val inherited =
+      io(tableDir).listNames(child(tableDir, s"v=$base"))
+        .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+        .map(fn => s"v=$base/$fn") ++ readCarry(tableDir, base)
+    io(tableDir).writeFile(child(stage, CarryFile),
+      inherited.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Version `v`'s FULL data-file set as version-relative paths: its
+    * own data files plus everything its carry manifest names. For a
+    * self-contained (Links) version this is just its directory listing.
+    */
+  private def resolvedDataFiles(tableDir: String, v: Int): Seq[String] =
+    io(tableDir).listNames(child(tableDir, s"v=$v"))
+      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+      .map(fn => s"v=$v/$fn") ++ readCarry(tableDir, v)
+
+  /** Whether version `v` inherits files via a carry manifest (vs being
+    * self-contained) — compaction uses it to re-base even small chains.
+    */
+  private[sources] def hasCarry(tableDir: String, v: Int): Boolean =
+    io(tableDir).exists(child(tableDir, s"v=$v", CarryFile))
+
+  /** (data-file count, total bytes) of version `v`'s RESOLVED file set
+    * — compaction accounting that sees through a carry manifest (a
+    * self-contained version gets exactly its directory's numbers). One
+    * listing per distinct source version directory.
+    */
+  private[sources] def resolvedStats(tableDir: String, v: Int): (Int, Long) = {
+    val rels = resolvedDataFiles(tableDir, v)
+    val bytes = rels.groupBy(_.split('/').head).iterator.map { case (vdir, entries) =>
+      val names = entries.map(_.split('/').last).toSet
+      io(tableDir).listEntries(child(tableDir, vdir)).collect {
+        case (fn, false, size) if names.contains(fn) => size
+      }.sum
+    }.sum
+    (rels.length, bytes)
+  }
+
+  /** The lowest surviving version whose carry manifest references
+    * `v`'s files, if any — the retention guard: dropping `v` would
+    * break that version's reads.
+    */
+  private def referencedBy(tableDir: String, v: Int): Option[Int] = {
+    val prefix = s"v=$v/"
+    io(tableDir).listNames(tableDir)
+      .flatMap(fn =>
+        if (fn.startsWith("v=")) scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+        else None)
+      .filter(_ != v).sorted
+      .find(v2 => readCarry(tableDir, v2).exists(_.startsWith(prefix)))
   }
 
   /** How long an abandoned `.commit-*` / `._latest-*` staging artifact
@@ -527,11 +642,18 @@ object Snapshots {
       else mx
     }
 
-  /** Read a pinned version, or the latest when `version` is None. */
+  /** Read a pinned version, or the latest when `version` is None. A
+    * manifest-mode version ([[CarryMode]]) resolves to its full file
+    * set (own files + carried) — explicit leaf files, so Spark never
+    * infers partitions from the mixed `v=K` directories; a
+    * self-contained version stays the plain directory read.
+    */
   def read(spark: SparkSession, tableDir: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(tableDir))
       .getOrElse(throw new IllegalArgumentException(s"no committed version under $tableDir"))
-    spark.read.parquet(s"$tableDir/v=$v")
+    if (io(tableDir).exists(child(tableDir, s"v=$v", CarryFile)))
+      spark.read.parquet(resolvedDataFiles(tableDir, v).map(child(tableDir, _)): _*)
+    else spark.read.parquet(s"$tableDir/v=$v")
   }
 
   /** Highest committed version, if any. */
@@ -561,7 +683,16 @@ object Snapshots {
             scala.util.Try(fn.stripPrefix("v=").toInt).toOption
           else None
         }
-        claimed.filter(_ < floor).sorted.filter(v => drop(tableDir, v))
+        // DESCENDING sweep: under manifest chains each below-floor
+        // version is typically referenced by the NEXT one — dropping
+        // newest-first releases each predecessor in turn, while a
+        // version still referenced from ABOVE the floor is skipped
+        // (reclaimed only after a compaction re-bases the chain — the
+        // vacuum-after-checkpoint rhythm); returns the dropped set
+        // ascending, as before
+        claimed.filter(_ < floor).sorted.reverse.filter { v =>
+          referencedBy(tableDir, v).isEmpty && drop(tableDir, v)
+        }.sorted
     }
   }
 
@@ -578,6 +709,13 @@ object Snapshots {
     require(latestVersion(tableDir).exists(_ > version),
       s"refusing to drop v=$version: not strictly below the published latest " +
         s"(${latestVersion(tableDir)}) — it is the live pointer target or an in-flight claim")
+    // manifest-tier guard: a surviving version that CARRIES v's files
+    // would lose data it still serves — re-base it first (a
+    // Compact.compactVersion rewrite is self-contained), then drop
+    referencedBy(tableDir, version).foreach(v2 => throw new IllegalArgumentException(
+      s"refusing to drop v=$version: its files are carried by v=$v2's manifest " +
+        s"(CarryManifest appends reference, never copy) — compact/re-base the " +
+        "chain first, then retention can reclaim"))
     val p = child(tableDir, s"v=$version")
     val existed = io(tableDir).exists(p)
     if (existed) io(tableDir).deleteTree(p)

@@ -97,7 +97,11 @@ class GraphSpec extends SparkSuite {
     val expNoRd = localWeightedPageRank(nodes, edges, 3, 0.85, redistribute = false)
     nodes.foreach(v => assert(math.abs(gotNoRd(v) - expNoRd(v)) < 1e-12, s"node $v"))
     assert(gotNoRd.values.sum < 1.0)
-    // uniform weights reduce EXACTLY to the unweighted form
+    // uniform weights reduce to the unweighted form — same per-node
+    // contributions, so any difference is only the float SUM ORDER of
+    // Spark's partial-aggregate merge (not guaranteed stable across
+    // runs; a 1-ULP flake was observed r17): assert to 4 ULPs, not
+    // bitwise
     val uni = edges.map { case (s, d, _) => (s, d, 1.0) }
     val gotUni = Graph.pageRank(uni.toDF("src", "dst", "w"), "src", "dst",
         nodes.toDF("id"), "id", iters = 3, weightCol = Some("w"))
@@ -105,7 +109,10 @@ class GraphSpec extends SparkSuite {
     val gotPlain = Graph.pageRank(uni.map(e => (e._1, e._2)).toDF("src", "dst"), "src", "dst",
         nodes.toDF("id"), "id", iters = 3)
       .as[(Long, Double)].collect().toMap
-    nodes.foreach(v => assert(gotUni(v) == gotPlain(v), s"node $v"))
+    nodes.foreach { v =>
+      assert(math.abs(gotUni(v) - gotPlain(v)) <= 4 * math.ulp(gotPlain(v)),
+        s"node $v: ${gotUni(v)} vs ${gotPlain(v)}")
+    }
   }
 
   test("truncateLineage: a SECOND action returns identical ranks without replay blowup") {

@@ -325,6 +325,66 @@ class SnapshotsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Snapshots.retainLast(table, 0))
   }
 
+  test("manifest carry: O(batch) appends read identically to Links appends at every version") {
+    import graft.sources.Snapshots.CarryManifest
+    val linksT = java.nio.file.Files.createTempDirectory("graft-snap-ml").toString + "/t"
+    val manT = java.nio.file.Files.createTempDirectory("graft-snap-mm").toString + "/t"
+    def rows(t: String, v: Int) =
+      Snapshots.read(spark, t, Some(v)).as[(Long, String)].collect().toSet
+    for (t <- Seq(linksT, manT)) Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), linksT)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), manT, carry = CarryManifest)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "s"), linksT)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "s"), manT, carry = CarryManifest)
+    (1 to 3).foreach(v => assert(rows(manT, v) == rows(linksT, v), s"v=$v diverged"))
+    // the manifest version's own directory holds ONLY its batch (plus
+    // markers) — the O(batch) claim, checked structurally
+    def ownDataFiles(t: String, v: Int) =
+      new java.io.File(s"$t/v=$v").listFiles()
+        .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(ownDataFiles(manT, 3) < ownDataFiles(linksT, 3),
+      "manifest append must not materialize inherited files")
+    // CDF walks manifest appends exactly like Links appends
+    assert(Snapshots.readChanges(spark, manT, 1).as[(Long, String)].collect().toSet ==
+      Set((3L, "c"), (4L, "d")))
+    // a Links append ON TOP of a manifest base re-materializes the
+    // RESOLVED set (modes mix freely)
+    Snapshots.commitAppend(Seq((5L, "e")).toDF("id", "s"), manT)
+    assert(rows(manT, 4) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // rollback to a manifest version materializes (the restored version
+    // is independently retainable)
+    val vr = Snapshots.rollbackTo(manT, 3)
+    assert(rows(manT, vr) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("manifest carry retention: referenced versions refuse drop until compaction re-bases") {
+    import graft.sources.{Compact, Snapshots}
+    import graft.sources.Snapshots.CarryManifest
+    val t = java.nio.file.Files.createTempDirectory("graft-snap-mr").toString + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), t, carry = CarryManifest)
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), t, carry = CarryManifest)
+    // v1's files are carried by v2 (and v3) — dropping it would break them
+    val ex = intercept[IllegalArgumentException](Snapshots.drop(t, 1))
+    assert(ex.getMessage.contains("carried by"), ex.getMessage)
+    // retainLast skips referenced versions instead of failing the sweep
+    assert(Snapshots.retainLast(t, 1).isEmpty)
+    // compaction sees the RESOLVED set (3 rows), rewrites self-contained,
+    // and re-bases the chain even though the file count is already small
+    val (vc, _) = Compact.compactVersion(spark, t, targetBytes = 1L << 30)
+    assert(vc == 4)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the feed walks the compaction's empty delta without re-baselining
+    assert(Snapshots.readChanges(spark, t, 1).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // now retention reclaims the whole referenced chain (descending
+    // sweep: v3 releases v2 releases v1), and the survivor still reads
+    assert(Snapshots.retainLast(t, 1) == Seq(1, 2, 3))
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("file:-scheme'd table runs the whole snapshot lifecycle through the Hadoop-backed io") {
     // the r17 store contract: commit, tagged append + exactly-once
     // replay, rollback, CDF, retention — all primitives (claim rename,
