@@ -558,6 +558,24 @@ object ScaleProbe {
         val (cH, aH) = once(s"file:$root/hadoop-table")
         println(f"[probe] ${"fssnap_hadoop_commit"}%-24s ${cH}%6.2f s")
         println(f"[probe] ${"fssnap_hadoop_appends3"}%-24s ${aH}%6.2f s")
+        // manifest legs (the r17 tier): same lifecycle with
+        // CarryManifest appends — each append writes ONLY its batch +
+        // a manifest, so the append legs must be at-or-below the
+        // carry-by-copy legs and the gap widens with table bytes
+        def onceManifest(table: String): Double = {
+          graft.sources.ArtifactIo.forPath(table).deleteTree(table)
+          Snapshots.commit(base, table): Unit
+          val t1 = System.nanoTime()
+          Seq(7, 8, 9).foreach { m =>
+            Snapshots.commitAppend(docs.filter(col("doc_id") % 10 === m), table,
+              carry = Snapshots.CarryManifest): Unit
+          }
+          (System.nanoTime() - t1) / 1e9
+        }
+        val aLM = onceManifest(s"$root/local-man")
+        println(f"[probe] ${"fssnap_local_man_app3"}%-24s ${aLM}%6.2f s")
+        val aHM = onceManifest(s"file:$root/hadoop-man")
+        println(f"[probe] ${"fssnap_hadoop_man_app3"}%-24s ${aHM}%6.2f s")
       }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
