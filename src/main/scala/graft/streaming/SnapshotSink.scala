@@ -27,6 +27,13 @@ import graft.sources.Snapshots
   * few files, and link counting reclaims shared bytes when old versions
   * are dropped. State lives in the stream's checkpoint; the sink itself
   * is stateless.
+  *
+  * On a Hadoop-store `tableDir` (no hard links — carry-forward would
+  * BYTE-COPY the table per micro-batch) pass
+  * `carry = Snapshots.CarryManifest`: each trigger then writes only its
+  * batch plus the carry manifest — O(batch) per trigger on any store —
+  * and compaction doubles as the re-base that lets retention reclaim
+  * (see [[Snapshots.CarryMode]]).
   */
 object SnapshotSink {
 
@@ -34,16 +41,18 @@ object SnapshotSink {
     * the snapshot table at `tableDir`. `checkpointDir` is the streaming
     * checkpoint (offsets + commit log) — reusing it across restarts is
     * what makes batch ids stable, which is what the idempotence tag keys
-    * on.
+    * on. `carry` is passed through to every commit (see the object note
+    * for when manifest mode is the right choice).
     */
   def start(stream: DataFrame, tableDir: String, checkpointDir: String,
-      queryName: String = "graft-snapshot-sink"): StreamingQuery =
+      queryName: String = "graft-snapshot-sink",
+      carry: Snapshots.CarryMode = Snapshots.CarryLinks): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Snapshots.commitAppend(batch, tableDir, Some(s"batch-$batchId"))
+        Snapshots.commitAppend(batch, tableDir, Some(s"batch-$batchId"), carry)
         ()
       }
       .start()

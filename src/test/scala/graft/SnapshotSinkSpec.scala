@@ -73,4 +73,42 @@ class SnapshotSinkSpec extends SparkSuite {
     assert(finalIds.toSet == allIds ++ extraIds)
     assert(ids(1) == pinnedV1, "pinned version changed under a later commit")
   }
+
+  test("manifest-carry sink on a file:-scheme'd table: O(batch) triggers, same prefixes, no restart dupes") {
+    // the object-store shape end to end: Hadoop-backed io (file:) AND
+    // CarryManifest per micro-batch — each version dir holds only its
+    // batch, reads resolve the manifest, restart replays append nothing
+    val src = Files.createTempDirectory("snap-sinkm-src").toString
+    val table = "file:" + Files.createTempDirectory("snap-sinkm-tbl").toString + "/t"
+    val ckpt = Files.createTempDirectory("snap-sinkm-ckpt").toString
+    val chunks = eventLines.grouped(math.max(1, eventLines.size / 3 + 1)).toSeq
+    (0 until 3).foreach(i => dropChunk(src, f"chunk_$i%02d.json", chunks(i)))
+    val q = SnapshotSink.start(
+      LiveIngest.fromDirectory(spark, src, maxFilesPerTrigger = 1), table, ckpt,
+      carry = Snapshots.CarryManifest)
+    try q.processAllAvailable() finally q.stop()
+    val vLatest = Snapshots.latestVersion(table).get
+    assert(vLatest == 3)
+    def ids(v: Int): Set[Long] = Snapshots.read(spark, table, Some(v))
+      .select("event_id").as[Long].collect().toSet
+    val perVersion = (1 to vLatest).map(ids)
+    perVersion.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "a later version lost earlier rows")
+    }
+    assert(perVersion.last == eventsBatch.select("event_id").as[Long].collect().toSet)
+    // structural O(batch): version 3's own dir holds fewer data files
+    // than a materialized full table would (only its batch + markers)
+    val v3own = new java.io.File(table.stripPrefix("file:") + "/v=3").listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val v1own = new java.io.File(table.stripPrefix("file:") + "/v=1").listFiles()
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(v3own <= v1own,
+      s"manifest sink must not re-materialize inherited files (v3=$v3own v1=$v1own)")
+    // restart with a redelivered batch id appends nothing
+    val q2 = SnapshotSink.start(
+      LiveIngest.fromDirectory(spark, src, maxFilesPerTrigger = 1), table, ckpt,
+      carry = Snapshots.CarryManifest)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Snapshots.latestVersion(table).get == 3, "restart must re-commit nothing")
+  }
 }
