@@ -256,14 +256,16 @@ object InvertedIndex {
     val io = artifactIo(path)
     io.createDirs(path)
     // The whole append (prior read → postings append → totals rewrite)
-    // runs under an OS advisory lock on a persistent lock inode — two
-    // concurrent appends to one index path now SERIALIZE instead of each
-    // folding only its own delta into the sidecar with the last rename
-    // silently winning (the documented single-writer hazard, made safe).
-    // A wedged holder fails THIS caller loudly after the bounded wait
-    // (the Snapshots pointer-lock design: the inode is never deleted —
-    // delete-by-name reclaim is a TOCTOU that can steal a live holder's
-    // lock — and a crashed holder's OS lock releases automatically).
+    // runs under the store's append lock (scheme-less: an OS advisory
+    // lock on a persistent inode, never deleted — delete-by-name reclaim
+    // is a TOCTOU that can steal a live holder's lock, and a crashed
+    // holder's OS lock auto-releases; scheme'd stores: a create-exclusive
+    // lock FILE whose crashed holder needs the operator cleanup named in
+    // the timeout message — see ArtifactIo). Two concurrent appends to
+    // one index path SERIALIZE instead of each folding only its own
+    // delta into the sidecar with the last rename silently winning (the
+    // documented single-writer hazard, made safe). A wedged holder fails
+    // THIS caller loudly after the bounded wait.
     // CAVEAT: a caller passing `priorTotals` asserts it knows the exact
     // prior — two such callers racing still serialize, but the loser's
     // captured prior is stale and its totals wrong; only the
@@ -314,11 +316,11 @@ object InvertedIndex {
   private def artifactIo(path: String): graft.sources.ArtifactIo =
     graft.sources.ArtifactIo.forPath(path)
 
-  /** Child-path join as a plain string suffix — valid for local paths and
-    * scheme'd URIs alike (`java.nio.Paths.get` would mangle a scheme).
+  /** Child-path join as a plain string suffix (scheme-safe) — the one
+    * [[graft.sources.ArtifactIo.child]] copy.
     */
   private def childPath(dir: String, name: String): String =
-    dir.stripSuffix("/") + "/" + name
+    graft.sources.ArtifactIo.child(dir, name)
 
   private def markerPath(path: String): String = childPath(path, AppendMarkerFile)
 
@@ -349,9 +351,9 @@ object InvertedIndex {
     artifactIo(path).withLock(
       appendLockPath(path), AppendLockTimeoutMs,
       "index append",
-      "another appender is wedged holding it (or the filesystem does not honor " +
-        "advisory FileLocks, e.g. some NFS mounts; route multi-writer ingest " +
-        "through graft.sources.Snapshots instead)")(body)
+      "another appender is wedged holding it (on a scheme-less path also check " +
+        "that the filesystem honors advisory FileLocks — some NFS mounts do not; " +
+        "route multi-writer ingest through graft.sources.Snapshots instead)")(body)
 
   /** Reopen a scored index artifact AND its persisted exact stats — the
     * new-session entry point. Reads the totals sidecar when present; an

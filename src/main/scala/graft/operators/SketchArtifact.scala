@@ -60,9 +60,9 @@ private[graft] object SketchArtifact {
 
   private def withArtifactLock[A](path: String)(body: => A): A =
     io(path).withLock(lockFile(path), LockTimeoutMs, "sketch artifact",
-      "another maintainer is wedged holding it (or the filesystem does not honor " +
-        "advisory FileLocks, e.g. some NFS mounts; serialize sketch maintenance " +
-        "upstream there)")(body)
+      "another maintainer is wedged holding it (on a scheme-less path also check " +
+        "that the filesystem honors advisory FileLocks — some NFS mounts do not; " +
+        "serialize sketch maintenance upstream there)")(body)
 
   /** Append `rows` (already in the artifact's schema) under the lock. */
   def append(rows: DataFrame, path: String): Unit = withArtifactLock(path) {

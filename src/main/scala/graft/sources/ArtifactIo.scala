@@ -150,6 +150,15 @@ private[graft] object ArtifactIo {
   private val RenameAtomicSchemes =
     Set("file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "o3fs")
 
+  /** Child-path join as a plain string suffix — valid for local paths
+    * and scheme'd URIs alike (`java.nio.Paths.get` would mangle a
+    * scheme). The ONE copy of the load-bearing join rule every artifact
+    * family uses; a future change (e.g. a bare `scheme://host` dir)
+    * lands once, never per-file.
+    */
+  def child(dir: String, names: String*): String =
+    (dir.stripSuffix("/") +: names).mkString("/")
+
   def forPath(path: String): ArtifactIo = path match {
     case SchemeRe(scheme) =>
       require(RenameAtomicSchemes.contains(scheme.toLowerCase),
@@ -299,12 +308,19 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
 
   private def fc(p: HPath) = FileContext.getFileContext(p.toUri, conf)
 
-  def exists(path: String): Boolean = { val p = new HPath(path); fs(p).exists(p) }
+  /** One getFileStatus RPC, None when absent — the shared probe every
+    * read primitive builds on (exists-then-stat would double the remote
+    * round-trips of per-version loops AND open a delete race between
+    * the two calls that the local twin doesn't have).
+    */
+  private def statOf(p: HPath): Option[org.apache.hadoop.fs.FileStatus] =
+    try Some(fs(p).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
 
-  def isDirectory(path: String): Boolean = {
-    val p = new HPath(path)
-    fs(p).exists(p) && fs(p).getFileStatus(p).isDirectory
-  }
+  def exists(path: String): Boolean = statOf(new HPath(path)).isDefined
+
+  def isDirectory(path: String): Boolean =
+    statOf(new HPath(path)).exists(_.isDirectory)
 
   def createDirs(path: String): Unit = {
     val p = new HPath(path); fs(p).mkdirs(p): Unit
@@ -325,15 +341,18 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
 
   def readBytes(path: String): Option[Array[Byte]] = {
     val p = new HPath(path)
-    val f = fs(p)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
+    statOf(p).map { st =>
+      // whole-file-in-memory primitive: pointers, markers, manifests —
+      // all small by design. A >=2GB file would truncate silently
+      // through toInt; fail loudly instead of serving a short read.
+      require(st.getLen < Int.MaxValue,
+        s"artifact store: readBytes($path) is a small-metadata primitive, " +
+          s"got a ${st.getLen}-byte file — not an artifact marker/manifest")
+      val in = fs(p).open(p)
       try {
-        val len = f.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
+        val buf = new Array[Byte](st.getLen.toInt)
         in.readFully(0, buf)
-        Some(buf)
+        buf
       } finally in.close()
     }
   }
@@ -376,26 +395,18 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
     }
   }
 
-  def listNames(dir: String): Seq[String] = {
-    val p = new HPath(dir)
-    val f = fs(p)
-    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Seq.empty
-    else f.listStatus(p).map(_.getPath.getName).toSeq
-  }
+  def listNames(dir: String): Seq[String] = listEntries(dir).map(_._1)
 
   def listEntries(dir: String): Seq[(String, Boolean, Long)] = {
     val p = new HPath(dir)
-    val f = fs(p)
-    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Seq.empty
-    else f.listStatus(p).map(st =>
+    if (!statOf(p).exists(_.isDirectory)) Seq.empty
+    else try fs(p).listStatus(p).map(st =>
       (st.getPath.getName, st.isDirectory, if (st.isDirectory) 0L else st.getLen)).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty } // deleted mid-call
   }
 
-  def mtimeMs(path: String): Option[Long] = {
-    val p = new HPath(path)
-    val f = fs(p)
-    if (!f.exists(p)) None else Some(f.getFileStatus(p).getModificationTime)
-  }
+  def mtimeMs(path: String): Option[Long] =
+    statOf(new HPath(path)).map(_.getModificationTime)
 
   def linkOrCopy(src: String, dst: String): Unit = {
     // no user-facing hard links on Hadoop stores — byte copy (the
@@ -409,7 +420,7 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
   def sweepStale(dir: String, prefix: String, graceMs: Long): Unit = {
     val p = new HPath(dir)
     val f = fs(p)
-    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) return
+    if (!statOf(p).exists(_.isDirectory)) return
     val cutoff = System.currentTimeMillis() - graceMs
     def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
       if (!st.isDirectory) st.getModificationTime
@@ -426,14 +437,10 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
     } catch { case _: java.io.IOException => () }
   }
 
-  def hasDataFiles(dir: String): Boolean = {
-    val p = new HPath(dir)
-    val f = fs(p)
-    f.exists(p) && f.getFileStatus(p).isDirectory && f.listStatus(p).exists { st =>
-      val n = st.getPath.getName
+  def hasDataFiles(dir: String): Boolean =
+    listEntries(dir).exists { case (n, _, _) =>
       !n.startsWith("_") && !n.startsWith(".")
     }
-  }
 
   def withLock[A](lockPath: String, timeoutMs: Long, what: String,
       timeoutHint: String)(body: => A): A = {
@@ -462,21 +469,52 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
     else try Some(body) finally { f.delete(p, false): Unit }
   }
 
-  /** One atomic create-exclusive attempt; the holder string is for
-    * operator forensics only (who/when), never for expiry decisions.
+  /** One atomic create-exclusive attempt. The holder string is for
+    * operator forensics only (who/when), never for expiry decisions —
+    * and it is BEST-EFFORT: once the create succeeded we own the lock,
+    * and a failed info write must neither wedge the lock file behind a
+    * false "contention" nor surrender an acquisition we hold.
+    *
+    * `file:` scheme special case: Hadoop's RawLocalFileSystem implements
+    * `create(p, overwrite = false)` as a non-atomic exists-then-open (no
+    * O_EXCL), so on the one local scheme the exclusive create goes
+    * through `java.nio.Files.createFile` (true O_EXCL) on the local
+    * path instead — real HDFS/ABFS creates are namespace-atomic and
+    * take the FileSystem path.
     */
-  private def tryAcquire(f: org.apache.hadoop.fs.FileSystem, p: HPath): Boolean =
-    try {
-      val out = f.create(p, false)
-      try out.write(
-        (s"${java.net.InetAddress.getLocalHost.getHostName} pid=${ProcessHandle.current.pid} " +
-          s"epochMs=${System.currentTimeMillis()}").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: FileAlreadyExistsException => false
-      // some stores signal the exists-race as a bare IOException; only
-      // treat it as contention when the lock file is actually there
-      case e: java.io.IOException => if (f.exists(p)) false else throw e
+  private def tryAcquire(f: org.apache.hadoop.fs.FileSystem, p: HPath): Boolean = {
+    val created =
+      if (p.toUri.getScheme == "file") {
+        val lp = java.nio.file.Paths.get(p.toUri.getPath)
+        def createExcl(): Boolean =
+          try { java.nio.file.Files.createFile(lp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        // unlike Hadoop create(), java.nio createFile does not make
+        // parent dirs — mirror that so both branches accept a
+        // first-touch lock path
+        try createExcl()
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            java.nio.file.Files.createDirectories(lp.getParent)
+            createExcl()
+        }
+      } else
+        try { f.create(p, false).close(); true }
+        catch {
+          case _: FileAlreadyExistsException => false
+          // some stores signal the exists-race as a bare IOException; only
+          // treat it as contention when the lock file is actually there
+          case e: java.io.IOException => if (f.exists(p)) false else throw e
+        }
+    if (created) {
+      try {
+        val out = f.create(p, true)
+        try out.write(
+          (s"${java.net.InetAddress.getLocalHost.getHostName} pid=${ProcessHandle.current.pid} " +
+            s"epochMs=${System.currentTimeMillis()}").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case _: java.io.IOException => () } // forensics only
     }
+    created
+  }
 }

@@ -297,9 +297,11 @@ object PlanCache {
     */
   private def io(dir: String): ArtifactIo = ArtifactIo.forPath(dir)
 
-  /** Child-path join as a plain string suffix (scheme-safe). */
+  /** Child-path join as a plain string suffix (scheme-safe) — the one
+    * [[ArtifactIo.child]] copy.
+    */
   private def child(dir: String, names: String*): String =
-    (dir.stripSuffix("/") +: names).mkString("/")
+    ArtifactIo.child(dir, names: _*)
 
   /** Last-attach marker inside a published entry (`_`-prefixed — parquet
     * readers skip it); refreshed on every hit, read by the retention
@@ -423,7 +425,14 @@ object PlanCache {
     val fs = io(cacheDir)
     var attempts = 0
     while (attempts < 3) {
-      if (fs.tryRenameNoReplace(tmp, target)) return
+      // a NON-collision rename failure (permission flap, store hiccup
+      // with the target absent) must still reclaim the staged copy
+      // before propagating — the pre-seam behavior; leaking a
+      // result-sized .tmp dir per failure until the grace sweep is not
+      val renamed =
+        try fs.tryRenameNoReplace(tmp, target)
+        catch { case e: java.io.IOException => fs.deleteTree(tmp); throw e }
+      if (renamed) return
       if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
       fs.deleteTree(target) // unpublished corpse — reclaim and retry
       attempts += 1

@@ -66,9 +66,11 @@ object Snapshots {
     */
   private def io(tableDir: String): ArtifactIo = ArtifactIo.forPath(tableDir)
 
-  /** Child-path join as a plain string suffix (scheme-safe). */
+  /** Child-path join as a plain string suffix (scheme-safe) — the one
+    * [[ArtifactIo.child]] copy.
+    */
   private def child(dir: String, names: String*): String =
-    (dir.stripSuffix("/") +: names).mkString("/")
+    ArtifactIo.child(dir, names: _*)
 
   /** Commit `df` as the next version; returns the new version number.
     * The `_latest` pointer is published by atomic rename, so a reader
@@ -616,9 +618,8 @@ object Snapshots {
   private def withPointerLock[A](tableDir: String)(body: => A): A =
     io(tableDir).withLock(child(tableDir, "._latest.lock"), PointerLockTimeoutMs,
       "snapshots",
-      "another committer is wedged holding it (or the filesystem does not honor " +
-        "advisory FileLocks, e.g. some NFS mounts; on HDFS use the store's atomic " +
-        "rename primitive instead)")(body)
+      "another committer is wedged holding it (on a scheme-less table also check " +
+        "that the filesystem honors advisory FileLocks — some NFS mounts do not)")(body)
 
   private def writePointer(tableDir: String, v: Int): Unit = {
     val fs = io(tableDir)
@@ -689,9 +690,32 @@ object Snapshots {
         // version still referenced from ABOVE the floor is skipped
         // (reclaimed only after a compaction re-bases the chain — the
         // vacuum-after-checkpoint rhythm); returns the dropped set
-        // ascending, as before
-        claimed.filter(_ < floor).sorted.reverse.filter { v =>
-          referencedBy(tableDir, v).isEmpty && drop(tableDir, v)
+        // ascending, as before.
+        //
+        // The pre-filter builds the referencing map in ONE pass over
+        // every version's carry manifest (a per-candidate referencedBy
+        // scan would be O(V²) remote reads — hundreds of versions of a
+        // streaming sink make that a namenode storm); candidates are
+        // re-validated inside drop's own lock-held guard, recomputed
+        // there only for the survivors, and a candidate whose only
+        // referencer is dropped EARLIER in this same sweep (the
+        // descending-release case) retries via that per-drop check.
+        val candidates = claimed.filter(_ < floor).sorted.reverse
+        var referencers: Map[Int, Seq[Int]] = {
+          val all = claimed.sorted
+          all.flatMap { v2 =>
+            readCarry(tableDir, v2).flatMap(rel =>
+              scala.util.Try(rel.split('/').head.stripPrefix("v=").toInt).toOption)
+              .distinct.map(_ -> v2)
+          }.groupMap(_._1)(_._2)
+        }
+        candidates.filter { v =>
+          val refs = referencers.getOrElse(v, Seq.empty)
+          refs.isEmpty && drop(tableDir, v) && {
+            // v is gone: it no longer counts as a referencer of anything
+            referencers = referencers.map { case (k, vs) => k -> vs.filter(_ != v) }
+            true
+          }
         }.sorted
     }
   }
