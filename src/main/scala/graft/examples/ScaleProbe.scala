@@ -577,6 +577,40 @@ object ScaleProbe {
         val aHM = onceManifest(s"file:$root/hadoop-man")
         println(f"[probe] ${"fssnap_hadoop_man_app3"}%-24s ${aHM}%6.2f s")
       }
+      // --fssnapchain — the manifest-chain compaction cadence (r18, the
+      // r17 verdict's item 6): TEN CarryManifest appends on one table,
+      // per-append wall time + the carry manifest's inherited-file-name
+      // count (the O(resolved file count) term each manifest write
+      // re-lists), then a compactVersion RE-BASE, then three more
+      // appends — the post-compaction carry counts and append times must
+      // fall back to the start-of-chain envelope, which is the measured
+      // case for SCALING.md's compact-every-K-appends guidance.
+      if (args.contains("--fssnapchain")) {
+        import graft.sources.{Compact, Snapshots}
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val base = docs.filter(col("doc_id") % 20 < 10)
+        val table = graft.queries.QueryTmp.dir("probe-fssnapchain") + "/t"
+        Snapshots.commit(base, table): Unit
+        def appendOnce(i: Int): (Double, Int) = {
+          val t0 = System.nanoTime()
+          val v = Snapshots.commitAppend(docs.filter(col("doc_id") % 20 === 10 + (i % 10)),
+            table, carry = Snapshots.CarryManifest)
+          (((System.nanoTime() - t0) / 1e9), Snapshots.carriedFileCount(table, v))
+        }
+        val chain = (0 until 10).map(appendOnce)
+        chain.zipWithIndex.foreach { case ((t, carried), i) =>
+          println(f"[probe] ${s"fssnapchain_app${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
+        }
+        val tc0 = System.nanoTime()
+        val (files, into) = Compact.compactVersion(spark, table, 512L * 1024 * 1024)
+        println(f"[probe] ${"fssnapchain_compact"}%-24s ${(System.nanoTime() - tc0) / 1e9}%6.2f s " +
+          s"($files files -> $into)")
+        val post = (10 until 13).map(appendOnce)
+        post.zipWithIndex.foreach { case ((t, carried), i) =>
+          println(f"[probe] ${s"fssnapchain_post${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
+        }
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change

@@ -132,17 +132,48 @@ object InvertedIndex {
   /** Lock + in-progress-marker envelope shared by the membership and
     * positional appends ([[appendScored]] inlines the same shape around
     * its sidecar dance): serialize on the per-path append lock, keep the
-    * marker up while parquet commits, clear it only on success.
+    * marker up while parquet commits, clear it only on success — or on a
+    * PROVEN-CLEAN failure: a transient job failure whose committer
+    * aborted without publishing any data file (the common case — a lost
+    * executor, a cancelled stage) must not escalate into the
+    * marker-tripwire's full-rebuild recovery, so the failure path
+    * re-lists the data files (still under the lock) and clears the
+    * marker when the set is UNCHANGED. Any uncertainty — new files
+    * present (a partial commit: the tripwire's real target) or the
+    * listing itself failing — conservatively leaves the marker up.
     */
   private def appendGuarded(path: String)(append: => Unit): Unit = {
     val io = artifactIo(path)
     io.createDirs(path)
     withAppendLock(path) {
+      val before = dataFileNames(io, path)
       io.touch(markerPath(path))
-      append
-      io.delete(markerPath(path))
+      try {
+        append
+        io.delete(markerPath(path))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          clearMarkerIfUncommitted(io, path, before)
+          throw e
+      }
     }
   }
+
+  /** Data-file name set under `path` (markers/dot-files excluded) — the
+    * before/after comparison [[appendGuarded]]/[[appendScored]]'s
+    * clean-failure paths use.
+    */
+  private def dataFileNames(io: graft.sources.ArtifactIo, path: String): Set[String] =
+    io.listNames(path).filter(fn => !fn.startsWith("_") && !fn.startsWith(".")).toSet
+
+  /** Clear the in-progress marker after a failed append IFF no data file
+    * landed (see [[appendGuarded]]); best-effort — a failure here leaves
+    * the marker, never masks the append's own exception.
+    */
+  private def clearMarkerIfUncommitted(io: graft.sources.ArtifactIo, path: String,
+      before: Set[String]): Unit =
+    try { if (dataFileNames(io, path) == before) io.delete(markerPath(path)) }
+    catch { case scala.util.control.NonFatal(_) => () }
 
   /** Doc ids containing the exact phrase — `phrase` tokens adjacent in
     * order. Each probe filters the postings to ONE token (O(df) rows
@@ -291,13 +322,30 @@ object InvertedIndex {
       // the totals rewrite; a crashed append leaves it behind, which
       // only suppresses heal-persists (attaches still compute exact
       // totals) until the next successful append clears it.
+      // same proven-clean failure recovery as [[appendGuarded]], plus the
+      // sidecar: a no-commit failure restores the prior totals it deleted
+      // (the index content is unchanged, so the prior is still exact) —
+      // a transient error must not cost the artifact its sidecar AND its
+      // marker cleanliness when nothing actually changed
+      val before = dataFileNames(io, path)
       io.touch(markerPath(path))
       io.delete(totalsPath(path))
-      buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
-      val delta = batchTotals(docs, textCol)
-      writeTotals(path, mergeTotals(prior, delta))
-      io.delete(markerPath(path))
-      delta
+      try {
+        buildScored(docs, idCol, textCol).write.mode("append").parquet(path)
+        val delta = batchTotals(docs, textCol)
+        writeTotals(path, mergeTotals(prior, delta))
+        io.delete(markerPath(path))
+        delta
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          try {
+            if (dataFileNames(io, path) == before) {
+              writeTotals(path, prior)
+              io.delete(markerPath(path))
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
     }
   }
 

@@ -395,6 +395,52 @@ object FacadeQueries {
         .withColumn("warm_hit", lit(warmHit))
     },
 
+    // PLAN CACHE ON A RENAME-BY-COPY OBJECT STORE (r18 — the s3a
+    // admission proof): the full fx16 lifecycle plus an invalidate →
+    // re-attach leg, run against `mock3a:` — a local-disk-backed Hadoop
+    // filesystem whose rename REALLY is copy+delete and whose
+    // create(noOverwrite) is non-exclusive (graft.sources
+    // .RenameByCopyMockFs), i.e. exactly the primitives s3a/gs/wasb
+    // lack. The publish must therefore take the manifest-last protocol
+    // (copy parts in → `_graft_files` whole-object PUT → `_SUCCESS`),
+    // and the warm attach must resolve the manifest rather than list
+    // the directory. The aggregate is computed from the WARM attach, so
+    // the hash only matches if the manifest-committed bytes are right;
+    // the four contract booleans pin miss→hit→evict→miss. Every other
+    // artifact family keeps rejecting these schemes — ArtifactIoSpec
+    // pins that side.
+    "pc1_object_store_plancache" -> { (s, dir) =>
+      import graft.sources.{ArtifactIo, PlanCache, RenameByCopyMockFs}
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.mock3a.impl", classOf[RenameByCopyMockFs].getName)
+      hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+      val cacheDir = "mock3a:" + QueryTmp.dir("plancache-os")
+      def plan(sess: SparkSession) =
+        Tables.load(sess, dir, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val (_, first) = PlanCache.readThroughWithOutcome(plan(s), cacheDir)
+      val s2 = s.newSession()
+      val (warmDf, second) = PlanCache.readThroughWithOutcome(plan(s2), cacheDir)
+      // force the warm read NOW: it resolves the entry's manifest to
+      // explicit leaf files, and the invalidate below deletes them (a
+      // readThrough result does not outlive an eviction — same contract
+      // as any shared-cache read)
+      val warmHit = second == PlanCache.Hit && warmDf.count() > 0
+      val evicted = PlanCache.invalidate(plan(s), cacheDir, contentKeys = true)
+      // the aggregate reads the RE-PUBLISHED entry, so the hash also
+      // proves the second manifest commit's bytes (fresh part names,
+      // fresh manifest) are right
+      val (reDf, third) = PlanCache.readThroughWithOutcome(plan(s), cacheDir)
+      reDf.toDF("priority", "cents")
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("cold_miss", lit(first == PlanCache.Miss))
+        .withColumn("warm_hit", lit(warmHit))
+        .withColumn("evicted", lit(evicted))
+        .withColumn("reattach_miss", lit(third == PlanCache.Miss))
+    },
+
     // rowsReorg(n) batch boundaries under the driver hash (reference
     // `DSetGenerics.fs:1161-1182` rowsReorg/rowsSplit/rowsMergeAll; test
     // pattern `tests/CoreLib/DSet.fs:489-533`; paper §4.2's
@@ -587,6 +633,12 @@ object FacadeQueries {
            sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
            true AS cold_miss, true AS warm_hit
          FROM orders GROUP BY o_orderstatus""",
+    "pc1_object_store_plancache" ->
+      """SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+           true AS cold_miss, true AS warm_hit, true AS evicted,
+           true AS reattach_miss
+         FROM orders GROUP BY o_orderpriority""",
     "fx17_rows_reorg_batches" ->
       """WITH gen AS (
            SELECT p.pi::INTEGER AS part_id, s.ser::BIGINT AS ser,

@@ -20,9 +20,13 @@ import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, Options, P
   * allowlist; anything else (s3a, gs, wasb, …) fails LOUDLY at entry —
   * the artifact commit protocol is temp-file + atomic rename and
   * create-exclusive lock files, and a store that renames by copy+delete
-  * would turn every "atomic" sidecar swap into a torn-read window. Route
-  * object-store ingest through [[Snapshots]] versioned tables instead
-  * (the ii6 composition), whose pointer protocol is written for that.
+  * would turn every "atomic" sidecar swap into a torn-read window. The
+  * remediation is to HOME the artifact (or Snapshots table — same
+  * requirement) on a rename-atomic store: `hdfs://`, `abfss://` with a
+  * hierarchical namespace, or a scheme-less local/NFS path. The one
+  * family with a rename-free commit protocol is the plan cache —
+  * [[ArtifactIo.forCachePath]] admits rename-by-copy schemes there
+  * (manifest-last publish, no locks; see [[ObjectStoreArtifactIo]]).
   *
   * ONE path string must mean ONE location and ONE protocol everywhere it
   * is read: `/data/x` (LocalIo, OS locks) and `file:/data/x` (HadoopIo,
@@ -85,8 +89,28 @@ private[graft] sealed trait ArtifactIo {
   /** Atomic no-replace move returning `false` when the destination
     * already exists (the version-claim primitive — the caller advances
     * and retries).
+    *
+    * No-replace atomicity contract: the local impl is true `ATOMIC_MOVE`
+    * (and the Hadoop impl special-cases `file:` down to it — Hadoop's
+    * `FileContext.rename(NONE)` on local stores is an exists-check THEN
+    * rename, a TOCTOU). On real HDFS-family stores the namespace rename
+    * is atomic. Every current caller renames a NON-EMPTY DIRECTORY into
+    * place, where even a raced check degrades to an `ENOTEMPTY` failure
+    * (caught, `false`) rather than a replace — a future FILE-destination
+    * caller on a non-`file:` scheme should re-verify its store's
+    * no-replace guarantee before relying on it.
     */
   def tryRenameNoReplace(src: String, dst: String): Boolean
+
+  /** Whether this store's [[rename]]/[[renameReplace]]/
+    * [[tryRenameNoReplace]] are atomic namespace operations (true for
+    * the local and HDFS-family impls). False means rename is
+    * copy+delete and lock files are unavailable — only protocols written
+    * rename-free and lock-free (the plan cache's manifest-last publish)
+    * may run on such a store; everything else is rejected at
+    * [[ArtifactIo.forPath]].
+    */
+  def renameAtomic: Boolean = true
 
   /** Child names of `dir` (not paths); empty when `dir` is missing or
     * not a directory.
@@ -150,6 +174,22 @@ private[graft] object ArtifactIo {
   private val RenameAtomicSchemes =
     Set("file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "o3fs")
 
+  /** Object stores whose rename is client-side copy+delete and whose
+    * `create(overwrite = false)` is not create-exclusive — admissible
+    * ONLY through [[forCachePath]] (the plan cache's rename-free,
+    * lock-free protocol). Extensible for tests/simulations via the
+    * Hadoop conf key [[RenameByCopyExtraSchemesKey]] (comma-separated) —
+    * the pc1 gate registers its local-disk-backed `mock3a` scheme there.
+    */
+  private val RenameByCopySchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "obs", "swift")
+
+  val RenameByCopyExtraSchemesKey = "graft.artifact.rename-by-copy.extra-schemes"
+
+  private def renameByCopySchemes(conf: Configuration): Set[String] =
+    RenameByCopySchemes ++ conf.getTrimmedStrings(RenameByCopyExtraSchemesKey)
+      .map(_.toLowerCase)
+
   /** Child-path join as a plain string suffix — valid for local paths
     * and scheme'd URIs alike (`java.nio.Paths.get` would mangle a
     * scheme). The ONE copy of the load-bearing join rule every artifact
@@ -164,19 +204,45 @@ private[graft] object ArtifactIo {
       require(RenameAtomicSchemes.contains(scheme.toLowerCase),
         s"artifact store: scheme '$scheme' ($path) is not on the rename-atomic " +
           s"allowlist ${RenameAtomicSchemes.toSeq.sorted.mkString("{", ", ", "}")} — " +
-          "the artifact commit protocol needs atomic rename + create-exclusive, " +
-          "which copy+delete stores (s3a, gs, wasb, …) cannot provide; route " +
-          "object-store ingest through graft.sources.Snapshots versioned tables " +
-          "(the ii6 composition) instead")
+          "the artifact/snapshot commit protocol needs atomic rename + " +
+          "create-exclusive lock files, which copy+delete stores (s3a, gs, " +
+          "wasb, …) cannot provide; home this artifact or Snapshots table on a " +
+          "rename-atomic store (hdfs://, abfss:// with hierarchical namespace, " +
+          "or a scheme-less local/NFS path). The PLAN CACHE alone runs on " +
+          "rename-by-copy object stores (its publish is manifest-last and " +
+          "lock-free) — see graft.sources.PlanCache")
       new HadoopArtifactIo(hadoopConf())
     case _ => LocalArtifactIo
   }
 
-  /** The active session's Hadoop conf when one exists (fs.* overrides,
-    * kerberos, …); a bare default otherwise (tests, driver-side tools).
+  /** [[forPath]] for the plan cache ONLY: additionally admits
+    * rename-by-copy object-store schemes via [[ObjectStoreArtifactIo]],
+    * whose rename/lock primitives throw — the cache's publish protocol
+    * ([[PlanCache.publish]]) is written rename-free and lock-free
+    * (manifest-last commit, idempotent double publish), the one artifact
+    * family where that is sound. Every other family must stay on
+    * [[forPath]]'s strict allowlist.
+    */
+  def forCachePath(path: String): ArtifactIo = path match {
+    case SchemeRe(scheme) =>
+      val conf = hadoopConf()
+      if (renameByCopySchemes(conf).contains(scheme.toLowerCase))
+        new ObjectStoreArtifactIo(conf)
+      else forPath(path)
+    case _ => LocalArtifactIo
+  }
+
+  /** The session's Hadoop conf when one exists (fs.* overrides,
+    * kerberos, the extra-schemes test hook); a bare default otherwise
+    * (driver-side tools with no Spark). `getActiveSession` is
+    * THREAD-LOCAL — a caller on a thread that never set one (scalatest
+    * runners, thread pools) must still see the real SparkContext conf,
+    * so fall back to the JVM-global default session before the bare
+    * default.
     */
   private def hadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 }
@@ -290,10 +356,43 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
 
   def withLock[A](lockPath: String, timeoutMs: Long, what: String,
       timeoutHint: String)(body: => A): A =
-    FsUtil.withFileLock(Paths.get(lockPath), timeoutMs, what, timeoutHint)(body)
+    FsUtil.withFileLock(Paths.get(lockPath), timeoutMs, what, timeoutHint) {
+      requireNoForeignProtocol(lockPath); body
+    }
 
   def tryWithLock[A](lockPath: String)(body: => A): Option[A] =
-    FsUtil.tryWithFileLock(Paths.get(lockPath))(body)
+    FsUtil.tryWithFileLock(Paths.get(lockPath)) {
+      requireNoForeignProtocol(lockPath); body
+    }
+
+  /** Mixed-path-form tripwire (checked while HOLDING the OS advisory
+    * lock, so it cannot race this protocol's own writers): the
+    * scheme-less protocol's mutex inode is always EMPTY — non-empty
+    * content is the `file:`-scheme'd lock-FILE protocol's holder
+    * forensics, i.e. the same directory is concurrently operated under
+    * `file:/dir` (create-exclusive lock files, which this OS lock does
+    * NOT exclude against — proceeding would mean zero mutual exclusion:
+    * lost sidecar updates, double pointer publishes). Fail loudly at the
+    * moment of the mix instead; the doctrine is one path form per store.
+    * Best-effort by nature (the foreign holder writes its forensics an
+    * instant after its create), but any steady mixed use trips it.
+    */
+  private def requireNoForeignProtocol(lockPath: String): Unit = {
+    val p = Paths.get(lockPath)
+    val size = try Files.size(p) catch { case _: java.io.IOException => 0L }
+    if (size > 0L) {
+      val holder = try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"artifact store: lock file $lockPath carries lock-FILE-protocol holder " +
+          s"forensics ($holder) — this directory is also being written through a " +
+          "file:-scheme'd path form, whose create-exclusive lock files do not " +
+          "interoperate with the scheme-less OS-advisory protocol (writers mixing " +
+          "path forms get ZERO mutual exclusion). Use ONE path form for every " +
+          "writer of this store; if the file:-form writer crashed, delete the " +
+          "lock file and keep all writers scheme-less.")
+    }
+  }
 }
 
 /** Hadoop `FileSystem`-backed primitives for scheme'd artifact paths.
@@ -302,7 +401,7 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
   * the trait note — a crashed holder needs operator cleanup, stated in
   * the timeout message rather than healed by a stealable heuristic).
   */
-private[graft] final class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
+private[graft] class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
 
   private def fs(p: HPath) = p.getFileSystem(conf)
 
@@ -387,6 +486,13 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
 
   def tryRenameNoReplace(src: String, dst: String): Boolean = {
     val d = new HPath(dst)
+    // file: scheme: FileContext.rename(NONE) on the local store is an
+    // exists-check THEN rename (TOCTOU, not atomic no-replace) — drop to
+    // java.nio ATOMIC_MOVE on the local paths, exactly as tryAcquire does
+    // for lock creation. Real HDFS-family renames are namespace-atomic.
+    if (d.toUri.getScheme == "file")
+      return LocalArtifactIo.tryRenameNoReplace(
+        new HPath(src).toUri.getPath, d.toUri.getPath)
     try { fc(d).rename(new HPath(src), d, Options.Rename.NONE); true }
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -454,19 +560,70 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
         if (System.nanoTime() > deadline) throw new IllegalStateException(
           s"$what: could not acquire lock $lockPath within ${timeoutMs / 1000}s — " +
             s"$timeoutHint. NOTE: on this store a CRASHED holder leaves the lock " +
-            "file behind (no OS auto-release) — verify no live writer exists, " +
-            "then delete the lock file to recover.")
+            "file behind (no OS auto-release) — read the holder forensics in the " +
+            "lock file (host pid=… epochMs=…; `graft.examples.BreakLock` prints " +
+            "them), verify no live writer exists, then delete the lock file to " +
+            s"recover.${mixedProtocolHint(f, p)}")
         Thread.sleep(50)
       }
     }
-    try body finally { f.delete(p, false): Unit }
+    releaseAfter(f, p)(body)
+  }
+
+  /** Diagnose a `file:`-scheme'd lock timeout whose lock file is EMPTY:
+    * an empty persistent inode is the signature of the SCHEME-LESS
+    * protocol's mutex file (LocalArtifactIo holds OS advisory locks on
+    * an empty inode it never deletes) — the same directory is being
+    * written under two path forms, and deleting that inode would break
+    * the scheme-less writers' mutual exclusion. (An empty file can also
+    * be a Hadoop-protocol holder that crashed in the create→forensics
+    * window; the message names both.)
+    */
+  private def mixedProtocolHint(f: org.apache.hadoop.fs.FileSystem, p: HPath): String =
+    if (p.toUri.getScheme == "file" &&
+        statOf(p).exists(st => !st.isDirectory && st.getLen == 0))
+      " CAUTION: the lock file is EMPTY — on file: that is usually the " +
+        "SCHEME-LESS path form's persistent mutex inode (OS advisory lock " +
+        "protocol), meaning writers are mixing `/dir` and `file:/dir` forms " +
+        "for one location; do NOT delete it — make every writer use ONE path " +
+        "form instead. (It can also be a holder that crashed before writing " +
+        "its forensics.)"
+    else ""
+
+  /** Run `body`, then delete the lock file — without letting a release
+    * failure mask `body`'s own exception (addSuppressed) or strand the
+    * lock silently: the delete retries once, and a release that still
+    * fails after a SUCCESSFUL body throws loudly (the next committer
+    * would otherwise wedge against a lock nobody holds, with no log of
+    * why).
+    */
+  private def releaseAfter[A](f: org.apache.hadoop.fs.FileSystem, p: HPath)(body: => A): A = {
+    var bodyErr: Throwable = null
+    try body
+    catch { case e: Throwable => bodyErr = e; throw e }
+    finally {
+      try { f.delete(p, false): Unit }
+      catch {
+        case e1: java.io.IOException =>
+          try { f.delete(p, false): Unit }
+          catch {
+            case e2: java.io.IOException =>
+              e2.addSuppressed(e1)
+              if (bodyErr != null) bodyErr.addSuppressed(e2)
+              else throw new IllegalStateException(
+                s"artifact store: released work under $p but could not delete the " +
+                  "lock file (twice) — later committers will time out against it; " +
+                  "delete it manually", e2)
+          }
+      }
+    }
   }
 
   def tryWithLock[A](lockPath: String)(body: => A): Option[A] = {
     val p = new HPath(lockPath)
     val f = fs(p)
     if (!tryAcquire(f, p)) None
-    else try Some(body) finally { f.delete(p, false): Unit }
+    else releaseAfter(f, p)(Some(body))
   }
 
   /** One atomic create-exclusive attempt. The holder string is for
@@ -516,5 +673,68 @@ private[graft] final class HadoopArtifactIo(conf: Configuration) extends Artifac
       } catch { case _: java.io.IOException => () } // forensics only
     }
     created
+  }
+}
+
+/** Rename-by-copy object-store primitives (s3a, gs, wasb, … — reached
+  * ONLY via [[ArtifactIo.forCachePath]], i.e. the plan cache): the safe
+  * subset of the Hadoop impl, with every primitive whose correctness
+  * DEPENDS on atomic rename or create-exclusive throwing loudly instead
+  * of running with silently-weaker semantics.
+  *
+  * What such stores DO give (the contract the plan cache's manifest-last
+  * publish is built on): single-object PUTs are atomic at close — a
+  * reader sees the whole object or none of it, never a torn write — and
+  * listings/reads are strongly consistent after write (S3 since 2020,
+  * GCS/ABFS always). So [[writeAtomic]] here is a plain direct write
+  * (old-or-new whole-object semantics, exactly the primitive's contract,
+  * WITHOUT the temp+rename dance that would be copy+delete underneath);
+  * what they do NOT give is atomic rename (copy+delete: a mid-crash
+  * leaves both names, a racing reader sees partial copies) or
+  * create-exclusive lock files — hence [[rename]]/[[renameReplace]]/
+  * [[tryRenameNoReplace]]/[[withLock]]/[[tryWithLock]] throw.
+  */
+private[graft] final class ObjectStoreArtifactIo(conf: Configuration)
+    extends HadoopArtifactIo(conf) {
+
+  override def renameAtomic: Boolean = false
+
+  private def unsupported(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"object store: $op is not available on rename-by-copy stores — only the " +
+        "plan cache's rename-free, lock-free protocol runs here; artifact and " +
+        "Snapshots families need a rename-atomic store (hdfs://, abfss://, or a " +
+        "scheme-less local/NFS path)")
+
+  override def writeAtomic(path: String, bytes: Array[Byte]): Unit =
+    writeFile(path, bytes) // whole-object PUT: atomic at close by store contract
+
+  override def rename(src: String, dst: String): Unit = unsupported("rename")
+
+  override def renameReplace(src: String, dst: String): Unit =
+    unsupported("renameReplace")
+
+  override def tryRenameNoReplace(src: String, dst: String): Boolean =
+    unsupported("tryRenameNoReplace")
+
+  override def withLock[A](lockPath: String, timeoutMs: Long, what: String,
+      timeoutHint: String)(body: => A): A = unsupported("withLock")
+
+  override def tryWithLock[A](lockPath: String)(body: => A): Option[A] =
+    unsupported("tryWithLock")
+
+  /** No hard links on object stores, and [[HadoopArtifactIo.linkOrCopy]]'s
+    * `overwrite = false` copy is a non-atomic exists-check here — the
+    * manifest publish instead wants last-writer-wins whole-object copies
+    * (double publishes of one cache key copy IDENTICAL bytes under
+    * DIFFERENT part names; the manifest, written after, names one
+    * writer's complete set).
+    */
+  override def linkOrCopy(src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    org.apache.hadoop.fs.FileUtil.copy(s.getFileSystem(conf), s,
+      d.getFileSystem(conf), d,
+      /* deleteSource = */ false, /* overwrite = */ true, conf): Unit
   }
 }

@@ -19,18 +19,27 @@ import org.apache.spark.sql.DataFrame
   * (column-pruned, partition-parallel) instead of re-running the plan.
   *
   * Scale notes (100 TB): `cacheDir` would be a shared filesystem path
-  * (HDFS/DBFS); the publish step relies on atomic directory rename, which
-  * HDFS provides — and since r17 every filesystem primitive here routes
-  * through [[ArtifactIo]], so a `hdfs://`/`abfss://`/`file:`-scheme'd
-  * cacheDir works end to end (scheme-less dirs keep the historical
-  * `java.nio` behavior verbatim; rename-by-copy schemes are rejected
-  * loudly). On rename-less object stores the `_SUCCESS`-marker check
-  * below would still be the commit point — writers targeting the same
-  * key write the same bytes, so a double publish is idempotent, not
-  * corrupt — but the loud allowlist keeps them out until that path is
-  * proven. The cached artifact is plain parquet: readers get predicate
-  * pushdown and column pruning ON TOP of the cache, which the
-  * reference's opaque serialized partition blobs cannot offer.
+  * (HDFS/DBFS) or an object-store bucket; every filesystem primitive
+  * routes through [[ArtifactIo.forCachePath]]. Rename-atomic stores
+  * (scheme-less local/NFS, `hdfs://`, `abfss://`, `file:`) publish by
+  * atomic directory rename, the historical protocol. Rename-by-copy
+  * object stores (`s3a://`, `gs://`, `wasb://`, …) are admitted HERE —
+  * and only here among the artifact families — because the cache's
+  * semantics survive without atomic rename or locks (r18, gate pc1 on a
+  * simulated rename-by-copy store): entries are KEYED BY CONTENT (same
+  * key ⇒ same bytes by construction), so concurrent double publishes
+  * write identical data and the commit point is manifest-last — copy
+  * the staged part files in (distinct names per writer), publish a
+  * `_graft_files` manifest naming ONE writer's complete set (a
+  * whole-object PUT, atomic at close), then `_SUCCESS`. Readers resolve
+  * the manifest instead of listing the directory, so a loser's orphan
+  * part files are never read (the retention sweep reclaims the entry
+  * wholesale). Every OTHER artifact family (indexes, sketches,
+  * Snapshots) keeps the strict rename-atomic allowlist — their commit
+  * protocols genuinely need atomic rename + create-exclusive. The
+  * cached artifact is plain parquet: readers get predicate pushdown and
+  * column pruning ON TOP of the cache, which the reference's opaque
+  * serialized partition blobs cannot offer.
   *
   * Staleness contract: since r15 the DEFAULT key tier is CONTENT keys —
   * per-file (size, mtime) keying, so an in-place overwrite of an input
@@ -289,13 +298,35 @@ object PlanCache {
       if (due.longValue() == now) sweepExpired(cacheDir, r)
     }
     last = outcome
-    (spark.read.parquet(target), outcome)
+    (readPublished(spark, cacheDir, target), outcome)
   }
 
-  /** The store-appropriate primitives for `cacheDir` (the ArtifactIo
-    * contract shared with the artifact and Snapshots layers).
+  /** Open a published entry: rename-committed entries are a plain
+    * directory read; manifest-committed entries (object stores — see
+    * [[publishByManifest]]) resolve `_graft_files` to explicit leaf
+    * files, so a lost double-publisher's orphan parts are never read.
     */
-  private def io(dir: String): ArtifactIo = ArtifactIo.forPath(dir)
+  private def readPublished(spark: org.apache.spark.sql.SparkSession,
+      cacheDir: String, target: String): DataFrame =
+    io(cacheDir).readBytes(child(target, FilesManifest)) match {
+      case Some(b) =>
+        val names = new String(b, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        if (names.isEmpty) throw new IllegalStateException(
+          s"plan cache: published entry $target has an empty file manifest — " +
+            "a parquet write always commits at least one part file; evict the entry")
+        else spark.read.parquet(names.map(child(target, _)): _*)
+      case None => spark.read.parquet(target)
+    }
+
+  /** The store-appropriate primitives for `cacheDir` — the plan cache's
+    * PERMISSIVE resolution ([[ArtifactIo.forCachePath]]): rename-atomic
+    * stores get the shared artifact contract, rename-by-copy object
+    * stores get the reduced [[ObjectStoreArtifactIo]] whose rename/lock
+    * primitives throw (this file's publish/read paths branch on
+    * [[ArtifactIo.renameAtomic]] and never call them there).
+    */
+  private def io(dir: String): ArtifactIo = ArtifactIo.forCachePath(dir)
 
   /** Child-path join as a plain string suffix (scheme-safe) — the one
     * [[ArtifactIo.child]] copy.
@@ -421,8 +452,44 @@ object PlanCache {
     * reclaim it and retry the rename instead of discarding our good copy
     * and wedging the key forever.
     */
+  /** Data-file manifest inside a manifest-committed entry (`_`-prefixed
+    * — parquet readers skip it): the newline-separated part-file names
+    * the publish committed, written as ONE whole-object PUT after every
+    * named file is in place, read by [[readPublished]].
+    */
+  private val FilesManifest = "_graft_files"
+
+  /** Rename-free, lock-free publish for rename-by-copy object stores —
+    * why a double publish is SAFE here and nowhere else: (1) the entry
+    * key is a content fingerprint, so two writers of one key hold
+    * byte-identical results (under distinct part names); (2) each copies
+    * its complete set in, then swaps the manifest (atomic whole-object
+    * PUT) naming ITS files, then marks `_SUCCESS` — a reader resolves
+    * whichever manifest is current, always one writer's COMPLETE set,
+    * and orphan parts of the losing writer are dead names no read ever
+    * touches (reclaimed with the entry by eviction/retention). No
+    * ordering depends on rename atomicity or lock files.
+    */
+  private def publishByManifest(cacheDir: String, tmp: String, target: String): Unit = {
+    val fs = io(cacheDir)
+    if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
+    val dataFiles = fs.listNames(tmp)
+      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+    fs.createDirs(target)
+    dataFiles.foreach(fn => fs.linkOrCopy(child(tmp, fn), child(target, fn)))
+    // the plan-id marker travels too — invalidate's stale-stat scan
+    // needs it inside the published entry
+    fs.readBytes(child(tmp, PlanIdFile))
+      .foreach(b => fs.writeFile(child(target, PlanIdFile), b))
+    fs.writeFile(child(target, FilesManifest),
+      dataFiles.sorted.mkString("\n").getBytes("UTF-8"))
+    fs.touch(child(target, "_SUCCESS"))
+    fs.deleteTree(tmp)
+  }
+
   private def publish(cacheDir: String, tmp: String, target: String): Unit = {
     val fs = io(cacheDir)
+    if (!fs.renameAtomic) return publishByManifest(cacheDir, tmp, target)
     var attempts = 0
     while (attempts < 3) {
       // a NON-collision rename failure (permission flap, store hiccup

@@ -158,6 +158,18 @@ object Snapshots {
       carry: CarryMode = CarryLinks): Int = {
     var committed: Option[Int] = None
     while (committed.isEmpty) {
+      // Watermark for the IN-LOCK tag re-verify below: every version
+      // claimed after this read carries a number strictly above the
+      // pointer value here (claimStaged numbers above max(latest,
+      // maxVersionDir) and the pointer is monotone), and every tagged
+      // version at-or-below it that exists by the time the pre-scan
+      // lists the table is seen by the pre-scan (tags are written inside
+      // the stage BEFORE its claim rename). So under the lock only
+      // versions ABOVE the watermark need their TagFile read — O(racing
+      // claims since the scan), not O(versions): a long uncompacted
+      // history must not hold the pointer lock for a per-version remote
+      // read storm and push every peer toward the lock timeout.
+      val tagScanFloor = latestVersion(tableDir).getOrElse(0)
       tag.flatMap(t => taggedVersion(tableDir, t)) match {
         case Some(v) if inPublishedChain(tableDir, v) => return v
         case Some(v) if v > latestVersion(tableDir).getOrElse(0) =>
@@ -235,8 +247,10 @@ object Snapshots {
         // same tag on two published chain versions. Seeing a SIBLING
         // version (not our own claim, which carries the tag too) already
         // on the published chain with this tag means the batch is
-        // committed: abandon the claim and return that version.
-        val replayed = tag.flatMap(t => taggedVersion(tableDir, t))
+        // committed: abandon the claim and return that version. The scan
+        // is BOUNDED by the pre-claim watermark (see tagScanFloor): only
+        // versions claimed since the pre-scan can carry a tag it missed.
+        val replayed = tag.flatMap(t => taggedVersionAbove(tableDir, t, tagScanFloor))
           .filter(v0 => v0 != v && inPublishedChain(tableDir, v0))
         replayed match {
           case Some(v0) => Left(v0)
@@ -441,12 +455,23 @@ object Snapshots {
     * a published-chain member wins (the batch's committed home), else
     * the smallest version number.
     */
-  def taggedVersion(tableDir: String, t: String): Option[Int] = {
+  def taggedVersion(tableDir: String, t: String): Option[Int] =
+    taggedVersionAbove(tableDir, t, 0)
+
+  /** [[taggedVersion]] restricted to versions STRICTLY ABOVE `floor` —
+    * the pointer-lock-held re-verify's bounded form: one directory
+    * listing always, but TagFile reads only for the (typically zero or
+    * one) versions claimed above the watermark, never the whole
+    * compaction-bounded history while holding the lock every committer
+    * in the fleet waits on.
+    */
+  private[graft] def taggedVersionAbove(tableDir: String, t: String, floor: Int): Option[Int] = {
     val matches = io(tableDir).listNames(tableDir).flatMap { fn =>
       if (!fn.startsWith("v=")) None
-      else io(tableDir).readBytes(child(tableDir, fn, TagFile))
-        .filter(new String(_, StandardCharsets.UTF_8) == t)
-        .flatMap(_ => scala.util.Try(fn.stripPrefix("v=").toInt).toOption)
+      else scala.util.Try(fn.stripPrefix("v=").toInt).toOption
+        .filter(_ > floor)
+        .filter(vn => io(tableDir).readBytes(child(tableDir, s"v=$vn", TagFile))
+          .exists(new String(_, StandardCharsets.UTF_8) == t))
     }.sorted
     if (matches.lengthCompare(1) <= 0) matches.headOption
     else matches.find(inPublishedChain(tableDir, _)).orElse(matches.headOption)
@@ -517,6 +542,15 @@ object Snapshots {
     */
   private[sources] def hasCarry(tableDir: String, v: Int): Boolean =
     io(tableDir).exists(child(tableDir, s"v=$v", CarryFile))
+
+  /** How many inherited file names version `v`'s carry manifest holds
+    * (0 = self-contained) — the observable the `--fssnapchain` probe and
+    * SCALING.md's compaction-cadence guidance quantify: each manifest
+    * append writes O(this count) names, so the count growing along an
+    * uncompacted chain is the cost the compact-every-K rhythm reclaims.
+    */
+  private[graft] def carriedFileCount(tableDir: String, v: Int): Int =
+    readCarry(tableDir, v).length
 
   /** (data-file count, total bytes) of version `v`'s RESOLVED file set
     * — compaction accounting that sees through a carry manifest (a

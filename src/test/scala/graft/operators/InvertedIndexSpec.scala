@@ -246,6 +246,53 @@ class InvertedIndexSpec extends SparkSuite {
     assert(!InvertedIndex.appendInProgress(s"$dir/p"))
   }
 
+  test("a no-commit append failure clears the marker; a partial commit keeps it") {
+    // transient job failure (a failing expression aborts the write before
+    // any data file publishes): the clean-failure path must clear the
+    // marker — and restore the scored sidecar — instead of escalating a
+    // retryable error into the marker-tripwire's full-rebuild recovery
+    val dir = java.nio.file.Files.createTempDirectory("graft-iitransient").toString
+    val bomb = udf((s: String) => {
+      if (s != null) throw new RuntimeException("transient executor loss"); s
+    })
+    // positional layout (the appendGuarded envelope)
+    InvertedIndex.appendPositional(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/p")
+    val badP = docs.filter(col("doc_id") >= 2).withColumn("text", bomb(col("text")))
+    intercept[Exception](InvertedIndex.appendPositional(badP, "doc_id", "text", s"$dir/p"))
+    assert(!InvertedIndex.appendInProgress(s"$dir/p"),
+      "no data file landed — the marker must not demand a rebuild")
+    // scored layout: marker cleared AND the totals sidecar restored
+    InvertedIndex.materializeScored(docs.filter(col("doc_id") < 2), "doc_id", "text", s"$dir/s"): Unit
+    val priorTotals = InvertedIndex.readTotals(s"$dir/s")
+    intercept[Exception](InvertedIndex.appendScored(badP, "doc_id", "text", s"$dir/s"))
+    assert(!InvertedIndex.appendInProgress(s"$dir/s"))
+    assert(InvertedIndex.readTotals(s"$dir/s") == priorTotals,
+      "a no-commit failure must not cost the artifact its sidecar")
+    // a PARTIAL commit (a data file appeared inside the failing append's
+    // window) keeps the tripwire up: this bomb plants a part-named file
+    // into the artifact before throwing — local[32] tasks share the
+    // filesystem, so the failure path's re-listing sees a new data file
+    // and must conservatively leave the marker
+    val planting = udf((s: String) => {
+      if (s != null) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/s", "part-99999-planted.parquet"),
+          "partial".getBytes("UTF-8"))
+        throw new RuntimeException("died mid-commit")
+      }
+      s
+    })
+    val badPartial = docs.filter(col("doc_id") >= 2).withColumn("text", planting(col("text")))
+    intercept[Exception](InvertedIndex.appendScored(badPartial, "doc_id", "text", s"$dir/s"))
+    assert(InvertedIndex.appendInProgress(s"$dir/s"),
+      "a crash that DID commit keeps demanding recovery")
+    // and both artifacts still serve/append correctly after the recovery
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/s", "._graft_bm25_appending"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/s", "part-99999-planted.parquet"))
+    InvertedIndex.appendScored(docs.filter(col("doc_id") >= 2), "doc_id", "text", s"$dir/s"): Unit
+    assert(!InvertedIndex.appendInProgress(s"$dir/s"))
+  }
+
   test("appendScored: appended index + merged stats equal scratch rebuild exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ii5").toString
     val existing = docs.filter(col("doc_id") < 2)

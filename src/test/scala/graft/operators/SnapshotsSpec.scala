@@ -84,6 +84,27 @@ class SnapshotsSpec extends SparkSuite {
     assert(ids(3) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("taggedVersionAbove: the in-lock re-verify reads only versions above the watermark") {
+    val table = java.nio.file.Files.createTempDirectory("graft-snap-floor").toString + "/t"
+    Snapshots.commitAppend(Seq((1L, "a")).toDF("id", "s"), table, Some("batch-0")) // v=1
+    Snapshots.commitAppend(Seq((2L, "b")).toDF("id", "s"), table, Some("batch-1")) // v=2
+    Snapshots.commitAppend(Seq((3L, "c")).toDF("id", "s"), table, Some("batch-2")) // v=3
+    // floor 0 = the public taggedVersion (full history)
+    assert(Snapshots.taggedVersion(table, "batch-1").contains(2))
+    assert(Snapshots.taggedVersionAbove(table, "batch-1", 0).contains(2))
+    // the bound: a tag AT or BELOW the floor is the pre-scan's job, not
+    // the lock-held re-verify's — only above-floor claims are read
+    assert(Snapshots.taggedVersionAbove(table, "batch-1", 2).isEmpty)
+    assert(Snapshots.taggedVersionAbove(table, "batch-2", 2).contains(3))
+    assert(Snapshots.taggedVersionAbove(table, "batch-2", 3).isEmpty)
+    // the correctness argument for the watermark: any commit racing past
+    // a pre-scan claims ABOVE the pointer value the pre-scan read, so a
+    // floor taken from latestVersion never hides a racer's fresh tag
+    val floorThen = Snapshots.latestVersion(table).getOrElse(0)
+    Snapshots.commitAppend(Seq((4L, "d")).toDF("id", "s"), table, Some("batch-3")) // racer
+    assert(Snapshots.taggedVersionAbove(table, "batch-3", floorThen).contains(4))
+  }
+
   test("commitAppend retries across a concurrent commit instead of shadowing it") {
     val table = java.nio.file.Files.createTempDirectory("graft-snap-app-race").toString + "/t"
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), table) // v=1

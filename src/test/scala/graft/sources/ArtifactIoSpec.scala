@@ -99,6 +99,61 @@ class ArtifactIoSpec extends SparkSuite {
     assert(ex.getMessage.contains("delete the lock file"), ex.getMessage)
   }
 
+  test("mixed path forms trip loudly instead of silently losing mutual exclusion") {
+    val root = tmpDir("graft-aio-mixed")
+    // direction 1: a file:-form writer HOLDS (lock file with holder
+    // forensics in place) — a scheme-less writer on the same inode must
+    // refuse, not proceed under an OS lock the holder never takes
+    val lock = root + "/append.lock"
+    java.nio.file.Files.write(java.nio.file.Paths.get(lock),
+      "host pid=1234 epochMs=1".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException](
+      LocalArtifactIo.withLock(lock, 1000L, "spec", "hint") { fail("must not run") })
+    assert(ex.getMessage.contains("ONE path form"), ex.getMessage)
+    val ex2 = intercept[IllegalStateException](
+      LocalArtifactIo.tryWithLock(lock) { fail("must not run") })
+    assert(ex2.getMessage.contains("ONE path form"), ex2.getMessage)
+    // direction 2: a scheme-less writer's persistent EMPTY mutex inode
+    // blocks the file:-form create-exclusive — the timeout must diagnose
+    // the mix and warn against deleting the inode
+    val lock2 = root + "/pointer.lock"
+    LocalArtifactIo.withLock(lock2, 1000L, "spec", "hint") { () } // inode persists
+    val hio = ArtifactIo.forPath("file:" + root)
+    val ex3 = intercept[IllegalStateException](
+      hio.withLock("file:" + lock2, 200L, "spec", "hint") { fail("must not run") })
+    assert(ex3.getMessage.contains("EMPTY"), ex3.getMessage)
+    assert(ex3.getMessage.contains("do NOT delete"), ex3.getMessage)
+    // clean single-form use still works on both sides
+    LocalArtifactIo.withLock(lock2, 1000L, "spec", "hint") { () }
+    hio.withLock("file:" + root + "/h.lock", 1000L, "spec", "hint") { () }
+  }
+
+  test("file:-scheme'd tryRenameNoReplace is the java.nio atomic form") {
+    val root = tmpDir("graft-aio-claim")
+    val io = ArtifactIo.forPath("file:" + root)
+    io.createDirs("file:" + root + "/stage")
+    io.touch("file:" + root + "/stage/part-0001")
+    io.createDirs("file:" + root + "/v=1")
+    io.touch("file:" + root + "/v=1/part-0000")
+    // claimed collision (non-empty destination dir) loses, stage intact
+    assert(!io.tryRenameNoReplace("file:" + root + "/stage", "file:" + root + "/v=1"))
+    assert(io.exists("file:" + root + "/stage/part-0001"))
+    // free name wins
+    assert(io.tryRenameNoReplace("file:" + root + "/stage", "file:" + root + "/v=2"))
+    assert(io.exists("file:" + root + "/v=2/part-0001"))
+  }
+
+  test("a body failure releases the hadoop lock and stays the primary exception") {
+    val root = tmpDir("graft-aio-rel")
+    val io = ArtifactIo.forPath("file:" + root)
+    val lock = "file:" + root + "/rel.lock"
+    val ex = intercept[RuntimeException](
+      io.withLock(lock, 1000L, "spec", "hint") { throw new RuntimeException("body") })
+    assert(ex.getMessage == "body")
+    // lock released despite the failure — the next writer acquires at once
+    assert(io.tryWithLock(lock) { "won" }.contains("won"))
+  }
+
   test("scored-index machinery end-to-end on a file:-scheme'd path equals the local-path build") {
     import spark.implicits._
     import graft.operators.InvertedIndex
