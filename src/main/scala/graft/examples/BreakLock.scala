@@ -48,14 +48,28 @@ object BreakLock {
         println(s"[breaklock] $lockPath")
         println(s"[breaklock]   holder : ${if (holder.isEmpty) "<empty file>" else holder}")
         println(s"[breaklock]   age    : ${ageMs.map(a => f"${a / 1000.0}%.1f s").getOrElse("unknown")}")
-        if (holder.isEmpty) {
-          println("[breaklock]   EMPTY lock file: on file: stores this is usually the " +
+        // the empty-file refusal is LOCAL-ONLY: on file:/scheme-less
+        // paths an empty inode is usually the scheme-less protocol's
+        // persistent mutex (deleting it breaks OS-advisory mutual
+        // exclusion); on a real remote store (hdfs://, abfss://) an
+        // empty lock file is a holder that crashed in the
+        // create→forensics window — exactly the crash class this tool
+        // recovers, so --force proceeds there.
+        val localForm = !lockPath.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*") ||
+          lockPath.toLowerCase.startsWith("file:")
+        if (holder.isEmpty && localForm) {
+          println("[breaklock]   EMPTY lock file on a local path form: usually the " +
             "SCHEME-LESS protocol's persistent mutex inode (deleting it breaks " +
             "OS-advisory mutual exclusion for scheme-less writers) or a holder " +
             "that crashed before writing forensics. Refusing to delete — " +
             "investigate the path-form mix first (SCALING.md runbook).")
           sys.exit(2)
         }
+        if (holder.isEmpty)
+          println("[breaklock]   empty lock file on a remote store: a holder that " +
+            "crashed between its create-exclusive and its forensics write — no " +
+            "host/pid to check; confirm no live committer targets this artifact " +
+            "before --force.")
         if (!force) {
           println("[breaklock]   not deleting (no --force). Verify the holder process " +
             "above is DEAD (host + pid) before re-running with --force: deleting a " +

@@ -146,6 +146,10 @@ object InvertedIndex {
     val io = artifactIo(path)
     io.createDirs(path)
     withAppendLock(path) {
+      // a marker ALREADY up records an EARLIER crash (partial postings
+      // may be visible) — this call's clean-failure path must never
+      // erase that tripwire; only a SUCCESSFUL append is its recovery
+      val markerWasUp = appendInProgress(path)
       val before = dataFileNames(io, path)
       io.touch(markerPath(path))
       try {
@@ -153,7 +157,7 @@ object InvertedIndex {
         io.delete(markerPath(path))
       } catch {
         case scala.util.control.NonFatal(e) =>
-          clearMarkerIfUncommitted(io, path, before)
+          if (!markerWasUp) clearMarkerIfUncommitted(io, path, before)
           throw e
       }
     }
@@ -164,7 +168,7 @@ object InvertedIndex {
     * clean-failure paths use.
     */
   private def dataFileNames(io: graft.sources.ArtifactIo, path: String): Set[String] =
-    io.listNames(path).filter(fn => !fn.startsWith("_") && !fn.startsWith(".")).toSet
+    io.listNames(path).filter(graft.sources.ArtifactIo.isDataFileName).toSet
 
   /** Clear the in-progress marker after a failed append IFF no data file
     * landed (see [[appendGuarded]]); best-effort — a failure here leaves
@@ -326,7 +330,14 @@ object InvertedIndex {
       // sidecar: a no-commit failure restores the prior totals it deleted
       // (the index content is unchanged, so the prior is still exact) —
       // a transient error must not cost the artifact its sidecar AND its
-      // marker cleanliness when nothing actually changed
+      // marker cleanliness when nothing actually changed. GUARDED on the
+      // marker having been DOWN at entry: a pre-existing marker records
+      // an earlier crash (this call's `prior` may be a heal computed
+      // over that crash's partial postings — persisting it would violate
+      // the crash-leaves-NO-sidecar invariant, and clearing the marker
+      // would erase the tripwire IndexIngest refuses on); only a
+      // successful append is that state's recovery.
+      val markerWasUp = appendInProgress(path)
       val before = dataFileNames(io, path)
       io.touch(markerPath(path))
       io.delete(totalsPath(path))
@@ -339,7 +350,7 @@ object InvertedIndex {
       } catch {
         case scala.util.control.NonFatal(e) =>
           try {
-            if (dataFileNames(io, path) == before) {
+            if (!markerWasUp && dataFileNames(io, path) == before) {
               writeTotals(path, prior)
               io.delete(markerPath(path))
             }

@@ -190,6 +190,16 @@ private[graft] object ArtifactIo {
     RenameByCopySchemes ++ conf.getTrimmedStrings(RenameByCopyExtraSchemesKey)
       .map(_.toLowerCase)
 
+  /** Whether a child NAME counts as artifact data (vs bookkeeping:
+    * `_`-prefixed markers/manifests, dot-prefixed staging/locks) — the
+    * ONE copy of the load-bearing predicate behind [[ArtifactIo
+    * .hasDataFiles]], the plan cache's manifest contents, and the index
+    * appends' clean-failure comparison; a future bookkeeping prefix
+    * lands here once, never per-family.
+    */
+  def isDataFileName(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   /** Child-path join as a plain string suffix — valid for local paths
     * and scheme'd URIs alike (`java.nio.Paths.get` would mangle a
     * scheme). The ONE copy of the load-bearing join rule every artifact
@@ -544,9 +554,7 @@ private[graft] class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
   }
 
   def hasDataFiles(dir: String): Boolean =
-    listEntries(dir).exists { case (n, _, _) =>
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    listEntries(dir).exists { case (n, _, _) => ArtifactIo.isDataFileName(n) }
 
   def withLock[A](lockPath: String, timeoutMs: Long, what: String,
       timeoutHint: String)(body: => A): A = {

@@ -123,7 +123,7 @@ object Compact {
   /** (name, bytes) of the dir's data files (bookkeeping excluded). */
   private def listDataFiles(path: String): Seq[(String, Long)] =
     io(path).listEntries(path).collect {
-      case (fn, false, size) if !fn.startsWith("_") && !fn.startsWith(".") =>
+      case (fn, false, size) if ArtifactIo.isDataFileName(fn) =>
         (fn, size)
     }
 }

@@ -125,7 +125,7 @@ private[graft] object FsUtil {
       val s = java.nio.file.Files.list(d)
       try s.anyMatch { p =>
         val n = p.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
+        ArtifactIo.isDataFileName(n)
       }
       finally s.close()
     }

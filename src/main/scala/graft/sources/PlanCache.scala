@@ -473,18 +473,30 @@ object PlanCache {
   private def publishByManifest(cacheDir: String, tmp: String, target: String): Unit = {
     val fs = io(cacheDir)
     if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
-    val dataFiles = fs.listNames(tmp)
-      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
-    fs.createDirs(target)
-    dataFiles.foreach(fn => fs.linkOrCopy(child(tmp, fn), child(target, fn)))
-    // the plan-id marker travels too — invalidate's stale-stat scan
-    // needs it inside the published entry
-    fs.readBytes(child(tmp, PlanIdFile))
-      .foreach(b => fs.writeFile(child(target, PlanIdFile), b))
-    fs.writeFile(child(target, FilesManifest),
-      dataFiles.sorted.mkString("\n").getBytes("UTF-8"))
-    fs.touch(child(target, "_SUCCESS"))
-    fs.deleteTree(tmp)
+    // a mid-protocol store failure must reclaim the result-sized staging
+    // copy before propagating (the rename path's catch does the same) —
+    // leaking one orphan per failed attempt until the 6h grace sweep is
+    // exactly what that catch was added to prevent. Orphan parts already
+    // copied into `target` are harmless: no manifest names them.
+    try {
+      val dataFiles = fs.listNames(tmp)
+        .filter(ArtifactIo.isDataFileName)
+      fs.createDirs(target)
+      dataFiles.foreach(fn => fs.linkOrCopy(child(tmp, fn), child(target, fn)))
+      // the plan-id marker travels too — invalidate's stale-stat scan
+      // needs it inside the published entry
+      fs.readBytes(child(tmp, PlanIdFile))
+        .foreach(b => fs.writeFile(child(target, PlanIdFile), b))
+      fs.writeFile(child(target, FilesManifest),
+        dataFiles.sorted.mkString("\n").getBytes("UTF-8"))
+      fs.touch(child(target, "_SUCCESS"))
+    } catch {
+      case e: java.io.IOException => fs.deleteTree(tmp); throw e
+    }
+    // the publish is committed (_SUCCESS is up) — a staging-cleanup
+    // failure here must not fail the caller; the grace sweep reclaims
+    try fs.deleteTree(tmp)
+    catch { case _: java.io.IOException => () }
   }
 
   private def publish(cacheDir: String, tmp: String, target: String): Unit = {

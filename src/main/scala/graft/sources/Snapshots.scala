@@ -357,7 +357,7 @@ object Snapshots {
     */
   private def listStageDataFiles(tableDir: String, stage: String): Seq[String] =
     io(tableDir).listNames(stage)
-      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+      .filter(ArtifactIo.isDataFileName)
 
   /** Incremental consumption — the changed-data feed: the rows ADDED
     * after `fromVersion`, up to `toVersion` (default: the published
@@ -522,7 +522,7 @@ object Snapshots {
   private def writeCarry(tableDir: String, stage: String, base: Int): Unit = {
     val inherited =
       io(tableDir).listNames(child(tableDir, s"v=$base"))
-        .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+        .filter(ArtifactIo.isDataFileName)
         .map(fn => s"v=$base/$fn") ++ readCarry(tableDir, base)
     io(tableDir).writeFile(child(stage, CarryFile),
       inherited.mkString("\n").getBytes(StandardCharsets.UTF_8))
@@ -534,7 +534,7 @@ object Snapshots {
     */
   private def resolvedDataFiles(tableDir: String, v: Int): Seq[String] =
     io(tableDir).listNames(child(tableDir, s"v=$v"))
-      .filter(fn => !fn.startsWith("_") && !fn.startsWith("."))
+      .filter(ArtifactIo.isDataFileName)
       .map(fn => s"v=$v/$fn") ++ readCarry(tableDir, v)
 
   /** Whether version `v` inherits files via a carry manifest (vs being

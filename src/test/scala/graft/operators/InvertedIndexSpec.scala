@@ -286,6 +286,16 @@ class InvertedIndexSpec extends SparkSuite {
     intercept[Exception](InvertedIndex.appendScored(badPartial, "doc_id", "text", s"$dir/s"))
     assert(InvertedIndex.appendInProgress(s"$dir/s"),
       "a crash that DID commit keeps demanding recovery")
+    // a PRE-EXISTING marker (an EARLIER crash's tripwire) must survive a
+    // later clean failure: the clean-failure recovery may only clear a
+    // marker THIS call raised, never erase evidence of the prior crash
+    // (whose partial postings the tripwire exists to flag) — and must
+    // not heal-persist a sidecar computed over those partial postings
+    intercept[Exception](InvertedIndex.appendScored(badP, "doc_id", "text", s"$dir/s"))
+    assert(InvertedIndex.appendInProgress(s"$dir/s"),
+      "an earlier crash's marker must survive a later clean failure")
+    assert(InvertedIndex.readTotals(s"$dir/s").isEmpty,
+      "no sidecar may be persisted while the earlier crash's marker is up")
     // and both artifacts still serve/append correctly after the recovery
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/s", "._graft_bm25_appending"))
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/s", "part-99999-planted.parquet"))
