@@ -611,6 +611,40 @@ object ScaleProbe {
           println(f"[probe] ${s"fssnapchain_post${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
         }
       }
+      // --pccache — the plan cache's store-protocol price (r18): one
+      // cold attach (compute + publish) and one warm attach (key derive
+      // + read) of the SAME plan on each of the three store classes —
+      // scheme-less local (rename publish via java.nio), file: (rename
+      // publish via FileContext), and mock3a: (the simulated
+      // rename-by-copy store: manifest-last publish through copy-rename
+      // committers). The manifest protocol must price at parity: its
+      // extra work is one manifest PUT + per-part copies that the other
+      // stores pay inside their renames.
+      if (args.contains("--pccache")) {
+        import graft.sources.{ArtifactIo, PlanCache, RenameByCopyMockFs}
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.mock3a.impl", classOf[RenameByCopyMockFs].getName)
+        hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+        val root = graft.queries.QueryTmp.dir("probe-pccache")
+        def plan() = Tables.load(spark, sfDir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        for ((label, dir) <- Seq(
+            ("local", s"$root/local"),
+            ("hadoop_file", s"file:$root/hadoop"),
+            ("objstore_mock3a", s"mock3a:$root/objstore"))) {
+          val tCold = timed {
+            PlanCache.readThrough(plan(), dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"[probe] ${s"pccache_${label}_cold"}%-24s $tCold%6.2f s")
+          val tWarm = timed {
+            PlanCache.readThrough(plan(), dir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"[probe] ${s"pccache_${label}_warm"}%-24s $tWarm%6.2f s")
+        }
+      }
       // --prconv=bits:tables — convergence-driven PageRank (v8c's probe):
       // the per-round checkpoint + delta machinery at tol=1e-6 on the
       // kNN graph at the given keying; prints rounds so a cost change

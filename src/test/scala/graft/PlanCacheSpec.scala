@@ -510,6 +510,44 @@ class PlanCacheSpec extends SparkSuite {
     assert(PlanCache.lastOutcome == PlanCache.Miss)
   }
 
+  test("object-store double publish: concurrent miss racers converge on one coherent entry") {
+    // the protocol's central claim, DRIVEN rather than argued: N racers
+    // all miss, all publish (copy parts in → manifest PUT → _SUCCESS),
+    // and because the manifest is a whole-object swap naming ONE
+    // writer's complete set, every reader — during and after the race —
+    // sees exactly one coherent copy of the result, never a mix of two
+    // writers' part files (which a directory-listing read would return
+    // as doubled rows)
+    val cacheDir = mock3aDir("pc-race")
+    val expected = ordersAgg(spark, sf0001).collect().map(_.toString).sorted.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Future.sequence((1 to 4).map { _ =>
+      Future {
+        val s = spark.newSession()
+        val (df, outcome) = PlanCache.readThroughWithOutcome(ordersAgg(s, sf0001), cacheDir)
+        (df.collect().map(_.toString).sorted.toSeq, outcome)
+      }
+    })
+    val results = Await.result(racers, 120.seconds)
+    results.foreach { case (rows, _) => assert(rows == expected, "torn or doubled read") }
+    assert(results.exists(_._2 == PlanCache.Miss), "somebody must have published")
+    // the settled entry: one more attach hits and reads the same rows
+    val (warm, outcome) = PlanCache.readThroughWithOutcome(ordersAgg(spark, sf0001), cacheDir)
+    assert(outcome == PlanCache.Hit)
+    assert(warm.collect().map(_.toString).sorted.toSeq == expected)
+    // the manifest names a COMPLETE set that exists on the store
+    val io = graft.sources.ArtifactIo.forCachePath(cacheDir)
+    val key = PlanCache.fingerprint(ordersAgg(spark, sf0001))
+    val target = graft.sources.ArtifactIo.child(cacheDir, key)
+    val named = new String(
+      io.readBytes(graft.sources.ArtifactIo.child(target, "_graft_files")).get, "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    assert(named.nonEmpty)
+    named.foreach(fn => assert(io.exists(graft.sources.ArtifactIo.child(target, fn))))
+  }
+
   test("mock3a really renames by copy+delete (the simulation is honest)") {
     val root = mock3aDir("pc-mockfs")
     val io = graft.sources.ArtifactIo.forCachePath(root)
