@@ -99,6 +99,44 @@ class ArtifactIoSpec extends SparkSuite {
     assert(ex.getMessage.contains("delete the lock file"), ex.getMessage)
   }
 
+  test("object-store io: supported primitives roundtrip on mock3a; rename/lock throw") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mock3a.impl", classOf[graft.sources.RenameByCopyMockFs].getName)
+    hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+    val root = "mock3a:" + tmpDir("graft-aio-os")
+    val io = ArtifactIo.forCachePath(root)
+    assert(!io.renameAtomic)
+    val dir = root + "/entry"
+    io.createDirs(dir)
+    assert(io.exists(dir) && io.isDirectory(dir))
+    io.touch(dir + "/_SUCCESS")
+    assert(!io.hasDataFiles(dir))
+    io.writeFile(dir + "/part-0001", "rows".getBytes("UTF-8"))
+    assert(io.hasDataFiles(dir))
+    // writeAtomic on this store class is a direct whole-object PUT
+    io.writeAtomic(dir + "/_graft_files", "part-0001".getBytes("UTF-8"))
+    assert(io.readBytes(dir + "/_graft_files")
+      .map(new String(_, "UTF-8")).contains("part-0001"))
+    io.linkOrCopy(dir + "/part-0001", dir + "/part-0002")
+    assert(io.readBytes(dir + "/part-0002").map(new String(_, "UTF-8")).contains("rows"))
+    assert(io.listNames(dir).toSet ==
+      Set("_SUCCESS", "part-0001", "part-0002", "_graft_files"))
+    assert(io.listEntries(dir).collect { case (n, false, sz) if n == "part-0001" => sz }
+      == Seq(4L))
+    assert(io.mtimeMs(dir + "/part-0001").isDefined)
+    // the primitives whose correctness needs atomic rename / O_EXCL are
+    // UNAVAILABLE, loudly — protocols on this store class must be
+    // written without them
+    intercept[UnsupportedOperationException](io.rename(dir, root + "/x"))
+    intercept[UnsupportedOperationException](io.renameReplace(dir + "/a", dir + "/b"))
+    intercept[UnsupportedOperationException](io.tryRenameNoReplace(dir + "/a", dir + "/b"))
+    intercept[UnsupportedOperationException](
+      io.withLock(dir + "/.lock", 1L, "spec", "hint") { 1 })
+    intercept[UnsupportedOperationException](io.tryWithLock(dir + "/.lock") { 1 })
+    io.deleteTree(dir)
+    assert(!io.exists(dir))
+  }
+
   test("mixed path forms trip loudly instead of silently losing mutual exclusion") {
     val root = tmpDir("graft-aio-mixed")
     // direction 1: a file:-form writer HOLDS (lock file with holder
