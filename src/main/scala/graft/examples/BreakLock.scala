@@ -55,9 +55,7 @@ object BreakLock {
         // empty lock file is a holder that crashed in the
         // create→forensics window — exactly the crash class this tool
         // recovers, so --force proceeds there.
-        val localForm = !lockPath.matches("^[A-Za-z][A-Za-z0-9+.-]+:/.*") ||
-          lockPath.toLowerCase.startsWith("file:")
-        if (holder.isEmpty && localForm) {
+        if (holder.isEmpty && ArtifactIo.isLocalForm(lockPath)) {
           println("[breaklock]   EMPTY lock file on a local path form: usually the " +
             "SCHEME-LESS protocol's persistent mutex inode (deleting it breaks " +
             "OS-advisory mutual exclusion for scheme-less writers) or a holder " +

@@ -190,6 +190,17 @@ private[graft] object ArtifactIo {
     RenameByCopySchemes ++ conf.getTrimmedStrings(RenameByCopyExtraSchemesKey)
       .map(_.toLowerCase)
 
+  /** Whether `path` is a LOCAL path form — scheme-less (two-plus-char
+    * scheme rule keeps Windows drive letters local) or `file:` — the
+    * one copy of the scheme classification [[forPath]]'s dispatch and
+    * BreakLock's empty-lock-file refusal share; a rule tweak lands here
+    * once.
+    */
+  def isLocalForm(path: String): Boolean = path match {
+    case SchemeRe(scheme) => scheme.equalsIgnoreCase("file")
+    case _ => true
+  }
+
   /** Whether a child NAME counts as artifact data (vs bookkeeping:
     * `_`-prefixed markers/manifests, dot-prefixed staging/locks) — the
     * ONE copy of the load-bearing predicate behind [[ArtifactIo

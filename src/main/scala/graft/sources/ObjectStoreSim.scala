@@ -2,7 +2,9 @@ package graft.sources
 
 import java.net.URI
 
-import org.apache.hadoop.fs.{FileUtil, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FSDataOutputStream, FileUtil, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
 
 /** A local-disk-backed Hadoop filesystem that SIMULATES a rename-by-copy
   * object store (`mock3a:` scheme) — the proof vehicle for admitting
@@ -30,6 +32,55 @@ final class RenameByCopyMockFs extends RawLocalFileSystem {
   override def getScheme: String = "mock3a"
 
   override def getUri: URI = URI.create("mock3a:///")
+
+  /** Visibility-at-close — the one atomicity object stores DO give (a
+    * PUT appears whole at close or not at all; no torn or zero-byte
+    * intermediate state), which the manifest-last publish protocol's
+    * whole-object swap depends on. RawLocalFileSystem's create is an
+    * in-place truncate-then-stream — a racer could read a torn
+    * manifest, which a real s3a/gs/abfs reader never can — so writes go
+    * to a hidden in-flight file and ATOMIC_MOVE into place at close.
+    * The `overwrite = false` probe stays the non-atomic check-then-act
+    * these stores actually have (no O_EXCL — why lock files are
+    * unavailable on this class).
+    */
+  /** Funnel for BOTH create overloads RawLocalFileSystem implements
+    * directly (the permissioned and the plain one — overriding only one
+    * leaves the other writing in place, which bit the 4-racer spec with
+    * a torn-manifest chmod race before this existed).
+    */
+  private def putAtClose(f: Path, overwrite: Boolean)(
+      open: Path => FSDataOutputStream): FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    val tmp = new Path(f.getParent,
+      s".inflight-${java.util.UUID.randomUUID().toString.take(8)}-${f.getName}")
+    val out = open(tmp)
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = out.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def flush(): Unit = out.flush()
+      override def close(): Unit = {
+        out.close()
+        java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }, null)
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    putAtClose(f, overwrite)(t =>
+      super.create(t, permission, true, bufferSize, replication, blockSize, progress))
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    putAtClose(f, overwrite)(t =>
+      super.create(t, true, bufferSize, replication, blockSize, progress))
 
   /** Rename by copy+delete — the object-store emulation: a crash (or a
     * racing reader) mid-call observes BOTH names with partial content,

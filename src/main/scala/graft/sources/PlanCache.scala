@@ -470,33 +470,82 @@ object PlanCache {
     * touches (reclaimed with the entry by eviction/retention). No
     * ordering depends on rename atomicity or lock files.
     */
+  /** Whether `target`'s CURRENT manifest names a non-empty file set that
+    * fully exists — the manifest path's corpse detector: an invalidate
+    * racing a publish can delete copied parts before the manifest/
+    * `_SUCCESS` land, and a published entry whose manifest names missing
+    * files would otherwise serve Hits that throw forever.
+    */
+  private def manifestIntact(cacheDir: String, target: String): Boolean = {
+    val fs = io(cacheDir)
+    fs.readBytes(child(target, FilesManifest)) match {
+      case None => false
+      case Some(b) =>
+        val names = new String(b, "UTF-8").split("\n").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val present = fs.listNames(target).toSet
+        names.nonEmpty && names.forall(present.contains)
+    }
+  }
+
+  /** Best-effort staging reclaim: once a servable entry exists (or the
+    * original failure is already propagating), a cleanup hiccup must not
+    * fail the caller — the grace sweep reclaims what this misses.
+    */
+  private def discardTmp(cacheDir: String, tmp: String): Unit =
+    try io(cacheDir).deleteTree(tmp)
+    catch { case _: java.io.IOException => () }
+
   private def publishByManifest(cacheDir: String, tmp: String, target: String): Unit = {
     val fs = io(cacheDir)
-    if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
-    // a mid-protocol store failure must reclaim the result-sized staging
-    // copy before propagating (the rename path's catch does the same) —
-    // leaking one orphan per failed attempt until the 6h grace sweep is
-    // exactly what that catch was added to prevent. Orphan parts already
-    // copied into `target` are harmless: no manifest names them.
-    try {
-      val dataFiles = fs.listNames(tmp)
-        .filter(ArtifactIo.isDataFileName)
-      fs.createDirs(target)
-      dataFiles.foreach(fn => fs.linkOrCopy(child(tmp, fn), child(target, fn)))
-      // the plan-id marker travels too — invalidate's stale-stat scan
-      // needs it inside the published entry
-      fs.readBytes(child(tmp, PlanIdFile))
-        .foreach(b => fs.writeFile(child(target, PlanIdFile), b))
-      fs.writeFile(child(target, FilesManifest),
-        dataFiles.sorted.mkString("\n").getBytes("UTF-8"))
-      fs.touch(child(target, "_SUCCESS"))
-    } catch {
-      case e: java.io.IOException => fs.deleteTree(tmp); throw e
+    var attempts = 0
+    while (attempts < 3) {
+      // winner holds identical bytes — but only count a publish whose
+      // manifest survived intact (a racing invalidate can gut one)
+      if (isPublished(cacheDir, target) && manifestIntact(cacheDir, target)) {
+        discardTmp(cacheDir, tmp); return
+      }
+      // a mid-protocol store failure must reclaim the result-sized
+      // staging copy before propagating (the rename path's catch does
+      // the same) — without masking the ORIGINAL failure if the reclaim
+      // itself hiccups. Orphan parts already copied into `target` are
+      // harmless: no manifest names them.
+      try {
+        val dataFiles = fs.listNames(tmp)
+          .filter(ArtifactIo.isDataFileName)
+        fs.createDirs(target)
+        dataFiles.foreach(fn => fs.linkOrCopy(child(tmp, fn), child(target, fn)))
+        // the plan-id marker travels too — invalidate's stale-stat scan
+        // needs it inside the published entry
+        fs.readBytes(child(tmp, PlanIdFile))
+          .foreach(b => fs.writeFile(child(target, PlanIdFile), b))
+        fs.writeFile(child(target, FilesManifest),
+          dataFiles.sorted.mkString("\n").getBytes("UTF-8"))
+        fs.touch(child(target, "_SUCCESS"))
+      } catch {
+        case e: java.io.IOException =>
+          try fs.deleteTree(tmp)
+          catch { case e2: java.io.IOException => e.addSuppressed(e2) }
+          throw e
+      }
+      // post-publish verification: if an invalidate raced the copies
+      // (deleted parts before the manifest landed), the entry is a
+      // published corpse — un-publish it and retry from the staging
+      // copy, which still holds the full result. The re-read manifest
+      // may be a CONCURRENT winner's (complete by ITS copies) — that
+      // verifies intact and we stand down.
+      if (manifestIntact(cacheDir, target)) { discardTmp(cacheDir, tmp); return }
+      try {
+        fs.delete(child(target, "_SUCCESS"))
+        fs.delete(child(target, FilesManifest))
+      } catch { case _: java.io.IOException => () }
+      attempts += 1
     }
-    // the publish is committed (_SUCCESS is up) — a staging-cleanup
-    // failure here must not fail the caller; the grace sweep reclaims
-    try fs.deleteTree(tmp)
-    catch { case _: java.io.IOException => () }
+    discardTmp(cacheDir, tmp)
+    throw new IllegalStateException(
+      s"plan cache: could not publish $target after $attempts manifest commits — " +
+        "a concurrent invalidate loop is gutting this key's entries as fast as " +
+        "they publish")
   }
 
   private def publish(cacheDir: String, tmp: String, target: String): Unit = {
@@ -512,7 +561,7 @@ object PlanCache {
         try fs.tryRenameNoReplace(tmp, target)
         catch { case e: java.io.IOException => fs.deleteTree(tmp); throw e }
       if (renamed) return
-      if (isPublished(cacheDir, target)) { fs.deleteTree(tmp); return } // winner holds identical bytes
+      if (isPublished(cacheDir, target)) { discardTmp(cacheDir, tmp); return } // winner holds identical bytes
       fs.deleteTree(target) // unpublished corpse — reclaim and retry
       attempts += 1
       if (attempts >= 3) {

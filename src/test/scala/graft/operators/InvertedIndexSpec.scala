@@ -272,12 +272,21 @@ class InvertedIndexSpec extends SparkSuite {
     // window) keeps the tripwire up: this bomb plants a part-named file
     // into the artifact before throwing — local[32] tasks share the
     // filesystem, so the failure path's re-listing sees a new data file
-    // and must conservatively leave the marker
+    // and must conservatively leave the marker. The plant is a VALID
+    // schema-compatible parquet file, so the NEXT leg's prior-totals
+    // heal can read the directory and actually reach the guarded code
+    // (a garbage plant would fail that heal read BEFORE the code under
+    // test runs, making the next leg vacuous).
+    Seq((100L, "tok", 1L, 1L)).toDF("doc_id", "token", "tf", "dl")
+      .coalesce(1).write.parquet(s"$dir/plant-src")
+    val plantSrc = new java.io.File(s"$dir/plant-src").listFiles()
+      .map(_.getName).find(_.startsWith("part-")).map(n => s"$dir/plant-src/$n").get
     val planting = udf((s: String) => {
       if (s != null) {
-        java.nio.file.Files.write(
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(plantSrc),
           java.nio.file.Paths.get(s"$dir/s", "part-99999-planted.parquet"),
-          "partial".getBytes("UTF-8"))
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         throw new RuntimeException("died mid-commit")
       }
       s
@@ -286,11 +295,17 @@ class InvertedIndexSpec extends SparkSuite {
     intercept[Exception](InvertedIndex.appendScored(badPartial, "doc_id", "text", s"$dir/s"))
     assert(InvertedIndex.appendInProgress(s"$dir/s"),
       "a crash that DID commit keeps demanding recovery")
+    assert(InvertedIndex.readTotals(s"$dir/s").isEmpty,
+      "a partial commit must not restore a sidecar")
     // a PRE-EXISTING marker (an EARLIER crash's tripwire) must survive a
     // later clean failure: the clean-failure recovery may only clear a
     // marker THIS call raised, never erase evidence of the prior crash
     // (whose partial postings the tripwire exists to flag) — and must
-    // not heal-persist a sidecar computed over those partial postings
+    // not heal-persist a sidecar computed over those partial postings.
+    // This call HEALS its prior from the directory (sidecar is gone; the
+    // planted file reads fine), raises the marker over the already-up
+    // one, then fails cleanly — markerWasUp must suppress both the
+    // marker clear and the totals restore.
     intercept[Exception](InvertedIndex.appendScored(badP, "doc_id", "text", s"$dir/s"))
     assert(InvertedIndex.appendInProgress(s"$dir/s"),
       "an earlier crash's marker must survive a later clean failure")
