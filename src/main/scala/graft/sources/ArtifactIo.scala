@@ -112,6 +112,25 @@ private[graft] sealed trait ArtifactIo {
     */
   def renameAtomic: Boolean = true
 
+  /** One atomic conditional-PUT attempt: publish `bytes` whole at `path`
+    * IFF nothing exists there; `false` when the name was already taken
+    * (the caller's CAS lost — re-read and retry). The winner's bytes are
+    * visible complete or not at all — never torn, never an empty
+    * placeholder.
+    *
+    * Per store: the local impl is temp-write + `ATOMIC_MOVE` no-replace;
+    * the Hadoop impl is temp-write + [[tryRenameNoReplace]] (HDFS-family
+    * namespace renames are atomic for files as for directories; `file:`
+    * drops to the local impl); rename-by-copy object stores WITHOUT
+    * declared conditional-write support throw
+    * ([[ObjectStoreArtifactIo]]); stores declared under
+    * [[ArtifactIo.ConditionalPutExtraSchemesKey]] map it to
+    * `create(overwrite = false)` — the If-None-Match PUT, verdict atomic
+    * at close ([[CasObjectStoreArtifactIo]]). This is the ONE primitive
+    * [[CasSnapshots]]' commit protocol builds on.
+    */
+  def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean
+
   /** Child names of `dir` (not paths); empty when `dir` is missing or
     * not a directory.
     */
@@ -190,6 +209,28 @@ private[graft] object ArtifactIo {
     RenameByCopySchemes ++ conf.getTrimmedStrings(RenameByCopyExtraSchemesKey)
       .map(_.toLowerCase)
 
+  /** Rename-by-copy schemes whose deployment ALSO has atomic
+    * conditional writes — `create(overwrite = false)` honored as an
+    * If-None-Match PUT, verdict at close. DELIBERATELY empty by default
+    * and opt-in per deployment (comma-separated Hadoop conf key): the
+    * capability is store-AND-client dependent — S3 has offered
+    * `If-None-Match: *` publicly since November 2024 and GCS/Azure Blob
+    * always had generation-match/If-None-Match preconditions, but the
+    * Hadoop connector in use must actually SEND the precondition (s3a
+    * grew conditional-create support only in recent 3.4.x releases,
+    * behind its own flag). Declaring a scheme here asserts that
+    * end-to-end guarantee; [[forSnapshotPath]] then admits it through
+    * [[CasObjectStoreArtifactIo]] for [[CasSnapshots]]' CAS log
+    * protocol. A false declaration silently reverts the commit CAS to
+    * check-then-act — exactly the lost-update the protocol exists to
+    * prevent — so declare it only for verified endpoints. The tv6 gate
+    * declares its honestly-simulated `mock3c`.
+    */
+  val ConditionalPutExtraSchemesKey = "graft.artifact.conditional-put.extra-schemes"
+
+  private def conditionalPutSchemes(conf: Configuration): Set[String] =
+    conf.getTrimmedStrings(ConditionalPutExtraSchemesKey).map(_.toLowerCase).toSet
+
   /** Whether `path` is a LOCAL path form — scheme-less (two-plus-char
     * scheme rule keeps Windows drive letters local) or `file:` — the
     * one copy of the scheme classification [[forPath]]'s dispatch and
@@ -250,6 +291,37 @@ private[graft] object ArtifactIo {
       if (renameByCopySchemes(conf).contains(scheme.toLowerCase))
         new ObjectStoreArtifactIo(conf)
       else forPath(path)
+    case _ => LocalArtifactIo
+  }
+
+  /** [[forPath]] for [[CasSnapshots]] tables ONLY: additionally admits
+    * rename-by-copy object-store schemes IF the deployment declared
+    * atomic conditional writes for them
+    * ([[ConditionalPutExtraSchemesKey]]) — via
+    * [[CasObjectStoreArtifactIo]], whose rename/lock primitives still
+    * throw but whose [[ArtifactIo.tryPutIfAbsent]] is the store's
+    * If-None-Match PUT. The CAS log protocol is written against that one
+    * primitive plus whole-object PUTs and strong listing — nothing such
+    * stores lack. A rename-by-copy scheme WITHOUT the declaration fails
+    * loudly here: running the commit CAS over a non-atomic
+    * check-then-create would silently lose commits.
+    */
+  def forSnapshotPath(path: String): ArtifactIo = path match {
+    case SchemeRe(scheme) =>
+      val conf = hadoopConf()
+      if (renameByCopySchemes(conf).contains(scheme.toLowerCase)) {
+        require(conditionalPutSchemes(conf).contains(scheme.toLowerCase),
+          s"snapshot store: scheme '$scheme' ($path) is a rename-by-copy object " +
+            "store with NO declared conditional-write support — the CAS snapshot " +
+            "log needs an atomic create-exclusive PUT (If-None-Match). If this " +
+            "endpoint AND its Hadoop connector honor conditional creates (S3 " +
+            "since Nov 2024, GCS/Azure Blob always, with a connector that sends " +
+            s"the precondition), declare the scheme under " +
+            s"'$ConditionalPutExtraSchemesKey'; otherwise home the table on a " +
+            "rename-atomic store (hdfs://, abfss://, or a local path) and use " +
+            "graft.sources.Snapshots")
+        new CasObjectStoreArtifactIo(conf)
+      } else forPath(path)
     case _ => LocalArtifactIo
   }
 
@@ -325,6 +397,19 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
       // only a collision is a retryable claim loss
       case _: java.nio.file.FileSystemException if Files.exists(Paths.get(dst)) => false
     }
+
+  def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val dst = Paths.get(path)
+    Files.createDirectories(dst.getParent)
+    // temp-then-no-replace-move, NOT createFile+write: the winner's bytes
+    // must appear whole (a reader between create and write would see an
+    // empty log record)
+    val tmp = Files.createTempFile(dst.getParent, "." + dst.getFileName.toString, ".cas")
+    Files.write(tmp, bytes)
+    val won = tryRenameNoReplace(tmp.toString, dst.toString)
+    if (!won) Files.deleteIfExists(tmp): Unit
+    won
+  }
 
   def listNames(dir: String): Seq[String] = {
     val d = Paths.get(dir)
@@ -520,6 +605,27 @@ private[graft] class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
       case _: java.nio.file.FileAlreadyExistsException => false
       case e: java.io.IOException => if (fs(d).exists(d)) false else throw e
     }
+  }
+
+  def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val dst = new HPath(path)
+    // file: drops to the local impl (java.nio ATOMIC_MOVE — FileContext's
+    // no-replace rename on local stores is a TOCTOU, see
+    // tryRenameNoReplace); HDFS-family namespace renames are atomic for
+    // FILE destinations as for directories (one NameNode op), so
+    // temp-write + no-replace rename is a true CAS there.
+    if (dst.toUri.getScheme == "file")
+      return LocalArtifactIo.tryPutIfAbsent(dst.toUri.getPath, bytes)
+    val dir = dst.getParent
+    fs(dst).mkdirs(dir): Unit
+    val tmp = new HPath(dir,
+      s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.cas")
+    writeFile(tmp.toString, bytes)
+    val won =
+      try tryRenameNoReplace(tmp.toString, dst.toString)
+      catch { case e: java.io.IOException => delete(tmp.toString); throw e }
+    if (!won) delete(tmp.toString)
+    won
   }
 
   def listNames(dir: String): Seq[String] = listEntries(dir).map(_._1)
@@ -742,6 +848,21 @@ private[graft] final class ObjectStoreArtifactIo(conf: Configuration)
   override def tryWithLock[A](lockPath: String)(body: => A): Option[A] =
     unsupported("tryWithLock")
 
+  /** This store class has NO atomic conditional write — its
+    * `create(overwrite = false)` is a non-atomic check-then-act, and a
+    * CAS built on it silently loses commits under race. Deployments whose
+    * endpoint + connector DO honor If-None-Match declare the scheme under
+    * [[ArtifactIo.ConditionalPutExtraSchemesKey]] and resolve through
+    * [[CasObjectStoreArtifactIo]] instead.
+    */
+  override def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean =
+    throw new UnsupportedOperationException(
+      "object store: tryPutIfAbsent (atomic conditional PUT) is not available " +
+        "on this store — create(overwrite=false) here is a non-atomic " +
+        "check-then-act. If the endpoint and its Hadoop connector honor " +
+        "If-None-Match conditional creates, declare the scheme under '" +
+        ArtifactIo.ConditionalPutExtraSchemesKey + "'")
+
   /** No hard links on object stores, and [[HadoopArtifactIo.linkOrCopy]]'s
     * `overwrite = false` copy is a non-atomic exists-check here — the
     * manifest publish instead wants last-writer-wins whole-object copies
@@ -755,5 +876,35 @@ private[graft] final class ObjectStoreArtifactIo(conf: Configuration)
     org.apache.hadoop.fs.FileUtil.copy(s.getFileSystem(conf), s,
       d.getFileSystem(conf), d,
       /* deleteSource = */ false, /* overwrite = */ true, conf): Unit
+  }
+}
+
+/** [[ObjectStoreArtifactIo]] plus the one capability the deployment
+  * declared ([[ArtifactIo.ConditionalPutExtraSchemesKey]]): atomic
+  * conditional writes. [[tryPutIfAbsent]] maps to the store's
+  * If-None-Match PUT — `create(overwrite = false)` with the verdict at
+  * close: exactly one racing writer's whole object lands, losers get
+  * `FileAlreadyExistsException` with the name untouched. Rename and
+  * locks STILL throw (conditional writes do not make rename atomic) —
+  * [[CasSnapshots]] is the protocol written for exactly this primitive
+  * set; reached only via [[ArtifactIo.forSnapshotPath]].
+  */
+private[graft] final class CasObjectStoreArtifactIo(conf: Configuration)
+    extends ObjectStoreArtifactIo(conf) {
+
+  override def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try {
+      // the conditional PUT: exclusivity is the STORE's verdict, delivered
+      // at create() or at close() depending on the client (the simulator
+      // delivers at close, as S3 does for If-None-Match); either way the
+      // loser's bytes never land
+      val out = p.getFileSystem(conf).create(p, /* overwrite = */ false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
   }
 }

@@ -27,11 +27,19 @@ import org.apache.hadoop.util.Progressable
   * rejected by the strict [[ArtifactIo.forPath]] like any other
   * rename-by-copy scheme.
   */
-final class RenameByCopyMockFs extends RawLocalFileSystem {
+class RenameByCopyMockFs extends RawLocalFileSystem {
 
   override def getScheme: String = "mock3a"
 
   override def getUri: URI = URI.create("mock3a:///")
+
+  /** Whether `create(overwrite = false)` commits ATOMICALLY at close (the
+    * conditional-PUT / If-None-Match capability) — false here: the
+    * classic object-store class has only a non-atomic check-then-act,
+    * which is exactly why lock files and CAS protocols are unavailable on
+    * it. [[ConditionalPutMockFs]] flips it.
+    */
+  protected def conditionalPut: Boolean = false
 
   /** Visibility-at-close — the one atomicity object stores DO give (a
     * PUT appears whole at close or not at all; no torn or zero-byte
@@ -63,12 +71,49 @@ final class RenameByCopyMockFs extends RawLocalFileSystem {
       override def flush(): Unit = out.flush()
       override def close(): Unit = {
         out.close()
-        java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        if (!overwrite && conditionalPut) {
+          // the If-None-Match PUT: the exclusivity check happens at the
+          // COMMIT (close), atomically — a loser observes
+          // FileAlreadyExistsException from close() with the destination
+          // untouched, exactly the S3/GCS conditional-write contract. The
+          // in-flight object is reclaimed before the verdict propagates
+          // (a real store's failed PUT leaves nothing behind).
+          try
+            java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(pathToFile(tmp).toPath)
+              throw e
+          }
+        } else
+          java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
     }, null)
   }
+
+  /** Honesty guards (r19 ADVICE): RawLocalFileSystem's createNonRecursive
+    * writes IN PLACE, silently bypassing the visible-at-close funnel the
+    * simulator's claims rest on — and real object stores have no append
+    * at all. Both throw rather than simulate semantics the store class
+    * does not have. (Spark's parquet writer and FileUtil.copy route
+    * through `create`, which is funneled above.)
+    */
+  override def createNonRecursive(f: Path, permission: FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag], bufferSize: Int,
+      replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      s"$getScheme: createNonRecursive bypasses the mock's visible-at-close PUT " +
+        "funnel — route writes through create()")
+
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      s"$getScheme: object stores have no append — objects are immutable " +
+        "whole-PUT blobs")
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
@@ -101,4 +146,39 @@ final class RenameByCopyMockFs extends RawLocalFileSystem {
     FileUtil.copy(this, src, this, effectiveDst,
       /* deleteSource = */ true, /* overwrite = */ true, getConf)
   }
+}
+
+/** A rename-by-copy object store WITH conditional writes (`mock3c:`) —
+  * the store class S3 joined in November 2024 (`If-None-Match: *` on
+  * PUT/CompleteMultipartUpload), GCS has always been
+  * (`x-goog-if-generation-match: 0`), and Azure Blob likewise
+  * (`If-None-Match: *`): rename is STILL copy+delete and lock files are
+  * STILL unavailable, but `create(overwrite = false)` commits atomically
+  * at close — exactly one of N racing writers of a name wins, the losers
+  * observe `FileAlreadyExistsException` from `close()` with the
+  * destination untouched. That single primitive is a compare-and-swap on
+  * object existence, and it is ALL [[CasSnapshots]]' log-is-the-pointer
+  * commit protocol uses — proving the protocol never reaches for rename
+  * atomicity or locks (gate tv6, CasSnapshotsSpec).
+  *
+  * Registration (what the gate/spec does):
+  * {{{
+  *   hadoopConf.set("fs.mock3c.impl", classOf[ConditionalPutMockFs].getName)
+  *   hadoopConf.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3c")
+  *   hadoopConf.set(ArtifactIo.ConditionalPutExtraSchemesKey, "mock3c")
+  * }}}
+  * after which `mock3c:/some/local/dir` routes through
+  * [[CasObjectStoreArtifactIo]] in [[ArtifactIo.forSnapshotPath]], stays
+  * admissible to [[ArtifactIo.forCachePath]] (the plan cache's protocol
+  * needs nothing this store lacks), and is still rejected by the strict
+  * [[ArtifactIo.forPath]] — the rename/lock-dependent artifact families
+  * remain off-limits.
+  */
+final class ConditionalPutMockFs extends RenameByCopyMockFs {
+
+  override def getScheme: String = "mock3c"
+
+  override def getUri: URI = URI.create("mock3c:///")
+
+  override protected def conditionalPut: Boolean = true
 }

@@ -267,7 +267,7 @@ object PlanCache {
     sweepStaleTmp(cacheDir)
     val target = child(cacheDir, key)
     val outcome =
-      if (isPublished(cacheDir, target)) { touchAtime(cacheDir, target); Hit }
+      if (servable(cacheDir, target)) { touchAtime(cacheDir, target); Hit }
       else {
         val tmp = child(cacheDir, s".tmp-$key-${java.util.UUID.randomUUID()}")
         df.write.parquet(tmp)
@@ -316,7 +316,20 @@ object PlanCache {
           s"plan cache: published entry $target has an empty file manifest — " +
             "a parquet write always commits at least one part file; evict the entry")
         else spark.read.parquet(names.map(child(target, _)): _*)
-      case None => spark.read.parquet(target)
+      case None =>
+        // On a manifest-committed store a missing manifest is a corpse
+        // (eviction deletes children in unspecified order and can leave
+        // `_SUCCESS` briefly manifest-less) — falling back to the
+        // directory listing would read a lost double-publisher's orphan
+        // parts (doubled rows), exactly the read mode the manifest
+        // protocol exists to avoid. The attach path already re-misses on
+        // manifest-less entries (see `servable`); this is the
+        // defense-in-depth for the narrow hit-check→read race window.
+        if (!io(cacheDir).renameAtomic) throw new IllegalStateException(
+          s"plan cache: entry $target on an object store has no file manifest — " +
+            "a concurrent eviction gutted it between the hit check and this read; " +
+            "re-attach to recompute")
+        else spark.read.parquet(target)
     }
 
   /** The store-appropriate primitives for `cacheDir` — the plan cache's
@@ -444,6 +457,20 @@ object PlanCache {
   private def isPublished(cacheDir: String, target: String): Boolean =
     io(cacheDir).exists(child(target, "_SUCCESS"))
 
+  /** Whether a published entry can actually be SERVED: on rename-committed
+    * stores `_SUCCESS` is enough (the rename was atomic — the directory is
+    * whole); on manifest-committed object stores the entry must still hold
+    * its `_graft_files` manifest — `_SUCCESS` without it is an
+    * eviction-race corpse, and attaching to it as a Hit would either fail
+    * the read loudly ([[readPublished]]) or, worse, silently fall back to
+    * a directory listing that includes a lost double-publisher's orphan
+    * parts. A manifest-less corpse re-misses here and
+    * [[publishByManifest]] repairs the entry in place.
+    */
+  private def servable(cacheDir: String, target: String): Boolean =
+    isPublished(cacheDir, target) &&
+      (io(cacheDir).renameAtomic || io(cacheDir).exists(child(target, FilesManifest)))
+
   /** Atomic rename commit; on a concurrent publish keep the winner and
     * discard our copy (both hold identical bytes by construction). A
     * target that EXISTS but is not published (no `_SUCCESS` — the corpse
@@ -535,6 +562,11 @@ object PlanCache {
       // may be a CONCURRENT winner's (complete by ITS copies) — that
       // verifies intact and we stand down.
       if (manifestIntact(cacheDir, target)) { discardTmp(cacheDir, tmp); return }
+      // Transient un-publish window, acknowledged: a CONCURRENT winner
+      // that published between the intact-check above and these deletes
+      // is briefly un-published until this loop re-publishes — benign for
+      // a cache (a reader in the window misses and recomputes identical
+      // bytes) and bounded by the attempts cap.
       try {
         fs.delete(child(target, "_SUCCESS"))
         fs.delete(child(target, FilesManifest))
