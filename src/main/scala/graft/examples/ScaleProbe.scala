@@ -241,6 +241,62 @@ object ScaleProbe {
         }
         println(f"[probe] ${s"v3_srp_b${b}_t$tb"}%-24s ${ts}%6.2f s")
       }
+      // --lshsat — the DECLARED-parameter saturation table (SCALING.md
+      // "Honest gaps" closure, r19): the oracle-pinned gate
+      // parameterizations (d3's bands=16 word-3-gram MinHash, v3's
+      // bits=6 SRP) measured at THIS corpus size next to the
+      // contract-keyed forms (autoBands, autoBits(n)) — the wall of the
+      // full verified-pairs job plus the bucket-population shape that
+      // drives it: colliding buckets, max/mean members, raw candidate
+      // pairs Σ c(c−1)/2, the pairs the maxBucketSize=1000 guard keeps,
+      // and the hot buckets it drops. Run at sf0.1, /tmp/sf10x and
+      // /tmp/sf100x for the ladder: a FIXED key holds buckets ∝ n (raw
+      // candidates ~n²/2^keys, then the guard turns saturation into
+      // recall loss — hot buckets dropped whole), while the auto-keyed
+      // forms re-size to hold bucket population roughly constant. All
+      // counts printed are measured, never assumed.
+      if (args.contains("--lshsat")) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val nDocs = docs.count()
+        val nVec = emb.count() // raw count; autoBits label notes it
+        def stats(buckets: org.apache.spark.sql.DataFrame, label: String,
+            wallS: Double): Unit = {
+          val r = buckets.select(size(col("ids")).cast("long").as("c"))
+            .filter(col("c") > 1)
+            .agg(count(lit(1)).as("buckets"), max(col("c")).as("maxb"),
+              round(avg(col("c")), 1).as("meanb"),
+              sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_raw"),
+              sum(when(col("c") <= 1000, col("c") * (col("c") - 1) / 2)
+                .otherwise(0L)).cast("long").as("cand_kept"),
+              count(when(col("c") > 1000, 1)).as("hot_dropped"))
+            .collect()(0)
+          println(f"[probe] lshsat $label%-26s wall=$wallS%7.2f s  " +
+            s"buckets>1=${r.getLong(0)} max=${r.getLong(1)} mean=${r.get(2)} " +
+            s"cand_raw=${r.getLong(3)} cand_kept=${r.getLong(4)} hot_dropped=${r.getLong(5)}")
+        }
+        // d3's declared form vs the autoBands contract at this n
+        val aBands = Dedup.autoBands(64, 0.8)
+        for ((bands, tag) <- Seq((16, "declared_b16"), (aBands, s"auto_b$aBands"))) {
+          val w = timed {
+            Dedup.minhashNearDupPairs(docs, "doc_id", "text", bands = bands)
+              .write.format("noop").mode("overwrite").save()
+          }
+          stats(Dedup.minhashSketch(docs, "doc_id", "text", bands = bands),
+            s"d3_${tag}_n$nDocs", w)
+        }
+        // v3's declared form vs the autoBits contract at this n
+        val aBits = graft.operators.Similarity.autoBits(math.max(1L, nVec))
+        for ((bits, tag) <- Seq((6, "declared_bits6"), (aBits, s"auto_bits$aBits"))) {
+          val w = timed {
+            graft.operators.Similarity.annCosinePairs(
+              emb, "vec_id", "embedding", 64, 0.45, bits = bits)
+              .write.format("noop").mode("overwrite").save()
+          }
+          stats(graft.operators.Similarity.srpSketch(
+            emb, "vec_id", "embedding", 64, bits = bits), s"v3_${tag}_n$nVec", w)
+        }
+      }
       // --annsketch=bits:tables — the INCREMENTAL ANN screen (v10's
       // shape) at scale: the existing corpus (vec_id % 10 != 7) is
       // sketched ONCE to parquet (timed separately — the artifact build

@@ -189,6 +189,55 @@ object CurationQueries {
         .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"))
     },
 
+    // SNAPSHOTS ON A CONDITIONAL-PUT OBJECT STORE (r19 — the CAS
+    // admission proof, the pc1 playbook applied to the one family r18
+    // left decision-recorded): the tv5 composition — replace commit,
+    // tagged manifest-carry append, a dataChange=false maintenance
+    // rewrite (compaction shape, CAS-guarded by commitIfLatest), a
+    // second tagged append, both CDF feeds, and a pinned read of the
+    // manifest version — run against `mock3c:` (graft.sources
+    // .ConditionalPutMockFs), a store whose rename REALLY is copy+delete
+    // and whose ONLY extra primitive over mock3a is an If-None-Match PUT
+    // verdict-atomic at close. CasSnapshots' log-is-the-pointer protocol
+    // (each commit = ONE conditional PUT of _log/N; claim and publish
+    // the same atomic op — no locks, no orphan roll-forward) must serve
+    // the identical feed as the rename-store protocols. Two contract
+    // booleans ride along: a REPLAYED tagged batch returns its committed
+    // version without writing (exactly-once by CAS-linearized tag scan),
+    // and the version sequence is contiguous 1..4 (the log slots ARE the
+    // versions). Rename/lock-dependent families keep rejecting this
+    // store — ArtifactIoSpec/CasSnapshotsSpec pin that side.
+    "tv6_cas_object_store" -> { (s, dir) =>
+      import graft.sources.{ArtifactIo, CasSnapshots, ConditionalPutMockFs}
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.mock3c.impl", classOf[ConditionalPutMockFs].getName)
+      ArtifactIo.addExtraScheme(hc, ArtifactIo.RenameByCopyExtraSchemesKey, "mock3c")
+      ArtifactIo.addExtraScheme(hc, ArtifactIo.ConditionalPutExtraSchemesKey, "mock3c")
+      val table = "mock3c:" + QueryTmp.dir("cassnap") + "/docs"
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      def batch1 = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+      val v1 = CasSnapshots.commit(docs, table)
+      val v2 = CasSnapshots.commitAppend(batch1, table, tag = Some("batch-1"))
+      val replayV = CasSnapshots.commitAppend(batch1, table, tag = Some("batch-1"))
+      val vc = CasSnapshots.commitIfLatest(CasSnapshots.read(s, table), table,
+        expectedBase = v2, dataChange = false).get
+      val v4 = CasSnapshots.commitAppend(docs.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + 20000000L), table, tag = Some("batch-2"))
+      def agg(df: DataFrame, since: Int) = df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .withColumn("since", lit(since))
+      agg(CasSnapshots.readChanges(s, table, v1), 1)
+        .unionByName(agg(CasSnapshots.readChanges(s, table, vc), 2))
+        .unionByName(agg(CasSnapshots.read(s, table, Some(v2)), 3))
+        .withColumn("replay_idempotent", lit(replayV == v2))
+        .withColumn("contiguous", lit(v1 == 1 && v2 == 2 && vc == 3 && v4 == 4))
+        .select(col("since"), col("lang"), col("n"), col("chars"), col("id_sum"),
+          col("replay_idempotent"), col("contiguous"))
+    },
+
     // Data-quality admission checks (the dbt-test / expectations niche):
     // key uniqueness, null bound, referential integrity, value range,
     // and row-count floor over the warehouse tables, one (check_name,
@@ -963,6 +1012,29 @@ object CurationQueries {
          FROM b3 GROUP BY lang
          UNION ALL
          SELECT 3, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT
+         FROM v2full GROUP BY lang""",
+    // the tv5 replay on the conditional-PUT store, plus the two CAS
+    // contract booleans (a broken replay or non-contiguous log fails
+    // the hash on every row)
+    "tv6_cas_object_store" ->
+      """WITH b2 AS (SELECT doc_id + 10000000 AS doc_id, lang, text
+                     FROM documents WHERE doc_id % 10 = 3),
+           b3 AS (SELECT doc_id + 20000000 AS doc_id, lang, text
+                  FROM documents WHERE doc_id % 10 = 7),
+           since1 AS (SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+           v2full AS (SELECT doc_id, lang, text FROM documents
+                      UNION ALL SELECT * FROM b2)
+         SELECT 1 AS since, lang, count(*)::BIGINT AS n,
+           sum(len(text))::BIGINT AS chars, sum(doc_id)::BIGINT AS id_sum,
+           true AS replay_idempotent, true AS contiguous
+         FROM since1 GROUP BY lang
+         UNION ALL
+         SELECT 2, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT,
+           true, true
+         FROM b3 GROUP BY lang
+         UNION ALL
+         SELECT 3, lang, count(*)::BIGINT, sum(len(text))::BIGINT, sum(doc_id)::BIGINT,
+           true, true
          FROM v2full GROUP BY lang""",
     "dq1_quality_checks" ->
       """SELECT 'unique:o_orderkey' AS check_name,

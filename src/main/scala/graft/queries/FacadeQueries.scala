@@ -413,7 +413,7 @@ object FacadeQueries {
       import graft.sources.{ArtifactIo, PlanCache, RenameByCopyMockFs}
       val hc = s.sparkContext.hadoopConfiguration
       hc.set("fs.mock3a.impl", classOf[RenameByCopyMockFs].getName)
-      hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+      ArtifactIo.addExtraScheme(hc, ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
       val cacheDir = "mock3a:" + QueryTmp.dir("plancache-os")
       def plan(sess: SparkSession) =
         Tables.load(sess, dir, "orders")

@@ -231,6 +231,17 @@ private[graft] object ArtifactIo {
   private def conditionalPutSchemes(conf: Configuration): Set[String] =
     conf.getTrimmedStrings(ConditionalPutExtraSchemesKey).map(_.toLowerCase).toSet
 
+  /** ADD `scheme` to a comma-separated scheme-list conf key without
+    * clobbering earlier registrations — gates and specs registering
+    * simulator schemes (`mock3a`, `mock3c`) share one SparkContext
+    * hadoopConfiguration, and a plain `set` by whichever ran last would
+    * silently deregister the other's store mid-session.
+    */
+  def addExtraScheme(conf: Configuration, key: String, scheme: String): Unit = {
+    val cur = conf.getTrimmedStrings(key).toSet
+    conf.set(key, (cur + scheme).mkString(","))
+  }
+
   /** Whether `path` is a LOCAL path form — scheme-less (two-plus-char
     * scheme rule keeps Windows drive letters local) or `file:` — the
     * one copy of the scheme classification [[forPath]]'s dispatch and
@@ -401,14 +412,19 @@ private[graft] object LocalArtifactIo extends ArtifactIo {
   def tryPutIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
     val dst = Paths.get(path)
     Files.createDirectories(dst.getParent)
-    // temp-then-no-replace-move, NOT createFile+write: the winner's bytes
-    // must appear whole (a reader between create and write would see an
-    // empty log record)
+    // temp-then-LINK, not createFile+write (a reader between create and
+    // write would see an empty log record) and NOT ATOMIC_MOVE (on POSIX
+    // a FILE-destination rename silently REPLACES — the no-replace
+    // failure only holds for directory destinations; the trait note on
+    // tryRenameNoReplace warns exactly this). link(2) fails with EEXIST
+    // atomically: the one POSIX primitive that is both
+    // whole-content-at-publish and create-exclusive.
     val tmp = Files.createTempFile(dst.getParent, "." + dst.getFileName.toString, ".cas")
-    Files.write(tmp, bytes)
-    val won = tryRenameNoReplace(tmp.toString, dst.toString)
-    if (!won) Files.deleteIfExists(tmp): Unit
-    won
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(dst, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { Files.deleteIfExists(tmp): Unit }
   }
 
   def listNames(dir: String): Seq[String] = {
@@ -819,7 +835,7 @@ private[graft] class HadoopArtifactIo(conf: Configuration) extends ArtifactIo {
   * create-exclusive lock files — hence [[rename]]/[[renameReplace]]/
   * [[tryRenameNoReplace]]/[[withLock]]/[[tryWithLock]] throw.
   */
-private[graft] final class ObjectStoreArtifactIo(conf: Configuration)
+private[graft] class ObjectStoreArtifactIo(conf: Configuration)
     extends HadoopArtifactIo(conf) {
 
   override def renameAtomic: Boolean = false

@@ -75,17 +75,16 @@ class RenameByCopyMockFs extends RawLocalFileSystem {
           // the If-None-Match PUT: the exclusivity check happens at the
           // COMMIT (close), atomically — a loser observes
           // FileAlreadyExistsException from close() with the destination
-          // untouched, exactly the S3/GCS conditional-write contract. The
-          // in-flight object is reclaimed before the verdict propagates
-          // (a real store's failed PUT leaves nothing behind).
+          // untouched, exactly the S3/GCS conditional-write contract.
+          // link(2), NOT a no-replace ATOMIC_MOVE: POSIX rename silently
+          // REPLACES a file destination, which would simulate
+          // last-writer-wins — the opposite of the capability this mock
+          // exists to model. The in-flight object is reclaimed either
+          // way (a real store's failed PUT leaves nothing behind).
           try
-            java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
-          catch {
-            case e: java.nio.file.FileAlreadyExistsException =>
-              java.nio.file.Files.deleteIfExists(pathToFile(tmp).toPath)
-              throw e
-          }
+            java.nio.file.Files.createLink(pathToFile(f).toPath, pathToFile(tmp).toPath): Unit
+          finally
+            java.nio.file.Files.deleteIfExists(pathToFile(tmp).toPath): Unit
         } else
           java.nio.file.Files.move(pathToFile(tmp).toPath, pathToFile(f).toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,

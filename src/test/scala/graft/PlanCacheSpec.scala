@@ -477,7 +477,10 @@ class PlanCacheSpec extends SparkSuite {
   private def mock3aDir(tag: String): String = {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.mock3a.impl", classOf[graft.sources.RenameByCopyMockFs].getName)
-    hc.set(graft.sources.ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+    // additive — a plain set would deregister CasSnapshotsSpec's mock3c
+    // from the shared SparkContext configuration mid-suite
+    graft.sources.ArtifactIo.addExtraScheme(hc,
+      graft.sources.ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
     "mock3a:" + tmpDir(tag)
   }
 
