@@ -94,11 +94,16 @@ private[graft] sealed trait ArtifactIo {
     * (and the Hadoop impl special-cases `file:` down to it — Hadoop's
     * `FileContext.rename(NONE)` on local stores is an exists-check THEN
     * rename, a TOCTOU). On real HDFS-family stores the namespace rename
-    * is atomic. Every current caller renames a NON-EMPTY DIRECTORY into
-    * place, where even a raced check degrades to an `ENOTEMPTY` failure
-    * (caught, `false`) rather than a replace — a future FILE-destination
-    * caller on a non-`file:` scheme should re-verify its store's
-    * no-replace guarantee before relying on it.
+    * is atomic. Directory-destination callers (the version/entry claims)
+    * are safe everywhere: even a raced check degrades to an `ENOTEMPTY`
+    * failure (caught, `false`) rather than a replace. FILE destinations
+    * differ per store: POSIX rename silently REPLACES a file (which is
+    * why the LOCAL [[tryPutIfAbsent]] uses `link(2)`, not this), while
+    * HDFS-family `rename` without OVERWRITE is one atomic namespace op
+    * that rejects an existing file destination — the Hadoop
+    * [[tryPutIfAbsent]] relies on exactly that (r19, verified against
+    * the FileContext/ClientProtocol contract). A caller on a NEW scheme
+    * class must re-verify before relying on file-destination no-replace.
     */
   def tryRenameNoReplace(src: String, dst: String): Boolean
 

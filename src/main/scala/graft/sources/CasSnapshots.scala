@@ -254,13 +254,51 @@ object CasSnapshots {
     committed.get
   }
 
+  /** Roll the table back to `version`'s content by publishing a NEW
+    * version — the lakehouse RESTORE verb, and on this protocol it is
+    * pure metadata: the rollback record carries `version`'s resolved
+    * file list by NAME (own = empty, carry = the restored set), so the
+    * restore is ONE conditional PUT with zero data movement — cheaper
+    * than the rename-store protocol's link/copy carry-forward. History
+    * stays immutable and the log only grows; CAS-looped like
+    * [[commitAppend]], so a commit racing the rollback is never
+    * shadowed. No-op (returns `version`) when already latest. There is
+    * no unpublished-orphan guard to need ([[Snapshots.rollbackTo]]'s
+    * hardest precondition): a version with a log record IS published,
+    * by construction.
+    *
+    * [[readChanges]] across a rollback fails loudly (the interval's
+    * change is not expressible as additions); a tagged batch committed
+    * BEFORE the rollback still resolves on replay (the chain walk
+    * continues through rollback records — the [[Snapshots]] replay
+    * semantics).
+    */
+  def rollbackTo(tableDir: String, version: Int): Int = {
+    val restored = requireRecord(tableDir, version)
+    val fs = io(tableDir)
+    var committed: Option[Int] = None
+    while (committed.isEmpty) {
+      val base = latestVersion(tableDir).getOrElse(0)
+      require(base >= version,
+        s"rollbackTo: v=$version is above the latest ($base) of $tableDir")
+      if (base == version) return version
+      val rec = Record("rollback", restored.dir, base, None,
+        Seq.empty, resolvedFiles(restored))
+      if (fs.tryPutIfAbsent(recordPath(tableDir, base + 1), renderRecord(rec)))
+        committed = Some(base + 1)
+    }
+    committed.get
+  }
+
   /** The chain version carrying idempotence tag `t`, if any: walk the
     * base edges down from latest (O(chain) record reads — the
     * compaction/retention-bounded class). Only CHAIN members count — a
     * full [[commit]] replaced the table, so a batch committed before it
     * is not part of the new state and legitimately re-appends (the
-    * [[Snapshots]] semantics). The walk stops at a retention-dropped
-    * record: below it, nothing can be current state either.
+    * [[Snapshots]] semantics; the walk CONTINUES through rollback
+    * records, which restore content without cutting history). The walk
+    * stops at a retention-dropped record: below it, nothing can be
+    * current state either.
     */
   private def taggedInChain(tableDir: String, t: String): Option[Int] = {
     var cur = latestVersion(tableDir)
@@ -313,8 +351,8 @@ object CasSnapshots {
       rec.kind match {
         case "append" => rec.own.foreach(f => delta += child(tableDir, rec.dir, f))
         case "maintenance" => () // same rows as its base — empty delta
-        case _ => throw new IllegalStateException(
-          s"readChanges: v=$cur of $tableDir is a replace commit — the " +
+        case kind => throw new IllegalStateException(
+          s"readChanges: v=$cur of $tableDir is a $kind commit — the " +
             s"[$fromVersion, $to] change is not expressible as additions; " +
             "re-baseline by reading the full version instead")
       }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.sources.Snapshots
+import graft.sources.{ArtifactIo, CasSnapshots, Snapshots}
 
 /** Streaming sink into the versioned-table family — the durable half of
   * the reference's continuous telemetry loop (paper §6.2: live ingest →
@@ -43,17 +43,30 @@ object SnapshotSink {
     * what makes batch ids stable, which is what the idempotence tag keys
     * on. `carry` is passed through to every commit (see the object note
     * for when manifest mode is the right choice).
+    *
+    * Store dispatch (r19): a `tableDir` on a DECLARED conditional-PUT
+    * object store (see [[ArtifactIo.forSnapshotPath]]) commits through
+    * [[CasSnapshots]] instead — same per-trigger `batch-<id>` tag, same
+    * exactly-once replay contract, one conditional PUT per micro-batch.
+    * `carry` is ignored there: CAS records always carry inherited files
+    * by name (the manifest economics are intrinsic to that protocol).
+    * The dispatch is resolved ONCE at submission, which also preflights
+    * the path: an undeclared object-store scheme fails loudly at
+    * `start()`, not inside the first micro-batch.
     */
   def start(stream: DataFrame, tableDir: String, checkpointDir: String,
       queryName: String = "graft-snapshot-sink",
-      carry: Snapshots.CarryMode = Snapshots.CarryLinks): StreamingQuery =
+      carry: Snapshots.CarryMode = Snapshots.CarryLinks): StreamingQuery = {
+    val casStore = !ArtifactIo.forSnapshotPath(tableDir).renameAtomic
     stream.writeStream
       .outputMode("append")
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Snapshots.commitAppend(batch, tableDir, Some(s"batch-$batchId"), carry)
+        if (casStore) CasSnapshots.commitAppend(batch, tableDir, Some(s"batch-$batchId"))
+        else Snapshots.commitAppend(batch, tableDir, Some(s"batch-$batchId"), carry)
         ()
       }
       .start()
+  }
 }

@@ -203,6 +203,38 @@ class CasSnapshotsSpec extends SparkSuite {
     assert(CasSnapshots.latestVersion(table).contains(versions.head))
   }
 
+  test("rollbackTo: pure-metadata restore (one CAS, zero data movement), " +
+      "history immutable, pre-rollback tags still replay, feed breaks loudly") {
+    val table = mock3cDir("cas-rb") + "/t"
+    import spark.implicits._
+    val base = (1L to 30L).map(i => (i, "base")).toDF("id", "src")
+    val bad = (1L to 5L).map(i => (i, "bad")).toDF("id", "src")
+    val v1 = CasSnapshots.commit(base, table)
+    val v2 = CasSnapshots.commitAppend(bad, table, tag = Some("bad-batch"))
+    val dirsBefore = ArtifactIo.forSnapshotPath(table).listNames(table)
+      .count(_.startsWith("d-"))
+    val v3 = CasSnapshots.rollbackTo(table, v1)
+    assert(v3 == 3)
+    // zero data movement: no new data dir was created by the restore
+    assert(ArtifactIo.forSnapshotPath(table).listNames(table)
+      .count(_.startsWith("d-")) == dirsBefore)
+    // latest = v1's content; intermediate history untouched
+    assert(rows(table) == base.collect().map(_.toString).sorted.toSeq)
+    assert(rows(table, Some(v2)).length == 35)
+    // already-latest is a no-op
+    assert(CasSnapshots.rollbackTo(table, v3) == v3)
+    // the pre-rollback tag still resolves on replay (chain walk
+    // continues through the rollback record — no duplicate append)
+    assert(CasSnapshots.commitAppend(bad, table, tag = Some("bad-batch")) == v2)
+    // the feed across the rollback is not expressible as additions
+    val v4 = CasSnapshots.commitAppend(
+      (101L to 103L).map(i => (i, "after")).toDF("id", "src"), table)
+    assert(CasSnapshots.readChanges(spark, table, v3).count() == 3)
+    val ex = intercept[IllegalStateException](
+      CasSnapshots.readChanges(spark, table, v1, Some(v4)))
+    assert(ex.getMessage.contains("rollback"), ex.getMessage)
+  }
+
   test("retention + vacuum: dropped records' bytes reclaimed ONLY when no " +
       "surviving record carries them; crashed stages reclaimed after grace") {
     val table = mock3cDir("cas-vac") + "/t"
