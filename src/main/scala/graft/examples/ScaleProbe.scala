@@ -667,6 +667,68 @@ object ScaleProbe {
           println(f"[probe] ${s"fssnapchain_post${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
         }
       }
+      // --cassnap — the CAS snapshot protocol priced against the
+      // rename-store protocol (r19; the --pccache parity-probe pattern
+      // applied to tv6's family): the SAME ten-append + compact + three
+      // post-append chain run twice — `file:` Snapshots/CarryManifest
+      // (one claim rename + locked pointer publish per append) vs
+      // `mock3c:` CasSnapshots (ONE conditional PUT per append through
+      // copy-rename staging committers). Per-append wall + the record's
+      // carried-name count (the O(resolved files) term both protocols
+      // pay); compaction re-bases both. The CAS protocol's extra work is
+      // zero — it REMOVES the lock acquisition and two renames — so it
+      // must price at parity or better per commit, modulo the mock's
+      // copy-committer staging.
+      if (args.contains("--cassnap")) {
+        import graft.sources.{ArtifactIo, CasSnapshots, Compact, ConditionalPutMockFs, Snapshots}
+        val hc = spark.sparkContext.hadoopConfiguration
+        hc.set("fs.mock3c.impl", classOf[ConditionalPutMockFs].getName)
+        ArtifactIo.addExtraScheme(hc, ArtifactIo.RenameByCopyExtraSchemesKey, "mock3c")
+        ArtifactIo.addExtraScheme(hc, ArtifactIo.ConditionalPutExtraSchemesKey, "mock3c")
+        val docs = Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val base = docs.filter(col("doc_id") % 20 < 10)
+        def batch(i: Int) = docs.filter(col("doc_id") % 20 === 10 + (i % 10))
+        def chainOf(label: String, commitBase: () => Unit, appendOnce: Int => (Double, Int),
+            compactNow: () => (Double, String)): Unit = {
+          commitBase()
+          (0 until 10).map(appendOnce).zipWithIndex.foreach { case ((t, carried), i) =>
+            println(f"[probe] ${s"cassnap_${label}_app${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
+          }
+          val (tc, what) = compactNow()
+          println(f"[probe] ${s"cassnap_${label}_compact"}%-24s $tc%6.2f s ($what)")
+          (10 until 13).map(appendOnce).zipWithIndex.foreach { case ((t, carried), i) =>
+            println(f"[probe] ${s"cassnap_${label}_post${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
+          }
+        }
+        val root = graft.queries.QueryTmp.dir("probe-cassnap")
+        val fsT = s"file:$root/fs-man"
+        chainOf("fs_man",
+          () => { Snapshots.commit(base, fsT): Unit },
+          i => {
+            val t0 = System.nanoTime()
+            val v = Snapshots.commitAppend(batch(i), fsT, carry = Snapshots.CarryManifest)
+            ((System.nanoTime() - t0) / 1e9, Snapshots.carriedFileCount(fsT, v))
+          },
+          () => {
+            val t0 = System.nanoTime()
+            val (files, into) = Compact.compactVersion(spark, fsT, 512L * 1024 * 1024)
+            ((System.nanoTime() - t0) / 1e9, s"$files files -> $into")
+          })
+        val casT = s"mock3c:$root/cas"
+        chainOf("cas_mock3c",
+          () => { CasSnapshots.commit(base, casT): Unit },
+          i => {
+            val t0 = System.nanoTime()
+            val v = CasSnapshots.commitAppend(batch(i), casT)
+            ((System.nanoTime() - t0) / 1e9, CasSnapshots.carriedFileCount(casT, v))
+          },
+          () => {
+            val t0 = System.nanoTime()
+            val (v2, into) = CasSnapshots.compact(spark, casT, 512L * 1024 * 1024)
+            ((System.nanoTime() - t0) / 1e9, s"re-based at v=$v2 -> $into files")
+          })
+      }
       // --pccache — the plan cache's store-protocol price (r18): one
       // cold attach (compute + publish) and one warm attach (key derive
       // + read) of the SAME plan on each of the three store classes —

@@ -368,6 +368,61 @@ object CasSnapshots {
     else spark.read.parquet(delta.toSeq: _*)
   }
 
+  /** (data-file count, total bytes) of `v`'s RESOLVED file set — one
+    * listing per distinct source data dir (compaction accounting, the
+    * [[Snapshots.resolvedStats]] twin).
+    */
+  private def resolvedStats(tableDir: String, v: Int): (Int, Long) = {
+    val rels = resolvedFiles(requireRecord(tableDir, v))
+    val bytes = rels.groupBy(_.split('/').head).iterator.map { case (d, entries) =>
+      val names = entries.map(_.split('/').last).toSet
+      io(tableDir).listEntries(child(tableDir, d)).collect {
+        case (fn, false, size) if names.contains(fn) => size
+      }.sum
+    }.sum
+    (rels.length, bytes)
+  }
+
+  /** Carried-name count of version `v`'s record (0 = self-contained) —
+    * the observable the `--cassnap` probe quantifies: each append's
+    * record writes O(this count) names, the cost the compact-every-K
+    * rhythm reclaims (the [[Snapshots.carriedFileCount]] twin).
+    */
+  private[graft] def carriedFileCount(tableDir: String, v: Int): Int =
+    requireRecord(tableDir, v).carry.length
+
+  /** Compact the latest version toward `targetBytes`-sized files: read
+    * the resolved set, rewrite self-contained, publish as a
+    * `dataChange = false` maintenance version through the literal CAS
+    * ([[commitIfLatest]] — a commit racing the rewrite wins and the
+    * compaction re-reads and retries). [[readChanges]] walks through the
+    * result with an empty delta; after it, [[retainLast]] + [[vacuum]]
+    * can reclaim the chain it re-based — the [[Compact.compactVersion]]
+    * rhythm on the CAS store. Returns (version, data-file count); the
+    * already-compact fast path returns the current version untouched
+    * UNLESS its record still carries inherited files (the rewrite then
+    * IS the re-base that frees them for reclaim).
+    */
+  def compact(spark: SparkSession, tableDir: String, targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    var attempts = 0
+    while (attempts < 5) {
+      val v = latestVersion(tableDir).getOrElse(throw new IllegalArgumentException(
+        s"no committed version under $tableDir"))
+      val rec = requireRecord(tableDir, v)
+      val (cnt, bytes) = resolvedStats(tableDir, v)
+      val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (cnt <= n && rec.carry.isEmpty) return (v, cnt)
+      commitIfLatest(read(spark, tableDir, Some(v)).coalesce(n), tableDir, v,
+          dataChange = false) match {
+        case Some(newV) => return (newV, requireRecord(tableDir, newV).own.length)
+        case None => attempts += 1 // base moved — re-read and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compact: lost the publish race $attempts times under concurrent commits on $tableDir")
+  }
+
   /** Retention: delete commit records strictly below `latest − keep + 1`
     * (returns the dropped versions, ascending). Records only — bytes are
     * reclaimed by [[vacuum]], which keeps every data dir a SURVIVING

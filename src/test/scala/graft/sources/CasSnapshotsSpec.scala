@@ -235,6 +235,35 @@ class CasSnapshotsSpec extends SparkSuite {
     assert(ex.getMessage.contains("rollback"), ex.getMessage)
   }
 
+  test("compact: CAS-guarded maintenance re-base — same rows, self-contained " +
+      "record, feed walks through, predecessors reclaimable") {
+    val table = mock3cDir("cas-compact") + "/t"
+    import spark.implicits._
+    val v1 = CasSnapshots.commit(
+      (1L to 30L).map(i => (i, "base")).toDF("id", "src"), table)
+    (1 to 3).foreach { k =>
+      CasSnapshots.commitAppend(
+        (1L to 5L).map(i => (100L * k + i, s"b$k")).toDF("id", "src"), table): Unit
+    }
+    val before = rows(table)
+    assert(CasSnapshots.carriedFileCount(table, 4) > 0, "appends must carry by name")
+    val (vc, files) = CasSnapshots.compact(spark, table, targetBytes = 1L << 30)
+    assert(vc == 5 && files >= 1)
+    assert(CasSnapshots.carriedFileCount(table, vc) == 0, "compaction must re-base self-contained")
+    assert(rows(table) == before, "compaction changed table content")
+    // the feed from v1 walks THROUGH the maintenance version: still the
+    // three appended batches, nothing doubled
+    assert(CasSnapshots.readChanges(spark, table, v1).count() == 15L)
+    // a second scheduled compaction on the already-compact table is a no-op
+    assert(CasSnapshots.compact(spark, table, targetBytes = 1L << 30) == ((vc, files)))
+    // post-compaction: retention + vacuum reclaim everything below the
+    // re-base EXCEPT nothing — the compacted version owns its bytes
+    CasSnapshots.retainLast(table, keep = 1): Unit
+    val swept = CasSnapshots.vacuum(table, graceMs = 0L)
+    assert(swept.length == 4, s"all four pre-compact dirs reclaim, got $swept")
+    assert(rows(table) == before)
+  }
+
   test("retention + vacuum: dropped records' bytes reclaimed ONLY when no " +
       "surviving record carries them; crashed stages reclaimed after grace") {
     val table = mock3cDir("cas-vac") + "/t"
