@@ -262,13 +262,18 @@ object ScaleProbe {
         val nVec = emb.count() // raw count; autoBits label notes it
         def stats(buckets: org.apache.spark.sql.DataFrame, label: String,
             wallS: Double): Unit = {
+          // coalesce the no-colliding-buckets case: max/avg/sum over an
+          // empty set are NULL and a bare getLong would NPE — a
+          // parameterization with zero collisions must print a zero row,
+          // not kill the ladder
           val r = buckets.select(size(col("ids")).cast("long").as("c"))
             .filter(col("c") > 1)
-            .agg(count(lit(1)).as("buckets"), max(col("c")).as("maxb"),
-              round(avg(col("c")), 1).as("meanb"),
-              sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_raw"),
-              sum(when(col("c") <= 1000, col("c") * (col("c") - 1) / 2)
-                .otherwise(0L)).cast("long").as("cand_kept"),
+            .agg(count(lit(1)).as("buckets"),
+              coalesce(max(col("c")), lit(0L)).as("maxb"),
+              coalesce(round(avg(col("c")), 1), lit(0.0)).as("meanb"),
+              coalesce(sum(col("c") * (col("c") - 1) / 2).cast("long"), lit(0L)).as("cand_raw"),
+              coalesce(sum(when(col("c") <= 1000, col("c") * (col("c") - 1) / 2)
+                .otherwise(0L)).cast("long"), lit(0L)).as("cand_kept"),
               count(when(col("c") > 1000, 1)).as("hot_dropped"))
             .collect()(0)
           println(f"[probe] lshsat $label%-26s wall=$wallS%7.2f s  " +
@@ -659,9 +664,11 @@ object ScaleProbe {
           println(f"[probe] ${s"fssnapchain_app${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
         }
         val tc0 = System.nanoTime()
-        val (files, into) = Compact.compactVersion(spark, table, 512L * 1024 * 1024)
+        // compactVersion returns (newVersion, dataFileCount) — label
+        // accordingly (the pre-r19 print swapped them)
+        val (vComp, nFiles) = Compact.compactVersion(spark, table, 512L * 1024 * 1024)
         println(f"[probe] ${"fssnapchain_compact"}%-24s ${(System.nanoTime() - tc0) / 1e9}%6.2f s " +
-          s"($files files -> $into)")
+          s"(re-based at v=$vComp -> $nFiles files)")
         val post = (10 until 13).map(appendOnce)
         post.zipWithIndex.foreach { case ((t, carried), i) =>
           println(f"[probe] ${s"fssnapchain_post${i + 1}"}%-24s ${t}%6.2f s (carries $carried file names)")
@@ -712,8 +719,8 @@ object ScaleProbe {
           },
           () => {
             val t0 = System.nanoTime()
-            val (files, into) = Compact.compactVersion(spark, fsT, 512L * 1024 * 1024)
-            ((System.nanoTime() - t0) / 1e9, s"$files files -> $into")
+            val (vComp, nFiles) = Compact.compactVersion(spark, fsT, 512L * 1024 * 1024)
+            ((System.nanoTime() - t0) / 1e9, s"re-based at v=$vComp -> $nFiles files")
           })
         val casT = s"mock3c:$root/cas"
         chainOf("cas_mock3c",
@@ -742,7 +749,9 @@ object ScaleProbe {
         import graft.sources.{ArtifactIo, PlanCache, RenameByCopyMockFs}
         val hc = spark.sparkContext.hadoopConfiguration
         hc.set("fs.mock3a.impl", classOf[RenameByCopyMockFs].getName)
-        hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+        // additive — a plain set would deregister --cassnap's mock3c in
+        // the same session conf
+        ArtifactIo.addExtraScheme(hc, ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
         val root = graft.queries.QueryTmp.dir("probe-pccache")
         def plan() = Tables.load(spark, sfDir, "orders")
           .groupBy(col("o_orderpriority"))

@@ -123,10 +123,13 @@ private[graft] sealed trait ArtifactIo {
     * visible complete or not at all — never torn, never an empty
     * placeholder.
     *
-    * Per store: the local impl is temp-write + `ATOMIC_MOVE` no-replace;
-    * the Hadoop impl is temp-write + [[tryRenameNoReplace]] (HDFS-family
-    * namespace renames are atomic for files as for directories; `file:`
-    * drops to the local impl); rename-by-copy object stores WITHOUT
+    * Per store: the local impl is temp-write + `createLink` (link(2)
+    * fails with EEXIST atomically — POSIX rename of a FILE destination
+    * silently replaces, so a no-replace `ATOMIC_MOVE` is NOT a CAS
+    * here); the Hadoop impl is temp-write + [[tryRenameNoReplace]]
+    * (HDFS-family namespace renames atomically reject an existing file
+    * destination; `file:` drops to the local impl); rename-by-copy
+    * object stores WITHOUT
     * declared conditional-write support throw
     * ([[ObjectStoreArtifactIo]]); stores declared under
     * [[ArtifactIo.ConditionalPutExtraSchemesKey]] map it to
@@ -325,6 +328,22 @@ private[graft] object ArtifactIo {
   def forSnapshotPath(path: String): ArtifactIo = path match {
     case SchemeRe(scheme) =>
       val conf = hadoopConf()
+      // fail CLOSED on a half-declared scheme: conditional-put declared
+      // but not rename-by-copy would fall through to forPath and run the
+      // rename/lock protocol on an object store — the corruption class
+      // this gate exists to reject. A custom object-store scheme must
+      // declare BOTH keys (as the mock3c registrations do): the
+      // rename-by-copy declaration is what keeps it out of every
+      // rename-dependent family, the conditional-put one is what admits
+      // it here.
+      require(!conditionalPutSchemes(conf).contains(scheme.toLowerCase)
+          || renameByCopySchemes(conf).contains(scheme.toLowerCase),
+        s"snapshot store: scheme '$scheme' ($path) is declared under " +
+          s"'$ConditionalPutExtraSchemesKey' but not under " +
+          s"'$RenameByCopyExtraSchemesKey' — declare both (conditional writes " +
+          "are a capability OF an object store; without the rename-by-copy " +
+          "declaration the scheme would be treated as rename-atomic everywhere " +
+          "else)")
       if (renameByCopySchemes(conf).contains(scheme.toLowerCase)) {
         require(conditionalPutSchemes(conf).contains(scheme.toLowerCase),
           s"snapshot store: scheme '$scheme' ($path) is a rename-by-copy object " +

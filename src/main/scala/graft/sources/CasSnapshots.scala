@@ -195,6 +195,15 @@ object CasSnapshots {
     */
   def commitIfLatest(df: DataFrame, tableDir: String, expectedBase: Int,
       dataChange: Boolean = true): Option[Int] = {
+    // fail CLOSED on an above-latest expectedBase: the CAS alone would
+    // fail OPEN there — _log/expectedBase+1 is a FREE slot, so a stale
+    // caller would publish into it and punch a hole in the version
+    // sequence (requireRecord on every chain walk then throws, and
+    // taggedInChainFrom reads the hole as retention — replays would
+    // re-append). Below-latest stays the CAS's job (slot taken → None).
+    require(latestVersion(tableDir).getOrElse(0) >= expectedBase,
+      s"commitIfLatest: expectedBase=$expectedBase is above the latest version of " +
+        s"$tableDir — no such base was ever committed")
     val (dirName, own) = stage(df, tableDir)
     val kind = if (dataChange) "replace" else "maintenance"
     val rec = Record(kind, dirName, expectedBase, None, own, Seq.empty)
@@ -228,18 +237,25 @@ object CasSnapshots {
     val (dirName, own) = stage(df, tableDir)
     var committed: Option[Int] = None
     while (committed.isEmpty) {
-      // re-scan the tag EVERY iteration: a concurrent replayer of the
-      // same batch may have won a slot since we staged — committing ours
-      // too would double the rows. The scan and our CAS are linearized
-      // by the slot: if the peer wins slot N first, our CAS at N fails
-      // and THIS rescan (next iteration) sees its tag.
-      val replayed = tag.flatMap(taggedInChain(tableDir, _))
+      // PIN the base FIRST, then re-scan the tag FROM that base, then
+      // CAS base+1 — in that order, every iteration. The ordering is
+      // what linearizes replay-vs-commit: every tag committed at or
+      // below the pinned base is seen by this scan, and a peer
+      // committing the same tag AFTER the base read must take slot
+      // base+1 (slots are always latest+1), which makes OUR CAS at
+      // base+1 fail and the next iteration's scan see it. Scanning from
+      // a FRESH latest instead (the pre-fix shape) loses exactly that
+      // race: peer wins base+1 with the tag between our scan and our
+      // base read, we CAS the now-free base+2, and the batch's rows
+      // land twice — once carried from the peer's version, once as our
+      // own files.
+      val base = latestVersion(tableDir).getOrElse(0)
+      val replayed = tag.flatMap(taggedInChainFrom(tableDir, _, base))
       replayed match {
         case Some(v0) =>
           fs.deleteTree(child(tableDir, dirName))
           committed = Some(v0)
         case None =>
-          val base = latestVersion(tableDir).getOrElse(0)
           val carry =
             if (base == 0) Seq.empty
             else {
@@ -300,8 +316,16 @@ object CasSnapshots {
     * stops at a retention-dropped record: below it, nothing can be
     * current state either.
     */
-  private def taggedInChain(tableDir: String, t: String): Option[Int] = {
-    var cur = latestVersion(tableDir)
+  private def taggedInChain(tableDir: String, t: String): Option[Int] =
+    taggedInChainFrom(tableDir, t, latestVersion(tableDir).getOrElse(0))
+
+  /** [[taggedInChain]] walking down from a CALLER-PINNED head version —
+    * the commit loop's form: pinning the head before the scan (and
+    * CASing head+1 after it) is what closes the scan-vs-commit race;
+    * see the [[commitAppend]] loop comment.
+    */
+  private def taggedInChainFrom(tableDir: String, t: String, from: Int): Option[Int] = {
+    var cur = Option(from).filter(_ > 0)
     while (cur.exists(_ > 0)) {
       readRecord(tableDir, cur.get) match {
         case None => return None // retention dropped the record — chain ends

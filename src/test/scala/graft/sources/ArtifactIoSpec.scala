@@ -102,7 +102,9 @@ class ArtifactIoSpec extends SparkSuite {
   test("object-store io: supported primitives roundtrip on mock3a; rename/lock throw") {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.mock3a.impl", classOf[graft.sources.RenameByCopyMockFs].getName)
-    hc.set(ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
+    // additive — a plain set would deregister CasSnapshotsSpec's mock3c
+    // from the shared session conf
+    ArtifactIo.addExtraScheme(hc, ArtifactIo.RenameByCopyExtraSchemesKey, "mock3a")
     val root = "mock3a:" + tmpDir("graft-aio-os")
     val io = ArtifactIo.forCachePath(root)
     assert(!io.renameAtomic)

@@ -57,6 +57,13 @@ class CasSnapshotsSpec extends SparkSuite {
     assert(ex2.getMessage.contains(ArtifactIo.ConditionalPutExtraSchemesKey), ex2.getMessage)
     // non-object-store paths resolve identically under both entry points
     assert(ArtifactIo.forSnapshotPath("/tmp/x") eq ArtifactIo.forPath("/tmp/x"))
+    // a HALF-declared scheme (conditional-put without rename-by-copy)
+    // fails closed: falling through to forPath would run the rename/lock
+    // protocol on an object store
+    ArtifactIo.addExtraScheme(hc, ArtifactIo.ConditionalPutExtraSchemesKey, "mock3x")
+    val ex3 = intercept[IllegalArgumentException](
+      ArtifactIo.forSnapshotPath("mock3x:/tmp/x"))
+    assert(ex3.getMessage.contains("declare both"), ex3.getMessage)
   }
 
   test("tryPutIfAbsent: winner's whole bytes land, loser leaves the object " +
@@ -122,6 +129,12 @@ class CasSnapshotsSpec extends SparkSuite {
     // CAS-guarded maintenance rewrite (compaction shape): stale base loses
     assert(CasSnapshots.commitIfLatest(CasSnapshots.read(spark, table), table,
       expectedBase = v1, dataChange = false).isEmpty)
+    // an ABOVE-latest expectedBase fails closed (the CAS alone would
+    // fail open — the future slot is free — and punch a hole in the log)
+    val exAbove = intercept[IllegalArgumentException](
+      CasSnapshots.commitIfLatest(CasSnapshots.read(spark, table), table,
+        expectedBase = 99, dataChange = false))
+    assert(exAbove.getMessage.contains("above the latest"), exAbove.getMessage)
     val vc = CasSnapshots.commitIfLatest(CasSnapshots.read(spark, table), table,
       expectedBase = v2, dataChange = false).get
     assert(vc == 3)
