@@ -227,7 +227,21 @@ object CasSnapshots {
     * in-loop chain scan plus the slot CAS linearize every
     * replay-vs-commit race.
     */
-  def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None): Int = {
+  def commitAppend(df: DataFrame, tableDir: String, tag: Option[String] = None): Int =
+    commitAppendHooked(df, tableDir, tag, () => ())
+
+  /** [[commitAppend]] with a TEST SEAM: `afterTagScan` runs between each
+    * iteration's tag chain scan and its slot CAS — the window the r19
+    * review found a duplication race in. CasSnapshotsSpec drives a
+    * peer's same-tag commit inside that window deterministically: the
+    * pinned-base ordering makes the peer take OUR slot (failing our CAS
+    * into a rescan that finds its tag), where the pre-fix
+    * fresh-latest-scan ordering would have CASed the next free slot and
+    * landed the batch twice. Production callers use [[commitAppend]];
+    * the hook must not touch the table through this same call.
+    */
+  private[graft] def commitAppendHooked(df: DataFrame, tableDir: String,
+      tag: Option[String], afterTagScan: () => Unit): Int = {
     val fs = io(tableDir)
     fs.createDirs(child(tableDir, LogDir))
     // replay fast-path BEFORE staging: a redelivered batch that is
@@ -251,6 +265,7 @@ object CasSnapshots {
       // own files.
       val base = latestVersion(tableDir).getOrElse(0)
       val replayed = tag.flatMap(taggedInChainFrom(tableDir, _, base))
+      afterTagScan()
       replayed match {
         case Some(v0) =>
           fs.deleteTree(child(tableDir, dirName))

@@ -192,6 +192,34 @@ class CasSnapshotsSpec extends SparkSuite {
     assert(CasSnapshots.readChanges(spark, table, 1).count() == 40L)
   }
 
+  test("DETERMINISTIC scan-vs-commit interleave: a peer winning the slot " +
+      "between the tag scan and the CAS must not duplicate the batch") {
+    // the exact window the r19 review found: the committer's tag scan
+    // sees no tag, then a PEER commits the same tag before our CAS. The
+    // pinned-base ordering forces the peer onto OUR slot — our CAS
+    // fails and the rescan finds its tag. (The pre-fix fresh-latest
+    // ordering read the base AFTER the scan, CASed the next FREE slot,
+    // and landed the batch twice — once carried from the peer's
+    // version, once as own files.)
+    val table = mock3cDir("cas-interleave") + "/t"
+    import spark.implicits._
+    CasSnapshots.commit((1L to 20L).map(i => (i, "base")).toDF("id", "src"), table): Unit
+    def batch = (1L to 10L).map(i => (5000L + i, "dup")).toDF("id", "src")
+    var fired = false
+    val v = CasSnapshots.commitAppendHooked(batch, table, Some("the-batch"), () => {
+      if (!fired) { // first iteration only — the peer redelivery
+        fired = true
+        CasSnapshots.commitAppend(batch, table, Some("the-batch")): Unit
+      }
+    })
+    assert(fired, "the interleave hook must have run")
+    assert(v == 2, s"the committer must adopt the peer's version, got $v")
+    assert(CasSnapshots.latestVersion(table).contains(2),
+      "no second version may exist — the loser must stand down, not take the next slot")
+    val n = CasSnapshots.read(spark, table).filter(col("src") === "dup").count()
+    assert(n == 10L, s"batch landed $n rows, want exactly 10 (no duplication)")
+  }
+
   test("4 racers REPLAYING one tagged batch: one version, rows land once — " +
       "exactly-once under concurrent redelivery") {
     val table = mock3cDir("cas-replay") + "/t"
