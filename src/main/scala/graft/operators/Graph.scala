@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge
 
@@ -15,24 +15,47 @@ import org.apache.spark.sql.graftbridge
   */
 object Graph {
 
-  /** The pinned loop invariants of a PageRank run: the degree-joined
-    * edge list, the (node, count) frame, and — dangling mode only — the
-    * distinct source-id set. All cached; [[release]] drops all three.
+  /** Rank vectors at or below this node count ride a broadcast into each
+    * round's edge join (the contrib join becomes a map-only
+    * BroadcastHashJoin over the cached edge list — the edges are never
+    * exchanged, in any round). Above it, the edge cache is instead laid
+    * out hash-partitioned + sorted on the source id once at setup, so
+    * the per-round sort-merge join exchanges ONLY the node-sized rank
+    * frame (guide §2.4/§3.1). 2M rank rows ≈ tens of MB built — inside
+    * every sizing guidance for broadcast relations; override with
+    * `spark.graft.pagerank.broadcastNodes` where executors are tighter
+    * or roomier.
     */
-  private case class PrState(e: DataFrame, ids: DataFrame, srcs: Option[DataFrame]) {
-    def release(): Unit = { e.unpersist(); ids.unpersist(); srcs.foreach(_.unpersist()); () }
+  val BroadcastNodesDefault = 2000000L
+
+  /** The pinned loop invariants of a PageRank run: the degree-joined
+    * edge list, the node frame (`__node` [+ `__out` in dangling mode]),
+    * the collected node count, and the broadcast decision. All cached;
+    * [[release]] drops both frames.
+    */
+  private case class PrState(e: DataFrame, ids: DataFrame, n: Double,
+      dangling: Boolean, bcastRanks: Boolean) {
+    def release(): Unit = { e.unpersist(); ids.unpersist(); () }
   }
 
   /** Build and pin the loop invariants (shared by the fixed-iteration
     * and convergence forms so the arithmetic can never diverge between
     * them). Weight validation lives here — see [[pageRank]]'s Scaladoc.
+    *
+    * Runs ONE job at call time: the node count. Knowing n as a literal
+    * (instead of a 1-row crossJoin-broadcast total in every round's
+    * plan) removes a broadcast exchange per round and is what the
+    * broadcast-vs-copartition decision keys on.
     */
   private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, weightCol: Option[String],
       redistributeDangling: Boolean): PrState = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val rawIds = nodes.select(col(nodeCol).as("__node"))
-    val nTotal = rawIds.agg(count(lit(1)).cast("double").as("__cnt"))
+    val n = rawIds.count().toDouble
+    val bcastRanks = n <= edges.sparkSession.conf
+      .getOption("spark.graft.pagerank.broadcastNodes")
+      .map(_.toLong).getOrElse(BroadcastNodesDefault).toDouble
     // null and NEGATIVE weights fail loudly AT EXECUTION (see Scaladoc)
     // — the when-condition is null for a null weight, so both cases fall
     // to the raise_error branch; zero passes (no mass, no poison).
@@ -53,46 +76,89 @@ object Graph {
       when(col("__deg") > 0, col("__deg")).otherwise(raise_error(concat(
         lit("pageRank: source "), col("__src").cast("string"),
         lit(" has edges but non-positive total out-weight — filter or threshold upstream"))))
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
+    val eJoined = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .join(outd, "__src")
       .select(col("__src"), col("__dst"), col("__w"), degChecked.as("__deg"))
+    // broadcast mode: the edge cache is never exchanged (every round's
+    // contrib join is a map-side BHJ), so keep the scan layout. Else lay
+    // the cache out partitioned + sorted on __src ONCE, so each round's
+    // sort-merge join re-uses it and exchanges only the rank frame —
+    // the loop-invariant side must not pay a shuffle per round (§2.4).
+    val e = (if (bcastRanks) eJoined
+             else eJoined.repartition(col("__src")).sortWithinPartitions("__src"))
       .persist(lvl)
-    val ids = rawIds.crossJoin(broadcast(nTotal)).persist(lvl)
-    val srcs =
-      if (redistributeDangling) Some(e.select(col("__src").as("__node")).distinct().persist(lvl))
-      else None
-    PrState(e, ids, srcs)
+    // dangling mode pins has-out-edges as a static per-node flag (the
+    // dangling SET never changes between rounds — only the mass does),
+    // replacing what used to be a per-round anti-join against a distinct
+    // source-id frame with a flag already sitting on the rank rows.
+    val ids0 = rawIds
+    val ids = (if (redistributeDangling)
+        ids0.join(e.select(col("__src").as("__node")).distinct()
+            .withColumn("__has_out", lit(true)), Seq("__node"), "left")
+          .select(col("__node"), coalesce(col("__has_out"), lit(false)).as("__out"))
+      else ids0).persist(lvl)
+    PrState(e, ids, n, redistributeDangling, bcastRanks)
   }
 
   /** One propagation round: `pr_{t+1}(v) = (1−d)/n + d·(Σ pr_t(u)·w/W(u)
     * [+ S_t/n])` — the single source of the PageRank arithmetic, driven
     * by both public forms.
+    *
+    * `carryPrev = true` (the convergence loop) uses `pr` itself as the
+    * node frame — every rank row carries its previous value out as
+    * `__pr0`, so the caller can fold the delta check into the SAME job
+    * via `observe()` instead of running a second join+agg job per round.
+    * Only sound when `pr` is materialized (a checkpoint): the lazy
+    * fixed-iteration form keeps the cached `ids` node frame so each
+    * round references `pr` once and the unrolled lineage stays linear.
+    *
+    * `prMaterialized` gates the broadcast hint: hinting a LAZY rank
+    * frame (the unrolled prior-round plan) measured SLOWER than letting
+    * AQE re-plan the unrolled tree (v8 3.99→4.76 s, v8b 6.49→9.36 s on
+    * the same session) — each round's BroadcastExchange serializes the
+    * whole prior lineage through a driver collect instead of letting
+    * the stage DAG pipeline. A checkpointed rank frame has no such
+    * lineage, and there the hint removes both join exchanges per round.
     */
-  private def prRound(st: PrState, pr: DataFrame, damping: Double): DataFrame = {
-    val contrib = st.e.join(pr, col("__src") === col("__node"))
+  private def prRound(st: PrState, pr: DataFrame, damping: Double,
+      carryPrev: Boolean = false, prMaterialized: Boolean = false): DataFrame = {
+    val prj = pr.select(col("__node"), col("__pr"))
+    val contrib = st.e.join(if (st.bcastRanks && prMaterialized) broadcast(prj) else prj,
+        col("__src") === col("__node"))
       .groupBy(col("__dst").as("__to"))
       .agg(sum(col("__pr") * col("__w") / col("__deg")).as("__m"))
-    val inMass = st.srcs match {
-      case None => coalesce(col("__m"), lit(0.0))
-      case Some(_) => coalesce(col("__m"), lit(0.0)) + col("__dm") / col("__cnt")
-    }
-    val joined = st.ids.join(contrib, col("__node") === col("__to"), "left")
-    val withDangling = st.srcs match {
-      case None => joined
-      case Some(s) =>
-        // S_t: summed rank of nodes with no out-edges this round —
-        // a 1-row broadcast, like the node count
-        val dangMass = pr.join(s, Seq("__node"), "left_anti")
+    val inMass =
+      if (!st.dangling) coalesce(col("__m"), lit(0.0))
+      else coalesce(col("__m"), lit(0.0)) + col("__dm") / lit(st.n)
+    val nodeF =
+      if (carryPrev)
+        pr.select(col("__node") +: col("__pr").as("__pr0") +:
+          (if (st.dangling) Seq(col("__out")) else Nil): _*)
+      else st.ids
+    val joined = nodeF.join(contrib, col("__node") === col("__to"), "left")
+    val withDangling =
+      if (!st.dangling) joined
+      else {
+        // S_t: summed rank of the (static) dangling node set this round —
+        // a 1-row broadcast, like the node count. The flag lives on the
+        // rank rows, so this is one agg over pr, no join.
+        val dangMass = pr.filter(!col("__out"))
           .agg(coalesce(sum(col("__pr")), lit(0.0)).as("__dm"))
         joined.crossJoin(broadcast(dangMass))
-    }
-    withDangling.select(col("__node"),
-      (lit(1.0 - damping) / col("__cnt") + lit(damping) * inMass).as("__pr"))
+      }
+    val outCols = col("__node") +:
+      (lit((1.0 - damping) / st.n) + lit(damping) * inMass).as("__pr") +:
+      ((if (st.dangling) Seq(col("__out")) else Nil) ++
+        (if (carryPrev) Seq(col("__pr0")) else Nil))
+    withDangling.select(outCols: _*)
   }
 
-  /** The uniform 1/n starting vector. */
+  /** The uniform 1/n starting vector (plus the static dangling flag when
+    * that mode is on — it rides the rank rows through every round).
+    */
   private def prInit(st: PrState): DataFrame =
-    st.ids.select(col("__node"), (lit(1.0) / col("__cnt")).as("__pr"))
+    st.ids.select(col("__node") +: lit(1.0 / st.n).as("__pr") +:
+      (if (st.dangling) Seq(col("__out")) else Nil): _*)
 
   /** PageRank with a FIXED iteration count — deterministic by
     * construction (no convergence test, no float epsilon in control
@@ -123,13 +189,16 @@ object Graph {
     * each round, the summed rank of nodes with NO out-edges spreads
     * uniformly (`+ d·S_t/n` to every node) — the textbook stochastic
     * completion. Default false drops it (the standard simplification);
-    * both modes replay identically in the oracle. SINGLE-ACTION contract
-    * in this mode: each round's rank frame is read twice (contrib join +
-    * dangling sum) behind a per-round cache that auto-releases after the
-    * first action on the result — a SECOND action re-executes the
-    * unrolled lineage uncached, doubling per round (2^iters). Run one
-    * action, or persist the returned frame before fanning out — or pass
-    * `truncateLineage = true`.
+    * both modes replay identically in the oracle. The dangling SET is
+    * static, so it is pinned once at setup as a per-node flag riding the
+    * rank rows; each round's S_t is one aggregate over the rank frame
+    * (a 1-row broadcast), not a per-round anti-join. SINGLE-ACTION
+    * contract in this mode: each round's rank frame is read twice (the
+    * contrib join + the dangling sum) behind a per-round cache that
+    * auto-releases after the first action on the result — a SECOND
+    * action re-executes the unrolled lineage uncached, doubling per
+    * round (2^iters). Run one action, or persist the returned frame
+    * before fanning out — or pass `truncateLineage = true`.
     *
     * `truncateLineage = true` removes the single-action footgun (and the
     * deep unrolled plan) entirely: each round eagerly
@@ -145,14 +214,19 @@ object Graph {
     * Iterating until a tolerance instead of a fixed count →
     * [[pageRankConverged]].
     *
-    * Scale shape per iteration: one shuffle join of the edge list with
-    * the rank frame on the source id, one map-side-combined sum per
-    * destination, one left join back to the node set — everything
-    * edge-list-sized (k·n for a kNN graph), never quadratic. The node
-    * count rides a broadcast 1-row total (the t6 lesson); the dangling
-    * mass (when enabled) is a broadcast 1-row sum over a pinned
-    * source-id anti-join — also edge-bounded. Fixed small `iters` keeps
-    * the unrolled plan shallow.
+    * Scale shape per iteration (r19 optimization round): rank vectors at
+    * or below `spark.graft.pagerank.broadcastNodes` (default
+    * [[BroadcastNodesDefault]]) are BROADCAST into the contrib join, so
+    * the cached edge list is never exchanged — the only per-round
+    * shuffle is the map-side-combined destination sum. Above the
+    * threshold the edge cache is laid out hash-partitioned + sorted on
+    * the source id once at setup and each round's sort-merge join
+    * exchanges only the node-sized rank frame — either way the
+    * loop-invariant edge bytes cross the network at most once, not once
+    * per round. Everything stays edge-list-sized (k·n for a kNN graph),
+    * never quadratic; setup runs one node-count job so n is a literal
+    * in the round expressions (no per-round 1-row broadcast total).
+    * Fixed small `iters` keeps the unrolled plan shallow.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, iters: Int = 3,
@@ -170,6 +244,11 @@ object Graph {
     // if a round fails, else a cancelled call strands corpus-sized
     // caches for the session (the r14 incremental-twin convention)
     try (1 to iters).foreach { round =>
+      // NO broadcast hint in either fixed-iteration mode: truncate mode
+      // promises ranks bit-identical to the replayable default
+      // (GraphSpec pins it), and a different join strategy reorders the
+      // contrib partial sums at the last ULP. Only the convergence form
+      // (no replay contract) takes the broadcast fast path.
       pr = prRound(st, pr, damping)
       if (truncateLineage) {
         // eager checkpoint: this round runs NOW as one job over the
@@ -206,7 +285,6 @@ object Graph {
     } else {
       CacheRelease.autoRelease(result, st.e, () => { st.e.unpersist(); () })
       CacheRelease.autoRelease(result, st.ids, () => { st.ids.unpersist(); () })
-      st.srcs.foreach(s => CacheRelease.autoRelease(result, s, () => { s.unpersist(); () }))
       roundCaches.foreach(c => CacheRelease.autoRelease(result, c, () => { c.unpersist(); () }))
     }
     result
@@ -218,9 +296,14 @@ object Graph {
     * fixed count either wastes rounds or stops short as the graph's
     * mixing time drifts with the corpus). Built on the
     * [[pageRank]] `truncateLineage` machinery: every round is one job
-    * over the previous round's checkpointed blocks, the per-round delta
-    * check is one O(n) co-partitioned join + 1-row agg, and plan depth
+    * over the previous round's checkpointed blocks, and plan depth
     * stays constant regardless of how many rounds convergence takes.
+    * The per-round delta rides the SAME job as the round itself: the
+    * round carries each node's previous rank out as `__pr0` (the node
+    * frame IS the previous checkpoint — no extra join) and
+    * `max|__pr − __pr0|` is collected via `observe()` on the checkpoint
+    * job (the connectedComponents convention) — one job per round where
+    * it used to be two (round + a separate delta join/agg job).
     * Same propagation arithmetic as [[pageRank]] by construction (one
     * shared round function), so `weightCol`/`redistributeDangling`
     * behave identically.
@@ -246,20 +329,25 @@ object Graph {
     val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
     var pr = prInit(st).localCheckpoint()
     // `next` lives outside the loop so the catch can release it: the
-    // delta job (or a release) can throw AFTER the eager checkpoint
-    // materialized, and nothing else would ever unpersist those blocks
+    // observation read (or a release) can throw AFTER the eager
+    // checkpoint materialized, and nothing else would ever unpersist
+    // those blocks
     var next: DataFrame = null
     try {
       var rounds = 0
       var delta = Double.PositiveInfinity
+      val keep = col("__node") +: col("__pr") +:
+        (if (redistributeDangling) Seq(col("__out")) else Nil)
       while (rounds < maxIters && delta >= tol) {
-        next = prRound(st, pr, damping).localCheckpoint()
-        // both sides are materialized checkpoints: the delta is one
-        // co-partitioned join + 1-row agg (coalesce covers the
-        // empty-node-set edge, where max() aggregates nothing)
-        delta = next.join(pr.select(col("__node"), col("__pr").as("__pr0")), "__node")
-          .agg(coalesce(max(abs(col("__pr") - col("__pr0"))), lit(0.0)))
-          .head().getDouble(0)
+        // the delta observation completes with the checkpoint job itself
+        // (coalesce covers the empty-node-set edge, where max()
+        // aggregates nothing)
+        val obs = Observation(s"pr-delta-$rounds-${System.nanoTime()}")
+        next = prRound(st, pr, damping, carryPrev = true, prMaterialized = true)
+          .observe(obs, coalesce(max(abs(col("__pr") - col("__pr0"))), lit(0.0)).as("delta"))
+          .select(keep: _*)
+          .localCheckpoint()
+        delta = obs.get("delta").asInstanceOf[Double]
         graftbridge.releaseCheckpoints(pr)
         pr = next
         next = null

@@ -27,6 +27,14 @@ object graftbridge {
     * Long-lived sessions use this to stop repeated pipeline invocations
     * from accumulating executor storage.
     */
+  /** Block until every queued listener-bus event has been delivered —
+    * measurement harnesses (OptProbe) tally task metrics through a
+    * SparkListener, and the bus is async, so a read taken right after an
+    * action can miss that action's tail events.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def releaseCheckpoints(df: Dataset[_]): Int = {
     val roots = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
       case l: execution.LogicalRDD => l.rdd
