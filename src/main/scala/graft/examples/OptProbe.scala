@@ -24,7 +24,11 @@ object OptProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.filter(!_.startsWith("--"))
       .getOrElse("/root/testdata/sf0.1")
-    val names = (if (args.headOption.exists(!_.startsWith("--"))) args.drop(1) else args).toSeq
+    val named = (if (args.headOption.exists(!_.startsWith("--"))) args.drop(1) else args).toSeq
+    val names = // --all = every declared query (the checklist sweep), then any extras
+      if (named.contains("--all"))
+        SparkEntry.queries.keys.toSeq.sorted ++ named.filterNot(_ == "--all").filterNot(SparkEntry.queries.contains)
+      else named
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -71,6 +75,10 @@ object OptProbe {
       df.write.format("noop").mode("overwrite").save()
 
     names.foreach {
+      case "buildscored_plan" => // the write-side plan the ii gates pay (not
+        // visible in the gate dumps — materializeScored writes eagerly)
+        graft.operators.InvertedIndex.buildScored(
+          Tables.load(spark, sfDir, "documents"), "doc_id", "text").explain("formatted")
       case "v8c" => // bench-only converged-pagerank body (Bench.scala fixture)
         val emb = Tables.load(spark, sfDir, "embeddings")
         val eDir = graft.queries.QueryTmp.dir("opt-v8c") + "/edges"

@@ -245,14 +245,21 @@ object InvertedIndex {
     * count pass; `dl` rides along via a window over the doc key so the
     * artifact is self-contained (no corpus join at query time).
     */
-  def buildScored(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def buildScored(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // dl (the doc's token count) is knowable BEFORE the explode — it is
+    // the size of the filtered token array — so it rides the tf shuffle
+    // as a grouping column (functionally dependent on the doc id) instead
+    // of being recomputed afterwards by a window, which cost a second
+    // exchange + sort of the whole postings set (r19 optimization round:
+    // 2 Exchanges → 1, Window+Sort → none; values bit-identical — both
+    // forms count the same non-empty tokens)
     docs.select(col(idCol),
-        explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("token"))
-      .groupBy(col(idCol), col("token"))
+        filter(split(col(textCol), " "), t => length(t) > 0).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("token"),
+        size(col("__toks")).cast("long").as("dl"))
+      .groupBy(col(idCol), col("token"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col(idCol))))
-  }
+      .select(col(idCol), col("token"), col("tf"), col("dl"))
 
   /** Materialize scored postings to `path` and reopen. Also persists the
     * exact corpus totals as a sidecar ([[writeTotals]]) so a NEW session
