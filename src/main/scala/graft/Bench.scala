@@ -239,8 +239,8 @@ object Bench {
       val model = graft.operators.KMeans.fitCached(emb2, sfDir, "vec_id", "embedding",
         k = 8, maxIters = 5)
       def assigned(part: org.apache.spark.sql.DataFrame) =
-        graft.operators.KMeans.assign(part, "vec_id", "embedding", model)
-          .join(part.select(col("vec_id"), col("embedding")), "vec_id")
+        graft.operators.KMeans.assign(part, "vec_id", "embedding", model,
+          carry = Seq("embedding")) // mirrors the v11 gate's r19 shape
       val aDir = graft.queries.QueryTmp.dir("bench-v11") + "/assigned"
       assigned(emb2.filter(col("vec_id") % 10 =!= 7)).write.parquet(aDir)
       val oldAssigned = spark.read.parquet(aDir)

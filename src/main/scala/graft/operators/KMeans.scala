@@ -367,10 +367,17 @@ object KMeans {
     * the per-row Seq boxing the interpreted UDF paid on the n·k hot
     * path. Null vectors yield a null cluster (the UDF threw).
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model,
+      carry: Seq[String] = Nil): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.centroids)
-    df.select(col(idCol),
-      graft.functions.CentroidFunctions.nearestCentroid(col(vecCol), bc).as("cluster"))
+    // `carry` passes source columns through the SAME map-only projection —
+    // the r19 optimization round removed the assign-then-self-join-on-id
+    // shape (join output (id, cluster, carry...) ≡ this select, but the
+    // join re-shuffles the corpus twice at scale for columns the
+    // projection had in hand)
+    df.select(col(idCol) +:
+      graft.functions.CentroidFunctions.nearestCentroid(col(vecCol), bc).as("cluster") +:
+      carry.map(col): _*)
   }
 
   /** IVF approximate nearest neighbors: corpus bucketed by nearest

@@ -551,7 +551,8 @@ object Similarity {
     * rows are dropped downstream by clusterCosinePairs' NaN guard.
     */
   def hierarchicalCells(df: DataFrame, idCol: String, vecCol: String,
-      coarse: KMeans.Model, fine: KMeans.Model): DataFrame = {
+      coarse: KMeans.Model, fine: KMeans.Model,
+      carry: Seq[String] = Nil): DataFrame = {
     // native fused expression (r15): coarse route + residual + fine
     // route in one pass over the unboxed array — same arithmetic as the
     // previous interpreted UDF (dim-ascending folds, lowest-index ties,
@@ -560,9 +561,13 @@ object Similarity {
     val sc = df.sparkSession.sparkContext
     val bcC = sc.broadcast(coarse.centroids)
     val bcF = sc.broadcast(fine.centroids)
+    // `carry` = KMeans.assign's passthrough contract (r19): source
+    // columns ride the same map-only projection instead of a
+    // re-attaching self-join on the id
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol),
-        graft.functions.CentroidFunctions.hierarchicalCellId(col(vecCol), bcC, bcF).as("cell"))
+      .select(col(idCol) +:
+        graft.functions.CentroidFunctions.hierarchicalCellId(col(vecCol), bcC, bcF).as("cell") +:
+        carry.map(col): _*)
   }
 
   /** `maxCellSize` drops degenerate hot CELLS before pair expansion —

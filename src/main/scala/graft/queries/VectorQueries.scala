@@ -325,8 +325,11 @@ object VectorQueries {
       val e = Tables.load(s, dir, "embeddings")
       val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
         k = 8, maxIters = 5)
-      val assigned = graft.operators.KMeans.assign(e, "vec_id", "embedding", model)
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      // carry the vector through assign's own projection — the former
+      // re-attaching self-join on vec_id produced identical rows but
+      // shuffled the corpus twice at scale (r19 optimization round)
+      val assigned = graft.operators.KMeans.assign(e, "vec_id", "embedding", model,
+        carry = Seq("embedding"))
       // maxCellSize pinned to exact enumeration: the oracle replays the
       // FULL within-cell join, so the guard (a floating default) must
       // never silently truncate the gate as the corpus grows
@@ -353,8 +356,8 @@ object VectorQueries {
       val old = e.filter(col("vec_id") % 10 =!= 7)
       val batch = e.filter(col("vec_id") % 10 === 7)
       def assigned(part: org.apache.spark.sql.DataFrame) =
-        graft.operators.KMeans.assign(part, "vec_id", "embedding", model)
-          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+        graft.operators.KMeans.assign(part, "vec_id", "embedding", model,
+          carry = Seq("embedding", "label")) // rows ≡ the former self-join (r19)
       Similarity.incrementalSemDedupKeep(assigned(batch), assigned(old),
           "vec_id", "embedding", "cluster", 0.45, maxCellSize = Int.MaxValue)
         .select(col("vec_id"), col("label"))
@@ -420,8 +423,8 @@ object VectorQueries {
       val model = graft.operators.KMeans.fitCached(e, dir, "vec_id", "embedding",
         k = 8, maxIters = 5)
       def assigned(part: org.apache.spark.sql.DataFrame) =
-        graft.operators.KMeans.assign(part, "vec_id", "embedding", model)
-          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+        graft.operators.KMeans.assign(part, "vec_id", "embedding", model,
+          carry = Seq("embedding", "label")) // rows ≡ the former self-join (r19)
       val path = s"${QueryTmp.dir("assigned-append")}/assigned"
       assigned(e.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 8))
         .write.mode("overwrite").parquet(path)
@@ -450,8 +453,8 @@ object VectorQueries {
           Similarity.fitHierarchical(e, "vec_id", "embedding", k1 = 8, k2 = 4, maxIters = 5))
       }
       def assignedH(part: org.apache.spark.sql.DataFrame) =
-        Similarity.hierarchicalCells(part, "vec_id", "embedding", coarse, fine)
-          .join(part.select(col("vec_id"), col("embedding"), col("label")), "vec_id")
+        Similarity.hierarchicalCells(part, "vec_id", "embedding", coarse, fine,
+          carry = Seq("embedding", "label")) // rows ≡ the former self-join (r19)
       Similarity.incrementalSemDedupKeep(
         assignedH(e.filter(col("vec_id") % 10 === 7)),
         assignedH(e.filter(col("vec_id") % 10 =!= 7)),
