@@ -49,7 +49,7 @@ object Graph {
     */
   private def prSetup(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, weightCol: Option[String],
-      redistributeDangling: Boolean): PrState = {
+      redistributeDangling: Boolean, roundsUseSmj: Boolean): PrState = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val rawIds = nodes.select(col(nodeCol).as("__node"))
     val n = rawIds.count().toDouble
@@ -79,11 +79,16 @@ object Graph {
     val eJoined = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"), w.as("__w"))
       .join(outd, "__src")
       .select(col("__src"), col("__dst"), col("__w"), degChecked.as("__deg"))
-    // broadcast mode: the edge cache is never exchanged (every round's
-    // contrib join is a map-side BHJ), so keep the scan layout. Else lay
-    // the cache out partitioned + sorted on __src ONCE, so each round's
-    // sort-merge join re-uses it and exchanges only the rank frame —
-    // the loop-invariant side must not pay a shuffle per round (§2.4).
+    // Above the broadcast threshold every round's join is a real
+    // sort-merge join, so the loop-invariant caches are laid out
+    // partitioned + SORTED on their join keys ONCE and each round
+    // exchanges only the round-varying rank frame — the loop-invariant
+    // side must not pay a shuffle (or re-sort) per round (§2.4). At or
+    // below the threshold the rank side rides a broadcast (explicitly in
+    // the convergence form; via AQE's runtime join conversion in the
+    // lazy forms — measured: the tiny-rank SMJs all convert locally, so
+    // pre-partitioning small graphs only added two setup shuffles), and
+    // the edge cache keeps the cheaper scan layout.
     val e = (if (bcastRanks) eJoined
              else eJoined.repartition(col("__src")).sortWithinPartitions("__src"))
       .persist(lvl)
@@ -92,11 +97,15 @@ object Graph {
     // replacing what used to be a per-round anti-join against a distinct
     // source-id frame with a flag already sitting on the rank rows.
     val ids0 = rawIds
-    val ids = (if (redistributeDangling)
+    val idsFlagged =
+      if (redistributeDangling)
         ids0.join(e.select(col("__src").as("__node")).distinct()
             .withColumn("__has_out", lit(true)), Seq("__node"), "left")
           .select(col("__node"), coalesce(col("__has_out"), lit(false)).as("__out"))
-      else ids0).persist(lvl)
+      else ids0
+    val ids = (if (!bcastRanks && roundsUseSmj)
+        idsFlagged.repartition(col("__node")).sortWithinPartitions("__node")
+      else idsFlagged).persist(lvl)
     PrState(e, ids, n, redistributeDangling, bcastRanks)
   }
 
@@ -237,7 +246,8 @@ object Graph {
       s"iters must be in [1, 20] (fixed-iteration contract), got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
+    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling,
+      roundsUseSmj = true) // both fixed-iteration modes join, never broadcast
     val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pr = prInit(st)
     // truncate mode runs jobs INSIDE this loop — release the invariants
@@ -326,7 +336,8 @@ object Graph {
     require(tol > 0, s"tol must be positive, got $tol")
     require(maxIters >= 1 && maxIters <= 10000, s"maxIters must be in [1, 10000], got $maxIters")
     require(damping > 0 && damping < 1, s"damping must be in (0, 1), got $damping")
-    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling)
+    val st = prSetup(edges, srcCol, dstCol, nodes, nodeCol, weightCol, redistributeDangling,
+      roundsUseSmj = false) // rounds broadcast the rank frame when it fits
     var pr = prInit(st).localCheckpoint()
     // `next` lives outside the loop so the catch can release it: the
     // observation read (or a release) can throw AFTER the eager

@@ -248,4 +248,41 @@ class GraphSpec extends SparkSuite {
       Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", nodes.toDF("id"), "id",
         3, damping = 1.0))
   }
+
+  test("above the broadcast threshold (co-partitioned caches) ranks match the broadcast path") {
+    // r19 optimization: rank vectors above spark.graft.pagerank.
+    // broadcastNodes switch every round's join onto caches pre-laid-out
+    // partitioned+sorted on the join keys. Force that path (threshold 1)
+    // and pin it against the default path on all three mode combinations
+    // — values may differ only in partial-sum order, so 4 ULPs, not
+    // bitwise (the gotUni/gotPlain convention above).
+    val rnd = new scala.util.Random(23)
+    val nodes = (1L to 30L)
+    val edges = Seq.fill(90)((rnd.nextInt(25) + 1L, rnd.nextInt(30) + 1L,
+        math.rint(rnd.nextDouble() * 100) / 100 + 0.01))
+      .filter(e => e._1 != e._2).distinctBy(e => (e._1, e._2))
+    val df = edges.toDF("src", "dst", "w")
+    def runAll(): Seq[Map[Long, Double]] = Seq(
+      Graph.pageRank(df, "src", "dst", nodes.toDF("id"), "id", iters = 3)
+        .as[(Long, Double)].collect().toMap,
+      Graph.pageRank(df, "src", "dst", nodes.toDF("id"), "id", iters = 3,
+          weightCol = Some("w"), redistributeDangling = true)
+        .as[(Long, Double)].collect().toMap, {
+        val (pr, _) = Graph.pageRankConverged(df, "src", "dst", nodes.toDF("id"), "id",
+          tol = 1e-9, maxIters = 60, weightCol = Some("w"), redistributeDangling = true)
+        val m = pr.as[(Long, Double)].collect().toMap
+        org.apache.spark.sql.graftbridge.releaseCheckpoints(pr)
+        m
+      })
+    val bcast = runAll()
+    spark.conf.set("spark.graft.pagerank.broadcastNodes", "1")
+    try {
+      val smj = runAll()
+      bcast.zip(smj).zipWithIndex.foreach { case ((b, s), i) =>
+        nodes.foreach { v =>
+          assert(math.abs(b(v) - s(v)) <= 4 * math.ulp(b(v)), s"mode $i node $v: ${b(v)} vs ${s(v)}")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.pagerank.broadcastNodes")
+  }
 }
