@@ -22,13 +22,22 @@ import graft.{GraftSession, SparkEntry, Tables}
   */
 object OptProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.filter(!_.startsWith("--"))
-      .getOrElse("/root/testdata/sf0.1")
-    val named = (if (args.headOption.exists(!_.startsWith("--"))) args.drop(1) else args).toSeq
+    // the first positional is the data dir ONLY if it exists on disk — a
+    // bare `OptProbe v8` must not silently measure zero queries against
+    // a data dir named "v8"
+    val headIsDir = args.headOption.exists(a =>
+      !a.startsWith("--") && java.nio.file.Files.isDirectory(java.nio.file.Paths.get(a)))
+    val sfDir = if (headIsDir) args.head else "/root/testdata/sf0.1"
+    val named = (if (headIsDir) args.drop(1) else args).toSeq
     val names = // --all = every declared query (the checklist sweep), then any extras
       if (named.contains("--all"))
         SparkEntry.queries.keys.toSeq.sorted ++ named.filterNot(_ == "--all").filterNot(SparkEntry.queries.contains)
       else named
+    val special = Set("v8c", "cc", "buildscored_plan")
+    val unknown = names.filterNot(n => special(n) || SparkEntry.queries.contains(n))
+    require(names.nonEmpty, "OptProbe: no query names given (pass names, or --all)")
+    require(unknown.isEmpty, // fail BEFORE minutes of measurement, not at the typo
+      s"OptProbe: unknown queries ${unknown.mkString(", ")} (not declared, not in $special)")
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -103,9 +103,16 @@ object Graph {
             .withColumn("__has_out", lit(true)), Seq("__node"), "left")
           .select(col("__node"), coalesce(col("__has_out"), lit(false)).as("__out"))
       else ids0
-    val ids = (if (!bcastRanks && roundsUseSmj)
+    val idsLaid =
+      if (!bcastRanks && roundsUseSmj)
         idsFlagged.repartition(col("__node")).sortWithinPartitions("__node")
-      else idsFlagged).persist(lvl)
+      else idsFlagged
+    // the node frame is the per-round join input only in the
+    // fixed-iteration forms; the convergence loop reads it ONCE (prInit,
+    // the rounds use the previous checkpoint as their node frame), and a
+    // corpus-scale cache pinned for zero reuse is storage waste (review
+    // finding). release() on an unpersisted frame is a no-op.
+    val ids = if (roundsUseSmj) idsLaid.persist(lvl) else idsLaid
     PrState(e, ids, n, redistributeDangling, bcastRanks)
   }
 
@@ -235,7 +242,12 @@ object Graph {
     * per round. Everything stays edge-list-sized (k·n for a kNN graph),
     * never quadratic; setup runs one node-count job so n is a literal
     * in the round expressions (no per-round 1-row broadcast total).
-    * Fixed small `iters` keeps the unrolled plan shallow.
+    * NOTE (r19): that count means EVERY form — including this default
+    * lazy one — runs one job over `nodes` at CALL time; the returned
+    * frame itself stays lazy and replayable, but plan-only callers
+    * (Explain) pay the count, and `nodes` must not mutate between the
+    * call and the first action (the literal n is read once). Fixed
+    * small `iters` keeps the unrolled plan shallow.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String, iters: Int = 3,

@@ -241,9 +241,20 @@ object InvertedIndex {
 
   /** Scored postings: one row per (doc, token) with its term frequency
     * and the doc's token count — the ranking-ready index layout
-    * ([[build]] keeps only membership). Same build shape: one explode +
-    * count pass; `dl` rides along via a window over the doc key so the
-    * artifact is self-contained (no corpus join at query time).
+    * ([[build]] keeps only membership). One explode + count pass; `dl`
+    * is the size of the doc's filtered token array, computed BEFORE the
+    * explode and carried through the tf shuffle as a grouping column, so
+    * the artifact is self-contained (no corpus join at query time) and
+    * the build pays ONE exchange (r19: the former `dl` window cost a
+    * second full exchange + sort of the postings).
+    *
+    * Input contract: ONE ROW PER DOC ID (every caller here holds it —
+    * `documents` keys on doc_id, and the append paths require new ids).
+    * A corpus that repeats an id across rows gets one posting set per
+    * ROW (each with its own row's `dl`); the pre-r19 window form instead
+    * merged such rows into one pseudo-doc — incidental behavior no gate
+    * or caller relied on, and arguably wrong (concatenating distinct
+    * rows' token counts). Dedup upstream if ids can repeat.
     */
   def buildScored(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // dl (the doc's token count) is knowable BEFORE the explode — it is

@@ -27,14 +27,6 @@ object graftbridge {
     * Long-lived sessions use this to stop repeated pipeline invocations
     * from accumulating executor storage.
     */
-  /** Block until every queued listener-bus event has been delivered —
-    * measurement harnesses (OptProbe) tally task metrics through a
-    * SparkListener, and the bus is async, so a read taken right after an
-    * action can miss that action's tail events.
-    */
-  def flushListenerBus(spark: SparkSession): Unit =
-    spark.sparkContext.listenerBus.waitUntilEmpty()
-
   def releaseCheckpoints(df: Dataset[_]): Int = {
     val roots = df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
       case l: execution.LogicalRDD => l.rdd
@@ -52,4 +44,15 @@ object graftbridge {
     roots.foreach(walk)
     released
   }
+
+  /** Wait for queued listener-bus events to be delivered — measurement
+    * harnesses (OptProbe) tally task metrics through a SparkListener, and
+    * the bus is async, so a read taken right after an action can miss
+    * that action's tail events. Bounded (waitUntilEmpty throws on its
+    * timeout) and fail-soft: a still-draining bus after 60 s means a
+    * slightly stale tally, which must not abort a measurement sweep.
+    */
+  def flushListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(60000L)
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

@@ -254,8 +254,10 @@ class GraphSpec extends SparkSuite {
     // broadcastNodes switch every round's join onto caches pre-laid-out
     // partitioned+sorted on the join keys. Force that path (threshold 1)
     // and pin it against the default path on all three mode combinations
-    // — values may differ only in partial-sum order, so 4 ULPs, not
-    // bitwise (the gotUni/gotPlain convention above).
+    // — values may differ only in partial-sum order, which COMPOUNDS
+    // geometrically over rounds (×1/(1−d) per round) and whose grouping
+    // depends on the host's parallelism: bound at 1e-9 RELATIVE, not a
+    // ULP count (review finding — a 4-ULP bound is environment-shaped).
     val rnd = new scala.util.Random(23)
     val nodes = (1L to 30L)
     val edges = Seq.fill(90)((rnd.nextInt(25) + 1L, rnd.nextInt(30) + 1L,
@@ -280,7 +282,8 @@ class GraphSpec extends SparkSuite {
       val smj = runAll()
       bcast.zip(smj).zipWithIndex.foreach { case ((b, s), i) =>
         nodes.foreach { v =>
-          assert(math.abs(b(v) - s(v)) <= 4 * math.ulp(b(v)), s"mode $i node $v: ${b(v)} vs ${s(v)}")
+          assert(math.abs(b(v) - s(v)) <= 1e-9 * math.abs(b(v)),
+            s"mode $i node $v: ${b(v)} vs ${s(v)}")
         }
       }
     } finally spark.conf.unset("spark.graft.pagerank.broadcastNodes")
