@@ -43,6 +43,12 @@ object OptProbe {
 
     val jobs = new AtomicLong; val stages = new AtomicLong
     val tasks = new AtomicLong; val shRead = new AtomicLong; val shWrite = new AtomicLong
+    // r20: CPU-density counters — executorRunTime (ms the tasks occupied
+    // task slots), executorCpuTime (ns actually on-CPU), jvmGCTime (ms in
+    // GC inside those tasks). run/wall ≈ effective parallelism;
+    // cpu/run ≈ how much of the slot time was real compute (low = fetch
+    // wait / scheduling / GC / blocking I/O); gc/run = the GC share.
+    val runMs = new AtomicLong; val cpuNs = new AtomicLong; val gcMs = new AtomicLong
     @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -54,6 +60,9 @@ object OptProbe {
           tasks.incrementAndGet()
           shRead.addAndGet(e.taskMetrics.shuffleReadMetrics.totalBytesRead)
           shWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          runMs.addAndGet(e.taskMetrics.executorRunTime)
+          cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+          gcMs.addAndGet(e.taskMetrics.jvmGCTime)
           ()
         }
     })
@@ -66,6 +75,7 @@ object OptProbe {
           // let queued listener events from prior runs drain before tallying
           org.apache.spark.sql.graftbridge.flushListenerBus(spark)
           jobs.set(0); stages.set(0); tasks.set(0); shRead.set(0); shWrite.set(0)
+          runMs.set(0); cpuNs.set(0); gcMs.set(0)
           collecting = true
         }
         val t0 = System.nanoTime()
@@ -77,8 +87,11 @@ object OptProbe {
         }
         w
       }
+      val lastWall = walls.last
       println(f"[opt] $name%-28s wall=${walls.min}%6.3f s  jobs=${jobs.get}%3d stages=${stages.get}%4d " +
-        f"tasks=${tasks.get}%5d shufR=${shRead.get / 1024}%8d KiB shufW=${shWrite.get / 1024}%8d KiB")
+        f"tasks=${tasks.get}%5d shufR=${shRead.get / 1024}%8d KiB shufW=${shWrite.get / 1024}%8d KiB " +
+        f"run=${runMs.get / 1000.0}%7.2f s cpu=${cpuNs.get / 1e9}%7.2f s gc=${gcMs.get / 1000.0}%5.2f s " +
+        f"par=${runMs.get / 1000.0 / lastWall}%4.1f (last wall=$lastWall%6.3f)")
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -214,26 +214,25 @@ object Sampling {
     * membership is a pure function of (group's id set, seed, k) — but
     * with a hard size guarantee rate-based sampling can't give.
     *
-    * Scale shape: a bounded top-k heap per group via
-    * [[graft.functions.Aggregators.TopKAgg]] — partial aggregation trims
-    * to k BEFORE the shuffle, so the exchange carries ≤ k rows per
+    * Scale shape: a bounded top-k heap per group (Catalyst's CollectTopK
+    * via `graftbridge.collectTopK`) — partial aggregation trims to k
+    * BEFORE the shuffle, so the exchange carries ≤ k rows per
     * (partition, group) instead of the full group a window row_number
     * would sort. Returns (groupCol, idCol) pairs; join back for payloads.
     */
   def reservoirPerGroup(df: DataFrame, idCol: String, groupCol: String,
-      k: Int, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ord = Ordering.Tuple2(Ordering.Long, Ordering.Long)
-    val topk = new graft.functions.Aggregators.TopKAgg[(Long, Long)](k, ord).toColumn
-    df.select(col(groupCol).cast("string"), hashBucket(col(idCol), Buckets, seed), col(idCol).cast("long"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1).mapValues(t => (t._2, t._3))
-      .agg(topk)
-      .toDF(groupCol, "top")
+      k: Int, seed: Long = 42L): DataFrame =
+    // Catalyst-native bounded heap (graftbridge.collectTopK — k smallest
+    // (bucket, id) structs, partials trimmed to k before the shuffle):
+    // same keying and tie order as the former typed TopKAgg pipeline,
+    // without its per-row encoder round trip (r20 optimization round)
+    df.select(col(groupCol).cast("string").as(groupCol),
+        hashBucket(col(idCol), Buckets, seed).as("__b"), col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graftbridge.collectTopK(
+        struct(col("__b").as("_1"), col("__id").as("_2")), k).as("top"))
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col("t._2").as(idCol), col(groupCol))
-  }
 
   /** WEIGHTED exactly-k reservoir per group — Efraimidis–Spirakis A-ES
     * with the deterministic hash as the uniform draw: keep the k rows
@@ -251,27 +250,26 @@ object Sampling {
     * (`raise_error` in the key expression); silently dropping or
     * clamping such rows would bias the sample behind the caller's back.
     *
-    * Scale shape: the s4 bounded-heap class ([[graft.functions.Aggregators.TopKAgg]]
+    * Scale shape: the s4 bounded-heap class (Catalyst's CollectTopK —
     * partials trim to k before the shuffle). Returns (idCol, groupCol,
     * es_key) — the key is exposed so downstream can re-verify or merge
     * reservoirs (A-ES keys are mergeable by construction).
     */
   def weightedReservoirPerGroup(df: DataFrame, idCol: String, weightCol: String,
       groupCol: String, k: Int, seed: Long = 42L): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val u = (hashBucket(col(idCol), Buckets, seed) + 1).cast("double") / lit(Buckets.toDouble)
     val key = when(col(weightCol) > 0, log(u) / col(weightCol).cast("double"))
       .otherwise(raise_error(concat(
         lit(s"weightedReservoirPerGroup: nonpositive weight in '$weightCol' for id "),
         col(idCol).cast("string"))))
-    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-    val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long)](k, ord).toColumn
-    df.select(col(groupCol).cast("string"), key.as("__k"), col(idCol).cast("long"))
-      .as[(String, Double, Long)]
-      .groupByKey(_._1).mapValues(t => (-t._2, t._3))
-      .agg(topk)
-      .toDF(groupCol, "top")
+    // Catalyst-native bounded heap over (−key, id): k smallest = the k
+    // LARGEST A-ES keys with the smaller-id tiebreak, exactly the former
+    // typed TopKAgg keying, minus its per-row encoder round trip (r20)
+    df.select(col(groupCol).cast("string").as(groupCol),
+        key.as("__k"), col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graftbridge.collectTopK(
+        struct((-col("__k")).as("_1"), col("__id").as("_2")), k).as("top"))
       .select(col(groupCol), explode(col("top")).as("t"))
       .select(col("t._2").as(idCol), col(groupCol), (-col("t._1")).as("es_key"))
   }

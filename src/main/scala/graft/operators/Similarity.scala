@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge
 
 import graft.functions.VectorFunctions._
 
@@ -354,9 +355,10 @@ object Similarity {
     * ([[srpCandidatePairs]] — hot buckets bounded by `maxBucketSize`);
     * scoring joins candidates back to one cached projection of the
     * corpus; ranking is a bounded top-k heap per source id
-    * ([[graft.functions.Aggregators.TopKAgg]]) whose partial aggregation
-    * trims to k BEFORE the shuffle — per-id candidate lists never sort
-    * through a window. Ranking compares UNROUNDED cosine (ties broken by
+    * (Catalyst's CollectTopK via `graftbridge.collectTopK` — r20: no
+    * typed-encoder round trip per candidate row) whose partial
+    * aggregation trims to k BEFORE the shuffle — per-id candidate lists
+    * never sort through a window. Ranking compares UNROUNDED cosine (ties broken by
     * neighbor id — the v1 ordering contract); emitted `sim` is rounded
     * to 6dp. Vectors with no bucket collisions emit no rows (ANN
     * semantics — recall vs exact is the bits/tables dial, see
@@ -414,41 +416,25 @@ object Similarity {
     // heap entries (−cos, neighbor, cos): k smallest under (−cos, id) =
     // top-k by cos desc with id tiebreak; the third field carries the
     // un-negated score out (never reconstructed from the sort key, so a
-    // −0.0 can't leak into the output)
-    val ranked: DataFrame = idKind match {
-      case IntegralId =>
-        val scored =
-          scoredBase.select(col("id_a").cast("long"), col("id_b").cast("long"), col("cos"))
-        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
-          .on[(Double, Long, Double)](t => (t._1, t._2))
-        val topk =
-          new graft.functions.Aggregators.TopKAgg[(Double, Long, Double)](k, ord).toColumn
-        scored.as[(Long, Long, Double)]
-          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
-          .agg(topk)
-          .toDF("qid", "top")
-      case FractionalId =>
-        val scored =
-          scoredBase.select(col("id_a").cast("double"), col("id_b").cast("double"), col("cos"))
-        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering)
-          .on[(Double, Double, Double)](t => (t._1, t._2))
-        val topk =
-          new graft.functions.Aggregators.TopKAgg[(Double, Double, Double)](k, ord).toColumn
-        scored.as[(Double, Double, Double)]
-          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
-          .agg(topk)
-          .toDF("qid", "top")
-      case StringId =>
-        val scored = scoredBase.select(col("id_a"), col("id_b"), col("cos"))
-        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
-          .on[(Double, String, Double)](t => (t._1, t._2))
-        val topk =
-          new graft.functions.Aggregators.TopKAgg[(Double, String, Double)](k, ord).toColumn
-        scored.as[(String, String, Double)]
-          .groupByKey(_._1).mapValues(t => (-t._3, t._2, t._3))
-          .agg(topk)
-          .toDF("qid", "top")
+    // −0.0 can't leak into the output). The heap is Catalyst's own
+    // bounded-priority-queue aggregate (graftbridge.collectTopK): partial
+    // aggregation still trims to k before the shuffle, but input rows
+    // stay Tungsten rows — the former typed groupByKey+TopKAgg pipeline
+    // paid a DeserializeToObject/AppendColumns encoder round trip per
+    // CANDIDATE row, the n·k hot path (r20 optimization round; the id
+    // still ranks through its class-widest key so every kind keys
+    // identically to the typed form — struct fields compare in order,
+    // doubles by the SQL double ordering the oracle's window replay
+    // already uses).
+    val nbKey = idKind match {
+      case IntegralId => col("id_b").cast("long")
+      case FractionalId => col("id_b").cast("double")
+      case StringId => col("id_b")
     }
+    val ranked: DataFrame = scoredBase
+      .groupBy(col("id_a").as("qid"))
+      .agg(graftbridge.collectTopK(
+        struct((-col("cos")).as("_1"), nbKey.as("_2"), col("cos").as("_3")), k).as("top"))
     // numeric ids rank through the widest key of their class and cast
     // BACK to the input type on emit (integral→long, float/double→double
     // — both exact round trips); string ids pass through untouched

@@ -304,7 +304,7 @@ object CurationQueries {
     // EXACTLY-k deterministic sample per group (fixed-size eval slices /
     // per-domain quotas): k smallest splitmix64(doc_id) per language,
     // doc-id tiebreak — a hard size guarantee rate sampling can't give,
-    // via the bounded TopKAgg heap (≤ k rows per (partition, group)
+    // via the bounded CollectTopK heap (≤ k rows per (partition, group)
     // cross the shuffle; a window row_number would sort every row). The
     // oracle replays the hash chain and the (bucket, doc_id) order.
     "s4_reservoir_per_group" -> { (s, dir) =>

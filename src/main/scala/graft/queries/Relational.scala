@@ -259,24 +259,23 @@ object Relational {
         .select(col("l_returnflag"), round(col("var_raw"), 2).as("var_qty"))
     },
 
-    // Top-k per key via bounded-heap typed Aggregator — same semantics as
+    // Top-k per key via a bounded-heap aggregate — same semantics as
     // q7's window form, but with partial aggregation instead of a
-    // per-partition full sort (the scalable form; see Aggregators.TopKAgg).
+    // per-partition full sort (the scalable form). r20: the heap is
+    // Catalyst's own CollectTopK (graftbridge.collectTopK) — identical
+    // (price DESC, orderkey ASC) keying, no typed-encoder round trip.
     "qtopk_per_cust_agg" -> { (s, dir) =>
-      import s.implicits._
-      val ord = Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))
-      val topk = new graft.functions.Aggregators.TopKAgg[(Double, Long)](2, ord).toColumn
       Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
-        .as[(Long, Double, Long)]
-        .groupByKey(_._1).mapValues(t => (t._2, t._3))
-        .agg(topk)
-        .toDF("o_custkey", "top")
+        .groupBy(col("o_custkey"))
+        .agg(org.apache.spark.sql.graftbridge.collectTopK(
+          struct((-col("o_totalprice")).as("_1"), col("o_orderkey").as("_2"),
+            col("o_totalprice").as("_3")), 2).as("top"))
         .select(col("o_custkey"), posexplode(col("top")))
         .select(
           col("o_custkey"),
           col("col._2").as("o_orderkey"),
-          col("col._1").as("o_totalprice"),
+          col("col._3").as("o_totalprice"),
           (col("pos") + 1).cast("int").as("rn"))
     },
 

@@ -147,7 +147,7 @@ object VectorQueries {
     // collisions only (never all-pairs) — the substrate of
     // embedding-space curation (SemDeDup-style pruning, diversity
     // scoring, graph ANN indexes). Ranking is a bounded top-k heap per
-    // id (TopKAgg — partials trim to k before the shuffle, no window
+    // id (CollectTopK — partials trim to k before the shuffle, no window
     // sort); ties on exact cosine break by neighbor id, the v1
     // contract. The oracle replays the v3 hyperplane stream, symmetrizes
     // the collision pairs, and ranks with the same (cos DESC, id ASC)

@@ -45,6 +45,29 @@ object graftbridge {
     released
   }
 
+  /** Bounded top-k collect as a Catalyst-native aggregate: keeps the
+    * `num` SMALLEST values of `sortKey` (struct keys compare field by
+    * field) and evaluates to an array sorted ascending — Spark's own
+    * `CollectTopK` (the pandas-on-Spark `nsmallest` machinery, a
+    * `TypedImperativeAggregate` over a bounded priority queue, so
+    * partial aggregation trims to k BEFORE the shuffle exactly like the
+    * typed `TopKAgg` it replaces). Unlike a typed
+    * `groupByKey.mapValues.agg(Aggregator)` pipeline there is no
+    * object-serialization boundary on the input rows: no
+    * DeserializeToObject/AppendColumns/SerializeFromObject plan nodes,
+    * no per-row encoder round trip — input rows stay Tungsten rows and
+    * only the ≤ k buffer entries are copied (guide: eliminate
+    * non-codegen closures on the hot path).
+    *
+    * Ordering note: doubles compare by Spark's SQL ordering (NaN
+    * greatest; -0.0 < 0.0 via java.lang.Double.compare inside the
+    * interpreted struct ordering) — identical to the Scala
+    * `Ordering.Double.TotalOrdering` the typed heap used.
+    */
+  def collectTopK(sortKey: Column, num: Int): Column =
+    column(new catalyst.expressions.aggregate.CollectTopK(expression(sortKey), num, true, 0, 0)
+      .toAggregateExpression())
+
   /** Wait for queued listener-bus events to be delivered — measurement
     * harnesses (OptProbe) tally task metrics through a SparkListener, and
     * the bus is async, so a read taken right after an action can miss

@@ -79,6 +79,33 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("collectTopK equals the typed TopKAgg heap: k smallest structs, ascending, id tiebreak") {
+    // r20: the operators' bounded heaps moved from the typed TopKAgg
+    // Aggregator to Catalyst's CollectTopK (graftbridge.collectTopK) —
+    // this pins the replacement to the exact keying the typed heap used:
+    // k smallest (key, id) pairs per group, emitted ascending, exact-key
+    // ties broken by the ascending second field. 40 partitions force
+    // partial-buffer merges; duplicated keys force the tiebreak.
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 4}"
+      (g, (i % 13).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "key", "id").repartition(40)
+    val native = df.groupBy(col("g"))
+      .agg(org.apache.spark.sql.graftbridge.collectTopK(
+        struct(col("key").as("_1"), col("id").as("_2")), 5).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1)))).toMap
+    val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => (t._2, t._3)).sorted(ord).take(5)
+    }
+    assert(native.keySet == expected.keySet)
+    expected.foreach { case (g, exp) =>
+      assert(native(g).toList == exp.toList, s"group $g: ${native(g)} vs $exp")
+    }
+  }
+
   test("MinHashUnionAgg merges signatures element-wise min") {
     val agg = new Aggregators.MinHashUnionAgg(4)
     val sigs = Seq(Seq(5L, 1L, 9L, 7L), Seq(3L, 2L, 8L, 9L)).toDS()
